@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators._
+
+/** A driver-checkable query: a Spark program plus (when SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Determinism rules for oracle hash-matching:
+  *   - every query ends in a total ORDER BY (unique tie-break column);
+  *   - double aggregates go through exact DECIMAL sums, then ONE
+  *     deterministic cast-to-double (and at most one IEEE divide), so the
+  *     result is bit-identical regardless of aggregation order or engine;
+  *   - float literals in oracle SQL are cast to DOUBLE explicitly (DuckDB
+  *     otherwise parses `0.9` as DECIMAL and folds constants differently).
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact sum of a 2-decimal double column, emitted as a double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,2)")).cast("double")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- relational core (Catalyst-native; parity with the reference's
+    // ---- delegation of scan/filter/agg/sort to Spark) ----
+
+    GraftQuery(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice").cast("decimal(30,2)") *
+              (lit(1) - col("l_discount").cast("decimal(30,2)")))
+              .cast("double").as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (1 - CAST(l_discount AS DECIMAL(30,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    GraftQuery(
+      "q02_revenue_by_nation",
+      (s, dir) => {
+        // dims broadcast; only orders×customer shuffles (and AQE may
+        // convert that too at small SF). At 100 TB: orders is the fact
+        // side, customer co-partitions on the join key, nation always fits
+        // in a broadcast.
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    GraftQuery(
+      "q03_top_orders",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10""")),
+
+    GraftQuery(
+      "q04_events_hourly",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy(col("hour"), col("event_type")),
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ---- stratified weighted sampling (reference sampling.py) ----
+
+    // Oracle-expressible variant: entropy injected as engine-independent
+    // arithmetic (Knuth multiplicative hash of event_id), rates chosen so
+    // every effective rate/weight is an exact double (0.75, 0.375, 2.0).
+    GraftQuery(
+      "q05_sample_stratified",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn(
+          "u",
+          pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+            .cast("double") / lit(4294967296.0))
+        Sampling.sampleWithPredicate(
+          ev, 0.75, 1.0, 0.5, col("value") > 10,
+          samplingColOverride = Some("u"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("weight"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT *,
+            ((event_id * 2654435761) % 4294967296) / CAST(4294967296 AS DOUBLE) AS u
+          FROM events
+        )
+        SELECT event_id, user_id, event_type, value,
+          CASE WHEN value > 10
+               THEN 1.0 * (CAST(0.75 AS DOUBLE) / CAST(0.75 AS DOUBLE))
+               ELSE 1.0 * (CAST(0.75 AS DOUBLE) / CAST(0.375 AS DOUBLE)) END AS weight
+        FROM s
+        WHERE ((value > 10 AND value IS NOT NULL) AND u < CAST(0.75 AS DOUBLE))
+           OR (NOT (value > 10 AND value IS NOT NULL) AND u < CAST(0.375 AS DOUBLE))
+        ORDER BY event_id"""))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stratified weighted sampling.
+  *
+  * Re-expresses the reference's sampling operators
+  * (`ml_hadoop_experiment/tensorflow/sampling.py:10-98`) as pure Catalyst
+  * column algebra: one pipelined Filter + Project over the input scan, no
+  * shuffle, no UDF. At 100 TB this runs as a single map-only pass with the
+  * sampling predicate eligible for whole-stage codegen; when the positive
+  * predicate references only scan columns Catalyst pushes the residual
+  * filter into the parquet reader.
+  *
+  * Semantics (locked by the reference's test matrix,
+  * `tests/tensorflow/test_sampling.py:11-111`):
+  *   - entropy source: non-deterministic `rand()` or deterministic
+  *     `hash(cols)` mapped affinely from [-2^31, 2^31) to [0, 1);
+  *   - effective rates: `gp = global * positive`, `gn = global * negative`;
+  *   - trivial predicates constant-folded up front (ratio <= 0 -> false,
+  *     >= 1 -> true) so Catalyst prunes the filter node entirely;
+  *   - a row with a NULL class predicate counts as negative;
+  *   - kept rows are reweighted *relatively*: `weight *= max(gp,gn)/gp` for
+  *     positives else `max(gp,gn)/gn`; a missing weight column is created
+  *     at 1.0.
+  */
+object Sampling {
+
+  /** Mirrors `ml_hadoop_experiment/tensorflow/constant.py:1`. */
+  val WeightColumnName = "weight"
+
+  /** Non-deterministic Bernoulli entropy column (reference `sampling.py:10-11`). */
+  def addRandomSamplingCol(df: DataFrame): (String, DataFrame) =
+    ("sampling_rand", df.withColumn("sampling_rand", rand()))
+
+  /** Deterministic entropy: Murmur3 `hash` of the given columns is uniform on
+    * the full Int range; `0.5 + h / 2^32` maps it to [0, 1). Rows equal on
+    * the entropy columns sample together (reference `sampling.py:15-23`).
+    */
+  def addDeterministicSamplingCol(df: DataFrame, columnsForSample: Seq[String]): (String, DataFrame) = {
+    val h = hash(columnsForSample.map(df(_)): _*)
+    ("sampling_hash",
+      df.withColumn("sampling_hash", lit(0.5) + h.cast("double") / lit(math.pow(2, 32))))
+  }
+
+  /** Trivial-predicate simplification (reference `sampling.py:27-34`):
+    * ratio <= 0 -> false, ratio >= 1 -> true, else `col < ratio`.
+    */
+  def filterForSamplingRatio(samplingCol: Column, ratio: Double): Column =
+    if (ratio <= 0.0) lit(false)
+    else if (ratio >= 1.0) lit(true)
+    else samplingCol < ratio
+
+  /** Single-pass stratified sampler (reference `sampling.py:37-98`).
+    *
+    * @param samplingColOverride name of a pre-existing uniform-[0,1) column
+    *        to use as the entropy source instead of rand()/hash(). Mirrors
+    *        the reference tests' injection of `sampling_hash` and keeps the
+    *        operator oracle-testable with engine-independent entropy.
+    */
+  def sampleWithPredicate(
+      df: DataFrame,
+      globalSampling: Double,
+      positiveSampling: Double,
+      negativeSampling: Double,
+      positivePredicate: Column,
+      columnsForSample: Seq[String] = Nil,
+      samplingColOverride: Option[String] = None): DataFrame = {
+
+    val (samplingCol, withEntropy) = samplingColOverride match {
+      case Some(c) => (c, df)
+      case None if columnsForSample.isEmpty => addRandomSamplingCol(df)
+      case None => addDeterministicSamplingCol(df, columnsForSample)
+    }
+
+    val globalPos = globalSampling * positiveSampling
+    val globalNeg = globalSampling * negativeSampling
+    val maxSampling = math.max(globalPos, globalNeg)
+
+    val posFilter = filterForSamplingRatio(withEntropy(samplingCol), globalPos)
+    val negFilter = filterForSamplingRatio(withEntropy(samplingCol), globalNeg)
+
+    // NULL predicate (e.g. null label) counts as negative — same guard as
+    // the reference's prediction path (`sampling.py:76-78`).
+    val posPred = positivePredicate && positivePredicate.isNotNull
+    val filtered = withEntropy.filter((posPred && posFilter) || (!posPred && negFilter))
+
+    val weightCol =
+      if (filtered.columns.contains(WeightColumnName)) filtered(WeightColumnName)
+      else lit(1.0)
+
+    filtered.withColumn(
+      WeightColumnName,
+      when(positivePredicate, weightCol * maxSampling / globalPos)
+        .otherwise(weightCol * maxSampling / globalNeg))
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local SparkSession for all specs (mirrors the reference's
+  * module-scoped `local[1]` fixture, `tests/conftest.py:8-17`, but with a
+  * few cores so shuffle/exchange paths are exercised too).
+  */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = SharedSpark.spark
+  lazy val sqlImplicits: spark.implicits.type = spark.implicits
+}

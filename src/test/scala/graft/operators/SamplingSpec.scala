@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Ports the reference's sampling golden matrix
+  * (`tests/tensorflow/test_sampling.py:11-111`) verbatim: the entropy column
+  * is injected directly (samplingColOverride), so rate logic is tested
+  * independently of the hash function — same strategy as the reference's
+  * mock of `add_deterministic_sampling_col`.
+  */
+class SamplingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def baseDf = Seq(
+    (0.2, 13L, 3L, 1L),
+    (0.4, 13L, 3L, 1L),
+    (0.6, 2L, 1L, 0L),
+    (0.8, 6L, 7L, 0L),
+    (0.85, 33L, 3L, 1L),
+    (0.9, 5L, 9L, 1L)
+  ).toDF("sampling_hash", "feature1", "feature2", "label")
+
+  private val rateMatrix = Seq(
+    // (global, pos, neg, expectedCount)
+    (1.0, 1.0, 1.0, 6),
+    (0.0, 1.0, 1.0, 0),
+    (1.0, 0.0, 1.0, 2),
+    (1.0, 1.0, 0.0, 4),
+    (1.0, 0.5, 1.0, 4),
+    (1.0, 0.5, 0.5, 2),
+    (1.0, 0.3, 0.3, 1))
+
+  for ((g, p, n, expected) <- rateMatrix) {
+    test(s"rate matrix g=$g p=$p n=$n keeps $expected of 6") {
+      val out = Sampling.sampleWithPredicate(
+        baseDf, g, p, n, col("label") > 0,
+        samplingColOverride = Some("sampling_hash"))
+      out.count() shouldBe expected
+    }
+
+    test(s"rate matrix g=$g p=$p n=$n keeps $expected of 6 (null labels)") {
+      val df = baseDf.withColumn("label", expr("IF(label == 0, null, label)"))
+      val out = Sampling.sampleWithPredicate(
+        df, g, p, n, col("label") > 0,
+        samplingColOverride = Some("sampling_hash"))
+      out.count() shouldBe expected
+    }
+  }
+
+  test("weight rescale goldens (g=0.9 p=0.5 n=0.9 on the 8-row table)") {
+    val df = Seq(
+      // sampled out:
+      (0.9, 13L, 3L, 1L, 10.0),
+      (0.9, 6L, 7L, 0L, 10.0),
+      (0.9, 33L, 3L, 1L, 10.0),
+      (0.9, 5L, 9L, 1L, 10.0),
+      // kept:
+      (0.1, 13L, 3L, 1L, 10.0),
+      (0.1, 13L, 30L, 1L, 20.0),
+      (0.1, 2L, 1L, 0L, 10.0),
+      (0.1, 2L, 10L, 0L, 20.0)
+    ).toDF("sampling_hash", "feature1", "feature2", "label", "weight")
+
+    val rows = Sampling.sampleWithPredicate(
+      df, 0.9, 0.5, 0.9, col("label") > 0,
+      samplingColOverride = Some("sampling_hash"))
+      .orderBy(col("label").desc, col("weight"))
+      .collect()
+
+    rows.length shouldBe 4
+    rows(0).getAs[Double]("weight") shouldBe (10.0 * 0.9 / 0.5) +- 1e-9
+    rows(1).getAs[Double]("weight") shouldBe (20.0 * 0.9 / 0.5) +- 1e-9
+    rows(2).getAs[Double]("weight") shouldBe 10.0 +- 1e-9
+    rows(3).getAs[Double]("weight") shouldBe 20.0 +- 1e-9
+  }
+
+  test("weight column created at 1.0 when absent") {
+    val out = Sampling.sampleWithPredicate(
+      baseDf, 1.0, 1.0, 1.0, col("label") > 0,
+      samplingColOverride = Some("sampling_hash"))
+    out.columns should contain("weight")
+    out.select("weight").collect().map(_.getDouble(0)).toSet shouldBe Set(1.0)
+  }
+
+  test("deterministic hash path: rows equal on entropy cols sample together") {
+    val df = Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (2L, "b", 3L), (3L, "c", 4L),
+      (4L, "d", 5L), (5L, "e", 6L), (6L, "f", 7L), (7L, "g", 8L)
+    ).toDF("uid", "tag", "other")
+    val out = Sampling.sampleWithPredicate(
+      df, 0.5, 1.0, 1.0, col("other") > 0,
+      columnsForSample = Seq("uid", "tag"))
+    // rows 1/2 share (uid, tag): they must be kept or dropped together
+    val kept = out.select("other").collect().map(_.getLong(0)).toSet
+    (kept.contains(1L) == kept.contains(2L)) shouldBe true
+    // and the whole thing is deterministic across runs
+    val again = Sampling.sampleWithPredicate(
+      df, 0.5, 1.0, 1.0, col("other") > 0,
+      columnsForSample = Seq("uid", "tag"))
+      .select("other").collect().map(_.getLong(0)).toSet
+    again shouldBe kept
+  }
+
+  test("sampling_hash affine map lands in [0,1)") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("uid", "tag")
+    val (c, out) = Sampling.addDeterministicSamplingCol(df, Seq("uid", "tag"))
+    val vals = out.select(c).collect().map(_.getDouble(0))
+    all(vals) should (be >= 0.0 and be < 1.0)
+  }
+
+  test("random path keeps roughly the requested rate") {
+    val df = spark.range(20000).toDF("id")
+    val out = Sampling.sampleWithPredicate(
+      df, 1.0, 0.5, 0.5, col("id") % 2 === 0)
+    out.count().toDouble shouldBe 10000.0 +- 600.0
+  }
+}
