@@ -108,11 +108,18 @@ object Queries {
       "q04_events_hourly",
       (s, dir) =>
         t(s, dir, "events")
-          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          // hour as a formatted string: Spark timestamps are micros while
+          // DuckDB reads the corpus's nanos natively — a string column
+          // sidesteps the physical-unit mismatch in the driver compare.
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("hour"),
+            col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
           .orderBy(col("hour"), col("event_type")),
       Some("""
-        SELECT date_trunc('hour', ts) AS hour, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          event_type,
           COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         FROM events
