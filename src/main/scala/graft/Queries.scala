@@ -158,7 +158,37 @@ object Queries {
         FROM s
         WHERE ((value > 10 AND value IS NOT NULL) AND u < CAST(0.75 AS DOUBLE))
            OR (NOT (value > 10 AND value IS NOT NULL) AND u < CAST(0.375 AS DOUBLE))
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- model-scoring column operator (reference inference surface,
+    // ---- pytorch/spark_inference.py + common/spark_inference.py) ----
+
+    // Linear scoring over the embeddings table through the real operator
+    // (broadcast artifact + batched mapPartitions). Weights w_i = i+1; the
+    // score is a sequential left fold in double, which DuckDB reproduces
+    // bit-exactly with list_reduce(list_transform(...)) — 1-based lambda
+    // index there matches the 0-based (i+1) here.
+    GraftQuery(
+      "q07_inference_linear",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = graft.inference.Artifacts.broadcast(
+          s, graft.inference.Models.ArrayLinear(
+            Array.tabulate(64)(i => (i + 1).toDouble)))
+        val fn: graft.inference.Inference.InferenceFn[graft.inference.Models.ArrayLinear] =
+          (m, cols, _) => cols(0).map(v => m.score(v.asInstanceOf[collection.Seq[Float]]))
+        graft.inference.Inference.withInferenceColumn(
+          emb, model, Seq("embedding"), fn,
+          org.apache.spark.sql.types.DoubleType,
+          batchSize = 256, outputCol = "score")
+          .select(col("vec_id"), col("label"), col("score"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        SELECT vec_id, label,
+          list_reduce(list_transform(CAST(embedding AS DOUBLE[]), (x,i) -> x * i), (a,b) -> a + b) AS score
+        FROM embeddings
+        ORDER BY vec_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
