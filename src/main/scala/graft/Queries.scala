@@ -188,7 +188,42 @@ object Queries {
         SELECT vec_id, label,
           list_reduce(list_transform(CAST(embedding AS DOUBLE[]), (x,i) -> x * i), (a,b) -> a + b) AS score
         FROM embeddings
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ---- vocabulary construction (reference vocabulary.py) ----
+
+    // Scalar-column vocabulary with a non-trivial threshold (HAVING).
+    GraftQuery(
+      "q06_vocab_event_types",
+      (s, dir) =>
+        graft.vocab.Vocabulary.vocabCounts(
+          t(s, dir, "events"),
+          Map("event_type" -> Seq("event_type")), threshold = 2000)
+          .orderBy(col("value")),
+      Some("""
+        SELECT 'event_type' AS key, event_type AS value, COUNT(*) AS count
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 2
+        HAVING COUNT(*) >= 2000
+        ORDER BY 2""")),
+
+    // Array-column vocabulary: token counts over documents (A1's
+    // list-flattening path through explode).
+    GraftQuery(
+      "q10_vocab_tokens",
+      (s, dir) =>
+        graft.vocab.Vocabulary.vocabCounts(
+          t(s, dir, "documents").withColumn("tokens", split(col("text"), " ")),
+          Map("token" -> Seq("tokens")), threshold = 500)
+          .orderBy(col("value")),
+      Some("""
+        SELECT 'token' AS key, tok AS value, COUNT(*) AS count
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok IS NOT NULL
+        GROUP BY 2
+        HAVING COUNT(*) >= 500
+        ORDER BY 2"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
