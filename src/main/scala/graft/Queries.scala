@@ -223,7 +223,27 @@ object Queries {
         WHERE tok IS NOT NULL
         GROUP BY 2
         HAVING COUNT(*) >= 500
-        ORDER BY 2"""))
+        ORDER BY 2""")),
+
+    // ---- ragged → sparse COO, distributed form (reference
+    // ---- numpy_to_sparse_tensors.py via posexplode) ----
+
+    GraftQuery(
+      "q11_sparse_coo",
+      (s, dir) =>
+        graft.records.RaggedToCoo.posexplodeCoo(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 50)
+            .withColumn("tokens", split(col("text"), " ")),
+          col("doc_id"), col("tokens"))
+          .orderBy(col("row_id"), col("pos")),
+      Some("""
+        SELECT doc_id AS row_id,
+          CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+          unnest(toks) AS value
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 50)
+        ORDER BY 1, 2"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
