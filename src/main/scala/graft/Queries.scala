@@ -243,7 +243,104 @@ object Queries {
           unnest(toks) AS value
         FROM (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents WHERE doc_id < 50)
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ---- LLM-pipeline operators (SURVEY §2.11 north-star extensions) ----
+
+    // Exact deduplication on the normalized-text fingerprint: one shuffle
+    // on the content hash, smallest doc_id survives.
+    GraftQuery(
+      "q08_dedup_exact",
+      (s, dir) =>
+        graft.dedup.Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1
+        ORDER BY doc_id""")),
+
+    // Text quality scoring: map-only column algebra, single-divide doubles.
+    GraftQuery(
+      "q09_text_stats",
+      (s, dir) =>
+        graft.text.TextStats.withQualityStats(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("n_chars_text"), col("n_tokens"),
+            col("avg_token_len"), col("stopword_ratio"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          length(text) AS n_chars_text,
+          len(string_split(text, ' ')) AS n_tokens,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN
+            ('the','a','an','and','or','of','to','in','is','are','was',
+             'it','that','this','for','on','with','as','at','by'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ANN brute-force baseline through the real two-stage operator
+    // (partition-local bounded heaps, then global top-k): cosine scores
+    // fold sequentially in double, bit-reproducible in DuckDB.
+    GraftQuery(
+      "q12_ann_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             s AS (SELECT query_id, vec_id,
+                     list_reduce(list_transform(cv, (x,i) -> x * qv[i]), (a,b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(cv, x -> x * x), (a,b) -> a + b))
+                        * sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))) AS score
+                   FROM c, q)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // Language-ID heuristic: argmax of marker-token counts, earliest
+    // language wins ties (the fold keeps the first strict maximum).
+    GraftQuery(
+      "q13_lang_id",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.text.TextStats.langId(col("text")).as("lang_guess"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+          len(list_filter(toks, t -> t IN ('the','and','of','to','is','are','was','it','that','this'))) AS s_en,
+          len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','un','des','du','sur'))) AS s_fr,
+          len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','eine','nicht','mit','von'))) AS s_de,
+          len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','un','una','del','en'))) AS s_es,
+          len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不','这','人'))) AS s_zh
+          FROM t)
+        SELECT doc_id, lang,
+          CASE WHEN s_en >= GREATEST(s_fr, s_de, s_es, s_zh) THEN 'en'
+               WHEN s_fr >= GREATEST(s_de, s_es, s_zh) THEN 'fr'
+               WHEN s_de >= GREATEST(s_es, s_zh) THEN 'de'
+               WHEN s_es >= s_zh THEN 'es'
+               ELSE 'zh' END AS lang_guess
+        FROM s
+        ORDER BY doc_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,213 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** Deduplication operators for 100 TB training-data pipelines: exact
+  * (hash-grouped), MinHash-LSH and SimHash near-duplicate candidate
+  * generation (banded/bucketed — never all-pairs), and exact n-gram
+  * Jaccard verification on candidates only. North-star extension per
+  * SURVEY §2.11.
+  *
+  * Scale design:
+  *   - exact dedup is one shuffle on a 128-bit content hash; group sizes
+  *     are duplicate-cluster sizes (tiny), so no skew mitigation needed;
+  *   - near-dup candidate generation explodes each doc into `bands`
+  *     bucket keys and self-joins per bucket: cost is Σ bucket²  — tuned
+  *     by (bands, rowsPerBand) — instead of N²;
+  *   - verification (exact Jaccard / Hamming) runs only on candidate
+  *     pairs, joining the shingle sets back by id.
+  */
+object Dedup {
+
+  // ---- exact dedup ----
+
+  /** Keep one row per distinct (normalized) text: the one with the
+    * smallest `idCol`. Implemented as row_number over the content-hash
+    * window — a single hash-partitioned shuffle.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String,
+      normalizeText: Boolean = true): DataFrame = {
+    val key =
+      if (normalizeText) TextStats.fingerprintMd5(col(textCol))
+      else md5(col(textCol))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---- shingles + MinHash ----
+
+  /** Distinct word n-gram shingles of the normalized text. Texts shorter
+    * than `n` tokens yield no shingles (guard needed: Spark's `sequence`
+    * counts *down* when stop < start).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = split(TextStats.normalize(text), " ")
+    val ngrams = when(size(ts) >= n,
+      transform(
+        sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(ngrams)
+  }
+
+  // Affine MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod p
+  // over the 31-bit Mersenne prime, derived deterministically from the
+  // seed via splitmix64 (public-domain mixing constants). The domain is
+  // capped at 31 bits so a*h stays below Long.MaxValue — Spark 4 runs in
+  // ANSI mode and a 61-bit prime would overflow the multiply.
+  private val MersennePrime = (1L << 31) - 1
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[dedup] def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (splitmix64(seed + 2L * i) & Long.MaxValue) % (MersennePrime - 1) + 1
+      val b = (splitmix64(seed + 2L * i + 1) & Long.MaxValue) % MersennePrime
+      (a, b)
+    }
+
+  /** MinHash signature column: for each of `numHashes` affine
+    * permutations, the minimum over the shingle base hashes
+    * (`xxhash64`). One base-hash pass per shingle, then `numHashes`
+    * array_min folds — all inside whole-stage codegen, no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(MersennePrime)))
+    val mins = hashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` rows of
+    * `rowsPerBand`, hash each band. Docs sharing any band hash are
+    * candidates. Returns (band, bucket) pairs exploded per doc.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, signatureCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col(signatureCol), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (id_a < id_b, distinct). */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
+
+  /** Full MinHash-LSH near-duplicate pipeline: shingle → sign → band →
+    * bucket-join candidates → exact-Jaccard verify. Returns
+    * (id_a, id_b, jaccard) pairs with jaccard ≥ threshold.
+    */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val withShingles = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+    val signed = withShingles.withColumn(
+      "__sig", minhashSignature(col("__shingles"), numHashes, seed))
+    val buckets = lshBuckets(signed, idCol, "__sig", bands, rowsPerBand)
+    val pairs = candidatePairs(buckets, idCol)
+    // verify on candidates only: join the shingle sets back by id
+    val sa = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val sb = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash from a column holding per-token 64-bit hashes:
+    * per-bit vote (+1 when set, -1 when clear), sign → fingerprint bit.
+    * Expressed as SQL higher-order-function lambdas (the Scala DSL's
+    * `shiftright` only takes literal shift amounts) — still pure
+    * Catalyst, codegen-eligible, no UDF, no shuffle.
+    */
+  def simhashFromHashes(hashesCol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+          acc + if(aggregate($hashesCol, 0,
+                     (a, h) -> a + if((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+                   shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
+
+  /** Append a 64-bit SimHash fingerprint of the normalized token stream. */
+  def withSimhash(df: DataFrame, textCol: String, outputCol: String = "simhash"): DataFrame =
+    df.withColumn("__hashes",
+        transform(split(TextStats.normalize(col(textCol)), " "), t => xxhash64(t)))
+      .withColumn(outputCol, simhashFromHashes("__hashes"))
+      .drop("__hashes")
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: band the 64 bits into `chunks` pieces;
+    * docs sharing any chunk value are candidates (a doc within Hamming
+    * distance `chunks-1` shares at least one chunk — pigeonhole), then
+    * verify exact Hamming ≤ maxDistance.
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val bits = 64 / chunks
+    val fp = withSimhash(df.select(col(idCol), col(textCol)), textCol, "__fp")
+      .select(col(idCol), col("__fp"))
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(
+        lit(c).as("band"),
+        shiftright(col("__fp"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
+    }
+    val buckets = fp
+      .select(col(idCol), col("__fp"), explode(array(chunkStructs: _*)).as("bb"))
+      .select(col(idCol), col("__fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("__fp").as("__fa"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("__fp").as("__fb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__fa"), col("__fb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

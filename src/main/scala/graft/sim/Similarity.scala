@@ -1,0 +1,213 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force
+  * cosine top-k as the verifiable baseline, and an IVF (inverted-file)
+  * variant as the 100 TB scale path. North-star extension per SURVEY §2.11.
+  *
+  * Scale design:
+  *   - queries are always broadcast (a query set is small by definition);
+  *     the corpus side streams map-only;
+  *   - brute-force top-k is two-stage: a per-partition bounded heap
+  *     (mapPartitions, k×Q state) then a tiny final top-k per query — the
+  *     N×Q candidate stream is reduced to P×Q×k before any shuffle;
+  *   - the IVF variant prunes the corpus to `nProbe` of `nCells` cells
+  *     (centroid assignment is one broadcast pass; per-query work drops by
+  *     ~nCells/nProbe at some recall cost — measured in the spec).
+  *
+  * Dot products fold left-to-right in double so scores are
+  * bit-reproducible across engines (same contract as
+  * [[graft.inference.Models.ArrayLinear]]).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float vectors, in double. */
+  def dot(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  def norm(a: collection.Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def cosine(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+    val d = norm(a) * norm(b)
+    if (d == 0.0) 0.0 else dot(a, b) / d
+  }
+
+  private val resultSchema = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("vec_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** Brute-force cosine top-k: for each (queryId, queryVec) in the
+    * broadcast query set, the k corpus rows with highest cosine
+    * similarity (ties broken by ascending vec_id — total order, so
+    * results are deterministic and oracle-checkable).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(queries)
+    val idIdx = corpus.schema.fieldIndex(idCol)
+    val vecIdx = corpus.schema.fieldIndex(vecCol)
+
+    // stage 1: per-partition top-k per query, bounded state
+    val partial = corpus.mapPartitions { rows =>
+      val qs = bc.value
+      val heaps = qs.map { case (qid, _) =>
+        qid -> new BoundedTopK(k)
+      }.toMap
+      rows.foreach { row =>
+        val id = row.getLong(idIdx)
+        val vec = row.getSeq[Float](vecIdx)
+        qs.foreach { case (qid, qvec) =>
+          heaps(qid).offer(id, cosine(vec, qvec))
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.results.map { case (id, score) => Row(qid, id, score) }
+      }
+    }(Encoders.row(resultSchema))
+
+    // stage 2: global top-k per query over P×Q×k rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    partial.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Bounded top-k accumulator ordered by (score desc, id asc). */
+  private[sim] final class BoundedTopK(k: Int) {
+    private val heap = new java.util.PriorityQueue[(Long, Double)](
+      k + 1,
+      (x: (Long, Double), y: (Long, Double)) => {
+        // min-heap on the keep order: worst element first
+        val c = java.lang.Double.compare(x._2, y._2)
+        if (c != 0) c else java.lang.Long.compare(y._1, x._1)
+      })
+    def offer(id: Long, score: Double): Unit = {
+      heap.offer((id, score))
+      if (heap.size > k) heap.poll()
+    }
+    def results: Seq[(Long, Double)] = {
+      import scala.jdk.CollectionConverters._
+      heap.iterator().asScala.toSeq.sortBy { case (id, s) => (-s, id) }
+    }
+  }
+
+  // ---- IVF (inverted-file) approximate search ----
+
+  /** IVF index: corpus rows assigned to their nearest centroid cell.
+    * Centroids come from a seeded sample of the corpus (k-means-free
+    * variant — for training-data pipelines the sample spread is
+    * sufficient and fully deterministic).
+    */
+  final case class IvfIndex(
+      assigned: DataFrame,
+      centroids: Seq[(Int, Array[Float])],
+      idCol: String,
+      vecCol: String)
+
+  def buildIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      seed: Long = 42L): IvfIndex = {
+    val sampled = corpus
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol).cast("array<double>").cast("string"), lit(seed)))
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+      .toSeq
+    val bc = corpus.sparkSession.sparkContext.broadcast(sampled)
+    val vecIdx = corpus.schema.fieldIndex(vecCol)
+    val outSchema = corpus.schema.add("cell", IntegerType, nullable = false)
+    val assigned = corpus.mapPartitions { rows =>
+      val cents = bc.value
+      rows.map { row =>
+        val vec = row.getSeq[Float](vecIdx)
+        val cell = cents.minBy { case (i, c) => (-cosine(vec, c), i) }._1
+        Row.fromSeq(row.toSeq :+ cell)
+      }
+    }(Encoders.row(outSchema))
+    IvfIndex(assigned, sampled, idCol, vecCol)
+  }
+
+  /** Probe the `nProbe` cells nearest to each query and run exact top-k
+    * inside them. Returns the same (query_id, vec_id, score) shape as
+    * [[bruteForceTopK]]; recall vs brute force is traded for a
+    * ~nCells/nProbe reduction in scanned rows (the partition pruning
+    * happens on the `cell` column — store the index partitioned by cell
+    * to turn it into real partition pruning).
+    */
+  def ivfTopK(index: IvfIndex, queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    val probes: Map[Long, Seq[Int]] = queries.map { case (qid, qvec) =>
+      qid -> index.centroids
+        .sortBy { case (i, c) => (-cosine(qvec, c), i) }
+        .take(nProbe).map(_._1)
+    }.toMap
+    val cellsNeeded = probes.values.flatten.toSet
+    val pruned = index.assigned.filter(col("cell").isin(cellsNeeded.toSeq: _*))
+    val spark = index.assigned.sparkSession
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val idIdx = index.assigned.schema.fieldIndex(index.idCol)
+    val vecIdx = index.assigned.schema.fieldIndex(index.vecCol)
+    val cellIdx = index.assigned.schema.fieldIndex("cell")
+    val partial = pruned.mapPartitions { rows =>
+      val qs = bcQueries.value
+      val pr = bcProbes.value
+      val heaps = qs.map { case (qid, _) => qid -> new BoundedTopK(k) }.toMap
+      rows.foreach { row =>
+        val cell = row.getInt(cellIdx)
+        val id = row.getLong(idIdx)
+        val vec = row.getSeq[Float](vecIdx)
+        qs.foreach { case (qid, qvec) =>
+          if (pr(qid).contains(cell)) heaps(qid).offer(id, cosine(vec, qvec))
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.results.map { case (id, score) => Row(qid, id, score) }
+      }
+    }(Encoders.row(resultSchema))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    partial.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Column-expression cosine between an array column and a literal query
+    * vector — the declarative form used by the oracle query (sequential
+    * `aggregate` folds in double, bit-reproducible).
+    */
+  def cosineExpr(vec: Column, query: Seq[Double]): Column = {
+    val q = typedlit(query)
+    val v = vec.cast("array<double>")
+    val dotAcc = aggregate(zip_with(v, q, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val normV = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val normQ = sqrt(aggregate(transform(q, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dotAcc / (normV * normQ)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * Everything here is pure Column algebra over `functions._` (split,
+  * higher-order array functions, regexp) — codegen-friendly, map-only, no
+  * UDFs, no shuffle: at 100 TB these run as a single pipelined pass over
+  * the scan with column pruning intact. North-star extension per
+  * SURVEY §2.11 (not in the reference).
+  */
+object TextStats {
+
+  /** Whitespace tokens (training-data pipelines normalize upstream;
+    * `tokenizeRegex` handles BPE-ish word splitting).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
+    * symbols — the shape GPT-style pre-tokenizers use.
+    */
+  def tokenizeRegex(text: Column): Column =
+    filter(
+      split(text,
+        """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})"""),
+      t => t =!= "" && t =!= " ")
+
+  /** Token count on whitespace. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of tokens found in `set`, as a double in [0, 1]. */
+  def tokenSetRatio(text: Column, set: Seq[String]): Column = {
+    val ts = tokens(text)
+    size(filter(ts, t => t.isin(set.map(lit): _*))).cast("double") / size(ts)
+  }
+
+  /** Quality-scoring feature columns: length, token stats, punctuation /
+    * digit / uppercase ratios, stopword ratio. All single-divide doubles
+    * so results are bit-reproducible across engines.
+    */
+  def withQualityStats(
+      df: DataFrame,
+      textCol: String,
+      stopwords: Seq[String] = EnglishStopwords): DataFrame = {
+    val t = col(textCol)
+    val ts = tokens(t)
+    df.withColumn("n_chars_text", length(t))
+      .withColumn("n_tokens", size(ts))
+      .withColumn("avg_token_len",
+        (length(t) - (size(ts) - lit(1))).cast("double") / size(ts))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[.,;:!?'\"()]", ""))).cast("double") / length(t))
+      .withColumn("digit_ratio",
+        (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") / length(t))
+      .withColumn("upper_ratio",
+        (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double") / length(t))
+      .withColumn("stopword_ratio",
+        size(filter(ts, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by")
+
+  /** Marker stopword sets per language for the n-gram-free language-ID
+    * heuristic. Public knowledge (most frequent function words).
+    */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "are", "was", "it", "that", "this"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "des", "du", "sur"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "del", "en"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  /** Language-ID: argmax of per-language marker-token counts over the
+    * lowercased token stream; ties and no-marker rows fall back to the
+    * first language in declaration order ("en"). A single Column
+    * expression — no shuffle, no UDF.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LanguageMarkers): Column = {
+    val ts = tokens(lower(text))
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(filter(ts, t => t.isin(words.map(lit): _*)))
+    }
+    // fold with when(): start from the first language and replace only on
+    // a strictly greater score, so ties keep the earlier language
+    var bestLang: Column = lit(markers.head._1)
+    var bestScore: Column = scores.head._2
+    scores.tail.foreach { case (lang, score) =>
+      bestLang = when(score > bestScore, lit(lang)).otherwise(bestLang)
+      bestScore = when(score > bestScore, score).otherwise(bestScore)
+    }
+    bestLang
+  }
+
+  /** 64-bit fingerprint of normalized text (xxhash64 — cheap, fixed seed,
+    * stable across Spark versions). For cross-engine-checkable pipelines
+    * use [[fingerprintMd5]].
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  /** Hex MD5 fingerprint of normalized text — portable across engines. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Normalization for fingerprinting/dedup: lowercase, trim, collapse
+    * whitespace runs.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+}

@@ -1,0 +1,118 @@
+package graft.dedup
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("exact dedup keeps the smallest id per normalized text") {
+    val df = Seq(
+      (1L, "Hello World"),
+      (2L, "hello   world"), // same after normalization
+      (3L, "hello world"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    got shouldBe Seq(1L, 4L)
+  }
+
+  test("exact dedup without normalization distinguishes case variants") {
+    val df = Seq((1L, "Hello"), (2L, "hello")).toDF("doc_id", "text")
+    Dedup.exactDedup(df, "text", "doc_id", normalizeText = false).count() shouldBe 2
+  }
+
+  test("word shingles") {
+    val df = Seq("a b c d", "x y", "tiny").toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    got(0) shouldBe Seq("a b c", "b c d")
+    got(1) shouldBe Seq.empty // shorter than n
+    got(2) shouldBe Seq.empty
+  }
+
+  test("identical shingle sets produce identical minhash signatures") {
+    val df = Seq("a b c d e", "a b c d e").toDF("text")
+    val sigs = df
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text"), 2), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    sigs(0) shouldBe sigs(1)
+  }
+
+  test("minhash signature agreement tracks jaccard similarity") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val similar = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val different = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq(base, similar, different).toDF("text")
+    val sigs = df
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text"), 2), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    def agreement(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    agreement(sigs(0), sigs(1)) should be > 0.5
+    agreement(sigs(0), sigs(2)) should be < 0.2
+  }
+
+  test("minhash-lsh finds planted near-duplicates and skips unrelated docs") {
+    val rng = new Random(7)
+    def randomDoc() = (1 to 60).map(_ => s"tok${rng.nextInt(5000)}").mkString(" ")
+    val longDoc = (1 to 60).map(i => s"stable$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"stable$i").mkString(" ")
+    val docs =
+      (1L to 20L).map(i => (i, randomDoc())) ++
+        Seq((1001L, longDoc), (1002L, nearDup), (1003L, longDoc))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    pairSet should contain((1001L, 1002L))
+    pairSet should contain((1001L, 1003L))
+    pairSet should contain((1002L, 1003L))
+    // exact duplicate pair has jaccard 1.0
+    pairs.find(p => p._1 == 1001L && p._2 == 1003L).get._3 shouldBe 1.0
+    // no random doc should pair with the planted cluster
+    pairs.map(p => Set(p._1, p._2)).foreach { s =>
+      s.forall(_ >= 1001L) shouldBe true
+    }
+  }
+
+  test("jaccard column expression") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0) shouldBe 0.5
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    empty.select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0) shouldBe 1.0
+  }
+
+  test("simhash: identical texts collide, near texts are close, unrelated far") {
+    val base = (1 to 50).map(i => s"word$i").mkString(" ")
+    val near = (1 to 50).map(i => if (i == 25) "flip" else s"word$i").mkString(" ")
+    val far = (100 to 150).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+    val fps = Dedup.withSimhash(df, "text", "fp")
+      .orderBy("id").collect().map(_.getAs[Long]("fp"))
+    fps(0) shouldBe fps(1)
+    java.lang.Long.bitCount(fps(0) ^ fps(2)) should be < 16
+    java.lang.Long.bitCount(fps(0) ^ fps(3)) should be > 16
+  }
+
+  test("simhash near-duplicate pipeline finds the planted pair") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 40) "flip" else s"word$i").mkString(" ")
+    val rng = new Random(11)
+    val noise = (1L to 10L).map(i =>
+      (i, (1 to 80).map(_ => s"n${rng.nextInt(100000)}").mkString(" ")))
+    val df = (noise ++ Seq((100L, base), (101L, near))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(df, "doc_id", "text", maxDistance = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((100L, 101L))
+  }
+
+  test("hamming distance expression") {
+    val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011
+    df.select(Dedup.hammingDistance(col("a"), col("b"))).collect().head.getInt(0) shouldBe 2
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sim
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def randomVec(rng: Random, dim: Int): Array[Float] =
+    Array.fill(dim)(rng.nextGaussian().toFloat)
+
+  private def corpus(n: Int, dim: Int, seed: Int) = {
+    val rng = new Random(seed)
+    (0L until n.toLong).map(i => (i, randomVec(rng, dim).toSeq))
+  }
+
+  test("BoundedTopK keeps the k best with (score desc, id asc) order") {
+    val h = new Similarity.BoundedTopK(3)
+    Seq((1L, 0.5), (2L, 0.9), (3L, 0.1), (4L, 0.9), (5L, 0.7)).foreach {
+      case (id, s) => h.offer(id, s)
+    }
+    h.results shouldBe Seq((2L, 0.9), (4L, 0.9), (5L, 0.7))
+  }
+
+  test("brute-force top-k matches a naive driver-side computation") {
+    val data = corpus(200, 16, seed = 3)
+    val df = data.toDF("vec_id", "embedding").repartition(7)
+    val queries = data.take(3).map { case (id, v) => (id, v.map(x => x).toArray) }
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, k = 5)
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val expected = queries.flatMap { case (qid, qv) =>
+      data.map { case (id, v) => (qid, id, Similarity.cosine(v, qv)) }
+        .sortBy { case (_, id, s) => (-s, id) }
+        .take(5)
+    }
+    got.toSeq shouldBe expected.toSeq
+  }
+
+  test("ivf search prunes cells yet keeps high recall on clustered data") {
+    // two well-separated clusters: recall within the probed cells is high
+    val rng = new Random(5)
+    val c1 = Array.fill(16)(5.0f)
+    val c2 = Array.fill(16)(-5.0f)
+    def around(c: Array[Float]) = c.map(x => x + rng.nextGaussian().toFloat * 0.1f)
+    val data = (0L until 100L).map { i =>
+      (i, (if (i % 2 == 0) around(c1) else around(c2)).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(5)
+    val queries = Seq((0L, around(c1)), (1L, around(c2)))
+
+    val index = Similarity.buildIvf(df, "vec_id", "embedding", nCells = 4)
+    val approx = Similarity.ivfTopK(index, queries, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+
+    for (qid <- Seq(0L, 1L)) {
+      val a = approx(qid).map(_._2).toSet
+      val e = exact(qid).map(_._2).toSet
+      val recall = a.intersect(e).size.toDouble / e.size
+      recall should be >= 0.8
+    }
+  }
+
+  test("ivf scans fewer rows than the corpus") {
+    val data = corpus(100, 8, seed = 9)
+    val df = data.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(df, "vec_id", "embedding", nCells = 10)
+    val queries = Seq((0L, data.head._2.toArray))
+    val probed = index.assigned.filter(col("cell").isin(
+      index.centroids.sortBy { case (i, c) =>
+        (-Similarity.cosine(queries.head._2, c), i)
+      }.take(2).map(_._1): _*)).count()
+    probed should be < 100L
+    probed should be > 0L
+  }
+
+  test("cosineExpr matches the Scala fold bit-exactly") {
+    val data = corpus(20, 12, seed = 13)
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2
+    val got = df.orderBy("vec_id")
+      .select(Similarity.cosineExpr(col("embedding"), q.map(_.toDouble)))
+      .collect().map(_.getDouble(0))
+    val expected = data.sortBy(_._1).map { case (_, v) => Similarity.cosine(v, q) }
+    got.toSeq shouldBe expected
+  }
+
+  test("dot/norm/cosine basics") {
+    Similarity.dot(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) shouldBe 32.0
+    Similarity.norm(Seq(3f, 4f)) shouldBe 5.0
+    Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f)) shouldBe 0.0
+    Similarity.cosine(Seq(2f, 0f), Seq(5f, 0f)) shouldBe 1.0
+    Similarity.cosine(Seq(0f, 0f), Seq(1f, 1f)) shouldBe 0.0 // zero-vector guard
+  }
+}
