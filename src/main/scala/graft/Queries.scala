@@ -340,7 +340,46 @@ object Queries {
                WHEN s_es >= s_zh THEN 'es'
                ELSE 'zh' END AS lang_guess
         FROM s
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // MinHash-LSH near-duplicates on unigram shingles (the synthetic docs
+    // share near-identical vocabularies, so high-jaccard pairs exist).
+    // The oracle is the *all-pairs* exact jaccard — the banded candidate
+    // generation must not lose any pair above the threshold (miss
+    // probability <1e-7 per pair at j>=0.9 with 16 bands of 4, and
+    // deterministic given the fixed seed).
+    GraftQuery(
+      "q14_near_dup",
+      (s, dir) =>
+        graft.dedup.Dedup.nearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH t AS (SELECT doc_id,
+          list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        FROM t a, t b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        ORDER BY 1, 2""")),
+
+    // Distributed bootstrap evaluation: per-round weighted losses from
+    // seeded Poisson(1) resample weights. Not oracle-expressible (DuckDB
+    // has no matching xxhash64) — the driver records rows-only.
+    GraftQuery(
+      "q15_bootstrap_eval",
+      (s, dir) =>
+        graft.eval.BootstrapEval.bootstrapMetricsDf(
+          t(s, dir, "events").withColumn("pred", col("value") * lit(0.9)),
+          col("event_id"),
+          Seq(graft.eval.BootstrapEval.OutputSpec("value", "pred", "value")),
+          nbBootstrap = 20, seed = 42L),
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

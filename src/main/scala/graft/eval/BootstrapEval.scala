@@ -1,0 +1,224 @@
+package graft.eval
+
+import java.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bootstrap confidence-interval evaluation of model metrics over a
+  * predictions table, re-expressing
+  * `ml_hadoop_experiment/tensorflow/keras_bootstrap_helper.py:14-100`.
+  *
+  * The reference's "eval-only model rebuild" (clone the model as identity
+  * layers so loss/metrics can be recomputed from cached predictions) is,
+  * engine-side, just weighted aggregation expressions over a
+  * (prediction, label, weight) DataFrame — no model involved. Each
+  * bootstrap round resamples n rows with replacement, which is
+  * equivalently a per-row integer resample-count used as a weight
+  * multiplier (`np.unique(..., return_counts)` in the reference).
+  *
+  * Two execution shapes:
+  *   - [[evaluateBootstrapLocal]] — the faithful port: seeded RNG draw of
+  *     n indices per round over collected predictions; results equal a
+  *     hand-rolled resample with the same RNG (the reference's own test
+  *     contract, `tests/tensorflow/test_keras_bootstrap_helper.py:79-135`);
+  *   - [[evaluateBootstrap]] — the 100 TB shape: Poisson(1) resample
+  *     weights derived from a seeded per-(row, round) hash (standard
+  *     distributed bootstrap — multinomial counts converge to iid
+  *     Poisson(1) as n grows). One `explode` over rounds + one partial
+  *     aggregation per round: a single shuffle of B×|metrics| partial
+  *     states regardless of input size, no driver collect.
+  */
+object BootstrapEval {
+
+  /** A named metric over (prediction, label, weight) columns. */
+  final case class Metric(name: String, agg: (Column, Column, Column) => Column)
+
+  /** Weighted mean squared error. */
+  val mse: Metric = Metric("loss",
+    (p, l, w) => sum(w * (p - l) * (p - l)) / sum(w))
+
+  /** Weighted root mean squared error. */
+  val rmse: Metric = Metric("root_mean_squared_error",
+    (p, l, w) => sqrt(sum(w * (p - l) * (p - l)) / sum(w)))
+
+  /** Weighted mean absolute error. */
+  val mae: Metric = Metric("mean_absolute_error",
+    (p, l, w) => sum(w * abs(p - l)) / sum(w))
+
+  /** Weighted accuracy of a thresholded binary prediction. */
+  def accuracy(threshold: Double = 0.5): Metric = Metric("accuracy",
+    (p, l, w) => sum(w * when((p >= threshold).cast("int") === l.cast("int"), 1.0)
+      .otherwise(0.0)) / sum(w))
+
+  /** One model output to evaluate: prediction column, label column, and
+    * an optional per-row metric weight (the reference's
+    * `weight_transform`).
+    */
+  final case class OutputSpec(
+      name: String,
+      predCol: String,
+      labelCol: String,
+      weightCol: Option[String] = None)
+
+  /** Evaluate loss + metrics once over the full table (the eval-only
+    * rebuild, reference `build_eval_only_model`): per-output losses, a
+    * total loss (sum over outputs), and each requested metric per output.
+    * Returns names in the reference's order:
+    * total loss, per-output losses, then per-output metrics.
+    */
+  def evaluateFromPredictions(
+      df: DataFrame,
+      outputs: Seq[OutputSpec],
+      metrics: Seq[Metric] = Seq(rmse),
+      resampleWeight: Column = lit(1.0)): Map[String, Double] = {
+    val aggs = outputs.map { o =>
+      val w = resampleWeight * o.weightCol.map(col).getOrElse(lit(1.0))
+      s"${o.name}_loss" -> mse.agg(col(o.predCol), col(o.labelCol), w)
+    } ++ outputs.flatMap { o =>
+      val w = resampleWeight * o.weightCol.map(col).getOrElse(lit(1.0))
+      metrics.map(m => s"${o.name}_${m.name}" ->
+        m.agg(col(o.predCol), col(o.labelCol), w))
+    }
+    val row = df.agg(aggs.head._2.as(aggs.head._1),
+      aggs.tail.map { case (n, c) => c.as(n) }: _*).collect().head
+    val values = aggs.map { case (n, _) => n -> row.getAs[Double](n) }.toMap
+    values + ("loss" -> outputs.map(o => values(s"${o.name}_loss")).sum)
+  }
+
+  /** Faithful local bootstrap (reference `evaluate_bootstrap`): draw n
+    * indices with replacement per round using the seeded `rng`, convert
+    * to per-row counts, evaluate weighted metrics. Driver-side over a
+    * collected predictions table — use [[evaluateBootstrap]] at scale.
+    */
+  def evaluateBootstrapLocal(
+      rows: Seq[Map[String, Double]],
+      outputs: Seq[OutputSpec],
+      nbBootstrap: Int,
+      metrics: Seq[Metric] = Seq(rmse),
+      seed: Long = 0L): Map[String, Seq[Double]] = {
+    val rng = new Random(seed)
+    val n = rows.size
+    val rounds = (0 until nbBootstrap).map { _ =>
+      val counts = new Array[Double](n)
+      (0 until n).foreach(_ => counts(rng.nextInt(n)) += 1.0)
+      evaluateLocalRound(rows, outputs, metrics, counts)
+    }
+    flattenRounds(rounds)
+  }
+
+  /** Resample n indices with the same RNG contract as
+    * [[evaluateBootstrapLocal]] — test hook for the reference's
+    * "equals hand-rolled resampling with the same seed" contract.
+    */
+  def resampleIndices(n: Int, rng: Random): Seq[Int] =
+    (0 until n).map(_ => rng.nextInt(n))
+
+  private def evaluateLocalRound(
+      rows: Seq[Map[String, Double]],
+      outputs: Seq[OutputSpec],
+      metrics: Seq[Metric],
+      counts: Array[Double]): Map[String, Double] = {
+    def weighted(o: OutputSpec): Seq[(Double, Double, Double)] =
+      rows.zipWithIndex.map { case (r, i) =>
+        val w = counts(i) * o.weightCol.map(r).getOrElse(1.0)
+        (r(o.predCol), r(o.labelCol), w)
+      }
+    def wMse(xs: Seq[(Double, Double, Double)]): Double = {
+      val sw = xs.map(_._3).sum
+      xs.map { case (p, l, w) => w * (p - l) * (p - l) }.sum / sw
+    }
+    val losses = outputs.map(o => s"${o.name}_loss" -> wMse(weighted(o)))
+    val ms = outputs.flatMap { o =>
+      metrics.map { m =>
+        val xs = weighted(o)
+        val v = m.name match {
+          case "root_mean_squared_error" => math.sqrt(wMse(xs))
+          case "loss" => wMse(xs)
+          case "mean_absolute_error" =>
+            xs.map { case (p, l, w) => w * math.abs(p - l) }.sum / xs.map(_._3).sum
+          case other => throw new IllegalArgumentException(
+            s"local bootstrap does not implement metric $other")
+        }
+        s"${o.name}_${m.name}" -> v
+      }
+    }
+    (losses ++ ms).toMap + ("loss" -> losses.map(_._2).sum)
+  }
+
+  private def flattenRounds(rounds: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
+    rounds.head.keys.map(k => k -> rounds.map(_(k))).toMap
+
+  /** Distributed bootstrap: `nbBootstrap` rounds in one job. Each row is
+    * exploded into (round, row) pairs and weighted by a Poisson(1) count
+    * derived deterministically from `xxhash64(rowKey, round, seed)` — the
+    * per-round aggregation is partial+final with B×|metrics| states, so
+    * the shuffle is tiny at any input size.
+    */
+  /** Per-round bootstrap metrics as a DataFrame (one row per round,
+    * ordered by `round`) — the distributed execution shape behind
+    * [[evaluateBootstrap]].
+    */
+  def bootstrapMetricsDf(
+      df: DataFrame,
+      rowKey: Column,
+      outputs: Seq[OutputSpec],
+      nbBootstrap: Int,
+      metrics: Seq[Metric] = Seq(rmse),
+      seed: Long = 0L): DataFrame = {
+    val rounds = df
+      .withColumn("__round", explode(sequence(lit(0), lit(nbBootstrap - 1))))
+      .withColumn("__u",
+        (pmod(xxhash64(rowKey, col("__round"), lit(seed)), lit(1000000L)).cast("double") + 0.5)
+          / 1000000.0)
+      .withColumn("__w", poissonInverseCdf(col("__u")))
+    val aggs = outputs.map { o =>
+      val w = col("__w") * o.weightCol.map(col).getOrElse(lit(1.0))
+      s"${o.name}_loss" -> mse.agg(col(o.predCol), col(o.labelCol), w)
+    } ++ outputs.flatMap { o =>
+      val w = col("__w") * o.weightCol.map(col).getOrElse(lit(1.0))
+      metrics.map(m => s"${o.name}_${m.name}" ->
+        m.agg(col(o.predCol), col(o.labelCol), w))
+    }
+    rounds.groupBy(col("__round").as("round"))
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("round"))
+  }
+
+  def evaluateBootstrap(
+      df: DataFrame,
+      rowKey: Column,
+      outputs: Seq[OutputSpec],
+      nbBootstrap: Int,
+      metrics: Seq[Metric] = Seq(rmse),
+      seed: Long = 0L): Map[String, Seq[Double]] = {
+    val aggNames = outputs.map(o => s"${o.name}_loss") ++
+      outputs.flatMap(o => metrics.map(m => s"${o.name}_${m.name}"))
+    val result = bootstrapMetricsDf(df, rowKey, outputs, nbBootstrap, metrics, seed)
+      .collect()
+    val byMetric = aggNames.map { name =>
+      name -> result.map(_.getAs[Double](name)).toSeq
+    }.toMap
+    byMetric + ("loss" -> result.map { r =>
+      outputs.map(o => r.getAs[Double](s"${o.name}_loss")).sum
+    }.toSeq)
+  }
+
+  /** Poisson(1) quantile as a when-chain over the cumulative distribution
+    * (k ≤ 8 covers 1 - 1e-6 of the mass). Pure expression — codegen, no
+    * UDF, deterministic given the uniform input.
+    */
+  private[eval] def poissonInverseCdf(u: Column): Column = {
+    val e = math.exp(-1.0)
+    var cum = 0.0
+    var fact = 1.0
+    val cdf = (0 to 8).map { k =>
+      if (k > 0) fact *= k
+      cum += e / fact
+      (k, cum)
+    }
+    cdf.foldRight(lit(9.0): Column) { case ((k, p), rest) =>
+      when(u <= p, lit(k.toDouble)).otherwise(rest)
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `BinaryType` columns with typed metadata structs, plus
+  * decode / feature-extract / frame-sample operators.
+  *
+  * The Spark-side plumbing — schemas, batched `mapPartitions`, struct
+  * outputs, partition behavior — is real and tested. The codec itself is
+  * pluggable behind [[MediaDecoder]]; no image/audio library ships in
+  * this environment, so the provided decoder is a clearly-marked
+  * DETERMINISTIC FAKE ([[FakeImageDecoder]]) that parses a synthetic
+  * header and derives pixel features from a hash of the payload. Swap in
+  * a real JNI/Java codec by implementing [[MediaDecoder]]; nothing else
+  * changes.
+  *
+  * 100 TB notes: media bytes dominate row size — the operators keep them
+  * streaming (batched `mapPartitions`, no collect), and feature
+  * extraction drops the binary column as early as possible so downstream
+  * shuffles move features, not payloads.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to an opaque media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  final case class DecodedImage(
+      width: Int, height: Int, channels: Int, meanPixel: Double,
+      features: Array[Float])
+
+  /** Pluggable media codec. Implementations must be deterministic per
+    * byte payload (retries and speculative tasks re-decode).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeImage(bytes: Array[Byte]): DecodedImage
+  }
+
+  /** DETERMINISTIC FAKE decoder — STUB standing in for a real image
+    * codec. Payload layout it expects (produced by [[fakeImageBytes]]):
+    * magic "GRF" · format byte · width int32 BE · height int32 BE ·
+    * payload. "Pixels" are a splitmix64 stream seeded by the payload
+    * hash, so every derived feature is reproducible.
+    */
+  object FakeImageDecoder extends MediaDecoder {
+    def decodeImage(bytes: Array[Byte]): DecodedImage = {
+      require(bytes.length >= 12 && bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'F',
+        "not a GRF payload")
+      val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
+      val width = bb.getInt
+      val height = bb.getInt
+      var h = java.util.Arrays.hashCode(bytes).toLong
+      def next(): Long = {
+        h += 0x9e3779b97f4a7c15L
+        var z = h
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val features = Array.fill(8)(((next() >>> 11).toDouble / (1L << 53).toDouble).toFloat)
+      DecodedImage(width, height, 3, features.map(_.toDouble).sum / 8, features)
+    }
+  }
+
+  /** Build a fake GRF payload (test/data-generation helper). */
+  def fakeImageBytes(width: Int, height: Int, seedByte: Byte): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.put('G'.toByte).put('R'.toByte).put('F'.toByte).put(0.toByte)
+    bb.putInt(width).putInt(height).putInt(seedByte.toInt)
+    bb.array()
+  }
+
+  /** Decode an image binary column into a features struct, batched via
+    * `mapPartitions`. `dropBinary` removes the payload column after
+    * decode so downstream stages shuffle features, not bytes.
+    */
+  def withImageFeatures(
+      df: DataFrame,
+      binaryCol: String,
+      decoder: MediaDecoder = FakeImageDecoder,
+      outputCol: String = "image_features",
+      batchSize: Int = 64,
+      dropBinary: Boolean = false): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val featType = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_pixel", DoubleType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val outSchema = df.schema.add(outputCol, featType, nullable = true)
+    val decoded = df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val payload = row.getAs[Array[Byte]](idx)
+          val feat =
+            if (payload == null) null
+            else {
+              val d = decoder.decodeImage(payload)
+              Row(d.width, d.height, d.channels, d.meanPixel, d.features.toSeq)
+            }
+          Row.fromSeq(row.toSeq :+ feat)
+        }
+      }
+    }(Encoders.row(outSchema))
+    if (dropBinary) decoded.drop(binaryCol) else decoded
+  }
+
+  /** Sample every `everyN`-th frame of a fake video payload (fixed-size
+    * frame chunks — STUB for a real demuxer) into one row per frame:
+    * (originalRow..., frame_idx, frame_bytes). `explode`-shaped output so
+    * per-frame work distributes.
+    */
+  def frameSample(
+      df: DataFrame,
+      videoCol: String,
+      everyN: Int,
+      frameBytes: Int = 256): DataFrame = {
+    require(everyN > 0 && frameBytes > 0)
+    val idx = df.schema.fieldIndex(videoCol)
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("frame_bytes", BinaryType, nullable = true)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val payload = row.getAs[Array[Byte]](idx)
+        if (payload == null) Iterator.empty
+        else {
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by everyN).iterator.map { f =>
+            val frame = java.util.Arrays.copyOfRange(
+              payload, f * frameBytes, (f + 1) * frameBytes)
+            Row.fromSeq(row.toSeq ++ Seq(f, frame))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

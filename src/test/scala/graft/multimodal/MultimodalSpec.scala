@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The multimodal plumbing is real (schemas, batched mapPartitions,
+  * struct outputs, frame explosion); the codec is the documented
+  * deterministic fake.
+  */
+class MultimodalSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("image features: schema, determinism, null passthrough") {
+    val rows = Seq(
+      (1L, Multimodal.fakeImageBytes(64, 48, 1)),
+      (2L, Multimodal.fakeImageBytes(32, 32, 2)),
+      (3L, null))
+    val df = rows.toDF("id", "img").repartition(2)
+    val out = Multimodal.withImageFeatures(df, "img", batchSize = 2)
+    val schema = out.schema("image_features").dataType.asInstanceOf[StructType]
+    schema.fieldNames.toSeq shouldBe
+      Seq("width", "height", "channels", "mean_pixel", "embedding")
+
+    val collected = out.orderBy("id").collect()
+    val f1 = collected(0).getStruct(collected(0).fieldIndex("image_features"))
+    f1.getAs[Int]("width") shouldBe 64
+    f1.getAs[Int]("height") shouldBe 48
+    f1.getAs[Seq[Float]]("embedding").size shouldBe 8
+    collected(2).isNullAt(collected(2).fieldIndex("image_features")) shouldBe true
+
+    // determinism: same payload -> same features
+    val again = Multimodal.withImageFeatures(df, "img", batchSize = 1)
+      .orderBy("id").collect()
+    again(0).getStruct(again(0).fieldIndex("image_features"))
+      .getAs[Seq[Float]]("embedding") shouldBe f1.getAs[Seq[Float]]("embedding")
+  }
+
+  test("dropBinary removes the payload column after decode") {
+    val df = Seq((1L, Multimodal.fakeImageBytes(8, 8, 3))).toDF("id", "img")
+    val out = Multimodal.withImageFeatures(df, "img", dropBinary = true)
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "image_features")
+  }
+
+  test("frame sampling explodes every n-th fixed-size chunk") {
+    val payload = Array.tabulate(1024)(_.toByte) // 4 frames of 256
+    val df = Seq((1L, payload), (2L, null)).toDF("id", "video")
+    val frames = Multimodal.frameSample(df, "video", everyN = 2, frameBytes = 256)
+      .orderBy("id", "frame_idx").collect()
+    frames.map(r => (r.getLong(0), r.getInt(r.fieldIndex("frame_idx")))).toSeq shouldBe
+      Seq((1L, 0), (1L, 2)) // null payload row contributes nothing
+    frames(0).getAs[Array[Byte]]("frame_bytes").toSeq shouldBe
+      payload.slice(0, 256).toSeq
+    frames(1).getAs[Array[Byte]]("frame_bytes").toSeq shouldBe
+      payload.slice(512, 768).toSeq
+  }
+
+  test("decoder rejects non-GRF payloads") {
+    an[IllegalArgumentException] should be thrownBy {
+      Multimodal.FakeImageDecoder.decodeImage("nope".getBytes)
+    }
+  }
+}
