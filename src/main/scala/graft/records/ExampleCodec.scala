@@ -256,7 +256,114 @@ object ExampleCodec {
     }
   }
 
-  private def featureValues(f: Feature, dtype: FeatureDType): Seq[Any] = f match {
+  // ---- SequenceExample (public proto:
+  //   SequenceExample { Features context = 1; FeatureLists feature_lists = 2 }
+  //   FeatureLists { map<string, FeatureList> feature_list = 1 }
+  //   FeatureList { repeated Feature feature = 1 } ) ----
+
+  /** Serialize a `tf.train.SequenceExample`. */
+  def encodeSequence(
+      context: Map[String, Feature],
+      featureLists: Map[String, Seq[Feature]]): Array[Byte] = {
+    val contextMsg = new ByteArrayOutputStream()
+    context.toSeq.sortBy(_._1).foreach { case (name, f) =>
+      val entry = new ByteArrayOutputStream()
+      writeLenDelimited(entry, 1, name.getBytes(StandardCharsets.UTF_8))
+      writeLenDelimited(entry, 2, encodeFeature(f))
+      writeLenDelimited(contextMsg, 1, entry.toByteArray)
+    }
+    val listsMsg = new ByteArrayOutputStream()
+    featureLists.toSeq.sortBy(_._1).foreach { case (name, fs) =>
+      val listMsg = new ByteArrayOutputStream()
+      fs.foreach(f => writeLenDelimited(listMsg, 1, encodeFeature(f)))
+      val entry = new ByteArrayOutputStream()
+      writeLenDelimited(entry, 1, name.getBytes(StandardCharsets.UTF_8))
+      writeLenDelimited(entry, 2, listMsg.toByteArray)
+      writeLenDelimited(listsMsg, 1, entry.toByteArray)
+    }
+    val out = new ByteArrayOutputStream()
+    writeLenDelimited(out, 1, contextMsg.toByteArray)
+    writeLenDelimited(out, 2, listsMsg.toByteArray)
+    out.toByteArray
+  }
+
+  /** Parse a serialized SequenceExample into (context, feature lists). */
+  def decodeSequence(bytes: Array[Byte]): (Map[String, Feature], Map[String, Seq[Feature]]) = {
+    val root = new Reader(bytes, 0, bytes.length)
+    val context = Map.newBuilder[String, Feature]
+    val lists = Map.newBuilder[String, Seq[Feature]]
+    while (root.hasMore) {
+      val tag = root.readVarint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val (s, e) = root.readBytes()
+          context ++= decodeFeatureMap(root.sub(s, e), bytes)
+        case (2, 2) =>
+          val (s, e) = root.readBytes()
+          val listsMsg = root.sub(s, e)
+          while (listsMsg.hasMore) {
+            val etag = listsMsg.readVarint()
+            require((etag >> 3).toInt == 1, "unexpected field in FeatureLists")
+            val (es, ee) = listsMsg.readBytes()
+            val entry = listsMsg.sub(es, ee)
+            var name: String = null
+            val fs = Seq.newBuilder[Feature]
+            while (entry.hasMore) {
+              val t = entry.readVarint()
+              (t >> 3).toInt match {
+                case 1 =>
+                  val (ns, ne) = entry.readBytes()
+                  name = new String(entry.slice(ns, ne), StandardCharsets.UTF_8)
+                case 2 =>
+                  val (ls, le) = entry.readBytes()
+                  val listMsg = entry.sub(ls, le)
+                  while (listMsg.hasMore) {
+                    val ft = listMsg.readVarint()
+                    require((ft >> 3).toInt == 1, "unexpected field in FeatureList")
+                    val (fs0, fe0) = listMsg.readBytes()
+                    fs += decodeFeature(listMsg.sub(fs0, fe0), bytes)
+                  }
+                case _ => entry.skip((t & 7).toInt)
+              }
+            }
+            if (name != null) lists += name -> fs.result()
+          }
+        case (_, w) => root.skip(w)
+      }
+    }
+    (context.result(), lists.result())
+  }
+
+  private def decodeFeatureMap(r: Reader, bytes: Array[Byte]): Map[String, Feature] = {
+    val features = Map.newBuilder[String, Feature]
+    while (r.hasMore) {
+      val etag = r.readVarint()
+      require((etag >> 3).toInt == 1, "unexpected field in Features")
+      val (es, ee) = r.readBytes()
+      val entry = r.sub(es, ee)
+      var name: String = null
+      var feat: Feature = null
+      while (entry.hasMore) {
+        val t = entry.readVarint()
+        (t >> 3).toInt match {
+          case 1 =>
+            val (s, e) = entry.readBytes()
+            name = new String(entry.slice(s, e), StandardCharsets.UTF_8)
+          case 2 =>
+            val (s, e) = entry.readBytes()
+            feat = decodeFeature(entry.sub(s, e), bytes)
+          case _ => entry.skip((t & 7).toInt)
+        }
+      }
+      if (name != null && feat != null) features += name -> feat
+    }
+    features.result()
+  }
+
+  /** Feature payload as spec-typed values (int32/float64/string narrowing
+    * per the dtype).
+    */
+  def featureValues(f: Feature, dtype: FeatureDType): Seq[Any] = f match {
     case Feature.Int64List(vs) =>
       if (dtype == FeatureDType.Int32) vs.map(_.toInt) else vs
     case Feature.FloatList(vs) =>

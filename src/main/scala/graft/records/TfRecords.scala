@@ -238,6 +238,54 @@ object TfRecords {
       gzip: Boolean = true): Iterator[Map[String, Any]] =
     readSerialized(files, hadoopConf, gzip).map(ExampleCodec.parseWithSpecs(_, specs))
 
+  /** Driver-local SequenceExample reader (reference
+    * `read_parsed_sequence_tfr`, tfrecords.py:60-72): each record parsed
+    * into (context values, per-key sequence of feature values).
+    */
+  def readParsedSequenceTfr(
+      files: Seq[String],
+      contextSpecs: FeatureSpec.Specs,
+      sequenceSpecs: FeatureSpec.Specs,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      gzip: Boolean = true): Iterator[(Map[String, Any], Map[String, Seq[Any]])] =
+    readSerialized(files, hadoopConf, gzip).map { bytes =>
+      val (context, lists) = ExampleCodec.decodeSequence(bytes)
+      val ctx: Map[String, Any] = contextSpecs.map { case (name, spec) =>
+        val value: Any = context.get(name) match {
+          case Some(f) => ExampleCodec.featureValues(f, spec.dtype)
+          case None => spec match {
+            case FixedLenFeature(_, _, Some(d)) =>
+              d match { case s: Seq[_] => s; case v => Seq(v) }
+            case _: VarLenFeature => Seq.empty
+            case FixedLenFeature(_, _, None) =>
+              throw new IllegalArgumentException(
+                s"context feature $name absent and spec has no default")
+          }
+        }
+        name -> value
+      }
+      val seqs = sequenceSpecs.map { case (name, spec) =>
+        name -> lists.getOrElse(name, Nil)
+          .map(f => ExampleCodec.featureValues(f, spec.dtype): Any)
+      }
+      (ctx, seqs)
+    }
+
+  /** Serialize one (context, featureLists) record against specs. */
+  def toSequenceExample(
+      context: Map[String, Any],
+      featureLists: Map[String, Seq[Any]],
+      contextSpecs: FeatureSpec.Specs,
+      sequenceSpecs: FeatureSpec.Specs): Array[Byte] = {
+    val ctx = toFeatures(context, contextSpecs)
+    val lists = sequenceSpecs.flatMap { case (name, spec) =>
+      featureLists.get(name).map { steps =>
+        name -> steps.map(step => valueToFeature(asList(step), spec))
+      }
+    }
+    ExampleCodec.encodeSequence(ctx, lists)
+  }
+
   /** Distributed TFRecord source: one task per file (gzip TFRecords are not
     * splittable), schema derived from the specs
     * ([[SchemaCompat.exactStructFieldFor]]). Scalar FixedLen specs surface

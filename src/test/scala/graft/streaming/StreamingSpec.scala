@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.SparkSpec
+import graft.inference.{Artifacts, Inference}
+import graft.operators.Sampling
+
+/** Streaming surface: the stateless operators (sampling, inference
+  * columns) run unchanged on streaming DataFrames; windowed aggregation
+  * holds watermarked state.
+  */
+class StreamingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = Streaming.windowedEventCounts(
+      input.toDF.toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", windowLength = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("win_counts").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(3), "view", 5.0), (ts(11), "click", 7.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, event_type, n, total_value FROM win_counts")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).sorted
+      rows.toSeq shouldBe Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 5.0),
+        ("2024-01-01 10:10:00.0", "click", 1L, 7.0))
+    } finally query.stop()
+  }
+
+  test("stratified sampling is streaming-safe (stateless filter+project)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Double)]
+    // deterministic entropy from the key so the stream result is stable
+    val df = input.toDF.toDF("id", "value", "u0")
+      .withColumn("u", pmod(col("id") * 2654435761L, lit(4294967296L))
+        .cast("double") / 4294967296.0)
+    val sampled = Sampling.sampleWithPredicate(
+      df, 1.0, 1.0, 0.5, col("value") > 10, samplingColOverride = Some("u"))
+    val query = sampled.writeStream
+      .format("memory").queryName("sampled").outputMode("append").start()
+    try {
+      input.addData((1L, 20.0, 0.0), (2L, 5.0, 0.0), (3L, 5.0, 0.0), (4L, 15.0, 0.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT id, weight FROM sampled").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      // positives always kept at weight 1.0; negatives kept iff u < 0.5 at weight 2.0
+      rows.map(_._1) should contain allOf(1L, 4L)
+      rows.filter(r => r._1 == 1L || r._1 == 4L).map(_._2).toSet shouldBe Set(1.0)
+      rows.filter(r => r._1 == 2L || r._1 == 3L).map(_._2).toSet.subsetOf(Set(2.0)) shouldBe true
+    } finally query.stop()
+  }
+
+  test("inference column is streaming-safe (mapPartitions scoring)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val model = Artifacts.broadcast(spark, 3.0)
+    val scored = Inference.withInferenceColumn[Double](
+      input.toDF.toDF("id", "x"), model, Seq("x"),
+      (m, cols, _) => cols(0).map(v => v.asInstanceOf[Double] * m),
+      DoubleType, batchSize = 2, outputCol = "score")
+    val query = scored.writeStream
+      .format("memory").queryName("scored").outputMode("append").start()
+    try {
+      input.addData((1L, 2.0), (2L, 5.0))
+      query.processAllAvailable()
+      spark.sql("SELECT score FROM scored ORDER BY id").collect()
+        .map(_.getDouble(0)).toSeq shouldBe Seq(6.0, 15.0)
+    } finally query.stop()
+  }
+
+  test("quality flag splits a stream without re-evaluating the predicate") {
+    val df = Seq(("good text here", 3), ("x", 1)).toDF("text", "n_tokens")
+    val flagged = Streaming.withQualityFlag(df, col("n_tokens") >= 2)
+    flagged.filter(col("quality_ok")).count() shouldBe 1
+    flagged.filter(!col("quality_ok")).count() shouldBe 1
+  }
+}
