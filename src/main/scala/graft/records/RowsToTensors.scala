@@ -84,6 +84,31 @@ object RowsToTensors {
         s"$key/values" -> SparseValues(values))
     }
 
+  /** Placeholder layout per feature (reference U15
+    * `featurespec_to_input_placeholders`,
+    * `serving_input_receiver_fn_makers.py:8-68`): the tensor names and
+    * shapes a serving layer must expose. FixedLen scalars are one dense
+    * placeholder with a dynamic batch dim; VarLen features are the
+    * `k/shape`, `k/indices`, `k/values` sparse triple. `/` in feature
+    * names and non-scalar FixedLen shapes are rejected, as in the
+    * reference (`:27-28`, `:38-41`). `-1` marks a dynamic dimension.
+    */
+  def placeholderLayout(specs: FeatureSpec.Specs): Map[String, Seq[Int]] =
+    specs.toSeq.flatMap { case (name, spec) =>
+      require(!name.contains('/'), s"feature name $name must not contain '/'")
+      spec match {
+        case f: FixedLenFeature =>
+          require(f.shape.isEmpty || f.shape == Seq(1),
+            s"FixedLenFeature of non-scalar shape not supported (got ${f.shape} for $name)")
+          Seq(name -> Seq(-1))
+        case _: VarLenFeature =>
+          Seq(
+            s"$name/shape" -> Seq(2),
+            s"$name/indices" -> Seq(-1, 2),
+            s"$name/values" -> Seq(-1))
+      }
+    }.toMap
+
   /** Compile the converter set (reference `generate_create_tensor_fn`,
     * `pandas_to_tensors.py:66-123`). Non-scalar FixedLen shapes are
     * unsupported, as in the reference.

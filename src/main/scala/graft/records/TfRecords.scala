@@ -134,6 +134,15 @@ object TfRecords {
     toExample(m, specs)
   }
 
+  /** Spec-driven column pruning (reference P1 `filtered_columns`,
+    * `dataframe_prediction_helper.py:285-286`): the DataFrame columns
+    * that appear in the feature spec, in DataFrame order. Catalyst would
+    * prune through the write anyway; the explicit select keeps the
+    * export plan self-documenting.
+    */
+  def filteredColumns(df: DataFrame, specs: FeatureSpec.Specs): Seq[org.apache.spark.sql.Column] =
+    df.columns.filter(specs.contains).map(df(_)).toSeq
+
   // ---- sinks (reference S1/S2, tfrecords.py:210-236) ----
 
   /** Write one partition's serialized examples to `part-NNNNN` (gzip by
@@ -199,8 +208,7 @@ object TfRecords {
       graft.vocab.Vocabulary.genVocabFiles(
         df, vocabColumns, s"$baseDir/col_cardinalities", threshold)
 
-    val specCols = df.columns.filter(specs.contains).map(df(_))
-    val shuffled = df.select(specCols.toIndexedSeq: _*)
+    val shuffled = df.select(filteredColumns(df, specs): _*)
       .orderBy(seed.map(rand).getOrElse(rand()))
       .persist(StorageLevel.DISK_ONLY)
     try {

@@ -175,6 +175,28 @@ class TfRecordsSpec extends SparkSpec {
     }
   }
 
+  test("placeholder layout: dense scalars and sparse triples, validation") {
+    val layout = RowsToTensors.placeholderLayout(Map(
+      "x" -> FixedLenFeature(Nil, Int64),
+      "tags" -> VarLenFeature(TfString)))
+    layout shouldBe Map(
+      "x" -> Seq(-1),
+      "tags/shape" -> Seq(2),
+      "tags/indices" -> Seq(-1, 2),
+      "tags/values" -> Seq(-1))
+    an[IllegalArgumentException] should be thrownBy {
+      RowsToTensors.placeholderLayout(Map("a/b" -> FixedLenFeature(Nil, Int64)))
+    }
+    an[IllegalArgumentException] should be thrownBy {
+      RowsToTensors.placeholderLayout(Map("m" -> FixedLenFeature(Seq(2), Int64)))
+    }
+  }
+
+  test("filtered_columns keeps only spec columns in DataFrame order") {
+    val df = Seq((1L, "a", 2.0)).toDF("id", "name", "junk")
+    TfRecords.filteredColumns(df, specs).map(_.toString) shouldBe Seq("id", "name")
+  }
+
   test("generate_create_tensor_fn end-to-end") {
     val make = RowsToTensors.compile(Map("dim" -> FixedLenFeature(Nil, Int64)))
     make(Seq(IndexedSeq(1L, 2L)))("dim") shouldBe
