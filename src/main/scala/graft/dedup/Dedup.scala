@@ -70,7 +70,7 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  private[dedup] def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+  def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] =
     (0 until numHashes).map { i =>
       val a = (splitmix64(seed + 2L * i) & Long.MaxValue) % (MersennePrime - 1) + 1
       val b = (splitmix64(seed + 2L * i + 1) & Long.MaxValue) % MersennePrime
@@ -106,10 +106,25 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate pairs from shared LSH buckets (id_a < id_b, distinct). */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+  /** Candidate pairs from shared LSH buckets (id_a < id_b, distinct).
+    *
+    * `maxBucketSize` caps pathological buckets: a bucket of size s emits
+    * s² join rows, so one hot bucket (boilerplate headers, empty docs)
+    * can dominate the whole job at scale. Buckets beyond the cap are
+    * dropped — their members are still paired through their other
+    * `bands-1` buckets, so recall degrades gracefully instead of the job
+    * degenerating to all-pairs.
+    */
+  def candidatePairs(buckets: DataFrame, idCol: String,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val sized = buckets
+      .withColumn("__bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+    val a = sized.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -134,7 +149,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     val withShingles = df
@@ -143,7 +159,7 @@ object Dedup {
     val signed = withShingles.withColumn(
       "__sig", minhashSignature(col("__shingles"), numHashes, seed))
     val buckets = lshBuckets(signed, idCol, "__sig", bands, rowsPerBand)
-    val pairs = candidatePairs(buckets, idCol)
+    val pairs = candidatePairs(buckets, idCol, maxBucketSize)
     // verify on candidates only: join the shingle sets back by id
     val sa = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
     val sb = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
