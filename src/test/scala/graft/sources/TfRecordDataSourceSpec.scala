@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** DSv2 TFRecord format: write→read round-trip through
+  * `format("tfrecord")`, commit-message manifests, codec option,
+  * nullable-absent semantics, and schema validation.
+  */
+class TfRecordDataSourceSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("vals", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("score", DoubleType, nullable = false)))
+
+  test("write/read round-trip through format(\"tfrecord\")") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/out"
+    val df = (1L to 50L).map(i => (i, s"n$i", Seq(i, i + 1), i * 0.5))
+      .toDF("id", "name", "vals", "score")
+      .repartition(3)
+    df.write.format("tfrecord").mode("overwrite").save(dir)
+
+    // manifest + success markers written by commit
+    Files.exists(Paths.get(dir, "_SUCCESS")) shouldBe true
+    val manifest = new String(Files.readAllBytes(Paths.get(dir, "_manifest")), "UTF-8")
+    manifest.linesIterator.size shouldBe 3
+    manifest.linesIterator.map(_.split("\t")(1).toLong).sum shouldBe 50L
+
+    val back = spark.read.format("tfrecord").schema(schema).load(dir)
+    back.count() shouldBe 50L
+    val r = back.filter(col("id") === 7L).collect().head
+    r.getString(r.fieldIndex("name")) shouldBe "n7"
+    r.getSeq[Long](r.fieldIndex("vals")) shouldBe Seq(7L, 8L)
+    r.getDouble(r.fieldIndex("score")) shouldBe 3.5
+  }
+
+  test("uncompressed codec option round-trips") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/raw"
+    Seq((1L, "a", Seq(1L), 0.1)).toDF("id", "name", "vals", "score")
+      .write.format("tfrecord").option("codec", "none").mode("overwrite").save(dir)
+    val back = spark.read.format("tfrecord").option("codec", "none")
+      .schema(schema).load(dir)
+    back.collect().head.getLong(0) shouldBe 1L
+  }
+
+  test("absent features read as null for nullable columns") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/partial"
+    // write with a narrower schema: no name column at all
+    Seq((1L, Seq(9L), 1.0)).toDF("id", "vals", "score")
+      .write.format("tfrecord").mode("overwrite").save(dir)
+    val back = spark.read.format("tfrecord").schema(schema).load(dir)
+    val r = back.collect().head
+    r.isNullAt(r.fieldIndex("name")) shouldBe true
+    r.getSeq[Long](r.fieldIndex("vals")) shouldBe Seq(9L)
+  }
+
+  test("read without a schema is rejected") {
+    an[Exception] should be thrownBy {
+      spark.read.format("tfrecord").load("/tmp/nonexistent").collect()
+    }
+  }
+
+  test("read plan shows one partition per file") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/parts"
+    (1L to 20L).map(i => (i, "x", Seq(i), 0.0))
+      .toDF("id", "name", "vals", "score")
+      .repartition(4).write.format("tfrecord").mode("overwrite").save(dir)
+    val back = spark.read.format("tfrecord").schema(schema).load(dir)
+    back.rdd.getNumPartitions shouldBe 4
+  }
+}
