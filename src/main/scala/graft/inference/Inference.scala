@@ -49,21 +49,26 @@ object Inference {
     * With `nGpus > 0`, each executor JVM claims a device through
     * [[GpuAllocator]] (file-lock JSON protocol) unless `fixedDevice`
     * pins one (the reference tests' mocked `get_cuda_device`).
+    *
+    * The lock/allocation file names are minted once at construction —
+    * driver-side, like the reference's per-query uuid files
+    * (`pytorch/spark_inference.py:232-234`) — so every worker JVM on a
+    * machine shares one allocation map and tasks spread across GPUs;
+    * a per-call name would give each JVM its own file and put everyone
+    * on device 0.
     */
   final case class GpuConf(
       nGpus: Int = 0,
       fixedDevice: Option[Int] = None,
-      lockDir: String = "/tmp") extends Serializable {
+      lockFile: String = s"/tmp/lockfile_${UUID.randomUUID()}",
+      allocationFile: String = s"/tmp/allocation_cuda_${UUID.randomUUID()}") extends Serializable {
     private[inference] def device(): String =
       if (nGpus <= 0) "cpu"
       else fixedDevice match {
         case Some(d) => s"cuda:$d"
         case None =>
-          val id = UUID.randomUUID().toString
           val d = GpuAllocator.getCudaDevice(
-            nGpus,
-            Paths.get(lockDir, s"lockfile_$id"),
-            Paths.get(lockDir, s"allocation_cuda_$id"))
+            nGpus, Paths.get(lockFile), Paths.get(allocationFile))
           s"cuda:$d"
       }
   }
