@@ -183,11 +183,16 @@ object Dedup {
                      (a, h) -> a + if((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
                    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
 
-  /** Append a 64-bit SimHash fingerprint of the normalized token stream. */
+  /** Append a 64-bit SimHash fingerprint of the normalized token stream.
+    * Uses the native single-pass expression
+    * ([[graft.functions.SimHash64]]); [[simhashFromHashes]] is the
+    * composed-SQL equivalent kept for comparison and as the
+    * builtins-only fallback.
+    */
   def withSimhash(df: DataFrame, textCol: String, outputCol: String = "simhash"): DataFrame =
     df.withColumn("__hashes",
         transform(split(TextStats.normalize(col(textCol)), " "), t => xxhash64(t)))
-      .withColumn(outputCol, simhashFromHashes("__hashes"))
+      .withColumn(outputCol, graft.functions.functions.simhash64(col("__hashes")))
       .drop("__hashes")
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -111,6 +111,21 @@ class DedupSpec extends SparkSpec {
     pairs should contain((100L, 101L))
   }
 
+  test("native simhash64 expression equals the composed SQL-lambda form") {
+    val texts = Seq(
+      (1 to 50).map(i => s"word$i").mkString(" "),
+      "single",
+      "a b c a b c")
+    val df = texts.toDF("text")
+      .withColumn("__hashes",
+        transform(split(graft.text.TextStats.normalize(col("text")), " "),
+          t => xxhash64(t)))
+    val rows = df.select(
+      graft.functions.functions.simhash64(col("__hashes")).as("native"),
+      Dedup.simhashFromHashes("__hashes").as("composed")).collect()
+    rows.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
+  }
+
   test("hamming distance expression") {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011
     df.select(Dedup.hammingDistance(col("a"), col("b"))).collect().head.getInt(0) shouldBe 2
