@@ -383,6 +383,41 @@ object Queries {
           col("event_id"),
           Seq(graft.eval.BootstrapEval.OutputSpec("value", "pred", "value")),
           nbBootstrap = 20, seed = 42L),
+      None),
+
+    // TFRecord write→read round-trip through the DSv2 format: the oracle
+    // is the original table, so a hash match proves the Example codec,
+    // the TFRecord container framing, and the DSv2 read/write paths are
+    // jointly lossless.
+    GraftQuery(
+      "q16_tfrecord_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val out = s"/tmp/graft_q16_${math.abs(dir.hashCode)}/tfr"
+        docs.write.format("tfrecord").mode("overwrite").save(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        s.read.format("tfrecord").schema(schema).load(out)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text, lang FROM documents ORDER BY doc_id""")),
+
+    // Native SimHash fingerprints (custom codegen expression). DuckDB has
+    // no matching xxhash64, so the driver records rows-only.
+    GraftQuery(
+      "q17_simhash",
+      (s, dir) =>
+        graft.dedup.Dedup.withSimhash(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id")),
       None)
   )
 
