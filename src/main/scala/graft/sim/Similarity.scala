@@ -198,6 +198,84 @@ object Similarity {
       .drop("__rn")
   }
 
+  // ---- embedding-cosine near-duplicate detection ----
+
+  /** Deterministic random hyperplanes for sign-bit LSH (splitmix64
+    * stream seeded per (plane, dim) — no RNG state, executor-safe).
+    */
+  private[sim] def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits) { b =>
+      Array.tabulate(dim) { d =>
+        var z = seed + b.toLong * 7919 + d.toLong + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        // uniform in [-1, 1): direction-only use, magnitude irrelevant
+        (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+      }
+    }
+
+  /** Near-duplicate pairs by embedding cosine: random-hyperplane sign
+    * bits bucket the corpus (cosine-similar vectors land in the same
+    * bucket with probability (1 - θ/π)^bits), candidates are generated
+    * per bucket — never all-pairs — and verified with exact cosine.
+    * `bands` independent hash tables trade recall for candidate volume.
+    */
+  def embeddingNearDuplicates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val idIdx = corpus.schema.fieldIndex(idCol)
+    val vecIdx = corpus.schema.fieldIndex(vecCol)
+    val bucketSchema = StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = false)))
+    val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).size
+    val planes = hyperplanes(bits * bands, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val buckets = corpus.mapPartitions { rows =>
+      val ps = bc.value
+      rows.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val vec = row.getSeq[Float](vecIdx)
+        (0 until bands).iterator.map { band =>
+          var sig = 0L
+          var b = 0
+          while (b < bits) {
+            val p = ps(band * bits + b)
+            var acc = 0.0
+            var i = 0
+            val n = math.min(vec.length, p.length)
+            while (i < n) { acc += vec(i).toDouble * p(i); i += 1 }
+            if (acc >= 0) sig |= (1L << b)
+            b += 1
+          }
+          Row(band, sig, id, vec)
+        }
+      }
+    }(Encoders.row(bucketSchema))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("vec").as("__va"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("vec").as("__vb"))
+    val simUdf = org.apache.spark.sql.functions.udf(
+      (x: collection.Seq[Float], y: collection.Seq[Float]) => cosine(x, y))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        simUdf(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+
   /** Column-expression cosine between an array column and a literal query
     * vector — the declarative form used by the oracle query (sequential
     * `aggregate` folds in double, bit-reproducible).

@@ -92,6 +92,26 @@ class SimilaritySpec extends SparkSpec {
     got.toSeq shouldBe expected
   }
 
+  test("embedding near-dup finds planted duplicate vectors, skips noise") {
+    val rng = new Random(21)
+    val base = randomVec(rng, 32)
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x
+    }
+    val noise = (0L until 40L).map(i => (i, randomVec(rng, 32).toSeq))
+    val data = noise ++ Seq((100L, base.toSeq), (101L, nearDup.toSeq), (102L, base.toSeq))
+    val df = data.toDF("vec_id", "embedding").repartition(4)
+    val pairs = Similarity.embeddingNearDuplicates(
+      df, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    pairSet should contain((100L, 101L))
+    pairSet should contain((100L, 102L))
+    pairs.find(p => (p._1, p._2) == ((100L, 102L))).get._3 shouldBe 1.0 +- 1e-12
+    // random gaussian 32-dim vectors essentially never reach cosine 0.99
+    pairs.foreach { p => Set(p._1, p._2).forall(_ >= 100L) shouldBe true }
+  }
+
   test("dot/norm/cosine basics") {
     Similarity.dot(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) shouldBe 32.0
     Similarity.norm(Seq(3f, 4f)) shouldBe 5.0
