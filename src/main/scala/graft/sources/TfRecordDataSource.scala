@@ -102,10 +102,11 @@ final class TfRecordTable(tableSchema: StructType, properties: Map[String, Strin
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val opts = info.options().asScala.toMap
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TfRecordBatchWrite(info.schema(), pathOf(opts), isGzip(opts))
+          new TfRecordBatchWrite(info.schema(), pathOf(opts), isGzip(opts), truncateFirst)
       }
     }
   }
@@ -189,14 +190,24 @@ final class TfRecordReaderFactory(
 final case class TfRecordCommitMessage(path: String, count: Long)
     extends WriterCommitMessage
 
-final class TfRecordBatchWrite(schema: StructType, path: String, gzip: Boolean)
+final class TfRecordBatchWrite(
+    schema: StructType, path: String, gzip: Boolean, truncateFirst: Boolean)
     extends BatchWrite {
 
   private val confSer = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // Overwrite mode arrives as SupportsTruncate.truncate(): existing
+    // data must actually be removed, or repeated overwrites accumulate
+    // part files (distinct task ids → distinct names).
+    if (truncateFirst) {
+      val fs = FileSystem.get(new URI(path), confSer.value)
+      val p = new HPath(path)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     new TfRecordWriterFactory(schema, path, gzip, confSer)
+  }
 
   /** The counting-sink manifest (reference A4, `tfrecords.py:223,236`):
     * commit messages carry (path, count); commit persists them as

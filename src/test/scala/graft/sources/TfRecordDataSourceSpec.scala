@@ -61,6 +61,22 @@ class TfRecordDataSourceSpec extends SparkSpec {
     r.getSeq[Long](r.fieldIndex("vals")) shouldBe Seq(9L)
   }
 
+  test("overwrite mode truncates previous data instead of accumulating") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/ovw"
+    val df = Seq((1L, "a", Seq(1L), 0.5)).toDF("id", "name", "vals", "score")
+    df.write.format("tfrecord").mode("overwrite").save(dir)
+    df.write.format("tfrecord").mode("overwrite").save(dir)
+    spark.read.format("tfrecord").schema(schema).load(dir).count() shouldBe 1L
+  }
+
+  test("append mode accumulates") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/app"
+    val df = Seq((1L, "a", Seq(1L), 0.5)).toDF("id", "name", "vals", "score")
+    df.write.format("tfrecord").mode("overwrite").save(dir)
+    df.write.format("tfrecord").mode("append").save(dir)
+    spark.read.format("tfrecord").schema(schema).load(dir).count() shouldBe 2L
+  }
+
   test("read without a schema is rejected") {
     an[Exception] should be thrownBy {
       spark.read.format("tfrecord").load("/tmp/nonexistent").collect()
