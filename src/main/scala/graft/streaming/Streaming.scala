@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY §2.9); the engine's column-algebra operators — stratified
@@ -40,4 +41,27 @@ object Streaming {
     */
   def withQualityFlag(df: DataFrame, predicate: Column, flagCol: String = "quality_ok"): DataFrame =
     df.withColumn(flagCol, predicate)
+
+  final case class VocabCount(value: String, count: Long)
+
+  /** Streaming vocabulary: running value counts maintained with
+    * `mapGroupsWithState` — the stateful form of
+    * [[graft.vocab.Vocabulary.vocabCounts]] (SURVEY §2.9 notes batch
+    * vocabulary needs exactly this to stream). Each micro-batch emits
+    * the updated cumulative count per value; state is one long per
+    * distinct value, partitioned by the state-store shuffle.
+    */
+  def streamingVocabCounts(values: Dataset[String]): Dataset[VocabCount] = {
+    import values.sparkSession.implicits._
+    values
+      .filter((v: String) => v != null)
+      .groupByKey(identity[String] _)
+      .mapGroupsWithState[Long, VocabCount](GroupStateTimeout.NoTimeout) {
+        (value: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val updated = state.getOption.getOrElse(0L) + rows.size
+          state.update(updated)
+          VocabCount(value, updated)
+      }
+  }
+
 }

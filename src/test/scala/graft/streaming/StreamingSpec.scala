@@ -84,6 +84,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming vocabulary accumulates counts across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = Streaming.streamingVocabCounts(input.toDS())
+    // mapGroupsWithState requires update output mode
+    val query = counts.writeStream
+      .format("memory").queryName("vocab_stream").outputMode("update").start()
+    try {
+      input.addData("click", "click", "view")
+      query.processAllAvailable()
+      input.addData("click", "view", "signup")
+      query.processAllAvailable()
+      // latest state per value after both batches
+      val latest = spark.sql(
+        "SELECT value, max(count) AS c FROM vocab_stream GROUP BY value")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      latest shouldBe Map("click" -> 3L, "view" -> 2L, "signup" -> 1L)
+    } finally query.stop()
+  }
+
   test("quality flag splits a stream without re-evaluating the predicate") {
     val df = Seq(("good text here", 3), ("x", 1)).toDF("text", "n_tokens")
     val flagged = Streaming.withQualityFlag(df, col("n_tokens") >= 2)
