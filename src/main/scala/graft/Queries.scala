@@ -418,7 +418,24 @@ object Queries {
           t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
           .select(col("doc_id"), col("simhash"))
           .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // Distinct aggregation over exploded tokens (§2.4 notes distinct-agg
+    // rides Spark built-ins — exercised here with an exact oracle).
+    GraftQuery(
+      "q18_distinct_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("n_distinct"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, COUNT(DISTINCT tok) AS n_distinct, COUNT(*) AS n_tokens
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY lang
+        ORDER BY lang"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's native expressions, via both
+  * mechanisms Spark offers:
+  *
+  *   - builder-time: `SparkSession.builder().withExtensions(new
+  *     GraftExtensions)` (or config
+  *     `spark.sql.extensions=graft.functions.GraftExtensions`);
+  *   - live session: `GraftFunctions.register(spark)`.
+  *
+  * After either, `SELECT simhash64(hashes) FROM ...` works in SQL.
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  private[functions] def injections: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    functions.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[SimHash64].getName, name),
+        builder)
+    }
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(extensions.injectFunction)
+}

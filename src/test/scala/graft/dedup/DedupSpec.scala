@@ -126,6 +126,17 @@ class DedupSpec extends SparkSpec {
     rows.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
   }
 
+  test("simhash64 is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Seq(5L, 6L)).toDF("hashes").createOrReplaceTempView("hashes_t")
+    val viaSql = spark.sql("SELECT simhash64(hashes) FROM hashes_t")
+      .collect().head.getLong(0)
+    val viaDsl = Seq(Seq(5L, 6L)).toDF("hashes")
+      .select(graft.functions.functions.simhash64(col("hashes")))
+      .collect().head.getLong(0)
+    viaSql shouldBe viaDsl
+  }
+
   test("hamming distance expression") {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011
     df.select(Dedup.hammingDistance(col("a"), col("b"))).collect().head.getInt(0) shouldBe 2
