@@ -112,6 +112,43 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { p => Set(p._1, p._2).forall(_ >= 100L) shouldBe true }
   }
 
+  test("typed top-k aggregator matches the window-based top-k") {
+    val rng = new Random(31)
+    val scored = (0 until 5).flatMap { q =>
+      (0L until 100L).map(id => (q, id, rng.nextDouble()))
+    }
+    val df = scored.toDF("query_id", "vec_id", "score").repartition(7)
+    val topK = TopKAggregator.udafFor(5)
+    val viaAgg = df.groupBy("query_id")
+      .agg(topK(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("s"))
+      .select(col("query_id"), col("s.id").as("vec_id"), col("s.score").as("score"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+
+    viaAgg.toSeq shouldBe viaWindow.toSeq
+  }
+
+  test("top-k aggregator plan is a partial+final aggregate, not a sort") {
+    val df = (0L until 50L).map(id => (1, id, id.toDouble)).toDF("query_id", "vec_id", "score")
+    val topK = TopKAggregator.udafFor(3)
+    val plan = df.groupBy("query_id")
+      .agg(topK(col("vec_id"), col("score")).as("top"))
+      .queryExecution.executedPlan.toString
+    plan should include("Aggregate")
+    plan should not include "Window"
+  }
+
   test("dot/norm/cosine basics") {
     Similarity.dot(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) shouldBe 32.0
     Similarity.norm(Seq(3f, 4f)) shouldBe 5.0
