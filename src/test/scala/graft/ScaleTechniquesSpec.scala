@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Executable evidence for the 100 TB design claims: bucketed tables
+  * co-locate joins (no shuffle on either side), partitioned layouts
+  * prune at the scan, and broadcast keeps dimension joins exchange-free
+  * on the fact side. These run on miniature data — the *plans* are the
+  * assertion, and plans are scale-invariant.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    // tables land in the default warehouse dir (gitignored spark-warehouse/)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (1L to 1000L).map(i => (i, i % 100, i * 1.5)).toDF("o_id", "cust", "price")
+      .write.bucketBy(8, "cust").sortBy("cust").saveAsTable("b_orders")
+    (0L until 100L).map(i => (i, s"c$i")).toDF("cust", "name")
+      .write.bucketBy(8, "cust").sortBy("cust").saveAsTable("b_customer")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"), "cust")
+    val plan = executed(joined)
+    plan should include("SortMergeJoin")
+    // co-located: neither side shuffles (bucket layout satisfies the
+    // join's distribution requirement)
+    plan should not include "Exchange hashpartitioning"
+    joined.count() shouldBe 1000L
+  }
+
+  test("partitioned parquet prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("part").toString
+    (1L to 300L).map(i => (i, s"t${i % 3}", i * 1.0)).toDF("id", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === "t1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(day")
+    pruned.count() shouldBe 100L
+    // only the t1 partition directory is read
+    pruned.select(countDistinct(col("day"))).collect().head.getLong(0) shouldBe 1L
+  }
+
+  test("broadcast dimension join leaves the fact side exchange-free") {
+    val fact = (1L to 1000L).map(i => (i, i % 25)).toDF("id", "nation")
+    val dim = (0L until 25L).map(i => (i, s"n$i")).toDF("nation", "name")
+    val joined = fact.join(broadcast(dim), "nation")
+    val plan = executed(joined)
+    plan should include("BroadcastHashJoin")
+    plan should not include "Exchange hashpartitioning"
+    joined.count() shouldBe 1000L
+  }
+
+  test("filters on engine queries reach the parquet scan") {
+    // representative pushdown check on the corpus tables
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = li.filter(col("l_shipdate") <= lit("1995-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+    plan should include("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>")
+  }
+}
