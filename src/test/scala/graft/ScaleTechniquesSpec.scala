@@ -19,9 +19,20 @@ class ScaleTechniquesSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle on either side") {
-    // tables land in the default warehouse dir (gitignored spark-warehouse/)
+    // tables land in the default warehouse dir (gitignored spark-warehouse/);
+    // a fresh catalog won't know leftover tables from prior JVMs, so clear
+    // the physical locations too
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_customer").foreach { t =>
+      val dir = new java.io.File(warehouse, t)
+      if (dir.exists()) {
+        Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
     (1L to 1000L).map(i => (i, i % 100, i * 1.5)).toDF("o_id", "cust", "price")
       .write.bucketBy(8, "cust").sortBy("cust").saveAsTable("b_orders")
     (0L until 100L).map(i => (i, s"c$i")).toDF("cust", "name")
