@@ -79,14 +79,22 @@ object Dedup {
 
   /** MinHash signature column: for each of `numHashes` affine
     * permutations, the minimum over the shingle base hashes
-    * (`xxhash64`). Shaped as ONE `aggregate` fold that updates a
-    * `numHashes`-wide running-min array per shingle (`zip_with` against
-    * a literal (a, b) parameter array): the naive
-    * `numHashes × array_min(transform(base, ...))` form inlines the
-    * base-hash subtree into every branch and was measured ~4× slower.
-    * Codegen-eligible, no UDF, no shuffle.
+    * (`xxhash64` mod p). Delegates the fold to the native codegen
+    * expression [[graft.functions.MinHashFold]] — Spark's higher-order
+    * functions are interpreted, so a composed fold pays per-element
+    * lambda overhead across shingles × numHashes.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.MinHashFold.minhashFold(
+      transform(shinglesCol, s => pmod(xxhash64(s), lit(MersennePrime))),
+      numHashes, seed)
+
+  /** Builtins-only composed form of [[minhashSignature]] (one `aggregate`
+    * fold updating a running-min array via `zip_with` against a literal
+    * parameter array). Bit-identical to the native expression — kept as
+    * the fallback and equivalence witness.
+    */
+  def minhashSignatureComposed(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
     val params = typedlit(hashParams(numHashes, seed))
     val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(MersennePrime)))
     aggregate(

@@ -111,6 +111,20 @@ class DedupSpec extends SparkSpec {
     pairs should contain((100L, 101L))
   }
 
+  test("native minhash fold is bit-identical to the composed form") {
+    val df = Seq(
+      (1 to 40).map(i => s"w$i").mkString(" "),
+      "short text",
+      "x").toDF("text")
+    val rows = df.select(
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 2), 64).as("native"),
+      Dedup.minhashSignatureComposed(Dedup.shingles(col("text"), 2), 64).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+    }
+  }
+
   test("native simhash64 expression equals the composed SQL-lambda form") {
     val texts = Seq(
       (1 to 50).map(i => s"word$i").mkString(" "),
