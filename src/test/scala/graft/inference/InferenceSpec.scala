@@ -272,6 +272,33 @@ class InferenceSpec extends SparkSpec {
       Seq(15.0, 36.0, 69.0)
   }
 
+  test("parallelMap surfaces a timeout as a RuntimeException") {
+    val in = (1 to 4).iterator
+    val out = Inference.parallelMap(in, workers = 2, prefetch = 2,
+      timeout = java.time.Duration.ofMillis(50)) { i =>
+      if (i == 3) Thread.sleep(5000)
+      i
+    }
+    val e = intercept[RuntimeException] { out.toSeq }
+    e.getMessage should include("timed out")
+  }
+
+  test("concurrent processes spread across GPUs under the file lock") {
+    val dir = java.nio.file.Files.createTempDirectory("gpu-conc")
+    val lock = dir.resolve("lock")
+    val alloc = dir.resolve("allocation")
+    // simulate 4 distinct worker processes (distinct pids, all alive)
+    val pids = Seq(11L, 12L, 13L, 14L)
+    val devices = pids.map { pid =>
+      GpuAllocator.resetCachedDevice()
+      GpuAllocator.getCudaDevice(2, lock, alloc, pid, () => pids.toSet)
+    }
+    GpuAllocator.resetCachedDevice()
+    // least-loaded round-robin: 2 processes per GPU
+    devices.groupBy(identity).view.mapValues(_.size).toMap shouldBe
+      Map(0 -> 2, 1 -> 2)
+  }
+
   test("parallelMap preserves input order under concurrency") {
     val in = (1 to 100).iterator
     val out = Inference.parallelMap(in, workers = 4, prefetch = 8,

@@ -1,3 +1,4 @@
+// SURVEY §5 upgrade properties live in SamplingInvariantsSpec
 package graft.operators
 
 import org.apache.spark.sql.functions._
