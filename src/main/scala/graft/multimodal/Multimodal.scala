@@ -113,6 +113,75 @@ object Multimodal {
     if (dropBinary) decoded.drop(binaryCol) else decoded
   }
 
+  final case class DecodedAudio(
+      sampleRate: Int, nSamples: Int, windowEnergies: Array[Float])
+
+  /** Audio codec surface. The bundled decoder is a DETERMINISTIC FAKE
+    * (STUB for a real PCM/compressed-audio codec): payload = 4-byte BE
+    * sample rate then 16-bit BE PCM samples; features are per-window
+    * mean absolute amplitudes.
+    */
+  trait AudioDecoder extends Serializable {
+    def decodeAudio(bytes: Array[Byte], windowSamples: Int): DecodedAudio
+  }
+
+  object FakePcmDecoder extends AudioDecoder {
+    def decodeAudio(bytes: Array[Byte], windowSamples: Int): DecodedAudio = {
+      require(bytes.length >= 4, "not a PCM payload")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val sampleRate = bb.getInt
+      val nSamples = bb.remaining() / 2
+      val energies = (0 until nSamples by windowSamples).map { start =>
+        val end = math.min(start + windowSamples, nSamples)
+        var acc = 0.0
+        var i = start
+        while (i < end) { acc += math.abs(bb.getShort(4 + 2 * i).toDouble); i += 1 }
+        (acc / math.max(end - start, 1) / Short.MaxValue).toFloat
+      }
+      DecodedAudio(sampleRate, nSamples, energies.toArray)
+    }
+  }
+
+  /** Fake PCM payload builder (test/data-generation helper). */
+  def fakeAudioBytes(sampleRate: Int, samples: Seq[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 2 * samples.size)
+    bb.putInt(sampleRate)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode an audio binary column into (sample_rate, n_samples,
+    * window_energies), batched via `mapPartitions` like the image path.
+    */
+  def withAudioFeatures(
+      df: DataFrame,
+      binaryCol: String,
+      decoder: AudioDecoder = FakePcmDecoder,
+      windowSamples: Int = 1024,
+      outputCol: String = "audio_features",
+      batchSize: Int = 64): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val featType = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("window_energies", ArrayType(FloatType, containsNull = false))))
+    val outSchema = df.schema.add(outputCol, featType, nullable = true)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val payload = row.getAs[Array[Byte]](idx)
+          val feat =
+            if (payload == null) null
+            else {
+              val d = decoder.decodeAudio(payload, windowSamples)
+              Row(d.sampleRate, d.nSamples, d.windowEnergies.toSeq)
+            }
+          Row.fromSeq(row.toSeq :+ feat)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Sample every `everyN`-th frame of a fake video payload (fixed-size
     * frame chunks — STUB for a real demuxer) into one row per frame:
     * (originalRow..., frame_idx, frame_bytes). `explode`-shaped output so

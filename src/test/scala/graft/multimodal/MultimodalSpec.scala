@@ -56,6 +56,25 @@ class MultimodalSpec extends SparkSpec {
       payload.slice(512, 768).toSeq
   }
 
+  test("audio features: window energies, sample rate, null passthrough") {
+    val loud = Seq.fill(2048)(Short.MaxValue)
+    val quiet = Seq.fill(2048)(0.toShort)
+    val rows = Seq(
+      (1L, Multimodal.fakeAudioBytes(16000, loud ++ quiet)),
+      (2L, null))
+    val df = rows.toDF("id", "audio")
+    val out = Multimodal.withAudioFeatures(df, "audio", windowSamples = 2048)
+      .orderBy("id").collect()
+    val f = out(0).getStruct(out(0).fieldIndex("audio_features"))
+    f.getAs[Int]("sample_rate") shouldBe 16000
+    f.getAs[Int]("n_samples") shouldBe 4096
+    val energies = f.getAs[collection.Seq[Float]]("window_energies")
+    energies.size shouldBe 2
+    energies(0) shouldBe 1.0f +- 1e-4f // full-scale window
+    energies(1) shouldBe 0.0f
+    out(1).isNullAt(out(1).fieldIndex("audio_features")) shouldBe true
+  }
+
   test("decoder rejects non-GRF payloads") {
     an[IllegalArgumentException] should be thrownBy {
       Multimodal.FakeImageDecoder.decodeImage("nope".getBytes)
