@@ -435,7 +435,39 @@ object Queries {
         SELECT lang, COUNT(DISTINCT tok) AS n_distinct, COUNT(*) AS n_tokens
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // As-of join: each click enriched with the user's most recent
+    // purchase at or before it, checked against DuckDB's native ASOF
+    // JOIN. Right side pre-aggregated to one row per (user, ts) so tie
+    // behavior is engine-independent; timestamps emitted as strings
+    // (micros agree: the corpus has no sub-microsecond components).
+    GraftQuery(
+      "q19_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
+        graft.operators.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            col("value").as("purchase_value"),
+            date_format(col("ts_right"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS value FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+          strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+          r.value AS purchase_value,
+          strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
