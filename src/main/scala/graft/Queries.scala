@@ -467,6 +467,36 @@ object Queries {
           r.value AS purchase_value,
           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id""")),
+
+    // Same as-of semantics through the custom LogicalPlan + Strategy +
+    // physical operator (graft.plans.AsOfJoinExec) — a custom Catalyst
+    // operator validated end-to-end by the DuckDB ASOF JOIN oracle.
+    GraftQuery(
+      "q20_asof_custom_operator",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
+        graft.plans.AsOfJoinPlan.joinAsOfExec(clicks, purchases, Seq("user_id"), "ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            col("value").as("purchase_value"),
+            date_format(col("ts_right"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS value FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+          strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+          r.value AS purchase_value,
+          strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id"""))
   )
 

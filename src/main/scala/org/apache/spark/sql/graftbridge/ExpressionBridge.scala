@@ -1,15 +1,34 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Bridge into `private[sql]` Column↔Expression conversion — the
-  * standard technique for third-party connectors/expression libraries
-  * (Spark 4 moved Column onto ColumnNode, removing the public
-  * Expression constructor).
+/** Bridge into `private[sql]` surfaces — the standard technique for
+  * third-party connectors/expression/operator libraries (Spark 4 moved
+  * Column onto ColumnNode, removing the public Expression constructor;
+  * Dataset.ofRows and the analyzed plan were always private[sql]).
   */
 object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a hand-built logical plan. */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** Idempotently add a planner strategy to a live session. */
+  def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
 }
