@@ -497,7 +497,55 @@ object Queries {
           r.value AS purchase_value,
           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        ORDER BY l.event_id"""))
+        ORDER BY l.event_id""")),
+
+    // Window functions (§2.5 rides built-ins — oracle evidence): running
+    // per-user event counts and value sums in (ts, event_id) total order.
+    GraftQuery(
+      "q21_window_running",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("event_id"), col("user_id"),
+            row_number().over(w).as("event_seq"),
+            sum(col("value").cast("decimal(30,2)")).over(w)
+              .cast("double").as("running_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(ROW_NUMBER() OVER w AS INTEGER) AS event_seq,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS running_value
+        FROM events
+        WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // Semi/anti joins (§2.3 rides built-ins — oracle evidence): customers
+    // with at least one order minus those with an open-status order.
+    GraftQuery(
+      "q22_semi_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(o.filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
