@@ -76,7 +76,7 @@ case class MinHashFold(child: Expression, numHashes: Int, seed: Long)
          |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($mins);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
        """.stripMargin
     })
 

@@ -61,12 +61,25 @@ object GpuAllocator {
     cached.get() match {
       case Some(d) => d
       case None =>
-        val d = withFileLock(lockFile) {
-          allocateInFile(nGpus, allocationFile, pid, livePids)
+        // FileChannel.lock throws OverlappingFileLockException (rather than
+        // blocking) for same-JVM contention, so two executor task threads
+        // racing here before memoization would fail spuriously. Serialize
+        // JVM-local callers first; the file lock then only arbitrates
+        // across worker JVMs.
+        jvmLock.synchronized {
+          cached.get() match {
+            case Some(d) => d
+            case None =>
+              val d = withFileLock(lockFile) {
+                allocateInFile(nGpus, allocationFile, pid, livePids)
+              }
+              cached.set(Some(d))
+              d
+          }
         }
-        cached.compareAndSet(None, Some(d))
-        cached.get().getOrElse(d)
     }
+
+  private val jvmLock = new Object
 
   /** Test hook mirroring the reference tests' env-var cleanup. */
   def resetCachedDevice(): Unit = cached.set(None)

@@ -212,7 +212,17 @@ object Inference {
       timeout: java.time.Duration)(f: T => U): Iterator[U] = {
     if (workers <= 1) it.map(f)
     else new Iterator[U] {
-      private val pool = Executors.newFixedThreadPool(workers)
+      // Daemon threads + a task-completion hook: if the consumer stops
+      // early (limit/take/downstream exception) the iterator is never
+      // drained and hasNext's shutdown() never runs — without these the
+      // pool would leak non-daemon threads in a long-lived executor JVM.
+      private val pool = Executors.newFixedThreadPool(workers, (r: Runnable) => {
+        val t = new Thread(r, "graft-preprocess")
+        t.setDaemon(true)
+        t
+      })
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       private val inFlight = new ArrayBlockingQueue[JFuture[U]](math.max(prefetch, 1))
       private def fill(): Unit =
         while (inFlight.remainingCapacity() > 0 && it.hasNext) {

@@ -66,9 +66,30 @@ object TfRecordIO {
       buf
     }
 
-    private def advance(): Unit =
-      try {
-        val header = readFully(12)
+    /** Reads the 12-byte header, or returns null on a clean EOF exactly at
+      * a record boundary. EOF anywhere else is a torn record and must fail
+      * the task (TF raises DataLossError here) — silently truncating would
+      * shorten the dataset, compounding any orphan-partial-file problem.
+      */
+    private def readHeaderOrEof(): Array[Byte] = {
+      val buf = new Array[Byte](12)
+      val first = in.read(buf, 0, 12)
+      if (first < 0) return null
+      var off = first
+      while (off < 12) {
+        val read = in.read(buf, off, 12 - off)
+        if (read < 0) throw new EOFException(s"truncated record header: $off of 12 bytes")
+        off += read
+      }
+      buf
+    }
+
+    private def advance(): Unit = {
+      val header = readHeaderOrEof()
+      if (header == null) {
+        finished = true
+        in.close()
+      } else {
         val bb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
         val len = bb.getLong
         val lenCrc = bb.getInt
@@ -77,11 +98,8 @@ object TfRecordIO {
         val dataCrc = ByteBuffer.wrap(readFully(4)).order(ByteOrder.LITTLE_ENDIAN).getInt
         require(dataCrc == maskedCrc(data, 0, data.length), "corrupt TFRecord: data crc mismatch")
         nextRecord = data
-      } catch {
-        case _: EOFException =>
-          finished = true
-          in.close()
       }
+    }
 
     advance()
 

@@ -129,10 +129,23 @@ final class TfRecordScan(schema: StructType, path: String, gzip: Boolean)
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case s => s
     }
+    // When a directory carries a `_manifest` (written by this source's
+    // commit), trust it as the authoritative file list: files not listed
+    // (orphans from failed/speculative attempts that escaped abort-cleanup)
+    // must not be ingested. Directories without a manifest (externally
+    // produced TFRecords) fall back to a listing.
     val files = status.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath) else Array(st)
-    }.map(_.getPath.toString)
-      .filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_"))
+      if (st.isDirectory) {
+        val manifestPath = new HPath(st.getPath, "_manifest")
+        if (fs.exists(manifestPath)) {
+          val in = fs.open(manifestPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          text.linesIterator.filter(_.nonEmpty).map(_.split('\t')(0)).toArray
+        } else fs.listStatus(st.getPath).map(_.getPath.toString)
+      } else Array(st.getPath.toString)
+    }.filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("_"))
       .sorted
     files.map(TfRecordInputPartition(_): InputPartition)
   }
@@ -215,9 +228,21 @@ final class TfRecordBatchWrite(
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new URI(path), confSer.value)
-    val manifest = messages.collect { case TfRecordCommitMessage(p, c) => s"$p\t$c" }
-      .sorted.mkString("\n")
-    val out = fs.create(new HPath(path, "_manifest"), true)
+    // The manifest is the scan's authoritative file list, so append-mode
+    // commits must merge with the prior manifest or earlier jobs' files
+    // would be silently dropped from reads.
+    val manifestPath = new HPath(path, "_manifest")
+    val prior: Seq[String] =
+      if (!truncateFirst && fs.exists(manifestPath)) {
+        val in = fs.open(manifestPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .linesIterator.filter(_.nonEmpty).toSeq
+        finally in.close()
+      } else Seq.empty
+    val manifest = (prior ++ messages.collect {
+      case TfRecordCommitMessage(p, c) => s"$p\t$c"
+    }).distinct.sorted.mkString("\n")
+    val out = fs.create(manifestPath, true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
     fs.create(new HPath(path, "_SUCCESS"), true).close()
   }
@@ -257,7 +282,13 @@ final class TfRecordWriterFactory(
         writer.close()
         TfRecordCommitMessage(filePath, count)
       }
-      override def abort(): Unit = writer.close()
+      // A failed/speculative attempt must remove its partial file: the scan
+      // lists the directory, so an orphan part would read back as
+      // duplicate/truncated rows under routine task retry at scale.
+      override def abort(): Unit = {
+        writer.close()
+        fs.delete(new HPath(filePath), false)
+      }
       override def close(): Unit = ()
     }
   }

@@ -151,6 +151,23 @@ class DedupSpec extends SparkSpec {
     viaSql shouldBe viaDsl
   }
 
+  test("native expressions compile under forced codegen (no interpreted fallback)") {
+    // With fallback enabled Spark silently reverts to interpreted eval when
+    // Janino rejects generated code — which once hid a bad FQCN in
+    // MinHashFold's doGenCode. Forcing fallback off makes compile failures
+    // fail the query, pinning the codegen path itself.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = (1 to 100).map(i => Seq(i.toLong, (i * 7).toLong)).toDF("hashes")
+      val rows = df.select(
+        graft.functions.MinHashFold.minhashFold(col("hashes"), 16).as("sig"),
+        graft.functions.functions.simhash64(col("hashes")).as("sh"))
+        .collect()
+      rows.length shouldBe 100
+      rows.head.getSeq[Long](0).length shouldBe 16
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("hamming distance expression") {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011
     df.select(Dedup.hammingDistance(col("a"), col("b"))).collect().head.getInt(0) shouldBe 2

@@ -41,6 +41,46 @@ class TfRecordDataSourceSpec extends SparkSpec {
     r.getDouble(r.fieldIndex("score")) shouldBe 3.5
   }
 
+  test("scan reads only manifest-listed files, ignoring orphan parts") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/orphan"
+    (1L to 20L).map(i => (i, s"n$i", Seq(i), 1.0))
+      .toDF("id", "name", "vals", "score")
+      .write.format("tfrecord").mode("overwrite").save(dir)
+    // Simulate a speculative-attempt orphan that escaped abort cleanup: a
+    // valid TFRecord part file present in the directory but absent from
+    // the commit-time _manifest. It must not be ingested (would duplicate
+    // rows under routine task retry at scale).
+    val orphan = Paths.get(dir, "part-99999-orphan")
+    val src = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-")).head
+    Files.copy(Paths.get(src), orphan)
+    spark.read.format("tfrecord").schema(schema).load(dir).count() shouldBe 20L
+  }
+
+  test("truncated record file fails the read instead of silently shortening") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/torn"
+    (1L to 10L).map(i => (i, s"n$i", Seq(i), 1.0))
+      .toDF("id", "name", "vals", "score")
+      .coalesce(1)
+      .write.format("tfrecord").option("codec", "none").mode("overwrite").save(dir)
+    val part = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-")).head
+    val bytes = Files.readAllBytes(Paths.get(part))
+    Files.write(Paths.get(part), java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 7))
+    // Drop Hadoop LocalFileSystem's checksum sidecar so the read reaches
+    // the TFRecord framing layer (the torn-record path under test) instead
+    // of failing at the FS checksum first.
+    val partName = part.substring(part.lastIndexOf('/') + 1)
+    Files.deleteIfExists(Paths.get(dir, s".$partName.crc"))
+    val ex = intercept[Exception] {
+      spark.read.format("tfrecord").option("codec", "none")
+        .schema(schema).load(dir).count()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ").toLowerCase
+    messages should include("truncated")
+  }
+
   test("uncompressed codec option round-trips") {
     val dir = Files.createTempDirectory("dsv2").toString + "/raw"
     Seq((1L, "a", Seq(1L), 0.1)).toDF("id", "name", "vals", "score")
