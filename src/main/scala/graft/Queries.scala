@@ -373,8 +373,11 @@ object Queries {
         ORDER BY 1, 2""")),
 
     // Distributed bootstrap evaluation: per-round weighted losses from
-    // seeded Poisson(1) resample weights. Not oracle-expressible (DuckDB
-    // has no matching xxhash64) — the driver records rows-only.
+    // seeded Poisson(1) resample weights. The portable affine-mod uniform
+    // hash and the decimal-exact loss metric make the whole pipeline
+    // reproducible in ANSI SQL, so DuckDB verifies it bit-for-bit
+    // (Poisson CDF constants below are the IEEE-exact cumulative values
+    // of BootstrapEval.poissonInverseCdf's when-chain).
     GraftQuery(
       "q15_bootstrap_eval",
       (s, dir) =>
@@ -382,8 +385,41 @@ object Queries {
           t(s, dir, "events").withColumn("pred", col("value") * lit(0.9)),
           col("event_id"),
           Seq(graft.eval.BootstrapEval.OutputSpec("value", "pred", "value")),
-          nbBootstrap = 20, seed = 42L),
-      None),
+          nbBootstrap = 20, seed = 42L,
+          metrics = Seq(graft.eval.BootstrapEval.mseExact),
+          uniform = Some(graft.eval.BootstrapEval.portableUniform(42L) _))
+          .select(col("round"), col("value_loss_exact"))
+          .orderBy(col("round")),
+      Some("""
+        WITH r AS (SELECT CAST(range AS BIGINT) AS round FROM range(0, 20)),
+        d AS (
+          SELECT e.event_id, e.value, e.value * CAST(0.9 AS DOUBLE) AS pred, r.round,
+            ((((e.event_id % 2147483647) * 1103515245 + r.round * 12345 + 42)
+               % 2147483647) * 784588716 + 997) % 2147483647 AS h2
+          FROM events e CROSS JOIN r),
+        w AS (
+          SELECT round, value, pred,
+            CASE
+              WHEN u <= 0.36787944117144233 THEN 0.0
+              WHEN u <= 0.7357588823428847 THEN 1.0
+              WHEN u <= 0.9196986029286058 THEN 2.0
+              WHEN u <= 0.9810118431238463 THEN 3.0
+              WHEN u <= 0.9963401531726563 THEN 4.0
+              WHEN u <= 0.9994058151824183 THEN 5.0
+              WHEN u <= 0.9999167588507120 THEN 6.0
+              WHEN u <= 0.9999897508033253 THEN 7.0
+              WHEN u <= 0.9999988747974020 THEN 8.0
+              ELSE 9.0 END AS w
+          FROM (SELECT round, value, pred,
+                  (CAST(h2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(2147483647 AS DOUBLE) AS u
+                FROM d)),
+        agg AS (
+          SELECT round,
+            CAST(SUM(CAST(w * (pred - value) * (pred - value) AS DECIMAL(27,6))) AS DOUBLE)
+              / CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE) AS value_loss_exact
+          FROM w GROUP BY round)
+        SELECT CAST(round AS INTEGER) AS round, value_loss_exact
+        FROM agg ORDER BY round""")),
 
     // TFRecord write→read round-trip through the DSv2 format: the oracle
     // is the original table, so a hash match proves the Example codec,
@@ -409,16 +445,40 @@ object Queries {
       Some("""
         SELECT doc_id, text, lang FROM documents ORDER BY doc_id""")),
 
-    // Native SimHash fingerprints (custom codegen expression). DuckDB has
-    // no matching xxhash64, so the driver records rows-only.
+    // Native SimHash fingerprints (custom codegen expression,
+    // graft.functions.SimHash64). Token hashes are the first 60 bits of
+    // md5 — portable across engines — so DuckDB replays the exact
+    // per-bit vote and verifies the fingerprints bit-for-bit. (The
+    // engine's default xxhash64 token hashing stays covered in
+    // DedupSpec; the expression itself is input-agnostic.)
     GraftQuery(
       "q17_simhash",
       (s, dir) =>
-        graft.dedup.Dedup.withSimhash(
-          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
-          .select(col("doc_id"), col("simhash"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            transform(
+              split(graft.text.TextStats.normalize(col("text")), " "),
+              tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+              .as("__hashes"))
+          .select(col("doc_id"),
+            graft.functions.functions.simhash64(col("__hashes")).as("simhash"))
           .orderBy(col("doc_id")),
-      None),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, b.range AS bit,
+            SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN range(0, 60) b
+          GROUP BY doc_id, b.range)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+            AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
     // Distinct aggregation over exploded tokens (§2.4 notes distinct-agg
     // rides Spark built-ins — exercised here with an exact oracle).

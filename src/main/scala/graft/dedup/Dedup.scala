@@ -48,12 +48,19 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val ts = split(TextStats.normalize(text), " ")
-    val ngrams = when(size(ts) >= n,
-      transform(
-        sequence(lit(0), size(ts) - lit(n)),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(ngrams)
+    if (n == 1) {
+      // 1-gram shingles are just the distinct tokens; skip the
+      // per-token slice/concat lambda (higher-order functions run
+      // interpreted, so the general path pays per-element overhead).
+      array_distinct(ts)
+    } else {
+      val ngrams = when(size(ts) >= n,
+        transform(
+          sequence(lit(0), size(ts) - lit(n)),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      array_distinct(ngrams)
+    }
   }
 
   // Affine MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod p
@@ -170,9 +177,14 @@ object Dedup {
       maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // The shingle table feeds three plan branches (signatures + both
+    // verify sides); persist it so normalization/shingling runs once.
+    // MEMORY_AND_DISK spills rather than OOMs when the corpus outgrows
+    // executor memory at scale.
     val withShingles = df
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = withShingles.withColumn(
       "__sig", minhashSignature(col("__shingles"), numHashes, seed))
     val buckets = lshBuckets(signed, idCol, "__sig", bands, rowsPerBand)

@@ -38,6 +38,20 @@ object BootstrapEval {
   val mse: Metric = Metric("loss",
     (p, l, w) => sum(w * (p - l) * (p - l)) / sum(w))
 
+  /** Weighted MSE with decimal-exact partial sums: each term is cast to
+    * decimal(27,6) so the distributed sum is order-independent, then a
+    * single IEEE divide. Bit-for-bit reproducible across engines — the
+    * variant to use when results feed an external comparison. Scale 6 is
+    * deliberate: it keeps the sums' unscaled integers below 2^53, so
+    * decimal→double conversion is an exact integer load plus one
+    * correctly-rounded divide in any engine (at scale 12 an engine that
+    * converts via wide-int→double then ÷10^scale double-rounds and can
+    * drift a ULP).
+    */
+  val mseExact: Metric = Metric("loss_exact",
+    (p, l, w) => sum((w * (p - l) * (p - l)).cast("decimal(27,6)")).cast("double") /
+      sum(w.cast("decimal(27,6)")).cast("double"))
+
   /** Weighted root mean squared error. */
   val rmse: Metric = Metric("root_mean_squared_error",
     (p, l, w) => sqrt(sum(w * (p - l) * (p - l)) / sum(w)))
@@ -159,18 +173,38 @@ object BootstrapEval {
     * ordered by `round`) — the distributed execution shape behind
     * [[evaluateBootstrap]].
     */
+  /** Default per-(row, round) uniform draw in [0,1): xxhash64-based —
+    * the best-mixing choice when no external system needs to reproduce
+    * the weights.
+    */
+  def xxhashUniform(seed: Long)(rowKey: Column, round: Column): Column =
+    (pmod(xxhash64(rowKey, round, lit(seed)), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+
+  /** Portable uniform draw in [0,1): two affine-mod rounds over the
+    * 31-bit Mersenne prime (products stay under 2^63, safe in ANSI
+    * mode). Every step is plain integer arithmetic expressible in any
+    * ANSI SQL engine, so an external system can reproduce the resample
+    * weights bit-for-bit — use for cross-engine verification.
+    */
+  def portableUniform(seed: Long)(rowKey: Column, round: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val h1 = pmod(pmod(rowKey, lit(p)) * lit(1103515245L) + round * lit(12345L) + lit(seed), lit(p))
+    val h2 = pmod(h1 * lit(784588716L) + lit(997L), lit(p))
+    (h2.cast("double") + lit(0.5)) / lit(p.toDouble)
+  }
+
   def bootstrapMetricsDf(
       df: DataFrame,
       rowKey: Column,
       outputs: Seq[OutputSpec],
       nbBootstrap: Int,
       metrics: Seq[Metric] = Seq(rmse),
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L,
+      uniform: Option[(Column, Column) => Column] = None): DataFrame = {
+    val draw = uniform.getOrElse(xxhashUniform(seed) _)
     val rounds = df
       .withColumn("__round", explode(sequence(lit(0), lit(nbBootstrap - 1))))
-      .withColumn("__u",
-        (pmod(xxhash64(rowKey, col("__round"), lit(seed)), lit(1000000L)).cast("double") + 0.5)
-          / 1000000.0)
+      .withColumn("__u", draw(rowKey, col("__round")))
       .withColumn("__w", poissonInverseCdf(col("__u")))
     val aggs = outputs.map { o =>
       val w = col("__w") * o.weightCol.map(col).getOrElse(lit(1.0))

@@ -143,6 +143,32 @@ class EvalSpec extends SparkSpec {
     c("m_loss") should not be a("m_loss")
   }
 
+  test("portable uniform is in [0,1) and yields Poisson weights with mean ~1") {
+    val df = (0L until 5000L).toDF("id")
+      .withColumn("round", lit(0))
+      .withColumn("u", BootstrapEval.portableUniform(42L)(col("id"), col("round")))
+    val us = df.select("u").collect().map(_.getDouble(0))
+    all(us) should (be >= 0.0 and be < 1.0)
+    // decent mixing: mean of the uniforms near 1/2
+    us.sum / us.length shouldBe 0.5 +- 0.02
+    val wMean = df.select(BootstrapEval.poissonInverseCdf(col("u")).as("w"))
+      .agg(avg("w")).collect().head.getDouble(0)
+    wMean shouldBe 1.0 +- 0.05
+  }
+
+  test("mseExact equals mse up to rounding and is order-independent") {
+    val rows = (0 until 1000).map(i => (i.toLong, 1.0 + i * 0.001, 1.0 + i * 0.0013))
+    val df = rows.toDF("id", "pred", "label")
+    def loss(d: org.apache.spark.sql.DataFrame, m: BootstrapEval.Metric): Double =
+      d.agg(m.agg(col("pred"), col("label"), lit(1.0)).as("v")).collect().head.getDouble(0)
+    val exact = loss(df, BootstrapEval.mseExact)
+    val plain = loss(df, BootstrapEval.mse)
+    // scale-6 quantization of each term bounds the drift at n·5e-7/sum(w)
+    exact shouldBe plain +- 1e-6
+    // identical regardless of partitioning (the point of decimal sums)
+    loss(df.repartition(7), BootstrapEval.mseExact) shouldBe exact
+  }
+
   test("poisson inverse cdf maps uniforms to small counts with mean ~1") {
     val df = (0 until 10000).map(i => (i + 0.5) / 10000.0).toDF("u")
     val counts = df.select(BootstrapEval.poissonInverseCdf(col("u")).as("k"))
