@@ -605,7 +605,63 @@ object Queries {
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // N-gram (n=3) Jaccard near-duplicates: the same banded MinHash-LSH
+    // pipeline exercised on word trigrams, where only genuinely
+    // near-identical docs survive the 0.85 threshold. 32 bands of 2 give
+    // per-pair miss probability (1 - j^2)^32 ≈ 1e-18 at j = 0.85, so the
+    // all-pairs exact-Jaccard oracle is an equality check, not an
+    // approximation.
+    GraftQuery(
+      "q23_ngram_jaccard",
+      (s, dir) =>
+        graft.dedup.Dedup.nearDuplicates(
+          t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+        FROM t a, t b
+        WHERE a.doc_id < b.doc_id
+          AND len(a.gs) > 0 AND len(b.gs) > 0
+          AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.85
+        ORDER BY 1, 2""")),
+
+    // Embedding-cosine near-duplicate pairs, exact quadratic baseline on
+    // a bounded slice (the verification contract for the sub-quadratic
+    // hyperplane-LSH path, Similarity.embeddingNearDuplicates, whose
+    // recall is asserted in SimilaritySpec). Sequential double folds on
+    // both sides make the cosine bit-reproducible vs DuckDB.
+    GraftQuery(
+      "q24_embedding_neardup",
+      (s, dir) =>
+        graft.sim.Similarity.exactCosinePairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 0.35)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y)
+                / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x,y) -> x + y))
+                   * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x,y) -> x + y))) AS cosine
+              FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM p
+        WHERE cosine >= 0.35
+        ORDER BY id_a, id_b"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

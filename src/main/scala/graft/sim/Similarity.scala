@@ -276,6 +276,39 @@ object Similarity {
       .distinct()
   }
 
+  /** Column-expression cosine between two array columns: sequential
+    * `aggregate` folds in double, so the result is bit-reproducible
+    * across engines that fold left in double (the cross-engine oracle
+    * contract used throughout this project).
+    */
+  def cosineColumns(a: Column, b: Column): Column = {
+    val av = a.cast("array<double>")
+    val bv = b.cast("array<double>")
+    val dot = aggregate(zip_with(av, bv, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(av, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bv, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact cosine threshold-pairs on a bounded corpus: every (a, b) with
+    * id_a < id_b and cosine ≥ threshold. Quadratic by construction — this
+    * is the verification baseline that [[embeddingNearDuplicates]] (the
+    * sub-quadratic LSH path) is measured against; cap the input (sample
+    * or partition) before calling at scale.
+    */
+  def exactCosinePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineColumns(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Column-expression cosine between an array column and a literal query
     * vector — the declarative form used by the oracle query (sequential
     * `aggregate` folds in double, bit-reproducible).

@@ -149,6 +149,20 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("exactCosinePairs finds every pair above threshold, bit-equal to the Scala fold") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(8)(rng.nextFloat() - 0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.exactCosinePairs(df, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = Similarity.cosine(va, vb) if c >= 0.5
+    } yield (ia, ib) -> c).toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (k, v) => v shouldBe want(k) } // exact, not approx
+  }
+
   test("dot/norm/cosine basics") {
     Similarity.dot(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) shouldBe 32.0
     Similarity.norm(Seq(3f, 4f)) shouldBe 5.0
