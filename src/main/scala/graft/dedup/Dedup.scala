@@ -141,19 +141,28 @@ object Dedup {
     * empty docs): a size-s bucket streams s² pairs, so one hot bucket
     * can dominate the job at scale. Dropped members keep their other
     * `bands-1` chances, so recall degrades gracefully instead of the
-    * job degenerating to all-pairs.
+    * job degenerating to all-pairs. The cap is enforced *inside* the
+    * aggregation buffer ([[graft.functions.CappedCollectList]] stops
+    * accumulating at cap+1 elements and evaluates oversized groups to
+    * null), so a degenerate bucket with tens of millions of members
+    * never materializes as a multi-GB buffer before the guard fires —
+    * memory stays bounded per group at any input size.
     */
   def candidatePairs(buckets: DataFrame, idCol: String,
-      maxBucketSize: Long = 100000L): DataFrame =
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(maxBucketSize >= 2 && maxBucketSize <= Int.MaxValue - 8,
+      s"maxBucketSize must be in [2, ${Int.MaxValue - 8}], got $maxBucketSize")
     buckets
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col(idCol)).as("__ids"))
-      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucketSize)
+      .agg(graft.functions.CappedCollectList
+        .cappedCollectList(col(idCol), maxBucketSize.toInt).as("__ids"))
+      .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
 
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -164,6 +173,15 @@ object Dedup {
   /** Full MinHash-LSH near-duplicate pipeline: shingle → sign → band →
     * bucket-join candidates → exact-Jaccard verify. Returns
     * (id_a, id_b, jaccard) pairs with jaccard ≥ threshold.
+    *
+    * Executes eagerly: the shingle table feeds three plan branches, so it
+    * is persisted for the duration of the computation and the (small —
+    * O(duplicate pairs), not O(corpus)) result is materialized via
+    * `localCheckpoint` so the cache can be released before returning.
+    * Long-lived sessions therefore don't accumulate cached shingle blocks
+    * across calls (disk-backed blocks are never evicted by memory
+    * pressure). The returned DataFrame reads the checkpointed blocks;
+    * they are reclaimed by the ContextCleaner once it is unreachable.
     */
   def nearDuplicates(
       df: DataFrame,
@@ -192,10 +210,15 @@ object Dedup {
     // verify on candidates only: join the shingle sets back by id
     val sa = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
     val sb = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
+    val verified = pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // materialize the (small) result so the shingle cache can be released
+    // now instead of leaking until session end (see Scaladoc)
+    val result = verified.localCheckpoint(true)
+    withShingles.unpersist()
+    result
   }
 
   // ---- SimHash ----
@@ -230,34 +253,60 @@ object Dedup {
   /** SimHash near-dup candidates: band the 64 bits into `chunks` pieces;
     * docs sharing any chunk value are candidates (a doc within Hamming
     * distance `chunks-1` shares at least one chunk — pigeonhole), then
-    * verify exact Hamming ≤ maxDistance.
+    * verify exact Hamming ≤ maxDistance. Candidate generation is
+    * complete (no missed pairs) whenever `maxDistance < chunks`.
+    *
+    * Fingerprints are computed with the engine-default xxhash64 token
+    * hashing; use [[simhashNearDuplicatesFromFingerprints]] directly
+    * when the fingerprints already exist (or need a portable hash for
+    * cross-engine verification).
     */
   def simhashNearDuplicates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDistance: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val fp = withSimhash(df.select(col(idCol), col(textCol)), textCol, "__fp")
+    simhashNearDuplicatesFromFingerprints(fp, idCol, "__fp", maxDistance, chunks, maxBucketSize)
+  }
+
+  /** SimHash near-dup over an existing fingerprint column.
+    *
+    * Same single-sided bucket shape as [[candidatePairs]] (one groupBy
+    * shuffle, bounded-memory [[graft.functions.CappedCollectList]]
+    * buckets, nested explode) — never a two-sided self-join, which would
+    * recompute the fingerprint pipeline on both sides and go quadratic
+    * on a degenerate bucket. The fingerprint rides inside the collected
+    * (id, fp) struct, so no join-back is needed for the Hamming verify:
+    * a fingerprint is 8 bytes, unlike the shingle sets / embedding
+    * vectors the other pipelines must re-join by id.
+    */
+  def simhashNearDuplicatesFromFingerprints(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxDistance: Int = 3,
+      chunks: Int = 4,
+      maxBucketSize: Long = 100000L): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
-    val fp = withSimhash(df.select(col(idCol), col(textCol)), textCol, "__fp")
-      .select(col(idCol), col("__fp"))
     val chunkStructs = (0 until chunks).map { c =>
       struct(
         lit(c).as("band"),
-        shiftright(col("__fp"), c * bits)
+        shiftright(col(fpCol), c * bits)
           .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))
     }
-    val buckets = fp
-      .select(col(idCol), col("__fp"), explode(array(chunkStructs: _*)).as("bb"))
-      .select(col(idCol), col("__fp"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("__fp").as("__fa"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("__fp").as("__fb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("__fa"), col("__fb")).as("hamming"))
-      .distinct()
+    // struct ordering is lexicographic, so id_a < id_b on (id, fp)
+    // structs is the id ordering (ids are unique per row)
+    val buckets = df
+      .select(col(idCol), col(fpCol), explode(array(chunkStructs: _*)).as("bb"))
+      .select(struct(col(idCol).as("id"), col(fpCol).as("fp")).as("m"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    candidatePairs(buckets, "m", maxBucketSize)
+      .select(col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
+        hammingDistance(col("id_a.fp"), col("id_b.fp")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
 }

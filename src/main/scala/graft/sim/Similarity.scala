@@ -158,7 +158,13 @@ object Similarity {
     * [[bruteForceTopK]]; recall vs brute force is traded for a
     * ~nCells/nProbe reduction in scanned rows (the partition pruning
     * happens on the `cell` column — store the index partitioned by cell
-    * to turn it into real partition pruning).
+    * to turn it into real partition pruning). With `nProbe == nCells`
+    * the search is exhaustive and returns exactly the brute-force
+    * result — the oracle contract for the approximate path.
+    *
+    * The final reduction runs through [[TopKAggregator]]: a partial+final
+    * aggregate with O(k) state per query, so the P×Q×k partial rows are
+    * combined map-side rather than shuffled into a window sort.
     */
   def ivfTopK(index: IvfIndex, queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
     val probes: Map[Long, Seq[Int]] = queries.map { case (qid, qvec) =>
@@ -190,12 +196,11 @@ object Similarity {
         heap.results.map { case (id, score) => Row(qid, id, score) }
       }
     }(Encoders.row(resultSchema))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    partial.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    val topK = TopKAggregator.udafFor(k)
+    partial.groupBy(col("query_id"))
+      .agg(topK(col("vec_id"), col("score")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__s"))
+      .select(col("query_id"), col("__s.id").as("vec_id"), col("__s.score").as("score"))
   }
 
   // ---- embedding-cosine near-duplicate detection ----
@@ -220,6 +225,17 @@ object Similarity {
     * bucket with probability (1 - θ/π)^bits), candidates are generated
     * per bucket — never all-pairs — and verified with exact cosine.
     * `bands` independent hash tables trade recall for candidate volume.
+    *
+    * Shape (mirrors [[graft.dedup.Dedup.candidatePairs]]): the signature
+    * pass emits only (band, bucket, id) — vectors are dropped before the
+    * shuffle — candidate ids come from one groupBy with a bounded-memory
+    * size-capped bucket collection, and the full float vectors are joined
+    * back by id exactly once for the cosine verify. A two-sided bucket
+    * self-join would recompute the signature `mapPartitions` on both
+    * sides, shuffle every vector twice, and go quadratic on one
+    * degenerate bucket (e.g. a mass of near-zero vectors sharing a sign
+    * signature); `maxBucketSize` drops such buckets with graceful recall
+    * degradation — each member keeps its other `bands - 1` chances.
     */
   def embeddingNearDuplicates(
       corpus: DataFrame,
@@ -228,15 +244,15 @@ object Similarity {
       threshold: Double = 0.95,
       bits: Int = 12,
       bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
     val idIdx = corpus.schema.fieldIndex(idCol)
     val vecIdx = corpus.schema.fieldIndex(vecCol)
     val bucketSchema = StructType(Seq(
       StructField("band", IntegerType, nullable = false),
       StructField("bucket", LongType, nullable = false),
-      StructField("id", LongType, nullable = false),
-      StructField("vec", ArrayType(FloatType), nullable = false)))
+      StructField("id", LongType, nullable = false)))
     val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).size
     val planes = hyperplanes(bits * bands, dim, seed)
     val bc = spark.sparkContext.broadcast(planes)
@@ -257,23 +273,20 @@ object Similarity {
             if (acc >= 0) sig |= (1L << b)
             b += 1
           }
-          Row(band, sig, id, vec)
+          Row(band, sig, id)
         }
       }
     }(Encoders.row(bucketSchema))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("__va"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("__vb"))
+    val pairs = graft.dedup.Dedup.candidatePairs(buckets, "id", maxBucketSize)
+    // verify on candidates only: join the vectors back by id once
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     val simUdf = org.apache.spark.sql.functions.udf(
       (x: collection.Seq[Float], y: collection.Seq[Float]) => cosine(x, y))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         simUdf(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-      .distinct()
   }
 
   /** Column-expression cosine between two array columns: sequential

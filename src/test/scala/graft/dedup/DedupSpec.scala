@@ -168,6 +168,44 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("candidatePairs drops oversized buckets before pairing (bounded memory)") {
+    // one hot bucket with 50 members (> maxBucketSize) and one normal
+    // bucket: only the normal bucket's pair may come out, and the hot
+    // bucket never materializes past cap+1 elements in the aggregation
+    // buffer (CappedCollectList evaluates it to null).
+    val hot = (1L to 50L).map(id => (0, 111L, id))
+    val normal = Seq((0, 222L, 100L), (0, 222L, 101L))
+    val buckets = (hot ++ normal).toDF("band", "bucket", "doc_id").repartition(5)
+    val pairs = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((100L, 101L))
+  }
+
+  test("simhash near-dup from precomputed fingerprints (single-sided bucket shape)") {
+    // fingerprints two bit-flips apart share 2 of 4 chunks → candidates;
+    // a far fingerprint shares none.
+    val near1 = 0x0F0F0F0F0F0F0F0FL
+    val near2 = near1 ^ 3L // flips two low bits, chunk 0 only
+    val far = 0xF0F0A5A5C3C3E7E7L
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "fp")
+    val pairs = Dedup.simhashNearDuplicatesFromFingerprints(
+      df, "doc_id", "fp", maxDistance = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.toSeq shouldBe Seq((1L, 2L, 2))
+  }
+
+  test("simhash near-dup drops degenerate buckets via maxBucketSize") {
+    // 40 identical fingerprints share every chunk; with the cap below 40
+    // they generate no pairs, while a small distinct cluster still does.
+    val degenerate = (1L to 40L).map(i => (i, 0x1234567890ABCDEFL))
+    val planted = Seq((100L, 0x7777L), (101L, 0x7777L ^ 1L))
+    val df = (degenerate ++ planted).toDF("doc_id", "fp")
+    val pairs = Dedup.simhashNearDuplicatesFromFingerprints(
+      df, "doc_id", "fp", maxDistance = 3, chunks = 4, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((100L, 101L))
+  }
+
   test("hamming distance expression") {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011
     df.select(Dedup.hammingDistance(col("a"), col("b"))).collect().head.getInt(0) shouldBe 2

@@ -112,6 +112,24 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { p => Set(p._1, p._2).forall(_ >= 100L) shouldBe true }
   }
 
+  test("embedding near-dup survives a planted degenerate bucket (hot-bucket cap)") {
+    // 10k identical vectors share the same sign signature in every band —
+    // without the cap this is a 10k² bucket self-join (the 100 TB
+    // blow-up). With the cap they are dropped in every band and the job
+    // stays linear; a small planted duplicate pair elsewhere is still
+    // found because its bucket is tiny.
+    val rng = new Random(17)
+    val degen = Array.fill(16)(0.001f)
+    val base = randomVec(rng, 16)
+    val mass = (0L until 10000L).map(i => (i, degen.toSeq))
+    val planted = Seq((20000L, base.toSeq), (20001L, base.toSeq))
+    val df = (mass ++ planted).toDF("vec_id", "embedding").repartition(8)
+    val pairs = Similarity.embeddingNearDuplicates(
+      df, "vec_id", "embedding", threshold = 0.99, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((20000L, 20001L))
+  }
+
   test("typed top-k aggregator matches the window-based top-k") {
     val rng = new Random(31)
     val scored = (0 until 5).flatMap { q =>
