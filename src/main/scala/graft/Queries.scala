@@ -661,8 +661,150 @@ object Queries {
               FROM s a JOIN s b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM p
         WHERE cosine >= 0.35
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // SimHash near-duplicates end-to-end (q17 verifies the fingerprints;
+    // this verifies the banded candidate generation + Hamming verify).
+    // With chunks = 4 > maxDistance = 3 the pigeonhole guarantees zero
+    // missed candidates, so the DuckDB all-pairs Hamming oracle over the
+    // replayed md5-portable fingerprints is an equality check.
+    GraftQuery(
+      "q25_simhash_neardup",
+      (s, dir) => {
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"),
+            transform(
+              split(graft.text.TextStats.normalize(col("text")), " "),
+              tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+              .as("__hashes"))
+          .select(col("doc_id"),
+            graft.functions.functions.simhash64(col("__hashes")).as("__fp"))
+        graft.dedup.Dedup.simhashNearDuplicatesFromFingerprints(
+          fp, "doc_id", "__fp", maxDistance = 3, chunks = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, b.range AS bit,
+            SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN range(0, 60) b
+          GROUP BY doc_id, b.range),
+        fp AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+              AS simhash
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2""")),
+
+    // IVF top-k with nProbe = nCells: the probe covers every cell, so the
+    // approximate path must return exactly the brute-force result — the
+    // same DuckDB oracle as q12. Exercises buildIvf (deterministic
+    // centroid sampling + assignment), ivfTopK's cell pruning, and the
+    // typed TopKAggregator final stage end-to-end.
+    GraftQuery(
+      "q26_ivf_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        val index = graft.sim.Similarity.buildIvf(emb, "vec_id", "embedding", nCells = 16)
+        graft.sim.Similarity.ivfTopK(index, queries, k = 10, nProbe = 16)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+             s AS (SELECT query_id, vec_id,
+                     list_reduce(list_transform(cv, (x,i) -> x * qv[i]), (a,b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(cv, x -> x * x), (a,b) -> a + b))
+                        * sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))) AS score
+                   FROM c, q)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // SequenceExample write→read round-trip through the DSv2 format
+    // (recordType=sequenceExample): context scalar + per-step feature
+    // list. The read-back sequence is exploded with positions so the
+    // oracle (the original table) checks order-preserving losslessness
+    // of the SequenceExample codec + distributed read path.
+    GraftQuery(
+      "q27_seqexample_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        val out = s"/tmp/graft_q27_${math.abs(dir.hashCode)}/tfr"
+        docs.write.format("tfrecord").option("recordType", "sequenceExample")
+          .mode("overwrite").save(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, containsNull = false),
+            nullable = false)))
+        val back = s.read.format("tfrecord").schema(schema)
+          .option("recordType", "sequenceExample").load(out)
+        graft.records.RaggedToCoo.posexplodeCoo(back, col("doc_id"), col("tokens"))
+          .orderBy(col("row_id"), col("pos"))
+      },
+      Some("""
+        SELECT doc_id AS row_id,
+          CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+          unnest(toks) AS value
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ORDER BY 1, 2"""))
   )
+
+  /** Bench-only queries (no oracle, not part of the CORRECTNESS
+    * surface): the LSH near-dup pipelines on the FULL corpus with their
+    * hot-bucket caps doing real work. The capped CORRECTNESS twins
+    * (q14/q23/q24) bound their inputs so the all-pairs DuckDB oracles
+    * stay cheap; these measure the scale path itself — this synthetic
+    * corpus's shared ~31-word vocabulary makes unigram buckets
+    * degenerate, exactly the hot-bucket case `maxBucketSize` exists for.
+    */
+  val benchOnly: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q14b_near_dup_uncapped",
+      (s, dir) =>
+        graft.dedup.Dedup.nearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9,
+          maxBucketSize = 1000)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+    GraftQuery(
+      "q23b_ngram_jaccard_uncapped",
+      (s, dir) =>
+        graft.dedup.Dedup.nearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+    GraftQuery(
+      "q24b_embedding_lsh_uncapped",
+      (s, dir) =>
+        graft.sim.Similarity.embeddingNearDuplicates(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95)
+          .orderBy(col("id_a"), col("id_b")),
+      None))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
