@@ -163,16 +163,6 @@ object BootstrapEval {
   private def flattenRounds(rounds: Seq[Map[String, Double]]): Map[String, Seq[Double]] =
     rounds.head.keys.map(k => k -> rounds.map(_(k))).toMap
 
-  /** Distributed bootstrap: `nbBootstrap` rounds in one job. Each row is
-    * exploded into (round, row) pairs and weighted by a Poisson(1) count
-    * derived deterministically from `xxhash64(rowKey, round, seed)` — the
-    * per-round aggregation is partial+final with B×|metrics| states, so
-    * the shuffle is tiny at any input size.
-    */
-  /** Per-round bootstrap metrics as a DataFrame (one row per round,
-    * ordered by `round`) — the distributed execution shape behind
-    * [[evaluateBootstrap]].
-    */
   /** Default per-(row, round) uniform draw in [0,1): xxhash64-based —
     * the best-mixing choice when no external system needs to reproduce
     * the weights.
@@ -185,6 +175,12 @@ object BootstrapEval {
     * mode). Every step is plain integer arithmetic expressible in any
     * ANSI SQL engine, so an external system can reproduce the resample
     * weights bit-for-bit — use for cross-engine verification.
+    *
+    * Precondition: `rowKey >= 0`. Spark's `pmod` is nonnegative while
+    * the SQL `%` most engines replay this with is sign-preserving, so a
+    * negative key silently breaks the cross-engine contract (the two
+    * differ exactly when the dividend is negative). Map signed keys
+    * through `abs`/`hash` first if needed.
     */
   def portableUniform(seed: Long)(rowKey: Column, round: Column): Column = {
     val p = 2147483647L // 2^31 - 1
@@ -193,7 +189,71 @@ object BootstrapEval {
     (h2.cast("double") + lit(0.5)) / lit(p.toDouble)
   }
 
+  /** Per-round bootstrap metrics as a DataFrame (one row per round,
+    * ordered by `round`) — the distributed execution shape behind
+    * [[evaluateBootstrap]]: `nbBootstrap` rounds in one job, each row
+    * weighted per round by a Poisson(1) count derived deterministically
+    * from `draw(rowKey, round)`.
+    *
+    * Execution shape: the B per-round weights are computed as B columns
+    * and every round's metrics run as expressions of ONE global
+    * aggregate — a single map-only pass over the input with
+    * B×|outputs|×|metrics| partial states and a one-row shuffle. The
+    * older explode-by-round form ([[bootstrapMetricsDfExploded]])
+    * streams every row B times into the partial aggregate; at 100 TB ×
+    * 20 rounds that is 20× the map-side row traffic for identical
+    * results (bit-identical for decimal-exact metrics; equivalence
+    * pinned in EvalSpec). The wide 1×(B×M) aggregate row is then
+    * unpivoted to (round, metrics…) rows.
+    */
   def bootstrapMetricsDf(
+      df: DataFrame,
+      rowKey: Column,
+      outputs: Seq[OutputSpec],
+      nbBootstrap: Int,
+      metrics: Seq[Metric] = Seq(rmse),
+      seed: Long = 0L,
+      uniform: Option[(Column, Column) => Column] = None): DataFrame = {
+    val draw = uniform.getOrElse(xxhashUniform(seed) _)
+    // lit(r) stays IntegerType to hash identically to the exploded
+    // form's sequence-element round column
+    val weighted = df.select(
+      (outputs.flatMap(o => Seq(o.predCol, o.labelCol) ++ o.weightCol).distinct
+        .map(col) ++
+        (0 until nbBootstrap).map(r =>
+          poissonInverseCdf(draw(rowKey, lit(r))).as(s"__w_$r"))): _*)
+    def aggName(o: OutputSpec, metric: String, r: Int) = s"${o.name}_${metric}__$r"
+    val aggs: Seq[(String, Column)] = (0 until nbBootstrap).flatMap { r =>
+      outputs.map { o =>
+        val w = col(s"__w_$r") * o.weightCol.map(col).getOrElse(lit(1.0))
+        aggName(o, "loss", r) -> mse.agg(col(o.predCol), col(o.labelCol), w)
+      } ++ outputs.flatMap { o =>
+        val w = col(s"__w_$r") * o.weightCol.map(col).getOrElse(lit(1.0))
+        metrics.map(m => aggName(o, m.name, r) ->
+          m.agg(col(o.predCol), col(o.labelCol), w))
+      }
+    }
+    val wide = weighted.agg(
+      aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val metricNames = outputs.map(o => s"${o.name}_loss") ++
+      outputs.flatMap(o => metrics.map(m => s"${o.name}_${m.name}"))
+    val roundStructs = (0 until nbBootstrap).map { r =>
+      struct(lit(r).as("round") +:
+        metricNames.map(n => col(s"${n}__$r").as(n)): _*)
+    }
+    wide.select(explode(array(roundStructs: _*)).as("__m"))
+      .select(col("__m.*"))
+      .orderBy(col("round"))
+  }
+
+  /** Explode-by-round execution shape: equivalence witness for
+    * [[bootstrapMetricsDf]] (same weights, same metric expressions, same
+    * output), kept because its plan is the textbook distributed
+    * bootstrap — each row exploded into (round, row) pairs, partial+final
+    * aggregation per round. Prefer the column form: this one amplifies
+    * the map-side row stream B×.
+    */
+  def bootstrapMetricsDfExploded(
       df: DataFrame,
       rowKey: Column,
       outputs: Seq[OutputSpec],

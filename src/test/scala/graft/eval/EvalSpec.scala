@@ -143,6 +143,29 @@ class EvalSpec extends SparkSpec {
     c("m_loss") should not be a("m_loss")
   }
 
+  test("column-form bootstrap equals the exploded form (bit-identical exact metrics)") {
+    val df = (1L to 300L).map { i =>
+      (i, i * 0.5, i * 0.5 + (i % 7) * 0.1)
+    }.toDF("id", "pred", "label").repartition(5)
+    val outputs = Seq(BootstrapEval.OutputSpec("m", "pred", "label"))
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        Seq[BootstrapEval.OutputSpec], Int, Seq[BootstrapEval.Metric], Long,
+        Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column]) => org.apache.spark.sql.DataFrame) =
+      f(df, col("id"), outputs, 10, Seq(BootstrapEval.mseExact), 5L,
+        Some(BootstrapEval.portableUniform(5L) _))
+        .select("round", "m_loss", "m_loss_exact")
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val wide = run(BootstrapEval.bootstrapMetricsDf)
+    val exploded = run(BootstrapEval.bootstrapMetricsDfExploded)
+    wide.map(_._1).toSeq shouldBe exploded.map(_._1).toSeq
+    // decimal-exact metric: bit-identical between the two shapes
+    wide.map(_._3).toSeq shouldBe exploded.map(_._3).toSeq
+    // plain-double loss: same arithmetic, order-dependent rounding only
+    wide.zip(exploded).foreach { case (w, e) => w._2 shouldBe e._2 +- 1e-9 }
+  }
+
   test("portable uniform is in [0,1) and yields Poisson weights with mean ~1") {
     val df = (0L until 5000L).toDF("id")
       .withColumn("round", lit(0))
