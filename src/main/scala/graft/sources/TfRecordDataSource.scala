@@ -65,7 +65,7 @@ object TfRecordDataSource {
       })
     }.toMap
 
-  private def dtypeFor(dt: DataType, name: String): FeatureDType = dt match {
+  private[sources] def dtypeFor(dt: DataType, name: String): FeatureDType = dt match {
     case IntegerType => FeatureDType.Int32
     case LongType => FeatureDType.Int64
     case FloatType => FeatureDType.Float32
@@ -75,9 +75,38 @@ object TfRecordDataSource {
       s"unsupported tfrecord field type $other for column $name")
   }
 
+  /** SequenceExample schema mapping (SURVEY S5, reference
+    * `tfrecords.py:60-72`): scalar fields are context features,
+    * `ArrayType(atomic)` fields are feature lists with one value per
+    * step, `ArrayType(ArrayType(atomic))` fields are feature lists with
+    * variable-length steps. Returns (context specs, sequence specs).
+    */
+  def sequenceSpecsFor(schema: StructType): (FeatureSpec.Specs, FeatureSpec.Specs) = {
+    val ctx = schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[ArrayType] =>
+        f.name -> (FixedLenFeature(Nil, dtypeFor(f.dataType, f.name)): FeatureSpec)
+    }
+    val seqs = schema.fields.collect {
+      case f @ StructField(_, ArrayType(et, _), _, _) =>
+        val elem = et match {
+          case ArrayType(inner, _) => inner
+          case other => other
+        }
+        f.name -> (VarLenFeature(dtypeFor(elem, f.name)): FeatureSpec)
+    }
+    (ctx.toMap, seqs.toMap)
+  }
+
   def isGzip(options: Map[String, String]): Boolean =
     options.get("codec").forall(c =>
       c.equalsIgnoreCase("gzip") || c.contains("GzipCodec"))
+
+  /** `recordType=sequenceExample` switches both read and write paths to
+    * `tf.train.SequenceExample` framing (default: flat `Example`).
+    */
+  def isSequence(options: Map[String, String]): Boolean =
+    options.get("recordtype").orElse(options.get("recordType"))
+      .exists(_.equalsIgnoreCase("sequenceexample"))
 }
 
 final class TfRecordTable(tableSchema: StructType, properties: Map[String, String])
@@ -96,7 +125,7 @@ final class TfRecordTable(tableSchema: StructType, properties: Map[String, Strin
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asScala.toMap
-    new TfRecordScan(tableSchema, pathOf(opts), isGzip(opts))
+    new TfRecordScan(tableSchema, pathOf(opts), isGzip(opts), isSequence(opts))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -106,7 +135,8 @@ final class TfRecordTable(tableSchema: StructType, properties: Map[String, Strin
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TfRecordBatchWrite(info.schema(), pathOf(opts), isGzip(opts), truncateFirst)
+          new TfRecordBatchWrite(info.schema(), pathOf(opts), isGzip(opts),
+            truncateFirst, isSequence(opts))
       }
     }
   }
@@ -114,7 +144,8 @@ final class TfRecordTable(tableSchema: StructType, properties: Map[String, Strin
 
 final case class TfRecordInputPartition(file: String) extends InputPartition
 
-final class TfRecordScan(schema: StructType, path: String, gzip: Boolean)
+final class TfRecordScan(
+    schema: StructType, path: String, gzip: Boolean, sequenceMode: Boolean = false)
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = schema
@@ -153,44 +184,85 @@ final class TfRecordScan(schema: StructType, path: String, gzip: Boolean)
   override def createReaderFactory(): PartitionReaderFactory = {
     val confSer = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new TfRecordReaderFactory(schema, gzip, confSer)
+    new TfRecordReaderFactory(schema, gzip, confSer, sequenceMode)
   }
 }
 
 final class TfRecordReaderFactory(
-    schema: StructType, gzip: Boolean, conf: SerializableConfiguration)
+    schema: StructType, gzip: Boolean, conf: SerializableConfiguration,
+    sequenceMode: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TfRecordInputPartition].file
-    val specs = TfRecordDataSource.specsFor(schema)
+    // flat-Example specs reject sequence-only schemas (nested arrays);
+    // derive them only on the flat path
+    lazy val specs = TfRecordDataSource.specsFor(schema)
     val fields = schema.fields
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     val fs = FileSystem.get(new URI(file), conf.value)
     val reader = new TfRecordIO.Reader(fs.open(new HPath(file)), gzip)
+
+    def decodeExample(bytes: Array[Byte]): Seq[Any] = {
+      val features = ExampleCodec.decode(bytes)
+      fields.map { f =>
+        val spec = specs(f.name)
+        features.get(f.name) match {
+          case Some(feat) =>
+            val vs = ExampleCodec.featureValues(feat, spec.dtype)
+            spec match {
+              case FixedLenFeature(shape, _, _) if shape.isEmpty => vs.head
+              case _ => vs
+            }
+          case None =>
+            if (f.nullable) null
+            else throw new IllegalArgumentException(
+              s"feature ${f.name} absent and column is not nullable")
+        }
+      }.toSeq
+    }
+
+    // SequenceExample rows (SURVEY S5, reference tfrecords.py:60-72):
+    // scalar columns read the context, array columns read the feature
+    // lists — one element per step, nested arrays for VarLen steps.
+    def decodeSequenceRecord(bytes: Array[Byte]): Seq[Any] = {
+      val (context, lists) = ExampleCodec.decodeSequence(bytes)
+      fields.map { f =>
+        f.dataType match {
+          case ArrayType(ArrayType(inner, _), _) =>
+            lists.get(f.name) match {
+              case Some(fs0) => fs0.map(feat =>
+                ExampleCodec.featureValues(feat, TfRecordDataSource.dtypeFor(inner, f.name)))
+              case None => if (f.nullable) null else Seq.empty
+            }
+          case ArrayType(elem, _) =>
+            lists.get(f.name) match {
+              case Some(fs0) => fs0.map(feat =>
+                ExampleCodec.featureValues(feat, TfRecordDataSource.dtypeFor(elem, f.name)).head)
+              case None => if (f.nullable) null else Seq.empty
+            }
+          case dt =>
+            context.get(f.name) match {
+              case Some(feat) =>
+                ExampleCodec.featureValues(feat, TfRecordDataSource.dtypeFor(dt, f.name)).head
+              case None =>
+                if (f.nullable) null
+                else throw new IllegalArgumentException(
+                  s"context feature ${f.name} absent and column is not nullable")
+            }
+        }
+      }.toSeq
+    }
 
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (!reader.hasNext) false
         else {
-          val features = ExampleCodec.decode(reader.next())
-          val values = fields.map { f =>
-            val spec = specs(f.name)
-            features.get(f.name) match {
-              case Some(feat) =>
-                val vs = ExampleCodec.featureValues(feat, spec.dtype)
-                spec match {
-                  case FixedLenFeature(shape, _, _) if shape.isEmpty => vs.head
-                  case _ => vs
-                }
-              case None =>
-                if (f.nullable) null
-                else throw new IllegalArgumentException(
-                  s"feature ${f.name} absent and column is not nullable")
-            }
-          }
-          current = toCatalyst(org.apache.spark.sql.Row.fromSeq(values.toSeq))
+          val values =
+            if (sequenceMode) decodeSequenceRecord(reader.next())
+            else decodeExample(reader.next())
+          current = toCatalyst(org.apache.spark.sql.Row.fromSeq(values))
             .asInstanceOf[InternalRow]
           true
         }
@@ -204,7 +276,8 @@ final case class TfRecordCommitMessage(path: String, count: Long)
     extends WriterCommitMessage
 
 final class TfRecordBatchWrite(
-    schema: StructType, path: String, gzip: Boolean, truncateFirst: Boolean)
+    schema: StructType, path: String, gzip: Boolean, truncateFirst: Boolean,
+    sequenceMode: Boolean = false)
     extends BatchWrite {
 
   private val confSer = new SerializableConfiguration(
@@ -219,12 +292,21 @@ final class TfRecordBatchWrite(
       val p = new HPath(path)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    new TfRecordWriterFactory(schema, path, gzip, confSer)
+    new TfRecordWriterFactory(schema, path, gzip, confSer, sequenceMode)
   }
 
   /** The counting-sink manifest (reference A4, `tfrecords.py:223,236`):
     * commit messages carry (path, count); commit persists them as
     * `_manifest` and marks success.
+    *
+    * Concurrency contract: ONE writing job per destination path at a
+    * time. Append commits merge the prior manifest via read-modify-write,
+    * which is not atomic — two concurrent appends to the same path could
+    * each read the old manifest and silently drop the other's files from
+    * all subsequent reads. Spark's own file sinks share this
+    * single-writer-per-path assumption (concurrent jobs also race on
+    * `_SUCCESS` and temp dirs); serialize appends externally if multiple
+    * pipelines target one directory.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new URI(path), confSer.value)
@@ -257,11 +339,18 @@ final class TfRecordBatchWrite(
 }
 
 final class TfRecordWriterFactory(
-    schema: StructType, path: String, gzip: Boolean, conf: SerializableConfiguration)
+    schema: StructType, path: String, gzip: Boolean, conf: SerializableConfiguration,
+    sequenceMode: Boolean = false)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val specs = TfRecordDataSource.specsFor(schema)
+    // each mode rejects the other's schemas (nested arrays are
+    // sequence-only), so only derive the specs for the active mode
+    lazy val specs = TfRecordDataSource.specsFor(schema)
+    lazy val (ctxSpecs, seqSpecs) = TfRecordDataSource.sequenceSpecsFor(schema)
+    val ctxNames = schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[ArrayType] => f.name
+    }.toSet
     val toScala = CatalystTypeConverters.createToScalaConverter(schema)
     val filePath = f"$path/part-$partitionId%05d-$taskId"
     val fs = FileSystem.get(new URI(path), conf.value)
@@ -275,7 +364,17 @@ final class TfRecordWriterFactory(
         val values = schema.fieldNames.zipWithIndex.map { case (n, i) =>
           n -> row.get(i)
         }.toMap
-        writer.write(TfRecords.toExample(values, specs))
+        val bytes =
+          if (sequenceMode) {
+            val (ctx, lists) = values.partition { case (n, _) => ctxNames(n) }
+            TfRecords.toSequenceExample(
+              ctx,
+              lists.collect { case (n, v) if v != null =>
+                n -> v.asInstanceOf[collection.Seq[Any]].toSeq
+              },
+              ctxSpecs, seqSpecs)
+          } else TfRecords.toExample(values, specs)
+        writer.write(bytes)
         count += 1
       }
       override def commit(): WriterCommitMessage = {
@@ -284,10 +383,14 @@ final class TfRecordWriterFactory(
       }
       // A failed/speculative attempt must remove its partial file: the scan
       // lists the directory, so an orphan part would read back as
-      // duplicate/truncated rows under routine task retry at scale.
+      // duplicate/truncated rows under routine task retry at scale. The
+      // delete must run even if close() throws (e.g. a gzip flush onto a
+      // broken stream) — external TFRecord readers of the directory don't
+      // see the _manifest shield, only the files.
       override def abort(): Unit = {
-        writer.close()
-        fs.delete(new HPath(filePath), false)
+        try writer.close()
+        catch { case scala.util.control.NonFatal(_) => }
+        finally fs.delete(new HPath(filePath), false)
       }
       override def close(): Unit = ()
     }

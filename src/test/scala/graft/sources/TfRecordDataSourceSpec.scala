@@ -41,6 +41,52 @@ class TfRecordDataSourceSpec extends SparkSpec {
     r.getDouble(r.fieldIndex("score")) shouldBe 3.5
   }
 
+  test("sequenceExample mode round-trips context + sequence + ragged columns") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/seq"
+    val seqSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("title", StringType, nullable = false),
+      StructField("steps", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("ragged",
+        ArrayType(ArrayType(StringType, containsNull = false), containsNull = false),
+        nullable = false)))
+    val df = (1L to 30L).map { i =>
+      (i, s"t$i", Seq(i, i * 2, i * 3),
+        Seq(Seq(s"a$i"), Seq(s"b$i", s"c$i"), Seq.empty[String]))
+    }.toDF("id", "title", "steps", "ragged").repartition(3)
+    df.write.format("tfrecord").option("recordType", "sequenceExample")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("tfrecord").schema(seqSchema)
+      .option("recordType", "sequenceExample").load(dir)
+    back.count() shouldBe 30L
+    val r = back.filter(col("id") === 7L).collect().head
+    r.getString(r.fieldIndex("title")) shouldBe "t7"
+    r.getSeq[Long](r.fieldIndex("steps")) shouldBe Seq(7L, 14L, 21L)
+    r.getSeq[collection.Seq[String]](r.fieldIndex("ragged")).map(_.toSeq) shouldBe
+      Seq(Seq("a7"), Seq("b7", "c7"), Seq.empty)
+  }
+
+  test("sequenceExample records interop with the driver-local sequence reader") {
+    // The DSv2 writer and the driver-local readParsedSequenceTfr must agree
+    // on the wire format (both sides of reference tfrecords.py:60-72).
+    val dir = Files.createTempDirectory("dsv2").toString + "/seqinterop"
+    Seq((5L, Seq("x", "y", "z")))
+      .toDF("id", "toks")
+      .write.format("tfrecord").option("recordType", "sequenceExample")
+      .mode("overwrite").save(dir)
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-"))
+    val parsed = graft.records.TfRecords.readParsedSequenceTfr(
+      files.toSeq,
+      Map("id" -> graft.types.FixedLenFeature(Nil, graft.types.FeatureDType.Int64)),
+      Map("toks" -> graft.types.VarLenFeature(graft.types.FeatureDType.TfString)),
+      spark.sparkContext.hadoopConfiguration).toSeq
+    parsed.size shouldBe 1
+    parsed.head._1("id") shouldBe Seq(5L)
+    parsed.head._2("toks") shouldBe Seq(Seq("x"), Seq("y"), Seq("z"))
+  }
+
   test("scan reads only manifest-listed files, ignoring orphan parts") {
     val dir = Files.createTempDirectory("dsv2").toString + "/orphan"
     (1L to 20L).map(i => (i, s"n$i", Seq(i), 1.0))
