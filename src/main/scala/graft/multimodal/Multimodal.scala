@@ -9,13 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample operators.
   *
   * The Spark-side plumbing — schemas, batched `mapPartitions`, struct
-  * outputs, partition behavior — is real and tested. The codec itself is
-  * pluggable behind [[MediaDecoder]]; no image/audio library ships in
-  * this environment, so the provided decoder is a clearly-marked
-  * DETERMINISTIC FAKE ([[FakeImageDecoder]]) that parses a synthetic
-  * header and derives pixel features from a hash of the payload. Swap in
-  * a real JNI/Java codec by implementing [[MediaDecoder]]; nothing else
-  * changes.
+  * outputs, partition behavior — is real and tested. The codec is
+  * pluggable behind [[MediaDecoder]]: [[ImageIoDecoder]] is a REAL
+  * image codec over the JDK's `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF,
+  * no external dependency); [[FakeImageDecoder]] is a clearly-marked
+  * DETERMINISTIC FAKE kept for hash-reproducible tests and for formats
+  * the JDK can't read. Audio/video decoding has no JDK codec, so those
+  * remain honest fakes behind the same pluggable traits.
   *
   * 100 TB notes: media bytes dominate row size — the operators keep them
   * streaming (batched `mapPartitions`, no collect), and feature
@@ -66,6 +66,59 @@ object Multimodal {
       }
       val features = Array.fill(8)(((next() >>> 11).toDouble / (1L << 53).toDouble).toFloat)
       DecodedImage(width, height, 3, features.map(_.toDouble).sum / 8, features)
+    }
+  }
+
+  /** REAL image decoder over the JDK's `javax.imageio.ImageIO` —
+    * PNG/JPEG/BMP/GIF/WBMP with zero external dependencies. Deterministic
+    * per payload (pure function of the decoded pixel grid). Features are
+    * an 8-dim content embedding: mean R/G/B, mean luminance, and the four
+    * quadrant luminance means (all in [0,1]) — enough signal for
+    * near-dup bucketing and quality filters while staying cheap.
+    *
+    * `ImageIO.read` is thread-safe per call and needs no native libs, so
+    * the decoder runs unmodified inside executor `mapPartitions` tasks.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decodeImage(bytes: Array[Byte]): DecodedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "unsupported or corrupt image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0.0
+      var sg = 0.0
+      var sb = 0.0
+      val quadLum = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quadLum(q) += 0.299 * r + 0.587 * g + 0.114 * b
+          quadN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mr = sr / n / 255.0
+      val mg = sg / n / 255.0
+      val mb = sb / n / 255.0
+      val features = Array(
+        mr, mg, mb,
+        0.299 * mr + 0.587 * mg + 0.114 * mb,
+        quadLum(0) / math.max(quadN(0), 1L) / 255.0,
+        quadLum(1) / math.max(quadN(1), 1L) / 255.0,
+        quadLum(2) / math.max(quadN(2), 1L) / 255.0,
+        quadLum(3) / math.max(quadN(3), 1L) / 255.0).map(_.toFloat)
+      DecodedImage(w, h, img.getColorModel.getNumComponents,
+        (mr + mg + mb) / 3.0, features)
     }
   }
 

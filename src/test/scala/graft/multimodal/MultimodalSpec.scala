@@ -6,11 +6,62 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 
 /** The multimodal plumbing is real (schemas, batched mapPartitions,
-  * struct outputs, frame explosion); the codec is the documented
-  * deterministic fake.
+  * struct outputs, frame explosion); image decode has a REAL JDK ImageIO
+  * codec plus the documented deterministic fake, audio/video remain
+  * fakes behind the pluggable traits.
   */
 class MultimodalSpec extends SparkSpec {
   import sqlImplicits._
+
+  private def pngBytes(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder decodes a real PNG: dimensions, means, quadrants") {
+    // left half pure red, right half pure blue, 8x4
+    val bytes = pngBytes(8, 4)((x, _) => if (x < 4) 0xFF0000 else 0x0000FF)
+    val d = Multimodal.ImageIoDecoder.decodeImage(bytes)
+    d.width shouldBe 8
+    d.height shouldBe 4
+    d.channels shouldBe 3
+    d.meanPixel shouldBe (1.0 / 3) +- 1e-9 // (0.5 + 0 + 0.5) / 3
+    val f = d.features.map(_.toDouble)
+    f(0) shouldBe 0.5 +- 1e-6 // mean R
+    f(1) shouldBe 0.0 +- 1e-6 // mean G
+    f(2) shouldBe 0.5 +- 1e-6 // mean B
+    // quadrants: left = red luminance .299, right = blue luminance .114
+    f(4) shouldBe 0.299 +- 1e-3
+    f(5) shouldBe 0.114 +- 1e-3
+    f(6) shouldBe 0.299 +- 1e-3
+    f(7) shouldBe 0.114 +- 1e-3
+  }
+
+  test("ImageIoDecoder runs distributed through withImageFeatures") {
+    val rows = Seq(
+      (1L, pngBytes(6, 6)((_, _) => 0xFFFFFF)),
+      (2L, pngBytes(3, 3)((_, _) => 0x000000)),
+      (3L, null))
+    val df = rows.toDF("id", "img").repartition(2)
+    val out = Multimodal.withImageFeatures(
+      df, "img", decoder = Multimodal.ImageIoDecoder, batchSize = 2)
+      .orderBy("id").collect()
+    val white = out(0).getStruct(out(0).fieldIndex("image_features"))
+    white.getAs[Int]("width") shouldBe 6
+    white.getAs[Double]("mean_pixel") shouldBe 1.0 +- 1e-6
+    val black = out(1).getStruct(out(1).fieldIndex("image_features"))
+    black.getAs[Double]("mean_pixel") shouldBe 0.0 +- 1e-6
+    out(2).isNullAt(out(2).fieldIndex("image_features")) shouldBe true
+  }
+
+  test("ImageIoDecoder rejects garbage payloads") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.ImageIoDecoder.decodeImage(Array[Byte](1, 2, 3, 4))
+  }
 
   test("image features: schema, determinism, null passthrough") {
     val rows = Seq(
