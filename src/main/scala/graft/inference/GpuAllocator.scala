@@ -81,6 +81,32 @@ object GpuAllocator {
 
   private val jvmLock = new Object
 
+  /** Cluster-aware entry point: prefer the GPU Spark's scheduler already
+    * assigned to this task (`TaskContext.resources()("gpu")`, populated
+    * when the cluster runs with `spark.{executor,task}.resource.gpu.*`),
+    * and fall back to the file-lock protocol only on deployments where
+    * executors share unmanaged GPUs. Scheduler-assigned addresses need no
+    * lock, no allocation file, and no pid pruning — the scheduler already
+    * guarantees exclusivity — so this path is a pure read.
+    *
+    * `taskResources` is injectable for tests; the default reads the live
+    * TaskContext (empty map on the driver or outside a task).
+    */
+  def getCudaDeviceSparkAware(
+      nGpus: Int,
+      lockFile: Path,
+      allocationFile: Path,
+      taskResources: () => Map[String, Seq[String]] = currentTaskResources): Int =
+    taskResources().get("gpu").flatMap(_.headOption) match {
+      case Some(addr) => addr.toInt
+      case None => getCudaDevice(nGpus, lockFile, allocationFile)
+    }
+
+  private def currentTaskResources(): Map[String, Seq[String]] =
+    Option(org.apache.spark.TaskContext.get())
+      .map(_.resources().map { case (k, v) => k -> v.addresses.toSeq })
+      .getOrElse(Map.empty)
+
   /** Test hook mirroring the reference tests' env-var cleanup. */
   def resetCachedDevice(): Unit = cached.set(None)
 

@@ -79,4 +79,28 @@ class GpuAllocatorSpec extends AnyFunSuite with Matchers {
     val m = Map(0 -> Set(1L, 2L), 1 -> Set.empty[Long], 2 -> Set(99L))
     GpuAllocator.parseJson(GpuAllocator.renderJson(m)) shouldBe m
   }
+
+  test("spark-aware path uses scheduler-assigned GPU and skips the file protocol") {
+    val dir = tmpDir()
+    GpuAllocator.resetCachedDevice()
+    val device = GpuAllocator.getCudaDeviceSparkAware(
+      4, dir.resolve("lock"), dir.resolve("allocation"),
+      taskResources = () => Map("gpu" -> Seq("2", "3")))
+    device shouldBe 2
+    // pure read: no lock/allocation files created
+    Files.exists(dir.resolve("allocation")) shouldBe false
+    Files.exists(dir.resolve("lock")) shouldBe false
+    GpuAllocator.resetCachedDevice()
+  }
+
+  test("spark-aware path falls back to the file protocol without scheduled GPUs") {
+    val dir = tmpDir()
+    GpuAllocator.resetCachedDevice()
+    val device = GpuAllocator.getCudaDeviceSparkAware(
+      2, dir.resolve("lock"), dir.resolve("allocation"),
+      taskResources = () => Map.empty)
+    device shouldBe 0
+    Files.exists(dir.resolve("allocation")) shouldBe true
+    GpuAllocator.resetCachedDevice()
+  }
 }
