@@ -45,6 +45,13 @@ object Dedup {
   /** Distinct word n-gram shingles of the normalized text. Texts shorter
     * than `n` tokens yield no shingles (guard needed: Spark's `sequence`
     * counts *down* when stop < start).
+    *
+    * The token array is bound ONCE per row through a single-element
+    * `transform` lambda variable: higher-order functions run interpreted
+    * with no subexpression elimination, so referencing the
+    * normalize+split subtree directly inside the per-shingle lambda
+    * would re-run the regex tokenization for every shingle — measured
+    * ~8s vs ~0.5s for 5k docs at sf0.1.
     */
   def shingles(text: Column, n: Int): Column = {
     val ts = split(TextStats.normalize(text), " ")
@@ -54,11 +61,12 @@ object Dedup {
       // interpreted, so the general path pays per-element overhead).
       array_distinct(ts)
     } else {
-      val ngrams = when(size(ts) >= n,
-        transform(
-          sequence(lit(0), size(ts) - lit(n)),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      val ngrams = flatten(transform(array(ts), t0 =>
+        when(size(t0) >= n,
+          transform(
+            sequence(lit(0), size(t0) - lit(n)),
+            i => concat_ws(" ", slice(t0, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))))
       array_distinct(ngrams)
     }
   }
@@ -164,7 +172,11 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity between two shingle-set columns. */
+  /** Exact Jaccard similarity between two shingle-set columns —
+    * builtins-only composed form, kept as the equivalence witness for
+    * the fused native expression
+    * ([[graft.functions.JaccardDistinct]]) that the pipelines use.
+    */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, lit(1.0))
       .otherwise(size(array_intersect(a, b)).cast("double") /
@@ -211,7 +223,8 @@ object Dedup {
     val sa = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
     val sb = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
     val verified = pairs.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
+      .withColumn("jaccard",
+        graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     // materialize the (small) result so the shingle cache can be released

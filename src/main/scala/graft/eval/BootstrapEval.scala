@@ -189,24 +189,27 @@ object BootstrapEval {
     (h2.cast("double") + lit(0.5)) / lit(p.toDouble)
   }
 
-  /** Per-round bootstrap metrics as a DataFrame (one row per round,
-    * ordered by `round`) — the distributed execution shape behind
-    * [[evaluateBootstrap]]: `nbBootstrap` rounds in one job, each row
-    * weighted per round by a Poisson(1) count derived deterministically
-    * from `draw(rowKey, round)`.
+  /** Column-form bootstrap (one aggregate, zero row amplification): the
+    * B per-round weights are computed as B columns and every round's
+    * metrics run as expressions of ONE global aggregate, then the wide
+    * 1×(B×M) row is unpivoted to (round, metrics…) rows.
     *
-    * Execution shape: the B per-round weights are computed as B columns
-    * and every round's metrics run as expressions of ONE global
-    * aggregate — a single map-only pass over the input with
-    * B×|outputs|×|metrics| partial states and a one-row shuffle. The
-    * older explode-by-round form ([[bootstrapMetricsDfExploded]])
-    * streams every row B times into the partial aggregate; at 100 TB ×
-    * 20 rounds that is 20× the map-side row traffic for identical
-    * results (bit-identical for decimal-exact metrics; equivalence
-    * pinned in EvalSpec). The wide 1×(B×M) aggregate row is then
-    * unpivoted to (round, metrics…) rows.
+    * MEASURED SLOWER than the explode form ([[bootstrapMetricsDf]], the
+    * default) and kept as the documented alternative + equivalence
+    * witness (bit-identical decimal-exact metrics, pinned in EvalSpec).
+    * Why the "B× row amplification" argument fails in practice: the
+    * explode is pipelined inside whole-stage codegen — the B copies are
+    * never materialized or shuffled, so amplification costs only the
+    * per-(row, round) expression evaluation, which BOTH forms pay
+    * (B weight columns here). Meanwhile this form's single aggregate
+    * carries B×4 aggregate functions, whose generated update method
+    * stops being JIT-friendly: at sf0.1 / local[32] / B=20 this runs
+    * ~3.9s vs ~2.3s for the explode form, insensitive to
+    * `codegen.maxFields`, `hugeMethodLimit`, and `methodSplitThreshold`.
+    * The per-round aggregate work (B×|metrics| updates per input row) is
+    * identical in both shapes at any scale.
     */
-  def bootstrapMetricsDf(
+  def bootstrapMetricsDfWide(
       df: DataFrame,
       rowKey: Column,
       outputs: Seq[OutputSpec],
@@ -216,12 +219,20 @@ object BootstrapEval {
       uniform: Option[(Column, Column) => Column] = None): DataFrame = {
     val draw = uniform.getOrElse(xxhashUniform(seed) _)
     // lit(r) stays IntegerType to hash identically to the exploded
-    // form's sequence-element round column
-    val weighted = df.select(
-      (outputs.flatMap(o => Seq(o.predCol, o.labelCol) ++ o.weightCol).distinct
-        .map(col) ++
+    // form's sequence-element round column. Two projections on purpose:
+    // poissonInverseCdf is a when-chain that repeats its argument in
+    // every branch, so feeding it the full uniform-hash expression would
+    // duplicate that subtree ~10x per round — materialize the uniforms
+    // as columns first, then fold the cheap column refs.
+    val passthrough =
+      outputs.flatMap(o => Seq(o.predCol, o.labelCol) ++ o.weightCol).distinct
+    val uniforms = df.select(
+      (passthrough.map(col) ++
+        (0 until nbBootstrap).map(r => draw(rowKey, lit(r)).as(s"__u_$r"))): _*)
+    val weighted = uniforms.select(
+      (passthrough.map(col) ++
         (0 until nbBootstrap).map(r =>
-          poissonInverseCdf(draw(rowKey, lit(r))).as(s"__w_$r"))): _*)
+          poissonInverseCdf(col(s"__u_$r")).as(s"__w_$r"))): _*)
     def aggName(o: OutputSpec, metric: String, r: Int) = s"${o.name}_${metric}__$r"
     val aggs: Seq[(String, Column)] = (0 until nbBootstrap).flatMap { r =>
       outputs.map { o =>
@@ -246,14 +257,21 @@ object BootstrapEval {
       .orderBy(col("round"))
   }
 
-  /** Explode-by-round execution shape: equivalence witness for
-    * [[bootstrapMetricsDf]] (same weights, same metric expressions, same
-    * output), kept because its plan is the textbook distributed
-    * bootstrap — each row exploded into (round, row) pairs, partial+final
-    * aggregation per round. Prefer the column form: this one amplifies
-    * the map-side row stream B×.
+  /** Per-round bootstrap metrics as a DataFrame (one row per round,
+    * ordered by `round`) — the distributed execution shape behind
+    * [[evaluateBootstrap]]: each row exploded into (round, row) pairs
+    * weighted by a Poisson(1) count derived deterministically from
+    * `draw(rowKey, round)`, then a partial+final aggregation per round —
+    * a single shuffle of B×|metrics| partial states at any input size.
+    *
+    * The explode never materializes: it is pipelined with the partial
+    * aggregate inside one whole-stage-codegen stage, which is why this
+    * form measures faster than the column form
+    * ([[bootstrapMetricsDfWide]], see its Scaladoc for the numbers) —
+    * the small per-round agg function count keeps the generated update
+    * loop JIT-hot.
     */
-  def bootstrapMetricsDfExploded(
+  def bootstrapMetricsDf(
       df: DataFrame,
       rowKey: Column,
       outputs: Seq[OutputSpec],

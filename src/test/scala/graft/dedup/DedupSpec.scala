@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     empty.select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0) shouldBe 1.0
   }
 
+  test("native jaccard_distinct is bit-identical to the composed form (incl. forced codegen)") {
+    val rng = new Random(23)
+    val rows = (1 to 200).map { _ =>
+      def arr() = Seq.fill(rng.nextInt(30))(s"t${rng.nextInt(40)}").distinct
+      (arr(), arr())
+    } ++ Seq(
+      (Seq.empty[String], Seq.empty[String]), // empty/empty -> 1.0
+      (Seq("a"), Seq.empty[String]),          // one side empty -> 0.0
+      (Seq("a", "b"), Seq("a", "b")))         // identical -> 1.0
+    val df = rows.toDF("x", "y").repartition(4)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(
+        graft.functions.JaccardDistinct.jaccardDistinct(col("x"), col("y")).as("native"),
+        Dedup.jaccard(col("x"), col("y")).as("composed")).collect()
+      got.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("simhash: identical texts collide, near texts are close, unrelated far") {
     val base = (1 to 50).map(i => s"word$i").mkString(" ")
     val near = (1 to 50).map(i => if (i == 25) "flip" else s"word$i").mkString(" ")

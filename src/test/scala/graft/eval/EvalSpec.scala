@@ -157,8 +157,8 @@ class EvalSpec extends SparkSpec {
         .select("round", "m_loss", "m_loss_exact")
         .collect()
         .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-    val wide = run(BootstrapEval.bootstrapMetricsDf)
-    val exploded = run(BootstrapEval.bootstrapMetricsDfExploded)
+    val wide = run(BootstrapEval.bootstrapMetricsDfWide)
+    val exploded = run(BootstrapEval.bootstrapMetricsDf)
     wide.map(_._1).toSeq shouldBe exploded.map(_._1).toSeq
     // decimal-exact metric: bit-identical between the two shapes
     wide.map(_._3).toSeq shouldBe exploded.map(_._3).toSeq
