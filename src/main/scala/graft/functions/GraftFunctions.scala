@@ -16,21 +16,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (exprs => SimHash64(exprs.head)))
+  private val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head)),
+    ("jaccard_distinct", classOf[JaccardDistinct],
+      exprs => JaccardDistinct(exprs(0), exprs(1))),
+    ("cosine_fold", classOf[CosineFold], exprs => CosineFold(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
 
   private[functions] def injections: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    functions.map { case (name, builder) =>
-      (FunctionIdentifier(name),
-        new ExpressionInfo(classOf[SimHash64].getName, name),
-        builder)
+    functions.map { case (name, cls, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
     }
 }
 

@@ -278,21 +278,25 @@ object Similarity {
       }
     }(Encoders.row(bucketSchema))
     val pairs = graft.dedup.Dedup.candidatePairs(buckets, "id", maxBucketSize)
-    // verify on candidates only: join the vectors back by id once
+    // verify on candidates only: join the vectors back by id once; the
+    // native fold keeps the whole verify inside codegen (zero-norm
+    // vectors divide to NaN and fail the threshold, same as the
+    // composed form)
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    val simUdf = org.apache.spark.sql.functions.udf(
-      (x: collection.Seq[Float], y: collection.Seq[Float]) => cosine(x, y))
     pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        simUdf(col("__va"), col("__vb")).as("cosine"))
+        graft.functions.CosineFold.cosineFold(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
   /** Column-expression cosine between two array columns: sequential
     * `aggregate` folds in double, so the result is bit-reproducible
     * across engines that fold left in double (the cross-engine oracle
-    * contract used throughout this project).
+    * contract used throughout this project). Builtins-only composed
+    * form — the pipelines use the bit-identical native codegen fold
+    * ([[graft.functions.CosineFold]]); this stays as the equivalence
+    * witness.
     */
   def cosineColumns(a: Column, b: Column): Column = {
     val av = a.cast("array<double>")
@@ -318,7 +322,7 @@ object Similarity {
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineColumns(col("__va"), col("__vb")).as("cosine"))
+        graft.functions.CosineFold.cosineFold(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -81,6 +81,25 @@ class SimilaritySpec extends SparkSpec {
     probed should be > 0L
   }
 
+  test("native cosine_fold is bit-identical to the composed HOF form (incl. forced codegen)") {
+    val rng = new Random(41)
+    val rows = (0 until 100).map { _ =>
+      (Seq.fill(16)(rng.nextFloat() - 0.5f), Seq.fill(16)(rng.nextFloat() - 0.5f))
+    }
+    val df = rows.toDF("x", "y").repartition(4)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(
+        graft.functions.CosineFold.cosineFold(col("x"), col("y")).as("native"),
+        Similarity.cosineColumns(col("x"), col("y")).as("composed")).collect()
+      got.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) } // exact, not approx
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    // zero-norm semantics mirror the composed form: NaN, not a guard
+    val zero = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("x", "y")
+    zero.select(graft.functions.CosineFold.cosineFold(col("x"), col("y")))
+      .collect().head.getDouble(0).isNaN shouldBe true
+  }
+
   test("cosineExpr matches the Scala fold bit-exactly") {
     val data = corpus(20, 12, seed = 13)
     val df = data.toDF("vec_id", "embedding")
