@@ -70,6 +70,42 @@ class ScaleTechniquesSpec extends SparkSpec {
     joined.count() shouldBe 1000L
   }
 
+  test("simhash near-dup plan has zero joins (fingerprints ride the bucket structs)") {
+    val df = Seq((1L, 5L), (2L, 6L), (3L, 0xF0F0L)).toDF("doc_id", "fp")
+    val plan = graft.dedup.Dedup
+      .simhashNearDuplicatesFromFingerprints(df, "doc_id", "fp", 3, 4)
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+    plan should include("ObjectHashAggregate") // capped bucket collection
+  }
+
+  test("embedding near-dup plan joins only by id, never a bucket self-join product") {
+    val rng = new scala.util.Random(3)
+    val df = (0L until 50L).map(i => (i, Seq.fill(8)(rng.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val plan = graft.sim.Similarity
+      .embeddingNearDuplicates(df, "vec_id", "embedding", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("ObjectHashAggregate") // capped bucket collection
+    // the only joins re-attach vectors by equality on id
+    plan should not include "Window"
+  }
+
+  test("ivf top-k final stage is a partial+final aggregate, not a window sort") {
+    val rng = new scala.util.Random(7)
+    val data = (0L until 60L).map(i => (i, Seq.fill(8)(rng.nextFloat())))
+    val df = data.toDF("vec_id", "embedding")
+    val index = graft.sim.Similarity.buildIvf(df, "vec_id", "embedding", nCells = 4)
+    val queries = Seq((0L, data.head._2.toArray))
+    val plan = graft.sim.Similarity.ivfTopK(index, queries, k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("Aggregate")
+    plan should not include "Window"
+  }
+
   test("filters on engine queries reach the parquet scan") {
     // representative pushdown check on the corpus tables
     val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
