@@ -26,10 +26,29 @@ object Dedup {
   // ---- exact dedup ----
 
   /** Keep one row per distinct (normalized) text: the one with the
-    * smallest `idCol`. Implemented as row_number over the content-hash
-    * window — a single hash-partitioned shuffle.
+    * smallest `idCol` (ids must be unique, so the survivor is
+    * deterministic).
+    *
+    * Implemented as `min_by(row-struct, id)` — a partial+final hash
+    * aggregate on the 128-bit content hash. Map-side combine collapses
+    * each partition's duplicates before the shuffle, so a corpus that is
+    * mostly duplicates ships a fraction of its rows; the older
+    * row_number-window form shuffles every row AND sorts each partition.
+    * Same single hash-partitioned exchange, no sort, identical output
+    * (equivalence pinned in DedupSpec).
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String,
+      normalizeText: Boolean = true): DataFrame = {
+    val key =
+      if (normalizeText) TextStats.fingerprintMd5(col(textCol))
+      else md5(col(textCol))
+    df.groupBy(key.as("__key"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** row_number-window form of [[exactDedup]] — equivalence witness. */
+  private[dedup] def exactDedupWindowed(df: DataFrame, textCol: String, idCol: String,
       normalizeText: Boolean = true): DataFrame = {
     val key =
       if (normalizeText) TextStats.fingerprintMd5(col(textCol))

@@ -42,6 +42,31 @@ object Streaming {
   def withQualityFlag(df: DataFrame, predicate: Column, flagCol: String = "quality_ok"): DataFrame =
     df.withColumn(flagCol, predicate)
 
+  /** Streaming exact dedup — the streaming form of
+    * [[graft.dedup.Dedup.exactDedup]]: first occurrence of each
+    * (normalized) content fingerprint passes, later duplicates are
+    * dropped. `dropDuplicatesWithinWatermark` keys the state store on
+    * the 128-bit content hash only (not the full row), and the
+    * watermark bounds state: a duplicate arriving later than the
+    * watermark delay after its original may pass again — the standard
+    * streaming-dedup tradeoff (exact dedup of an unbounded stream needs
+    * unbounded state).
+    */
+  def streamingExactDedup(
+      df: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour",
+      normalizeText: Boolean = true): DataFrame = {
+    val key =
+      if (normalizeText) graft.text.TextStats.fingerprintMd5(col(textCol))
+      else md5(col(textCol))
+    df.withColumn("__content_key", key)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+  }
+
   final case class VocabCount(value: String, count: Long)
 
   /** Streaming vocabulary: running value counts maintained with

@@ -25,6 +25,22 @@ class DedupSpec extends SparkSpec {
     Dedup.exactDedup(df, "text", "doc_id", normalizeText = false).count() shouldBe 2
   }
 
+  test("min_by exact dedup equals the windowed form and plans as an aggregate") {
+    val rng = new Random(5)
+    val rows = (1L to 200L).map { i =>
+      (i, s"text ${rng.nextInt(40)}", s"s${i % 3}")
+    }
+    val df = rows.toDF("doc_id", "text", "source").repartition(6)
+    val viaAgg = Dedup.exactDedup(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val viaWindow = Dedup.exactDedupWindowed(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    viaAgg.toSeq shouldBe viaWindow.toSeq
+    val plan = Dedup.exactDedup(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
   test("word shingles") {
     val df = Seq("a b c d", "x y", "tiny").toDF("text")
     val got = df.select(Dedup.shingles(col("text"), 3)).collect().map(_.getSeq[String](0))

@@ -43,6 +43,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, keeps distinct texts") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = Streaming.streamingExactDedup(
+      input.toDF.toDF("doc_id", "ts", "text"), "text", "ts")
+    val query = out.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(1), "hello world"),
+        (2L, ts(2), "hello   WORLD"), // same after normalization
+        (3L, ts(3), "something else"))
+      query.processAllAvailable()
+      input.addData((4L, ts(4), "hello world")) // duplicate in later batch
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).sorted
+      ids.toSeq shouldBe Seq(1L, 3L)
+    } finally query.stop()
+  }
+
   test("stratified sampling is streaming-safe (stateless filter+project)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
