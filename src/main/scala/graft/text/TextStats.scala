@@ -19,6 +19,18 @@ object TextStats {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Evaluate `c` once per row and pass the result to `f` as a bound
+    * lambda variable. Higher-order array functions run interpreted with
+    * no subexpression elimination, so an expression referenced k times
+    * inside (or as the input of) several lambdas is re-evaluated k
+    * times per row — for a `split(regexp_replace(...))` token array
+    * that k× re-tokenization dominates the operator (measured 10×
+    * overhead in langId). `transform` over a one-element array is the
+    * Column-algebra form of a `let` binding.
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
     * symbols — the shape GPT-style pre-tokenizers use.
     */
@@ -32,10 +44,10 @@ object TextStats {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Ratio of tokens found in `set`, as a double in [0, 1]. */
-  def tokenSetRatio(text: Column, set: Seq[String]): Column = {
-    val ts = tokens(text)
-    size(filter(ts, t => t.isin(set.map(lit): _*))).cast("double") / size(ts)
-  }
+  def tokenSetRatio(text: Column, set: Seq[String]): Column =
+    bindOnce(tokens(text)) { ts =>
+      size(filter(ts, t => t.isin(set.map(lit): _*))).cast("double") / size(ts)
+    }
 
   /** Quality-scoring feature columns: length, token stats, punctuation /
     * digit / uppercase ratios, stopword ratio. All single-divide doubles
@@ -58,7 +70,8 @@ object TextStats {
       .withColumn("upper_ratio",
         (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double") / length(t))
       .withColumn("stopword_ratio",
-        size(filter(ts, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
+        bindOnce(ts)(t0 =>
+          size(filter(t0, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(t0)))
   }
 
   val EnglishStopwords: Seq[String] = Seq(
@@ -84,15 +97,20 @@ object TextStats {
     * previous score expression per language and the tree grows
     * exponentially — the array form measured ~5× faster at sf0.1.
     */
-  def langId(text: Column, markers: Seq[(String, Seq[String])] = LanguageMarkers): Column = {
-    val ts = tokens(lower(text))
-    val scores = array(markers.map { case (_, words) =>
-      size(filter(ts, t => t.isin(words.map(lit): _*)))
-    }: _*)
-    element_at(
-      typedlit(markers.map(_._1)),
-      array_position(scores, array_max(scores)).cast("int"))
-  }
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LanguageMarkers): Column =
+    // bind the token array AND the score array once each: the token
+    // array feeds |markers| filter lambdas and the score array is
+    // referenced twice by the argmax — without the bindings the
+    // tokenization would run ~2×|markers| times per row
+    bindOnce(tokens(lower(text))) { ts =>
+      bindOnce(array(markers.map { case (_, words) =>
+        size(filter(ts, t => t.isin(words.map(lit): _*)))
+      }: _*)) { scores =>
+        element_at(
+          typedlit(markers.map(_._1)),
+          array_position(scores, array_max(scores)).cast("int"))
+      }
+    }
 
   /** 64-bit fingerprint of normalized text (xxhash64 — cheap, fixed seed,
     * stable across Spark versions). For cross-engine-checkable pipelines
