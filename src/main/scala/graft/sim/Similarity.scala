@@ -153,14 +153,47 @@ object Similarity {
     IvfIndex(assigned, sampled, idCol, vecCol)
   }
 
+  /** Write an IVF index to disk partitioned by cell, so reading it back
+    * turns [[ivfTopK]]'s cell filter into real partition pruning: a
+    * probe of `nProbe` of `nCells` cells reads only those directories
+    * (`PartitionFilters` at the scan — asserted in SimilaritySpec). This
+    * is the storage layout a 100 TB corpus needs: assignment runs once,
+    * and every subsequent query batch scans ~nProbe/nCells of the data.
+    * Centroids (nCells rows) are stored alongside.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Read an IVF index written by [[writeIvfIndex]]. The returned
+    * `assigned` DataFrame is partition-pruned by any `cell` filter
+    * [[ivfTopK]] applies.
+    */
+  def readIvfIndex(
+      spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+    IvfIndex(assigned, centroids, idCol, vecCol)
+  }
+
   /** Probe the `nProbe` cells nearest to each query and run exact top-k
     * inside them. Returns the same (query_id, vec_id, score) shape as
     * [[bruteForceTopK]]; recall vs brute force is traded for a
-    * ~nCells/nProbe reduction in scanned rows (the partition pruning
-    * happens on the `cell` column — store the index partitioned by cell
-    * to turn it into real partition pruning). With `nProbe == nCells`
-    * the search is exhaustive and returns exactly the brute-force
-    * result — the oracle contract for the approximate path.
+    * ~nCells/nProbe reduction in scanned rows (store the index via
+    * [[writeIvfIndex]] to turn the cell filter into real partition
+    * pruning). With `nProbe == nCells` the search is exhaustive and
+    * returns exactly the brute-force result — the oracle contract for
+    * the approximate path.
     *
     * The final reduction runs through [[TopKAggregator]]: a partial+final
     * aggregate with O(k) state per query, so the P×Q×k partial rows are

@@ -68,6 +68,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("partitioned IVF index round-trips and prunes cells at the scan") {
+    val data = corpus(100, 8, seed = 11)
+    val df = data.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(df, "vec_id", "embedding", nCells = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.writeIvfIndex(index, dir)
+    val loaded = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+    loaded.centroids.map(_._1) shouldBe index.centroids.map(_._1)
+    loaded.centroids.map(_._2.toSeq) shouldBe index.centroids.map(_._2.toSeq)
+
+    val queries = Seq((0L, data.head._2.toArray), (1L, data(3)._2.toArray))
+    def results(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queries, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    results(loaded) shouldBe results(index)
+
+    // the cell filter reaches the scan as partition pruning
+    val plan = loaded.assigned.filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("cell")
+  }
+
   test("ivf scans fewer rows than the corpus") {
     val data = corpus(100, 8, seed = 9)
     val df = data.toDF("vec_id", "embedding")
