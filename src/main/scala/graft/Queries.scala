@@ -769,7 +769,44 @@ object Queries {
           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
           unnest(toks) AS value
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Salted equi-join (skew mitigation, operators/Skew.scala): the salt
+    // spreads each hot key over `buckets` reducers without changing join
+    // semantics, so the plain-join SQL is an exact oracle.
+    GraftQuery(
+      "q28_salted_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+        graft.operators.Skew.saltedJoin(c, n, Seq("c_nationkey"), buckets = 8)
+          .select(col("c_custkey"), col("c_name"), col("n_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_custkey""")),
+
+    // Merged-key vocabulary (A2): several source columns feed one
+    // vocabulary key — counts are over the union of the columns' values.
+    GraftQuery(
+      "q29_vocab_merged_keys",
+      (s, dir) =>
+        graft.vocab.Vocabulary.vocabCounts(
+          t(s, dir, "documents"),
+          Map("cat" -> Seq("lang", "source")), threshold = 2)
+          .orderBy(col("value")),
+      Some("""
+        SELECT 'cat' AS key, v AS value, COUNT(*) AS count
+        FROM (SELECT lang AS v FROM documents
+              UNION ALL SELECT source AS v FROM documents)
+        WHERE v IS NOT NULL
+        GROUP BY 2
+        HAVING COUNT(*) >= 2
+        ORDER BY 2"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
