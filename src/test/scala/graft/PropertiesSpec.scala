@@ -94,4 +94,29 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       else s should include("<(u,") // Column.toString prints prefix form
     }
   }
+
+  test("capped collect equals collect_list + size filter for arbitrary groups") {
+    // the capped aggregate's contract: same surviving groups and same
+    // multiset of values as the unguarded collect_list + post-filter —
+    // only the memory behavior differs
+    import org.apache.spark.sql.functions.{col, collect_list, size => arraySize}
+    import graft.functions.CappedCollectList.cappedCollectList
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val genRows = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 30L)))
+    val genCap = Gen.chooseNum(1, 12)
+    forAll(genRows, genCap) { (rows, cap) =>
+      val df = rows.toDF("g", "v").repartition(3)
+      val capped = df.groupBy("g")
+        .agg(cappedCollectList(col("v"), cap).as("vs"))
+        .filter(col("vs").isNotNull)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).sorted).toMap
+      val reference = df.groupBy("g")
+        .agg(collect_list(col("v")).as("vs"))
+        .filter(arraySize(col("vs")) <= cap)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).sorted).toMap
+      capped shouldBe reference
+    }
+  }
 }
