@@ -63,6 +63,30 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageIoDecoder.decodeImage(Array[Byte](1, 2, 3, 4))
   }
 
+  test("end-to-end: decode image features, then embedding near-dup finds duplicate images") {
+    // the multimodal decode column composes with the similarity operators:
+    // two copies of the same picture land at cosine 1.0 on their feature
+    // embeddings, distinct pictures don't reach the threshold
+    def shaded(r: Int, g: Int, b: Int) = pngBytes(8, 8) { (x, y) =>
+      ((r * (x + 1) / 8) << 16) | ((g * (y + 1) / 8) << 8) | (b * (x + y + 1) / 15)
+    }
+    val rows = Seq(
+      (1L, shaded(200, 10, 10)),
+      (2L, shaded(200, 10, 10)), // exact duplicate of 1
+      (3L, shaded(10, 200, 10)),
+      (4L, shaded(10, 10, 200)),
+      (5L, shaded(90, 90, 90)))
+    val df = rows.toDF("img_id", "img").repartition(2)
+    val features = Multimodal.withImageFeatures(
+      df, "img", decoder = Multimodal.ImageIoDecoder, dropBinary = true)
+      .select(col("img_id"), col("image_features.embedding").as("embedding"))
+    val pairs = graft.sim.Similarity.embeddingNearDuplicates(
+      features, "img_id", "embedding", threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs.foreach { case (a, b) => Set(a, b) shouldBe Set(1L, 2L) }
+  }
+
   test("image features: schema, determinism, null passthrough") {
     val rows = Seq(
       (1L, Multimodal.fakeImageBytes(64, 48, 1)),
