@@ -35,8 +35,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions`-compatible injector. */
+/** `spark.sql.extensions`-compatible injector: native SQL functions plus
+  * the as-of-join planner strategy, so
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` is the
+  * complete deployment switch (live sessions can still use
+  * `GraftFunctions.register` + `AsOfJoinPlan.register`).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(extensions.injectFunction)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

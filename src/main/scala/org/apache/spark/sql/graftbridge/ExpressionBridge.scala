@@ -25,6 +25,14 @@ object ExpressionBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Strategies a SparkSessionExtensions instance would inject —
+    * private[sql] surface, exposed for extension tests.
+    */
+  def plannerStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
   /** Idempotently add a planner strategy to a live session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -96,6 +96,13 @@ class AsOfJoinPlanSpec extends SparkSpec {
       (2L, 30L, None))
   }
 
+  test("GraftExtensions injects the as-of planner strategy and SQL functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ExpressionBridge
+      .plannerStrategies(ext, spark) should contain(AsOfJoinStrategy)
+  }
+
   test("missing key column is rejected") {
     an[IllegalArgumentException] should be thrownBy {
       AsOfJoinPlan.joinAsOfExec(left, right, Seq("nope"), "ts")
