@@ -2,14 +2,15 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY §2.9); the engine's column-algebra operators — stratified
   * sampling, scoring columns, text stats, fingerprints — are stateless
   * and therefore run unchanged on streaming DataFrames (demonstrated in
   * `StreamingSpec`). This module adds the stateful pieces a streaming
-  * deployment needs: watermarked windowed aggregation.
+  * deployment needs: watermarked windowed aggregation, exact dedup,
+  * SimHash near-duplicate detection, and a running vocabulary.
   *
   * Scale notes: windowed counts are partial-aggregated before the
   * state-store shuffle; the watermark bounds state size (late events
@@ -65,6 +66,93 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_key")
       .drop("__content_key")
+  }
+
+  final case class BucketDoc(key: String, id: Long, fp: Long, ts: java.sql.Timestamp)
+  final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming SimHash near-duplicate detection — the streaming form of
+    * [[graft.dedup.Dedup.simhashNearDuplicates]]: each document's 64-bit
+    * fingerprint is banded into `chunks` bucket keys
+    * (pigeonhole-complete for `maxDistance < chunks`), and
+    * `flatMapGroupsWithState` keeps per-bucket state of recent
+    * fingerprints, emitting an (id_a, id_b, hamming) pair the moment a
+    * new document lands within `maxDistance` of a remembered one.
+    *
+    * State is bounded two ways: the event-time timeout clears a bucket
+    * once the watermark passes `stateRetention` beyond its newest
+    * element, and `maxBucketState` caps each bucket FIFO (a degenerate
+    * bucket degrades recall instead of growing state without bound —
+    * the streaming analogue of `maxBucketSize` in the batch path).
+    * Pairs whose documents share several chunks emit once per shared
+    * chunk (at-least-once): deduplicate downstream with
+    * `dropDuplicatesWithinWatermark` if exactly-once pairs matter.
+    */
+  def streamingSimhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      maxDistance: Int = 3,
+      chunks: Int = 4,
+      watermark: String = "1 hour",
+      stateRetention: String = "1 hour",
+      maxBucketState: Int = 1000): Dataset[NearDupPair] = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bits = 64 / chunks
+    val interval = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(stateRetention))
+    require(interval.months == 0, "stateRetention must not use month units")
+    val retention = interval.days * 86400000L + interval.microseconds / 1000L
+    val fp = graft.dedup.Dedup.withSimhash(
+      df.select(col(idCol), col(textCol), col(tsCol)), textCol, "__fp")
+      .withWatermark(tsCol, watermark)
+    val chunkStructs = (0 until chunks).map { c =>
+      concat_ws(":", lit(c),
+        shiftright(col("__fp"), c * bits).bitwiseAND(lit((1L << bits) - 1)))
+    }
+    // the watermark-tagged timestamp column must reach the stateful
+    // operator, so it rides inside BucketDoc as-is
+    val buckets = fp
+      .select(col(idCol).as("id"), col("__fp").as("fp"),
+        col(tsCol).as("ts"),
+        explode(array(chunkStructs: _*)).as("key"))
+      .as[BucketDoc]
+    buckets
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[List[BucketDoc], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, docs: Iterator[BucketDoc], state: GroupState[List[BucketDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var remembered = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDupPair]
+            docs.foreach { d =>
+              remembered.foreach { r =>
+                if (r.id != d.id) {
+                  val h = java.lang.Long.bitCount(r.fp ^ d.fp)
+                  if (h <= maxDistance) {
+                    val (a, b) = if (r.id < d.id) (r.id, d.id) else (d.id, r.id)
+                    out += NearDupPair(a, b, h)
+                  }
+                }
+              }
+              remembered = (d :: remembered).take(maxBucketState)
+            }
+            state.update(remembered)
+            // expire the bucket once the watermark passes retention
+            // beyond its newest element (clamped ahead of the current
+            // watermark — Spark rejects timeouts at or behind it)
+            val newest = remembered.map(_.ts.getTime).foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(
+              math.max(newest + retention, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
   }
 
   final case class VocabCount(value: String, count: Long)

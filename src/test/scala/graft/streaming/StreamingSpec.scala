@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming simhash near-dup pairs documents across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val near = (1 to 80).map(i => if (i == 40) "flip" else s"word$i").mkString(" ")
+    val far = (1 to 80).map(i => s"other$i").mkString(" ")
+    val out = Streaming.streamingSimhashNearDuplicates(
+      input.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      maxDistance = 12)
+    val query = out.writeStream
+      .format("memory").queryName("nd_stream").outputMode("append").start()
+    try {
+      input.addData((100L, ts(1), base), (1L, ts(1), far))
+      query.processAllAvailable()
+      input.addData((101L, ts(2), near)) // near-dup of 100 in a later batch
+      query.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM nd_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((100L, 101L))
+    } finally query.stop()
+  }
+
   test("stratified sampling is streaming-safe (stateless filter+project)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Double, Double)]
