@@ -286,7 +286,17 @@ object Similarity {
       StructField("band", IntegerType, nullable = false),
       StructField("bucket", LongType, nullable = false),
       StructField("id", LongType, nullable = false)))
-    val dim = corpus.select(col(vecCol)).head().getSeq[Float](0).size
+    val firstVec = corpus.select(col(vecCol)).head(1)
+    if (firstVec.isEmpty) {
+      // empty corpus: no pairs (head() on an empty frame would throw)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("id_a", LongType, nullable = false),
+          StructField("id_b", LongType, nullable = false),
+          StructField("cosine", DoubleType, nullable = true))))
+    }
+    val dim = firstVec.head.getSeq[Float](0).size
     val planes = hyperplanes(bits * bands, dim, seed)
     val bc = spark.sparkContext.broadcast(planes)
     val buckets = corpus.mapPartitions { rows =>

@@ -173,6 +173,16 @@ class SimilaritySpec extends SparkSpec {
     pairs shouldBe Set((20000L, 20001L))
   }
 
+  test("near-dup operators handle empty inputs") {
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    Similarity.embeddingNearDuplicates(emptyVecs, "vec_id", "embedding")
+      .count() shouldBe 0L
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    graft.dedup.Dedup.nearDuplicates(emptyDocs, "doc_id", "text").count() shouldBe 0L
+    graft.dedup.Dedup.simhashNearDuplicates(emptyDocs, "doc_id", "text")
+      .count() shouldBe 0L
+  }
+
   test("typed top-k aggregator matches the window-based top-k") {
     val rng = new Random(31)
     val scored = (0 until 5).flatMap { q =>
