@@ -126,4 +126,14 @@ object TextStats {
     */
   def normalize(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Winnowing (rolling-hash) document fingerprints over the normalized
+    * text: position-local k-gram minima whose count scales with document
+    * length — any shared substring of ≥ `window + k - 1` bytes yields a
+    * shared fingerprint (containment/plagiarism detection, vs the
+    * whole-document [[fingerprint64]]). Native expression:
+    * [[graft.functions.WinnowingFingerprints]].
+    */
+  def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
+    graft.functions.WinnowingFingerprints.winnowingFingerprints(normalize(text), k, window)
 }
