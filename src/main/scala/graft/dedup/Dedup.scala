@@ -223,33 +223,70 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame =
+    nearDuplicatesBySets(
+      df.select(col(idCol), shingles(col(textCol), shingleSize).as("__set")),
+      idCol, "__set", numHashes, bands, threshold, seed, maxBucketSize)
+
+  /** Generic MinHash-LSH near-duplicate pipeline over a precomputed
+    * set-valued column — `array<string>` (shingles), `array<bigint>`
+    * (e.g. [[graft.text.TextStats.winnowingFingerprints]] rolling-hash
+    * fingerprints, whose position-local selection makes the Jaccard
+    * reflect shared *passages*, not just whole-document similarity) or
+    * `array<int>`. Same execution shape as the text pipeline (it
+    * delegates here): sign → band → capped buckets → fused-Jaccard
+    * verify on candidates only, eager materialization + cache release.
+    */
+  def nearDuplicatesBySets(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
       maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    // The shingle table feeds three plan branches (signatures + both
-    // verify sides); persist it so normalization/shingling runs once.
+    import org.apache.spark.sql.types.{ArrayType, LongType, IntegerType}
+    val elemType = df.schema(setCol).dataType match {
+      case ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"$setCol must be an array column, got $other")
+    }
+    // The set table feeds three plan branches (signatures + both verify
+    // sides); persist it so upstream derivation runs once.
     // MEMORY_AND_DISK spills rather than OOMs when the corpus outgrows
     // executor memory at scale.
-    val withShingles = df
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
+    val withSets = df
+      .select(col(idCol), col(setCol).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val signed = withShingles.withColumn(
-      "__sig", minhashSignature(col("__shingles"), numHashes, seed))
+    // MinHash base hashes mod the Mersenne prime: integral elements are
+    // already hashes (winnowing emits values < 2^31), strings go
+    // through xxhash64 first
+    val base = elemType match {
+      case LongType | IntegerType =>
+        transform(col("__shingles"), h => pmod(h.cast("bigint"), lit(MersennePrime)))
+      case _ =>
+        transform(col("__shingles"), s => pmod(xxhash64(s), lit(MersennePrime)))
+    }
+    val signed = withSets.withColumn(
+      "__sig", graft.functions.MinHashFold.minhashFold(base, numHashes, seed))
     val buckets = lshBuckets(signed, idCol, "__sig", bands, rowsPerBand)
     val pairs = candidatePairs(buckets, idCol, maxBucketSize)
-    // verify on candidates only: join the shingle sets back by id
-    val sa = withShingles.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
-    val sb = withShingles.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    // verify on candidates only: join the sets back by id
+    val sa = withSets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val sb = withSets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
     val verified = pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // materialize the (small) result so the shingle cache can be released
+    // materialize the (small) result so the set cache can be released
     // now instead of leaking until session end (see Scaladoc)
     val result = verified.localCheckpoint(true)
-    withShingles.unpersist()
+    withSets.unpersist()
     result
   }
 

@@ -6,11 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
-/** Native Jaccard similarity of two `array<string>` columns:
-  * |A ∩ B| / |A ∪ B| over distinct elements, with the empty-∪-empty
-  * convention of 1.0 (two empty sets are identical).
+/** Native Jaccard similarity of two array columns (string, long, or int
+  * elements): |A ∩ B| / |A ∪ B| over distinct elements, with the
+  * empty-∪-empty convention of 1.0 (two empty sets are identical).
   *
   * Exists because the composed form —
   * `size(array_intersect(a,b)) / size(array_union(a,b))` plus an
@@ -31,13 +31,28 @@ case class JaccardDistinct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def supported(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      case (ArrayType(l, _), ArrayType(r, _)) if l == r && supported(l) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"jaccard_distinct requires two array<string> inputs, got $l and $r")
+        s"jaccard_distinct requires two arrays of string/bigint/int elements, got $l and $r")
     }
+
+  @transient private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  private def elem(arr: ArrayData, i: Int): AnyRef = elemType match {
+    case StringType => arr.getUTF8String(i)
+    case LongType => java.lang.Long.valueOf(arr.getLong(i))
+    case IntegerType => java.lang.Integer.valueOf(arr.getInt(i))
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
@@ -45,7 +60,7 @@ case class JaccardDistinct(left: Expression, right: Expression)
     val setA = new java.util.HashSet[AnyRef](math.max(arrA.numElements() * 2, 8))
     var i = 0
     while (i < arrA.numElements()) {
-      setA.add(arrA.getUTF8String(i))
+      setA.add(elem(arrA, i))
       i += 1
     }
     val seenB = new java.util.HashSet[AnyRef](math.max(arrB.numElements() * 2, 8))
@@ -53,7 +68,7 @@ case class JaccardDistinct(left: Expression, right: Expression)
     var onlyB = 0
     var j = 0
     while (j < arrB.numElements()) {
-      val v = arrB.getUTF8String(j)
+      val v = elem(arrB, j)
       if (seenB.add(v)) {
         if (setA.contains(v)) inter += 1 else onlyB += 1
       }
@@ -65,6 +80,13 @@ case class JaccardDistinct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // boxed accessor per element type (assignment context auto-boxes)
+      def get(arr: String, idx: String): String = elemType match {
+        case StringType => s"$arr.getUTF8String($idx)"
+        case LongType => s"java.lang.Long.valueOf($arr.getLong($idx))"
+        case IntegerType => s"java.lang.Integer.valueOf($arr.getInt($idx))"
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
       val setA = ctx.freshName("setA")
       val seenB = ctx.freshName("seenB")
       val i = ctx.freshName("i")
@@ -76,13 +98,13 @@ case class JaccardDistinct(left: Expression, right: Expression)
       s"""
          |java.util.HashSet $setA = new java.util.HashSet(Math.max($a.numElements() * 2, 8));
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  $setA.add($a.getUTF8String($i));
+         |  $setA.add(${get(a, i)});
          |}
          |java.util.HashSet $seenB = new java.util.HashSet(Math.max($b.numElements() * 2, 8));
          |int $inter = 0;
          |int $onlyB = 0;
          |for (int $j = 0; $j < $b.numElements(); $j++) {
-         |  Object $v = $b.getUTF8String($j);
+         |  Object $v = ${get(b, j)};
          |  if ($seenB.add($v)) {
          |    if ($setA.contains($v)) $inter++; else $onlyB++;
          |  }

@@ -103,6 +103,38 @@ class DedupSpec extends SparkSpec {
     empty.select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0) shouldBe 1.0
   }
 
+  test("set-based near-dup over winnowing fingerprints finds shared-passage docs") {
+    val rng = new Random(31)
+    def rand(n: Int) = (1 to n).map(_ => s"w${rng.nextInt(50000)}").mkString(" ")
+    val passage = (1 to 60).map(i => s"common$i").mkString(" ")
+    // two docs sharing a long passage, unrelated tails; pure-noise others
+    val docs = Seq(
+      (1L, passage + " " + rand(10)),
+      (2L, rand(10) + " " + passage)) ++
+      (10L to 20L).map(i => (i, rand(70)))
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("fps", graft.text.TextStats.winnowingFingerprints(col("text")))
+    val pairs = Dedup.nearDuplicatesBySets(
+      df, "doc_id", "fps", numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs.foreach { case (a, b) => Set(a, b) shouldBe Set(1L, 2L) }
+  }
+
+  test("jaccard_distinct handles long arrays identically to the composed form") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(7L), Seq(7L))).toDF("x", "y")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(
+        graft.functions.JaccardDistinct.jaccardDistinct(col("x"), col("y")).as("native"),
+        Dedup.jaccard(col("x"), col("y")).as("composed")).collect()
+      got.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("native jaccard_distinct is bit-identical to the composed form (incl. forced codegen)") {
     val rng = new Random(23)
     val rows = (1 to 200).map { _ =>
