@@ -48,7 +48,7 @@ object Dedup {
   }
 
   /** row_number-window form of [[exactDedup]] — equivalence witness. */
-  private[dedup] def exactDedupWindowed(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def exactDedupWindowed(df: DataFrame, textCol: String, idCol: String,
       normalizeText: Boolean = true): DataFrame = {
     val key =
       if (normalizeText) TextStats.fingerprintMd5(col(textCol))

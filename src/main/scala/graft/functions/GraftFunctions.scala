@@ -45,5 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(extensions.injectFunction)
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.Top1WindowToAggregate)
   }
 }
