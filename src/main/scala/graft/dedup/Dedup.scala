@@ -26,8 +26,9 @@ object Dedup {
   // ---- exact dedup ----
 
   /** Keep one row per distinct (normalized) text: the one with the
-    * smallest `idCol` (ids must be unique, so the survivor is
-    * deterministic).
+    * smallest `idCol` (ids must be unique AND non-null — `min_by` skips
+    * null ordering keys, so a null id can neither win nor be counted;
+    * the survivor is deterministic under that contract).
     *
     * Implemented as `min_by(row-struct, id)` — a partial+final hash
     * aggregate on the 128-bit content hash. Map-side combine collapses
@@ -65,9 +66,9 @@ object Dedup {
     * than `n` tokens yield no shingles (guard needed: Spark's `sequence`
     * counts *down* when stop < start).
     *
-    * The token array is bound ONCE per row through a single-element
-    * `transform` lambda variable: higher-order functions run interpreted
-    * with no subexpression elimination, so referencing the
+    * The token array is bound ONCE per row via
+    * [[graft.text.TextStats.bindOnce]]: higher-order functions run
+    * interpreted with no subexpression elimination, so referencing the
     * normalize+split subtree directly inside the per-shingle lambda
     * would re-run the regex tokenization for every shingle — measured
     * ~8s vs ~0.5s for 5k docs at sf0.1.
@@ -80,13 +81,13 @@ object Dedup {
       // interpreted, so the general path pays per-element overhead).
       array_distinct(ts)
     } else {
-      val ngrams = flatten(transform(array(ts), t0 =>
+      array_distinct(TextStats.bindOnce(ts) { t0 =>
         when(size(t0) >= n,
           transform(
             sequence(lit(0), size(t0) - lit(n)),
             i => concat_ws(" ", slice(t0, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))))
-      array_distinct(ngrams)
+          .otherwise(array().cast("array<string>"))
+      })
     }
   }
 
@@ -177,12 +178,15 @@ object Dedup {
     */
   def candidatePairs(buckets: DataFrame, idCol: String,
       maxBucketSize: Long = 100000L): DataFrame = {
-    require(maxBucketSize >= 2 && maxBucketSize <= Int.MaxValue - 8,
-      s"maxBucketSize must be in [2, ${Int.MaxValue - 8}], got $maxBucketSize")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    // larger sentinels (e.g. Long.MaxValue = "uncapped") clamp to the
+    // array-size ceiling — buckets beyond 2^31 elements can't be
+    // collected in one buffer anyway
+    val cap = math.min(maxBucketSize, (Int.MaxValue - 8).toLong).toInt
     buckets
       .groupBy(col("band"), col("bucket"))
       .agg(graft.functions.CappedCollectList
-        .cappedCollectList(col(idCol), maxBucketSize.toInt).as("__ids"))
+        .cappedCollectList(col(idCol), cap).as("__ids"))
       .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
@@ -223,10 +227,11 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Long = 100000L): DataFrame =
+      maxBucketSize: Long = 100000L,
+      materialize: Boolean = true): DataFrame =
     nearDuplicatesBySets(
       df.select(col(idCol), shingles(col(textCol), shingleSize).as("__set")),
-      idCol, "__set", numHashes, bands, threshold, seed, maxBucketSize)
+      idCol, "__set", numHashes, bands, threshold, seed, maxBucketSize, materialize)
 
   /** Generic MinHash-LSH near-duplicate pipeline over a precomputed
     * set-valued column — `array<string>` (shingles), `array<bigint>`
@@ -245,7 +250,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Long = 100000L): DataFrame = {
+      maxBucketSize: Long = 100000L,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     import org.apache.spark.sql.types.{ArrayType, LongType, IntegerType}
@@ -283,11 +289,18 @@ object Dedup {
         graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // materialize the (small) result so the set cache can be released
-    // now instead of leaking until session end (see Scaladoc)
-    val result = verified.localCheckpoint(true)
-    withSets.unpersist()
-    result
+    if (materialize) {
+      // materialize the (small) result so the set cache can be released
+      // now instead of leaking until session end. Tradeoff: the result
+      // lives in executor-local checkpoint blocks (not fault-tolerant
+      // replay) — on clusters with preemptible executors pass
+      // materialize = false to keep the lazy recomputable plan, and
+      // release the set cache yourself when done (the persisted
+      // intermediate is reachable via the returned plan's lineage).
+      val result = verified.localCheckpoint(true)
+      withSets.unpersist()
+      result
+    } else verified
   }
 
   // ---- SimHash ----
@@ -323,7 +336,12 @@ object Dedup {
     * docs sharing any chunk value are candidates (a doc within Hamming
     * distance `chunks-1` shares at least one chunk — pigeonhole), then
     * verify exact Hamming ≤ maxDistance. Candidate generation is
-    * complete (no missed pairs) whenever `maxDistance < chunks`.
+    * complete (no missed pairs) whenever `maxDistance < chunks` AND no
+    * bucket exceeds `maxBucketSize`: oversized buckets are dropped with
+    * graceful recall loss like every banded pipeline here — note that
+    * identical fingerprints share ALL chunks, so a duplicate cluster
+    * larger than the cap loses its pairs entirely (raise the cap, or
+    * run [[exactDedup]] first — exact duplicates are its job).
     *
     * Fingerprints are computed with the engine-default xxhash64 token
     * hashing; use [[simhashNearDuplicatesFromFingerprints]] directly

@@ -23,8 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * value is the same single IEEE divide, so results are bit-identical
   * to the composed form (equivalence pinned in DedupSpec).
   *
-  * Null handling matches the builtins' behavior for null-free arrays
-  * (the dedup pipelines produce none); a null array yields null.
+  * Null slots count as one distinct element (the builtins' semantics —
+  * `array_union([1, NULL], [2])` has three members); a null ARRAY
+  * yields null.
   */
 case class JaccardDistinct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,12 +48,14 @@ case class JaccardDistinct(left: Expression, right: Expression)
   @transient private lazy val elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
-  private def elem(arr: ArrayData, i: Int): AnyRef = elemType match {
-    case StringType => arr.getUTF8String(i)
-    case LongType => java.lang.Long.valueOf(arr.getLong(i))
-    case IntegerType => java.lang.Integer.valueOf(arr.getInt(i))
-    case other => throw new IllegalStateException(s"unreachable: $other")
-  }
+  private def elem(arr: ArrayData, i: Int): AnyRef =
+    if (arr.isNullAt(i)) JaccardDistinct.nullSentinel()
+    else elemType match {
+      case StringType => arr.getUTF8String(i)
+      case LongType => java.lang.Long.valueOf(arr.getLong(i))
+      case IntegerType => java.lang.Integer.valueOf(arr.getInt(i))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
@@ -80,12 +83,18 @@ case class JaccardDistinct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      // boxed accessor per element type (assignment context auto-boxes)
-      def get(arr: String, idx: String): String = elemType match {
-        case StringType => s"$arr.getUTF8String($idx)"
-        case LongType => s"java.lang.Long.valueOf($arr.getLong($idx))"
-        case IntegerType => s"java.lang.Integer.valueOf($arr.getInt($idx))"
-        case other => throw new IllegalStateException(s"unreachable: $other")
+      // boxed accessor per element type; null slots map to the shared
+      // sentinel so NULL counts as one distinct element, matching
+      // array_intersect/array_union semantics
+      val sentinel = "graft.functions.JaccardDistinct.nullSentinel()"
+      def get(arr: String, idx: String): String = {
+        val v = elemType match {
+          case StringType => s"$arr.getUTF8String($idx)"
+          case LongType => s"java.lang.Long.valueOf($arr.getLong($idx))"
+          case IntegerType => s"java.lang.Integer.valueOf($arr.getInt($idx))"
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        s"($arr.isNullAt($idx) ? (Object) $sentinel : (Object) $v)"
       }
       val setA = ctx.freshName("setA")
       val seenB = ctx.freshName("seenB")
@@ -122,6 +131,13 @@ case class JaccardDistinct(left: Expression, right: Expression)
 }
 
 object JaccardDistinct {
+  /** Distinct marker for null array slots — the builtins treat NULL as
+    * one distinct set element. Reached from generated code through the
+    * companion's static forwarder.
+    */
+  private val NullSentinelObj = new Object
+  def nullSentinel(): AnyRef = NullSentinelObj
+
   def jaccardDistinct(a: Column, b: Column): Column =
     ExpressionBridge.column(
       JaccardDistinct(ExpressionBridge.expression(a), ExpressionBridge.expression(b)))

@@ -98,8 +98,11 @@ object GpuAllocator {
       allocationFile: Path,
       taskResources: () => Map[String, Seq[String]] = currentTaskResources): Int =
     taskResources().get("gpu").flatMap(_.headOption) match {
-      case Some(addr) => addr.toInt
-      case None => getCudaDevice(nGpus, lockFile, allocationFile)
+      // GPU addresses come from the cluster's discovery script and are
+      // only numeric device indices on standard setups; UUID/MIG-style
+      // addresses fall back to the file protocol instead of crashing
+      case Some(addr) if addr.forall(_.isDigit) && addr.nonEmpty => addr.toInt
+      case _ => getCudaDevice(nGpus, lockFile, allocationFile)
     }
 
   private def currentTaskResources(): Map[String, Seq[String]] =

@@ -85,6 +85,9 @@ object Multimodal {
       require(img != null, "unsupported or corrupt image payload")
       val w = img.getWidth
       val h = img.getHeight
+      // one bulk fetch: per-pixel getRGB(x, y) pays a color-model
+      // conversion call per pixel and dominates decode time
+      val pixels = img.getRGB(0, 0, w, h, null, 0, w)
       var sr = 0.0
       var sg = 0.0
       var sb = 0.0
@@ -94,7 +97,7 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = pixels(y * w + x)
           val r = (rgb >> 16) & 0xFF
           val g = (rgb >> 8) & 0xFF
           val b = rgb & 0xFF

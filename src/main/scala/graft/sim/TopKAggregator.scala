@@ -22,8 +22,17 @@ final case class Scored(id: Long, score: Double)
 class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k > 0)
 
+  // total order on (score desc, id asc) via Double.compare, so NaN ranks
+  // above every finite score — the same convention as BoundedTopK and
+  // Spark's window sort; naive `>`/`==` comparisons would silently
+  // reject every candidate once a NaN entered the buffer
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
+
   private def trim(s: Seq[Scored]): Seq[Scored] =
-    s.sortBy(x => (-x.score, x.id)).take(k)
+    s.sortWith(beats).take(k)
 
   override def zero: Seq[Scored] = Seq.empty
   override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
@@ -33,8 +42,7 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
       // insert when the candidate beats the current worst
       val sorted = trim(buf)
       val worst = sorted.last
-      if (a.score > worst.score || (a.score == worst.score && a.id < worst.id))
-        trim(sorted.init :+ a)
+      if (beats(a, worst)) trim(sorted.init :+ a)
       else sorted
     }
   override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = trim(b1 ++ b2)

@@ -228,18 +228,25 @@ final class TfRecordReaderFactory(
     def decodeSequenceRecord(bytes: Array[Byte]): Seq[Any] = {
       val (context, lists) = ExampleCodec.decodeSequence(bytes)
       fields.map { f =>
+        // absent-vs-empty is distinguishable on the wire (the writer
+        // emits an entry even for empty lists), so absence follows the
+        // flat-Example contract: null when nullable, error otherwise
+        def absent(): Any =
+          if (f.nullable) null
+          else throw new IllegalArgumentException(
+            s"feature list ${f.name} absent and column is not nullable")
         f.dataType match {
           case ArrayType(ArrayType(inner, _), _) =>
             lists.get(f.name) match {
               case Some(fs0) => fs0.map(feat =>
                 ExampleCodec.featureValues(feat, TfRecordDataSource.dtypeFor(inner, f.name)))
-              case None => if (f.nullable) null else Seq.empty
+              case None => absent()
             }
           case ArrayType(elem, _) =>
             lists.get(f.name) match {
               case Some(fs0) => fs0.map(feat =>
                 ExampleCodec.featureValues(feat, TfRecordDataSource.dtypeFor(elem, f.name)).head)
-              case None => if (f.nullable) null else Seq.empty
+              case None => absent()
             }
           case dt =>
             context.get(f.name) match {

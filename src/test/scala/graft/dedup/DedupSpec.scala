@@ -123,9 +123,11 @@ class DedupSpec extends SparkSpec {
 
   test("jaccard_distinct handles long arrays identically to the composed form") {
     val df = Seq(
-      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
-      (Seq.empty[Long], Seq.empty[Long]),
-      (Seq(7L), Seq(7L))).toDF("x", "y")
+      (Seq(Some(1L), Some(2L), Some(3L)), Seq(Some(2L), Some(3L), Some(4L))),
+      (Seq.empty[Option[Long]], Seq.empty[Option[Long]]),
+      // null slots count as one distinct element, like the builtins
+      (Seq(Some(1L), None), Seq[Option[Long]](None)),
+      (Seq(Some(7L)), Seq(Some(7L)))).toDF("x", "y")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val got = df.select(

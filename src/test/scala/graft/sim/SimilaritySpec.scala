@@ -183,6 +183,19 @@ class SimilaritySpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("top-k aggregator ranks NaN scores first and keeps accepting candidates") {
+    // a NaN entering a warm buffer must not poison comparisons: the
+    // total order via Double.compare ranks NaN above every finite score
+    // (BoundedTopK / window-sort convention), and later higher-scoring
+    // candidates still displace lower ones
+    val agg = new TopKAggregator(2)
+    var buf = agg.zero
+    Seq(Scored(1L, 0.1), Scored(2L, Double.NaN), Scored(3L, 0.5), Scored(4L, 0.9))
+      .foreach { s => buf = agg.reduce(buf, s) }
+    val got = agg.finish(buf)
+    got.map(_.id) shouldBe Seq(2L, 4L) // NaN first, then the best finite
+  }
+
   test("typed top-k aggregator matches the window-based top-k") {
     val rng = new Random(31)
     val scored = (0 until 5).flatMap { q =>

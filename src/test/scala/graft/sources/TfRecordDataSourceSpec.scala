@@ -67,6 +67,42 @@ class TfRecordDataSourceSpec extends SparkSpec {
       Seq(Seq("a7"), Seq("b7", "c7"), Seq.empty)
   }
 
+  test("sequenceExample read distinguishes absent lists from empty ones") {
+    val dir = Files.createTempDirectory("dsv2").toString + "/seqabsent"
+    // write only (id, steps); read back with an extra non-nullable list
+    Seq((1L, Seq(1L, 2L)))
+      .toDF("id", "steps")
+      .write.format("tfrecord").option("recordType", "sequenceExample")
+      .mode("overwrite").save(dir)
+    val withMissing = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("steps", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("missing", ArrayType(LongType, containsNull = false), nullable = false)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("tfrecord").schema(withMissing)
+        .option("recordType", "sequenceExample").load(dir).collect()
+    }
+    ex.getMessage should include("absent")
+    // nullable missing list reads as null
+    val nullable = StructType(withMissing.fields.map {
+      case f if f.name == "missing" => f.copy(nullable = true)
+      case f => f
+    })
+    val r = spark.read.format("tfrecord").schema(nullable)
+      .option("recordType", "sequenceExample").load(dir).collect().head
+    r.isNullAt(r.fieldIndex("missing")) shouldBe true
+    // an explicitly-written EMPTY list reads back empty, not null/error
+    val dir2 = Files.createTempDirectory("dsv2").toString + "/seqempty"
+    Seq((1L, Seq.empty[Long]))
+      .toDF("id", "steps")
+      .write.format("tfrecord").option("recordType", "sequenceExample")
+      .mode("overwrite").save(dir2)
+    val r2 = spark.read.format("tfrecord")
+      .schema(StructType(withMissing.fields.filter(_.name != "missing")))
+      .option("recordType", "sequenceExample").load(dir2).collect().head
+    r2.getSeq[Long](r2.fieldIndex("steps")) shouldBe Seq.empty
+  }
+
   test("sequenceExample records interop with the driver-local sequence reader") {
     // The DSv2 writer and the driver-local readParsedSequenceTfr must agree
     // on the wire format (both sides of reference tfrecords.py:60-72).
