@@ -806,7 +806,59 @@ object Queries {
         WHERE v IS NOT NULL
         GROUP BY 2
         HAVING COUNT(*) >= 2
-        ORDER BY 2"""))
+        ORDER BY 2""")),
+
+    // Winnowing (rolling-hash) fingerprints, exploded with positions.
+    // DuckDB replays the Karp-Rabin hash per character (ASCII-only docs
+    // so char ordinals equal UTF-8 bytes — the rlike filter pins that on
+    // both sides) and selects rightmost window minima via a min-key
+    // encoding (hash·2^31 + (2^31 − pos)) in one window pass. Exact:
+    // same base/modulus, same fold order (list_reduce's first-element
+    // seed equals the 0-seeded fold), same tie rule.
+    GraftQuery(
+      "q30_winnowing",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("text").rlike("^[ -~]*$"))
+          .select(col("doc_id"),
+            graft.text.TextStats.winnowingFingerprints(col("text"), k = 5, window = 4)
+              .as("fps"))
+          .select(col("doc_id"), posexplode(col("fps")))
+          .withColumnRenamed("col", "hash")
+          .orderBy(col("doc_id"), col("pos")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+        ),
+        h AS (
+          SELECT doc_id, p,
+            list_reduce(
+              list_transform(range(0, 5),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, p, hash, hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id, p,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS selp
+          FROM wmin WHERE wn = 4
+        )
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY selp) - 1 AS INTEGER) AS pos,
+          hash
+        FROM sel ORDER BY doc_id, pos"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
