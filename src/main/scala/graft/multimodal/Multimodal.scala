@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * outputs, partition behavior — is real and tested. The codec is
   * pluggable behind [[MediaDecoder]]: [[ImageIoDecoder]] is a REAL
   * image codec over the JDK's `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF,
-  * no external dependency); [[FakeImageDecoder]] is a clearly-marked
-  * DETERMINISTIC FAKE kept for hash-reproducible tests and for formats
-  * the JDK can't read. Audio/video decoding has no JDK codec, so those
-  * remain honest fakes behind the same pluggable traits.
+  * no external dependency); [[JavaSoundDecoder]] is a REAL audio codec
+  * over `javax.sound.sampled` (WAV/AU/AIFF). [[FakeImageDecoder]] /
+  * [[FakePcmDecoder]] are clearly-marked DETERMINISTIC FAKEs kept for
+  * hash-reproducible tests and formats the JDK can't read. Video
+  * demuxing has no JDK codec, so it remains an honest fake behind the
+  * same pluggable shape.
   *
   * 100 TB notes: media bytes dominate row size — the operators keep them
   * streaming (batched `mapPartitions`, no collect), and feature
@@ -172,13 +174,66 @@ object Multimodal {
   final case class DecodedAudio(
       sampleRate: Int, nSamples: Int, windowEnergies: Array[Float])
 
-  /** Audio codec surface. The bundled decoder is a DETERMINISTIC FAKE
-    * (STUB for a real PCM/compressed-audio codec): payload = 4-byte BE
-    * sample rate then 16-bit BE PCM samples; features are per-window
-    * mean absolute amplitudes.
+  /** Audio codec surface. [[JavaSoundDecoder]] is a REAL codec over the
+    * JDK's `javax.sound.sampled` (WAV/AU/AIFF); [[FakePcmDecoder]] is a
+    * DETERMINISTIC FAKE for a raw headerless payload (4-byte BE sample
+    * rate then 16-bit BE PCM), kept for hash-reproducible tests.
+    * Features are per-window mean absolute amplitudes either way.
     */
   trait AudioDecoder extends Serializable {
     def decodeAudio(bytes: Array[Byte], windowSamples: Int): DecodedAudio
+  }
+
+  /** REAL audio decoder via `javax.sound.sampled.AudioSystem` — parses
+    * WAV/AU/AIFF containers with zero external dependencies, converts to
+    * 16-bit signed PCM, mixes channels down to mono, and emits
+    * per-window mean absolute amplitudes in [0, 1]. Headless-safe and
+    * stateless, so it runs unchanged inside executor tasks.
+    */
+  object JavaSoundDecoder extends AudioDecoder {
+    def decodeAudio(bytes: Array[Byte], windowSamples: Int): DecodedAudio = {
+      require(windowSamples > 0)
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "unsupported or corrupt audio payload", e)
+        }
+      try {
+        val fmt = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          fmt.getSampleRate, 16, fmt.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val data =
+          try pcm.readAllBytes()
+          finally pcm.close()
+        val channels = fmt.getChannels
+        val frames = data.length / (2 * channels)
+        val energies = (0 until frames by windowSamples).map { start =>
+          val end = math.min(start + windowSamples, frames)
+          var acc = 0.0
+          var f = start
+          while (f < end) {
+            // mono mixdown: average the channels of the frame
+            var mix = 0.0
+            var c = 0
+            while (c < channels) {
+              val off = 2 * (f * channels + c)
+              // little-endian 16-bit signed
+              val s = ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+              mix += s.toDouble
+              c += 1
+            }
+            acc += math.abs(mix / channels)
+            f += 1
+          }
+          (acc / math.max(end - start, 1) / Short.MaxValue).toFloat
+        }
+        DecodedAudio(fmt.getSampleRate.toInt, frames, energies.toArray)
+      } finally in.close()
+    }
   }
 
   object FakePcmDecoder extends AudioDecoder {

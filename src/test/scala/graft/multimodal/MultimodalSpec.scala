@@ -58,6 +58,53 @@ class MultimodalSpec extends SparkSpec {
     out(2).isNullAt(out(2).fieldIndex("image_features")) shouldBe true
   }
 
+  private def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("JavaSoundDecoder decodes a real WAV: rate, frames, window energies") {
+    // constant-amplitude square wave: every window's mean |amplitude|
+    // is exactly amp/32767
+    val amp: Short = 16384
+    val samples = Array.tabulate[Short](2048)(i => if (i % 2 == 0) amp else (-amp).toShort)
+    val d = Multimodal.JavaSoundDecoder.decodeAudio(wavBytes(8000, samples), 512)
+    d.sampleRate shouldBe 8000
+    d.nSamples shouldBe 2048
+    d.windowEnergies.length shouldBe 4
+    d.windowEnergies.foreach(_.toDouble shouldBe (amp.toDouble / Short.MaxValue) +- 1e-4)
+  }
+
+  test("JavaSoundDecoder runs distributed through withAudioFeatures") {
+    val rows = Seq(
+      (1L, wavBytes(16000, Array.fill[Short](1000)(8192))),
+      (2L, null))
+    val df = rows.toDF("id", "audio").repartition(2)
+    val out = Multimodal.withAudioFeatures(
+      df, "audio", decoder = Multimodal.JavaSoundDecoder, windowSamples = 500)
+      .orderBy("id").collect()
+    val f = out(0).getStruct(out(0).fieldIndex("audio_features"))
+    f.getAs[Int]("sample_rate") shouldBe 16000
+    f.getAs[Int]("n_samples") shouldBe 1000
+    f.getAs[Seq[Float]]("window_energies").length shouldBe 2
+    out(1).isNullAt(out(1).fieldIndex("audio_features")) shouldBe true
+  }
+
+  test("JavaSoundDecoder rejects garbage payloads") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.JavaSoundDecoder.decodeAudio(Array[Byte](9, 9, 9, 9), 100)
+  }
+
   test("ImageIoDecoder rejects garbage payloads") {
     an[IllegalArgumentException] should be thrownBy
       Multimodal.ImageIoDecoder.decodeImage(Array[Byte](1, 2, 3, 4))
