@@ -810,16 +810,19 @@ object Queries {
 
     // Winnowing (rolling-hash) fingerprints, exploded with positions.
     // DuckDB replays the Karp-Rabin hash per character (ASCII-only docs
-    // so char ordinals equal UTF-8 bytes — the rlike filter pins that on
-    // both sides) and selects rightmost window minima via a min-key
-    // encoding (hash·2^31 + (2^31 − pos)) in one window pass. Exact:
-    // same base/modulus, same fold order (list_reduce's first-element
-    // seed equals the 0-seeded fold), same tie rule.
+    // so char ordinals equal UTF-8 bytes — the negative character-class
+    // filter is anchor-free, so Java and RE2 regex agree even on
+    // trailing newlines) and selects rightmost window minima via a
+    // min-key encoding (hash·2^31 + (2^31 − pos)) in one window pass,
+    // plus a branch for docs shorter than one window (single global
+    // minimum). Exact: same base/modulus, same fold order
+    // (list_reduce's first-element seed equals the 0-seeded fold), same
+    // tie rule.
     GraftQuery(
       "q30_winnowing",
       (s, dir) =>
         t(s, dir, "documents")
-          .filter(col("text").rlike("^[ -~]*$"))
+          .filter(!col("text").rlike("[^ -~]"))
           .select(col("doc_id"),
             graft.text.TextStats.winnowingFingerprints(col("text"), k = 5, window = 4)
               .as("fps"))
@@ -829,7 +832,7 @@ object Queries {
       Some("""
         WITH d AS (
           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-          FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
         ),
         h AS (
           SELECT doc_id, p,
@@ -854,11 +857,19 @@ object Queries {
           SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
             2147483648 - (wkey % 2147483648) AS selp
           FROM wmin WHERE wn = 4
+        ),
+        short AS (
+          SELECT doc_id, min(hash) AS hash, 0 AS selp
+          FROM h GROUP BY doc_id HAVING COUNT(*) < 4
+        ),
+        allsel AS (
+          SELECT doc_id, hash, selp FROM sel
+          UNION ALL SELECT doc_id, hash, selp FROM short
         )
         SELECT doc_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY selp) - 1 AS INTEGER) AS pos,
           hash
-        FROM sel ORDER BY doc_id, pos"""))
+        FROM allsel ORDER BY doc_id, pos"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

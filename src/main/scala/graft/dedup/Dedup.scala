@@ -261,13 +261,20 @@ object Dedup {
         s"$setCol must be an array column, got $other")
     }
     // The set table feeds three plan branches (signatures + both verify
-    // sides); persist it so upstream derivation runs once.
-    // MEMORY_AND_DISK spills rather than OOMs when the corpus outgrows
-    // executor memory at scale.
-    val withSets = df
+    // sides). With materialize = true it is persisted so upstream
+    // derivation runs once (MEMORY_AND_DISK spills rather than OOMs at
+    // scale) and released before returning; with materialize = false
+    // NOTHING is cached — the plan stays lazy and fault-tolerant, the
+    // set derivation recomputes per branch, and callers who want the
+    // compute-once behavior persist their own input (the set column is
+    // an input here, so its lifecycle is theirs).
+    val base0 = df
       .select(col(idCol), col(setCol).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSets =
+      if (materialize)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     // MinHash base hashes mod the Mersenne prime: integral elements are
     // already hashes (winnowing emits values < 2^31), strings go
     // through xxhash64 first
@@ -294,9 +301,8 @@ object Dedup {
       // now instead of leaking until session end. Tradeoff: the result
       // lives in executor-local checkpoint blocks (not fault-tolerant
       // replay) — on clusters with preemptible executors pass
-      // materialize = false to keep the lazy recomputable plan, and
-      // release the set cache yourself when done (the persisted
-      // intermediate is reachable via the returned plan's lineage).
+      // materialize = false for a fully lazy, recomputable plan with no
+      // hidden caching at all.
       val result = verified.localCheckpoint(true)
       withSets.unpersist()
       result

@@ -98,11 +98,17 @@ object GpuAllocator {
       allocationFile: Path,
       taskResources: () => Map[String, Seq[String]] = currentTaskResources): Int =
     taskResources().get("gpu").flatMap(_.headOption) match {
-      // GPU addresses come from the cluster's discovery script and are
-      // only numeric device indices on standard setups; UUID/MIG-style
-      // addresses fall back to the file protocol instead of crashing
-      case Some(addr) if addr.forall(_.isDigit) && addr.nonEmpty => addr.toInt
-      case _ => getCudaDevice(nGpus, lockFile, allocationFile)
+      case Some(addr) =>
+        // The scheduler granted a SPECIFIC device — honoring the grant
+        // is the whole point, so a UUID/MIG-style address we cannot map
+        // to a CUDA index must fail loudly rather than silently running
+        // the file protocol and landing on a device owned by another
+        // application.
+        addr.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"scheduler-assigned GPU address '$addr' is not a numeric device index; " +
+            "emit indices from the GPU discovery script, or use getCudaDevice " +
+            "directly for unmanaged deployments"))
+      case None => getCudaDevice(nGpus, lockFile, allocationFile)
     }
 
   private def currentTaskResources(): Map[String, Seq[String]] =

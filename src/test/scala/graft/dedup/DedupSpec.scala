@@ -237,6 +237,17 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("materialize=false keeps the plan lazy with no hidden caching") {
+    val df = Seq((1L, "same text here now"), (2L, "same text here now"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text",
+      shingleSize = 1, threshold = 0.9, materialize = false)
+    spark.sparkContext.getPersistentRDDs.size shouldBe before // nothing cached
+    pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
+
   test("candidatePairs drops oversized buckets before pairing (bounded memory)") {
     // one hot bucket with 50 members (> maxBucketSize) and one normal
     // bucket: only the normal bucket's pair may come out, and the hot

@@ -93,6 +93,20 @@ class GpuAllocatorSpec extends AnyFunSuite with Matchers {
     GpuAllocator.resetCachedDevice()
   }
 
+  test("spark-aware path rejects non-index GPU addresses instead of stealing a device") {
+    val dir = tmpDir()
+    GpuAllocator.resetCachedDevice()
+    val ex = intercept[IllegalArgumentException] {
+      GpuAllocator.getCudaDeviceSparkAware(
+        4, dir.resolve("lock"), dir.resolve("allocation"),
+        taskResources = () => Map("gpu" -> Seq("GPU-8f6e1a")))
+    }
+    ex.getMessage should include("not a numeric device index")
+    // the scheduler's grant is never bypassed via the file protocol
+    Files.exists(dir.resolve("allocation")) shouldBe false
+    GpuAllocator.resetCachedDevice()
+  }
+
   test("spark-aware path falls back to the file protocol without scheduled GPUs") {
     val dir = tmpDir()
     GpuAllocator.resetCachedDevice()
