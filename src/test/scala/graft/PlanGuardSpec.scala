@@ -1,0 +1,30 @@
+package graft
+
+/** Anti-pattern guard over every declared oracle query's physical plan:
+  * nothing may plan a cartesian product or nested-loop join at any
+  * scale, except the operators documented as quadratic verification
+  * baselines. Plans are scale-invariant, so sf0.001 inputs suffice —
+  * this is the executable form of the "no all-pairs joins" design rule.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** q24 is the exact-cosine verification baseline: a range-condition
+    * self-join that is quadratic BY CONTRACT (it is the oracle for the
+    * sub-quadratic LSH path) and bounded by its caller.
+    */
+  private val quadraticBaselines = Set("q24_embedding_neardup")
+
+  test("no oracle query plans a cartesian or nested-loop join") {
+    Queries.all.foreach { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      withClue(s"${q.name}: ") {
+        if (!quadraticBaselines(q.name)) {
+          plan should not include "CartesianProduct"
+          plan should not include "BroadcastNestedLoopJoin"
+        }
+      }
+    }
+  }
+}
