@@ -869,7 +869,80 @@ object Queries {
         SELECT doc_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY selp) - 1 AS INTEGER) AS pos,
           hash
-        FROM allsel ORDER BY doc_id, pos"""))
+        FROM allsel ORDER BY doc_id, pos""")),
+
+    // Binned point-in-interval range join (operators/RangeJoin): shipments
+    // falling inside 7-day windows opened by a subset of orders. Spark
+    // would plan the bare BETWEEN condition as a nested loop; the operator
+    // turns it into a hash equi-join on week-width bins + residual filter.
+    // DuckDB plans the same predicate as an IEJoin — two engines, two
+    // range-join strategies, one result.
+    GraftQuery(
+      "q31_range_join",
+      (s, dir) => {
+        val windows = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"),
+            col("o_orderdate").as("w_lo"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_hi"))
+        val shipments = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        graft.operators.RangeJoin.pointIntervalJoin(
+          shipments, "l_shipdate", windows, "w_lo", "w_hi",
+          binWidth = 7L * 86400L)
+          .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
+          .orderBy(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT o_orderkey, o_orderdate AS w_lo,
+                 o_orderdate + INTERVAL 7 DAY AS w_hi
+          FROM orders WHERE o_orderkey % 997 = 0
+        )
+        SELECT w.o_orderkey, l.l_orderkey, l.l_linenumber,
+               strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+        FROM lineitem l JOIN w
+          ON l.l_shipdate >= w.w_lo AND l.l_shipdate <= w.w_hi
+        ORDER BY w.o_orderkey, l.l_orderkey, l.l_linenumber""")),
+
+    // Binned interval-overlap join: urgent-order activity windows crossing
+    // low-priority ones. The operator emits each overlapping pair from the
+    // first bin both intervals share — exactly-once without a distinct()
+    // pass — and DuckDB verifies via the quadratic overlap predicate.
+    GraftQuery(
+      "q32_interval_overlap",
+      (s, dir) => {
+        def side(prio: String, mod: Int, keyAs: String, lo: String, hi: String) =
+          t(s, dir, "orders")
+            .filter(col("o_orderpriority") === prio && col("o_orderkey") % mod === 0)
+            .select(col("o_orderkey").as(keyAs),
+              col("o_orderdate").as(lo),
+              (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as(hi))
+        graft.operators.RangeJoin.intervalOverlapJoin(
+          side("1-URGENT", 31, "a_key", "a_lo", "a_hi"), "a_lo", "a_hi",
+          side("5-LOW", 37, "b_key", "b_lo", "b_hi"), "b_lo", "b_hi",
+          binWidth = 3L * 86400L)
+          .select(col("a_key"), col("b_key"),
+            (datediff(least(col("a_hi"), col("b_hi")),
+              greatest(col("a_lo"), col("b_lo"))) + lit(1)).cast("long")
+              .as("overlap_days"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey AS a_key, o_orderdate AS a_lo,
+                 o_orderdate + INTERVAL 3 DAY AS a_hi
+          FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 31 = 0
+        ), b AS (
+          SELECT o_orderkey AS b_key, o_orderdate AS b_lo,
+                 o_orderdate + INTERVAL 3 DAY AS b_hi
+          FROM orders WHERE o_orderpriority = '5-LOW' AND o_orderkey % 37 = 0
+        )
+        SELECT a_key, b_key,
+          date_diff('day', greatest(a_lo, b_lo), least(a_hi, b_hi)) + 1 AS overlap_days
+        FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        ORDER BY a_key, b_key"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
