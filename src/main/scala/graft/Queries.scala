@@ -942,7 +942,124 @@ object Queries {
         SELECT a_key, b_key,
           date_diff('day', greatest(a_lo, b_lo), least(a_hi, b_hi)) + 1 AS overlap_days
         FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
-        ORDER BY a_key, b_key"""))
+        ORDER BY a_key, b_key""")),
+
+    // Group-wise corpus capping (operators/GroupLimit): the 3 longest
+    // documents per (lang, source). The row_number-filter form is the one
+    // InferWindowGroupLimit rewrites to a WindowGroupLimit physical node —
+    // a bounded per-group heap on the map side, so hot groups never ship
+    // more than k rows per partition into the shuffle.
+    GraftQuery(
+      "q33_group_cap",
+      (s, dir) =>
+        graft.operators.GroupLimit.topKPerGroup(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          Seq("lang", "source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 3, rankCol = "rnk")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("lang"), col("source"), col("rnk")),
+      Some("""
+        SELECT doc_id, lang, source, n_chars, rnk FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang, source
+                                    ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents)
+        WHERE rnk <= 3
+        ORDER BY lang, source, rnk""")),
+
+    // Bloom-pruned selective join (operators/BloomPrune): lineitem rows
+    // are discarded at the scan by a bloom filter built from the selected
+    // order keys — map-side, before any shuffle — then the real join
+    // removes the bloom's false positives, so the result is the exact
+    // equi-join DuckDB computes directly.
+    GraftQuery(
+      "q34_bloom_pruned_join",
+      (s, dir) => {
+        val sel = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 211 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        graft.operators.BloomPrune.prunedJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+          "l_orderkey", sel, "o_orderkey", expectedItems = 4096L)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("o_totalprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 211 = 0
+        ORDER BY l.l_orderkey, l.l_linenumber""")),
+
+    // Exact heavy hitters through the space-saving sketch
+    // (sketch/FrequentItems): pass 1 summarizes tokens in bounded memory
+    // (candidates only), pass 2 exact-counts just the candidates — so
+    // the result equals DuckDB's plain GROUP BY ... HAVING even though
+    // no full token aggregation ever shuffles. The threshold is
+    // data-relative (N/30, integer division) so the query scales with
+    // the corpus rather than baking in a row count.
+    GraftQuery(
+      "q35_frequent_tokens",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val thr = math.max(1L, toks.count() / 30L)
+        graft.sketch.FrequentItems.frequentItems(toks, "tok",
+          threshold = thr, capacity = 200)
+          .orderBy(col("item"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        )
+        SELECT tok AS item, COUNT(*) AS count
+        FROM toks
+        GROUP BY tok
+        HAVING COUNT(*) >= greatest(1, (SELECT COUNT(*) // 30 FROM toks))
+        ORDER BY item""")),
+
+    // Symmetric int8 embedding quantization (sim/Quantize), exploded per
+    // element so the oracle hash-checks every code: scale = max|v|/127
+    // and round-half-up as floor(x+0.5) are plain IEEE double algebra
+    // both engines reproduce bit-for-bit. The scale binds once per row
+    // in a stacked select — never inside the per-element lambda.
+    GraftQuery(
+      "q36_quantize_int8",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            graft.sim.Quantize.int8Scale(col("embedding")).as("scale"))
+          .select(col("vec_id"), col("scale"),
+            posexplode(graft.sim.Quantize.int8Codes(
+              col("embedding"), col("scale"))))
+          .withColumnRenamed("col", "code")
+          .select(col("vec_id"), col("pos"), col("code").cast("long").as("code"),
+            col("scale"))
+          .orderBy(col("vec_id"), col("pos")),
+      Some("""
+        WITH q AS (
+          SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings
+        )
+        , e AS (
+          SELECT vec_id, scale,
+            CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+            CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM q
+        )
+        SELECT vec_id, pos,
+          CASE WHEN scale = 0 THEN 0
+               ELSE CAST(least(greatest(floor(x / scale + 0.5),
+                 -127), 127) AS BIGINT)
+          END AS code,
+          scale
+        FROM e
+        ORDER BY vec_id, pos"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
