@@ -1059,7 +1059,51 @@ object Queries {
           END AS code,
           scale
         FROM e
-        ORDER BY vec_id, pos"""))
+        ORDER BY vec_id, pos""")),
+
+    // Gap-based sessionization (operators/Sessionize): interaction logs →
+    // behavioral sessions, the first transform of most training pipelines
+    // over event streams. One shuffle on the key; the lag-flag and
+    // running-sum window passes share a single exchange+sort. DuckDB
+    // replays the identical lag/cumulative-sum construction; timestamps
+    // compare as unix micros (both engines truncate the corpus's nanos
+    // identically — Spark via `div 1000`, DuckDB at parquet read).
+    GraftQuery(
+      "q37_sessionize",
+      (s, dir) =>
+        graft.operators.Sessionize.sessionStats(
+          t(s, dir, "events").filter(col("user_id") < 50),
+          Seq("user_id"), "ts", gapSeconds = 1800L,
+          tieBreak = Seq(col("event_id")), valueCol = Some("value"))
+          .select(col("user_id"), col("session_idx"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_idx")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_start
+          FROM events
+          WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+            SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          epoch_us(MIN(ts)) AS session_start_us,
+          epoch_us(MAX(ts)) AS session_end_us,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        FROM sess
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

@@ -36,6 +36,31 @@ object Streaming {
       .select(col("win.start").as("window_start"), col(typeCol),
         col("n"), col("total_value"))
 
+  /** Watermarked session aggregation — the streaming twin of
+    * [[graft.operators.Sessionize.sessionStats]], on Spark's native
+    * `session_window` (incremental merging session state per key; no
+    * sort, state bounded by open sessions + watermark). Boundary
+    * convention differs from the batch operator only at exact-gap
+    * distances: `session_window` closes at `last + gap`, so a gap of
+    * exactly `gap` splits here and merges there.
+    */
+  def sessionStats(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"))
+      .select((keyCols.map(col) :+
+        col("session_window.start").as("session_start") :+
+        col("session_window.end").as("session_end") :+
+        col("n_events") :+ col("total_value")): _*)
+
   /** Stateless quality gate for streaming ingestion: keep rows passing
     * the predicate, tagging the rest (dead-letter routing splits on the
     * flag without re-evaluating the predicate).
