@@ -1103,7 +1103,67 @@ object Queries {
           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         FROM sess
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Gopher-style repetition quality signals (text/Repetition): duplicate
+    // n-gram fraction and top-n-gram character coverage per document —
+    // map-only column algebra on the Spark side (no shuffle, no UDF).
+    // DuckDB replays via explode+group+window; both sides divide exact
+    // integers, so the doubles compare bit-for-bit, and the count tie
+    // breaks toward the lexicographically greatest gram in both engines
+    // (struct max there, ORDER BY c DESC, gram DESC here).
+    GraftQuery(
+      "q38_repetition",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.text.Repetition.dupNgramFraction(col("text"), 2)
+              .as("dup_2gram_frac"),
+            graft.text.Repetition.topNgramCharFraction(col("text"), 2)
+              .as("top_2gram_char_frac"),
+            graft.text.Repetition.dupNgramFraction(col("text"), 3)
+              .as("dup_3gram_frac"),
+            graft.text.Repetition.topNgramCharFraction(col("text"), 3)
+              .as("top_3gram_char_frac"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, str_split(text, ' ') AS ts, len(text) AS nc
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, nc, n,
+            unnest(list_transform(range(0, greatest(len(ts) - n + 1, 0)),
+              i -> array_to_string(ts[(i+1):(i+n)], ' '))) AS gram
+          FROM d, (SELECT unnest([2, 3]) AS n) ns
+        ),
+        counts AS (
+          SELECT doc_id, nc, n, gram, COUNT(*) AS c
+          FROM g GROUP BY 1, 2, 3, 4
+        ),
+        sel AS (
+          SELECT doc_id, nc, n, c, gram,
+            ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                               ORDER BY c DESC, gram DESC) AS rn,
+            SUM(c) OVER (PARTITION BY doc_id, n) AS total,
+            COUNT(*) OVER (PARTITION BY doc_id, n) AS ndistinct
+          FROM counts
+        ),
+        picked AS (
+          SELECT doc_id, n,
+            CAST(total - ndistinct AS DOUBLE) / total AS dup_frac,
+            CAST(c * len(gram) AS DOUBLE) / nc AS top_frac
+          FROM sel WHERE rn = 1
+        )
+        SELECT d.doc_id,
+          COALESCE(p2.dup_frac, 0.0) AS dup_2gram_frac,
+          COALESCE(p2.top_frac, 0.0) AS top_2gram_char_frac,
+          COALESCE(p3.dup_frac, 0.0) AS dup_3gram_frac,
+          COALESCE(p3.top_frac, 0.0) AS top_3gram_char_frac
+        FROM d
+        LEFT JOIN picked p2 ON p2.doc_id = d.doc_id AND p2.n = 2
+        LEFT JOIN picked p3 ON p3.doc_id = d.doc_id AND p3.n = 3
+        ORDER BY d.doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
