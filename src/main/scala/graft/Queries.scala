@@ -1163,7 +1163,51 @@ object Queries {
         FROM d
         LEFT JOIN picked p2 ON p2.doc_id = d.doc_id AND p2.n = 2
         LEFT JOIN picked p3 ON p3.doc_id = d.doc_id AND p3.n = 3
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Train/test decontamination (text/Decontaminate): held-out docs
+    // (source='src0') vs the training corpus (everything else), shared
+    // distinct word 3-grams per pair. The hot-gram cap (train doc
+    // frequency <= 40) is part of the operator contract and replayed by
+    // the oracle: it never binds at sf0.01 (max df 7) and does bind at
+    // sf0.1 — the same query text stays exact at both scales because
+    // both engines apply the identical drop.
+    GraftQuery(
+      "q39_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.text.Decontaminate.overlapPairs(
+          docs.filter(col("source") =!= "src0"), "doc_id",
+          docs.filter(col("source") === "src0"), "doc_id",
+          "text", n = 3, maxTrainDocFreq = 40L)
+          .orderBy(col("train_id"), col("test_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, str_split(text, ' ') AS ts FROM documents
+        ),
+        tr AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(0, greatest(len(ts) - 2, 0)),
+              i -> array_to_string(ts[(i+1):(i+3)], ' ')))) AS gram
+          FROM d WHERE source <> 'src0'
+        ),
+        te AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(0, greatest(len(ts) - 2, 0)),
+              i -> array_to_string(ts[(i+1):(i+3)], ' ')))) AS gram
+          FROM d WHERE source = 'src0'
+        ),
+        rare AS (
+          SELECT gram FROM tr GROUP BY gram HAVING COUNT(*) <= 40
+        )
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+          COUNT(*) AS shared_ngrams
+        FROM tr
+        JOIN rare ON tr.gram = rare.gram
+        JOIN te ON tr.gram = te.gram
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination: find evaluation documents whose content
+  * leaks into the training corpus, via shared word n-grams — the
+  * standard published recipe (GPT-3 appendix C, PaLM §7; typically
+  * 8-13-grams). A benchmark answer that appears verbatim in training
+  * data invalidates the benchmark, so this runs as a first-class step
+  * of every serious training-data pipeline.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *   - each side explodes to its DISTINCT n-grams (`explode` after
+  *     `array_distinct`, so a gram repeated inside one document costs
+  *     one row, not one per occurrence);
+  *   - grams whose train-side document frequency exceeds
+  *     `maxTrainDocFreq` are dropped BEFORE the join — a boilerplate
+  *     gram present in millions of training docs would otherwise become
+  *     a hot join key whose pair output is |train docs| × |test docs|,
+  *     the same degenerate-bucket blowup the LSH dedup operators cap.
+  *     With long n-grams (8+) discriminative grams are rare by
+  *     construction, so the cap removes noise, not signal; the drop is
+  *     part of the operator's contract and is replayed by the oracle.
+  *   - one equi-join on the gram string (test side is usually small →
+  *     broadcastable; Catalyst/AQE decide), then a count per pair.
+  *
+  * Join keys stay raw gram strings: hashing them (xxhash64) would
+  * shrink shuffle bytes but make a collision silently fabricate an
+  * overlap — wrong tool for a correctness-critical audit. Callers who
+  * accept the risk can pre-hash the text column upstream.
+  */
+object Decontaminate {
+
+  /** One row per (id, distinct word n-gram). */
+  def docNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(
+        Repetition.ngrams(TextStats.tokens(col(textCol)), n))).as("gram"))
+
+  /** (train_id, test_id, shared_ngrams) for every train/test pair
+    * sharing at least one n-gram that is rarer than `maxTrainDocFreq`
+    * on the train side. `shared_ngrams` counts DISTINCT shared grams.
+    */
+  def overlapPairs(
+      train: DataFrame, trainId: String,
+      test: DataFrame, testId: String,
+      textCol: String,
+      n: Int,
+      maxTrainDocFreq: Long = 10000L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxTrainDocFreq >= 1,
+      s"maxTrainDocFreq must be >= 1, got $maxTrainDocFreq")
+    val tr = docNgrams(train, trainId, textCol, n)
+      .withColumnRenamed(trainId, "train_id")
+    val te = docNgrams(test, testId, textCol, n)
+      .withColumnRenamed(testId, "test_id")
+    // Document frequency of each gram on the train side; grams above
+    // the cap never reach the join. Distinct-per-doc rows make count(*)
+    // the document frequency. The window form would shuffle the same
+    // data twice; a self-join on the tiny (gram, df) aggregate is the
+    // cheaper shape and AQE can broadcast it.
+    val rare = tr.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTrainDocFreq)
+      .select("gram")
+    tr.join(rare, Seq("gram"))
+      .join(te, Seq("gram"))
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** Test ids contaminated under the policy "shares >= minShared
+    * (capped) n-grams with ANY training document" — a left-semi shape
+    * for the common minShared=1 case, the pair aggregate otherwise.
+    */
+  def contaminatedIds(
+      train: DataFrame, trainId: String,
+      test: DataFrame, testId: String,
+      textCol: String,
+      n: Int,
+      minShared: Long = 1L,
+      maxTrainDocFreq: Long = 10000L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    if (minShared == 1L) {
+      val tr = docNgrams(train, trainId, textCol, n)
+      val rare = tr.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxTrainDocFreq)
+        .select("gram")
+      val trainGrams = tr.join(rare, Seq("gram")).select("gram").distinct()
+      docNgrams(test, testId, textCol, n)
+        .join(trainGrams, Seq("gram"), "left_semi")
+        .select(col(testId).as("test_id")).distinct()
+    } else {
+      overlapPairs(train, trainId, test, testId, textCol, n, maxTrainDocFreq)
+        .filter(col("shared_ngrams") >= minShared)
+        .select("test_id").distinct()
+    }
+  }
+}

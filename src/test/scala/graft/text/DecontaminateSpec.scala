@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecontaminateSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val trainDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick brown fox likes the lazy dog")
+  ).toDF("doc_id", "text")
+
+  private val testDf = Seq(
+    (100L, "a quick brown fox jumps high"),
+    (101L, "completely unrelated benchmark answer text"),
+    (102L, "pack my box with five dozen liquor jugs exactly")
+  ).toDF("doc_id", "text")
+
+  test("overlapPairs counts distinct shared n-grams per train/test pair") {
+    val got = Decontaminate.overlapPairs(
+      trainDf, "doc_id", testDf, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // test 100 "quick brown fox" with train 1 and 3; "brown fox jumps"
+    // with train 1 only. test 102 shares all 6 trigrams of train 2.
+    got shouldBe Set((1L, 100L, 2L), (3L, 100L, 1L), (2L, 102L, 6L))
+  }
+
+  test("a repeated gram inside one document counts once") {
+    val tr = Seq((1L, "a b a b a b")).toDF("doc_id", "text") // "a b a" x2
+    val te = Seq((9L, "x a b a y")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapPairs(tr, "doc_id", te, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shared distinct trigrams: "a b a" (and not twice)
+    got shouldBe Set((1L, 9L, 1L))
+  }
+
+  test("hot grams above maxTrainDocFreq are dropped before the join") {
+    // "the lazy dog" appears in train docs 1 and 3 -> df=2; cap at 1
+    val te = Seq((50L, "beware the lazy dog today")).toDF("doc_id", "text")
+    val capped = Decontaminate.overlapPairs(
+      trainDf, "doc_id", te, "doc_id", "text", n = 3, maxTrainDocFreq = 1)
+      .collect()
+    capped shouldBe empty
+    val uncapped = Decontaminate.overlapPairs(
+      trainDf, "doc_id", te, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    uncapped shouldBe Set((1L, 50L, 1L), (3L, 50L, 1L))
+  }
+
+  test("contaminatedIds flags test docs sharing any rare gram") {
+    val got = Decontaminate.contaminatedIds(
+      trainDf, "doc_id", testDf, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe Set(100L, 102L)
+    // minShared=3 keeps only the heavy overlap
+    val strict = Decontaminate.contaminatedIds(
+      trainDf, "doc_id", testDf, "doc_id", "text", n = 3, minShared = 3L)
+      .collect().map(_.getLong(0)).toSet
+    strict shouldBe Set(102L)
+  }
+
+  test("explode happens on distinct grams (no per-occurrence rows)") {
+    val tr = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    Decontaminate.docNgrams(tr, "doc_id", "text", 2).count() shouldBe 2L
+  }
+}
