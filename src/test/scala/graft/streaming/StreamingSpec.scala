@@ -153,4 +153,37 @@ class StreamingSpec extends SparkSpec {
     flagged.filter(col("quality_ok")).count() shouldBe 1
     flagged.filter(!col("quality_ok")).count() shouldBe 1
   }
+
+  test("streaming session aggregation merges within gap and splits across it") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streaming.sessionStats(
+      input.toDF.toDF("user_id", "ts", "value"),
+      Seq("user_id"), "ts", "value", gap = "10 minutes",
+      watermark = "1 hour")
+    // Session-window aggregation only supports append mode: sessions
+    // emit once the watermark passes their end, so a sentinel event two
+    // hours later flushes the earlier sessions as final.
+    val query = out.writeStream
+      .format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      // user 1: 10:01, 10:05 (one session), 10:30 (new session: gap 25m)
+      // user 2: 10:02 alone
+      input.addData(
+        (1L, ts(1), 1.0), (1L, ts(5), 2.0), (1L, ts(30), 4.0),
+        (2L, ts(2), 8.0))
+      query.processAllAvailable()
+      input.addData((3L, Timestamp.valueOf("2024-01-01 12:30:00"), 0.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, session_start, session_end, n_events, total_value
+           FROM sess_stream""")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(3), r.getDouble(4))).sorted
+      rows.toSeq shouldBe Seq(
+        (1L, "2024-01-01 10:01:00.0", 2L, 3.0),
+        (1L, "2024-01-01 10:30:00.0", 1L, 4.0),
+        (2L, "2024-01-01 10:02:00.0", 1L, 8.0))
+    } finally query.stop()
+  }
 }
