@@ -55,7 +55,7 @@ object Relevance {
 
   /** BM25's idf: `ln(1 + (N - df + 0.5) / (df + 0.5))`. */
   def bm25Idf(n: Column, df: Column): Column =
-    log(1.0 + ((n - df).cast("double") + 0.5) / (df.cast("double") + 0.5))
+    log(lit(1.0) + ((n - df).cast("double") + 0.5) / (df.cast("double") + 0.5))
 
   /** Log-free rational idf `(N - df + 0.5) / (df + 0.5)`: same ordering
     * as `bm25Idf` (x ↦ ln(1+x) is monotone), but built from
