@@ -1207,7 +1207,51 @@ object Queries {
         JOIN rare ON tr.gram = rare.gram
         JOIN te ON tr.gram = te.gram
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // BM25 relevance scoring (text/Relevance) with the log-free rational
+    // idf, so every score is built from correctly-rounded +,-,*,/ only
+    // and replays bit-for-bit in DuckDB. Both engines fold the per-term
+    // contributions in sorted term order (sort_array+aggregate there,
+    // list_sort+list_reduce here) with the same 0.0 seed, making the
+    // floating-point sum order-deterministic across engines.
+    GraftQuery(
+      "q40_bm25",
+      (s, dir) =>
+        graft.text.Relevance.bm25(
+          t(s, dir, "documents"), "doc_id", "text",
+          query = Seq("vector", "stream", "merge"),
+          idf = graft.text.Relevance.rationalIdf)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents
+        ),
+        post AS (
+          SELECT doc_id, t AS term, COUNT(*) AS tf, MAX(dl) AS dl
+          FROM (SELECT doc_id, unnest(ts) AS t, len(ts) AS dl FROM d)
+          WHERE t IN ('vector', 'stream', 'merge')
+          GROUP BY doc_id, t
+        ),
+        freq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+        stats AS (SELECT COUNT(*) AS n, SUM(len(ts)) AS total_dl FROM d),
+        scored AS (
+          -- e0 suffixes force DOUBLE literals: DuckDB parses bare 1.2 as
+          -- DECIMAL, making tf*(1.2+1.0) exactly 6.6 instead of the
+          -- IEEE product Spark computes — a 1-ulp hash break.
+          SELECT p.doc_id, p.term,
+            ((CAST(s.n - f.df AS DOUBLE) + 0.5e0) / (CAST(f.df AS DOUBLE) + 0.5e0))
+              * (p.tf * (1.2e0 + 1.0e0))
+              / (p.tf + 1.2e0 * (1.0e0 - 0.75e0 +
+                   0.75e0 * p.dl / (CAST(s.total_dl AS DOUBLE) / s.n))) AS s
+          FROM post p JOIN freq f USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id,
+          list_reduce(list_prepend(0.0e0, list_transform(
+            list_sort(list(struct_pack(term := term, s := s))), x -> x.s)),
+            (a, b) -> a + b) AS score
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

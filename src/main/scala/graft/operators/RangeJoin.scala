@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.graftbridge.ExpressionBridge
 
@@ -46,22 +46,66 @@ object RangeJoin {
       ExpressionBridge.expression(a - pmod(a, lit(b))),
       ExpressionBridge.expression(lit(b))))
 
-  /** Monotone map of an orderable column onto longs for binning. The bin
-    * key never leaves this operator, so it only needs per-engine
-    * monotonicity, not cross-engine portability: timestamps bin at
-    * second granularity (micros would overflow nothing but makes
-    * binWidth awkward), dates at day granularity, numerics truncate.
+  /** The long domain a column type bins in. All columns of one range
+    * join must land in the SAME domain: a date binned in days against a
+    * timestamp binned in seconds would silently drop true matches (the
+    * bins would never line up), so the domain is resolved once across
+    * every participating column by [[commonDomain]] and threaded through
+    * [[binnable]].
     */
-  private def binnable(df: DataFrame, colName: String): Column = {
-    val dt = df.schema(colName).dataType
-    dt match {
-      case TimestampType => col(colName).cast("long")
+  private sealed trait BinDomain
+  private case object Seconds extends BinDomain
+  private case object Days extends BinDomain
+  private case object Numeric extends BinDomain
+
+  private def domainOf(dt: DataType): BinDomain = dt match {
+    case TimestampType | TimestampNTZType => Seconds
+    case DateType                         => Days
+    case _: NumericType                   => Numeric
+    case other => throw new IllegalArgumentException(
+      s"rangeJoin: cannot bin a column of type ${other.sql}; " +
+        "expected timestamp, date or numeric")
+  }
+
+  /** One domain for all range-join columns. Dates promote to seconds
+    * when mixed with timestamps (exactly representable: days × 86400);
+    * mixing time with numeric types has no meaningful common axis and
+    * fails fast rather than dropping matches.
+    */
+  private def commonDomain(types: Seq[DataType]): BinDomain = {
+    val ds = types.map(domainOf).distinct
+    ds match {
+      case Seq(d) => d
+      case _ if ds.toSet == Set[BinDomain](Seconds, Days) => Seconds
+      case _ => throw new IllegalArgumentException(
+        "rangeJoin: point and interval-bound columns must share one " +
+          s"binnable domain; got types ${types.map(_.sql).mkString(", ")}")
+    }
+  }
+
+  /** Monotone map of an orderable column onto longs for binning, in the
+    * join's resolved common domain. The bin key never leaves this
+    * operator, so it only needs per-engine monotonicity, not
+    * cross-engine portability: timestamps bin at second granularity
+    * (micros would overflow nothing but makes binWidth awkward), dates
+    * at day granularity — or seconds when joined against timestamps —
+    * numerics truncate.
+    */
+  private def binnable(df: DataFrame, colName: String,
+      domain: BinDomain): Column = {
+    val epochDays = datediff(col(colName), to_date(lit("1970-01-01")))
+      .cast("long")
+    (df.schema(colName).dataType, domain) match {
+      case (TimestampType, Seconds) => col(colName).cast("long")
       // NTZ has no direct long cast; the session-tz reinterpretation is
       // monotone, which is all a bin key needs
-      case TimestampNTZType => col(colName).cast(TimestampType).cast("long")
-      case DateType => datediff(col(colName), to_date(lit("1970-01-01")))
-        .cast("long")
-      case _ => col(colName).cast("long")
+      case (TimestampNTZType, Seconds) =>
+        col(colName).cast(TimestampType).cast("long")
+      case (DateType, Seconds) => epochDays * lit(86400L)
+      case (DateType, Days)    => epochDays
+      case (_, Numeric)        => col(colName).cast("long")
+      case (dt, d) => throw new IllegalStateException(
+        s"rangeJoin: ${dt.sql} cannot bin in domain $d") // unreachable
     }
   }
 
@@ -92,9 +136,13 @@ object RangeJoin {
       maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
+    val domain = commonDomain(Seq(
+      points.schema(pointCol).dataType,
+      intervals.schema(loCol).dataType,
+      intervals.schema(hiCol).dataType))
 
-    val loBin = floorDiv(binnable(intervals, loCol), binWidth)
-    val hiBin = floorDiv(binnable(intervals, hiCol), binWidth)
+    val loBin = floorDiv(binnable(intervals, loCol, domain), binWidth)
+    val hiBin = floorDiv(binnable(intervals, hiCol, domain), binWidth)
     val span = hiBin - loBin + lit(1L)
 
     val expanded = guarded(
@@ -105,7 +153,8 @@ object RangeJoin {
         lit("); raise binWidth or maxBinsPerInterval")))
       .withColumn("__bin", explode(sequence(loBin, hiBin)))
 
-    points.withColumn("__bin", floorDiv(binnable(points, pointCol), binWidth))
+    points.withColumn("__bin",
+        floorDiv(binnable(points, pointCol, domain), binWidth))
       .join(expanded, Seq("__bin") ++ equiKeys)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
@@ -134,11 +183,14 @@ object RangeJoin {
       maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
+    val domain = commonDomain(Seq(
+      a.schema(aLoCol).dataType, a.schema(aHiCol).dataType,
+      b.schema(bLoCol).dataType, b.schema(bHiCol).dataType))
 
     def expand(df: DataFrame, loCol: String, hiCol: String,
         binCol: String, loBinCol: String): DataFrame = {
-      val loBin = floorDiv(binnable(df, loCol), binWidth)
-      val hiBin = floorDiv(binnable(df, hiCol), binWidth)
+      val loBin = floorDiv(binnable(df, loCol, domain), binWidth)
+      val hiBin = floorDiv(binnable(df, hiCol, domain), binWidth)
       val span = hiBin - loBin + lit(1L)
       guarded(
         df.filter(col(loCol) <= col(hiCol)),

