@@ -1251,7 +1251,224 @@ object Queries {
           list_reduce(list_prepend(0.0e0, list_transform(
             list_sort(list(struct_pack(term := term, s := s))), x -> x.s)),
             (a, b) -> a + b) AS score
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII-pattern redaction (text/Redact): the synthetic corpus carries
+    // no PII, so the query plants deterministic email/IP/phone/ID spans
+    // derived from doc_id — the SAME derivation in both engines — and
+    // both replay the identical regexp_replace chain. Patterns live in
+    // the Java-regex ∩ RE2 subset (no lookaround), so byte-identical
+    // rewrites are guaranteed; counts are per-stage (each pattern counts
+    // against the text already rewritten by earlier rules).
+    GraftQuery(
+      "q41_redact",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10."),
+            (col("doc_id") % 200).cast("string"), lit(".0."),
+            (col("doc_id") % 250).cast("string"),
+            lit(" call +1 555 010 "),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" ref 90000000"), (col("doc_id") % 10).cast("string")
+          ).as("t"))
+        graft.text.Redact.withRedactions(planted, "t")
+          .select(col("doc_id"), col("t_redacted"),
+            col("n_email"), col("n_ip"), col("n_phone"), col("n_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH planted AS (
+          -- concat() not ||: stripMargin would eat line-leading pipes
+          SELECT doc_id,
+            concat(substr(text, 1, 40),
+              ' contact user', CAST(doc_id AS VARCHAR),
+              '@mail.example.com from 10.',
+              CAST(doc_id % 200 AS VARCHAR), '.0.',
+              CAST(doc_id % 250 AS VARCHAR),
+              ' call +1 555 010 ',
+              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+              ' ref 90000000', CAST(doc_id % 10 AS VARCHAR)) AS t
+          FROM documents
+        ),
+        s0 AS (SELECT doc_id, t AS r0 FROM planted),
+        s1 AS (SELECT *, regexp_replace(r0,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1 FROM s0),
+        s2 AS (SELECT *, regexp_replace(r1,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r2 FROM s1),
+        s3 AS (SELECT *, regexp_replace(r2,
+          '\+[0-9][0-9 ()-]{5,}[0-9]', '<PHONE>', 'g') AS r3 FROM s2),
+        s4 AS (SELECT *, regexp_replace(r3,
+          '\b[0-9]{9,}\b', '<ID>', 'g') AS r4 FROM s3)
+        SELECT doc_id, r4 AS t_redacted,
+          CAST(len(regexp_extract_all(r0,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+          CAST(len(regexp_extract_all(r1,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+          CAST(len(regexp_extract_all(r2,
+            '\+[0-9][0-9 ()-]{5,}[0-9]')) AS INTEGER) AS n_phone,
+          CAST(len(regexp_extract_all(r3,
+            '\b[0-9]{9,}\b')) AS INTEGER) AS n_id
+        FROM s4 ORDER BY doc_id""")),
+
+    // Temperature-based corpus mixing (operators/Mixing) over the skewed
+    // lang distribution: alpha=0.5 via sqrt (IEEE-correctly-rounded in
+    // both engines), keep/drop decided by the portable affine-mod
+    // uniform draw — the whole decision replays bit-for-bit in SQL, so
+    // the surviving row SET (not just its size) is the oracle.
+    GraftQuery(
+      "q42_temperature_mix",
+      (s, dir) =>
+        graft.operators.Mixing.mixByTemperature(
+          t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, seed = 41L)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        tot AS (SELECT SUM(n) AS total_n FROM counts),
+        r AS (
+          SELECT lang,
+            sqrt(CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE))
+              / (CAST(n AS DOUBLE) / CAST(total_n AS DOUBLE)) AS ratio
+          FROM counts, tot
+        ),
+        m AS (SELECT MAX(ratio) AS mr FROM r),
+        rates AS (SELECT lang, ratio / mr AS rate FROM r, m)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates USING (lang)
+        WHERE (CAST(((((d.doc_id % 2147483647) * 1103515245 + 41) % 2147483647)
+                      * 784588716 + 997) % 2147483647 AS DOUBLE) + 0.5e0)
+                / 2147483647e0
+              < rate
+        ORDER BY d.doc_id""")),
+
+    // Near-dup pairs → duplicate CLUSTERS (dedup/Components): min-label
+    // propagation over the q23 trigram-Jaccard pair graph, every doc
+    // labeled by its cluster's minimum id (singletons label themselves).
+    // DuckDB recomputes the same edge set exactly (q23 proved the LSH
+    // pipeline finds precisely the ≥0.85 pairs) and closes it with a
+    // recursive CTE — two engines, two closure algorithms, one labeling.
+    GraftQuery(
+      "q43_dup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.dedup.Dedup.nearDuplicates(
+          docs.filter(col("doc_id") < 500), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+        val comp = graft.dedup.Components.connectedComponents(
+          pairs, "id_a", "id_b")
+        docs.join(comp, docs("doc_id") === comp("id"), "left")
+          .select(docs("doc_id"),
+            coalesce(col("component"), docs("doc_id")).as("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3),
+        e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM t a, t b
+          WHERE a.doc_id <> b.doc_id
+            AND len(a.gs) > 0 AND len(b.gs) > 0
+            AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.85
+        ),
+        reach AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+          WHERE e2.v <> r.u
+        ),
+        comp AS (SELECT u AS id, least(u, MIN(v)) AS component
+                 FROM reach GROUP BY u)
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ORDER BY d.doc_id""")),
+
+    // Deterministic k-means (sim/KMeans): 2 Lloyd rounds, k=4, init from
+    // the 4 smallest vec_ids. Centroid updates accumulate floor(x·2^20)
+    // LONGS — integer sums are order-independent, so the centroids (and
+    // every squared-L2 distance computed from them) are bit-identical
+    // under any partitioning and replay exactly in SQL: DuckDB unrolls
+    // both rounds as CTEs with the same sequential distance folds.
+    GraftQuery(
+      "q44_kmeans",
+      (s, dir) =>
+        graft.sim.KMeans.kmeans(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, x AS c FROM v WHERE vec_id < 4),
+        d1 AS (
+          SELECT v.vec_id, v.x, c0.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(v.x, (e, i) -> (e - c0.c[i]) * (e - c0.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM v, c0
+        ),
+        a1 AS (
+          SELECT vec_id, x, cid, dist,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1
+        ),
+        q1 AS (
+          SELECT cid, unnest(list_transform(x, (e, i) ->
+            struct_pack(pos := i, q := CAST(floor(e * 1048576e0) AS BIGINT)))) AS u
+          FROM a1 WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q1 GROUP BY cid, u.pos)
+          GROUP BY cid
+        ),
+        d2 AS (
+          SELECT v.vec_id, v.x, c1.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(v.x, (e, i) -> (e - c1.c[i]) * (e - c1.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM v, c1
+        ),
+        a2 AS (
+          SELECT vec_id, x, cid, dist,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d2
+        ),
+        q2 AS (
+          SELECT cid, unnest(list_transform(x, (e, i) ->
+            struct_pack(pos := i, q := CAST(floor(e * 1048576e0) AS BIGINT)))) AS u
+          FROM a2 WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q2 GROUP BY cid, u.pos)
+          GROUP BY cid
+        ),
+        df AS (
+          SELECT v.vec_id, c2.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(v.x, (e, i) -> (e - c2.c[i]) * (e - c2.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM v, c2
+        ),
+        af AS (
+          SELECT vec_id, cid, dist,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM df
+        )
+        SELECT vec_id, cid AS cluster, dist FROM af WHERE rn = 1
+        ORDER BY vec_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

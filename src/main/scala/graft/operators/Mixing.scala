@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Scalars
+import graft.eval.BootstrapEval
+
+/** Temperature-based corpus mixing — the multilingual-LM recipe
+  * (XLM/mBERT style) for rebalancing a skewed corpus: strata (languages,
+  * sources, domains) are resampled toward the share `p^alpha / Σ p^alpha`
+  * so dominant strata shrink and rare strata keep (nearly) everything.
+  *
+  * Mechanics: with empirical shares `p_s = n_s / N`, the target share is
+  * `q_s ∝ p_s^alpha`; pure downsampling realizes it with per-stratum
+  * keep rate `r_s = (q_s/p_s) / max_t (q_t/p_t)` — the rarest stratum
+  * gets rate 1 and everything else scales down proportionally. Rows are
+  * kept when a per-row deterministic uniform draw falls under their
+  * stratum's rate, so the result is reproducible row-for-row, not just
+  * in expectation.
+  *
+  * Scale shape: one map-side-combinable count aggregate over strata
+  * (|strata| rows), a 1-row max aggregate, a broadcast join of the tiny
+  * rate table back onto the corpus, and a map-only filter. No
+  * corpus-sized shuffle anywhere.
+  *
+  * Cross-engine determinism: the draw is [[BootstrapEval.portableUniform]]
+  * (affine-mod integer arithmetic) and every rate is built from IEEE
+  * correctly-rounded ops — divides and, for `alpha = 0.5` (the common
+  * LM temperature), `sqrt`, which IEEE 754 requires to be correctly
+  * rounded. Other alphas go through `pow`, whose last-ulp behavior is
+  * library-specific — fine in production, excluded from the oracle.
+  * North-star extension per SURVEY §2.11 (not in the reference).
+  */
+object Mixing {
+
+  /** Per-stratum mixing table: `(stratum, n, share, rate)` where `rate`
+    * is the keep probability realizing temperature-`alpha` resampling by
+    * pure downsampling (max rate = 1, attained by the rarest stratum).
+    */
+  def temperatureRates(
+      df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1] (got $alpha); alpha=1 is a no-op identity mix")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__N"))
+    // p^alpha / p = p^(alpha-1); sqrt is the IEEE-correctly-rounded
+    // fast path for the standard temperature 0.5
+    def weight(p: Column): Column =
+      if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
+    val withShare = Scalars.withScalars(counts, total)
+      .withColumn("share",
+        col("n").cast("double") / col("__N").cast("double"))
+      .withColumn("__ratio", weight(col("share")) / col("share"))
+    val maxRatio = withShare.agg(max(col("__ratio")).as("__max_ratio"))
+    Scalars.withScalars(withShare, maxRatio)
+      .withColumn("rate", col("__ratio") / col("__max_ratio"))
+      .select(col(stratumCol), col("n"), col("share"), col("rate"))
+  }
+
+  /** `df` downsampled to the temperature-`alpha` mix over `stratumCol`.
+    * A row survives when `portableUniform(seed)(keyCol) < rate(stratum)`.
+    *
+    * `keyCol` must be a nonnegative, stable row key (see
+    * [[BootstrapEval.portableUniform]]'s precondition — Spark `pmod` vs
+    * sign-preserving SQL `%` diverge on negative keys).
+    */
+  def mixByTemperature(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      alpha: Double = 0.5, seed: Long = 41L): DataFrame = {
+    val rates = temperatureRates(df, stratumCol, alpha)
+      .select(col(stratumCol), col("rate"))
+    val draw = BootstrapEval.portableUniform(seed)(col(keyCol), lit(0L))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(draw < col("rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -41,23 +41,11 @@ object Relevance {
   private def cleanTokens(text: Column): Column =
     filter(TextStats.tokens(text), t => t =!= "")
 
-  /** Attach a 1-row aggregate (corpus scalars) to every row. A bare
-    * `crossJoin(broadcast(...))` plans a BroadcastNestedLoopJoin, and a
-    * `lit`-key equi-join constant-folds back into one (a foldable key
-    * references neither side, so ExtractEquiJoinKeys finds no hashable
-    * keys). [[zeroKey]] derives an always-zero key from each side's own
-    * columns — non-foldable, so the plan is a BroadcastHashJoin with a
-    * single-row build, keeping every plan in the library free of
-    * nested-loop operators.
+  /** Corpus scalars attach via [[graft.core.Scalars.withScalars]] — a
+    * constant-key broadcast hash join, never a nested-loop operator.
     */
-  private def zeroKey(df: DataFrame): Column =
-    pmod(hash(col(df.columns.head)), lit(1))
-
   private def withScalars(rows: DataFrame, scalars: DataFrame): DataFrame =
-    rows.withColumn("__one", zeroKey(rows))
-      .join(broadcast(scalars.withColumn("__one", zeroKey(scalars))),
-        Seq("__one"))
-      .drop("__one")
+    graft.core.Scalars.withScalars(rows, scalars)
 
   /** One row per (doc, term): `tf` occurrences, `dl` document length in
     * tokens. Whitespace tokenization to match the rest of the text

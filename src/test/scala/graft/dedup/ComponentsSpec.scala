@@ -1,0 +1,47 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("labels every component by its minimum member") {
+    // chain 1-2-3, pair 10-11, and an edge order that propagates "uphill"
+    val pairs = Seq((2L, 1L), (2L, 3L), (11L, 10L)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("converges on a long path (propagation crosses many hops)") {
+    // path 0-1-2-...-9: every node must reach label 0
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.toSet shouldBe Set(0L)
+    got.keySet shouldBe (0L to 9L).toSet
+  }
+
+  test("fails fast when maxIter is too small to converge") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
+    }
+    e.getMessage should include("did not converge")
+  }
+
+  test("keepCanonical keeps one row per cluster plus all singletons") {
+    val docs = (0L until 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters {0,1,2} and {5,6}; 3, 4, 7 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Components.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(0L, 3L, 4L, 5L, 7L)
+  }
+
+  test("empty pair table keeps everything") {
+    val docs = (0L until 3L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Components.keepCanonical(docs, "doc_id", pairs).count() shouldBe 3L
+  }
+}
