@@ -1107,23 +1107,30 @@ object Queries {
 
     // Gopher-style repetition quality signals (text/Repetition): duplicate
     // n-gram fraction and top-n-gram character coverage per document —
-    // map-only column algebra on the Spark side (no shuffle, no UDF).
-    // DuckDB replays via explode+group+window; both sides divide exact
-    // integers, so the doubles compare bit-for-bit, and the count tie
-    // breaks toward the lexicographically greatest gram in both engines
-    // (struct max there, ORDER BY c DESC, gram DESC here).
+    // map-only (no shuffle, no UDF), one native O(len) codegen pass per
+    // (row, n) (functions/NgramRepetition) shared by both fractions via
+    // a stacked projection. DuckDB replays via explode+group+window;
+    // both sides divide exact integers, so the doubles compare
+    // bit-for-bit, and the count tie breaks toward the lexicographically
+    // greatest gram in both engines (byte order in the native pass,
+    // ORDER BY c DESC, gram DESC here).
     GraftQuery(
       "q38_repetition",
       (s, dir) =>
         t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.text.Repetition.ngramStats(col("text"), 2).as("__s2"),
+            graft.text.Repetition.ngramStats(col("text"), 3).as("__s3"))
           .select(col("doc_id"),
-            graft.text.Repetition.dupNgramFraction(col("text"), 2)
+            graft.text.Repetition.dupFractionFromStats(col("__s2"))
               .as("dup_2gram_frac"),
-            graft.text.Repetition.topNgramCharFraction(col("text"), 2)
+            graft.text.Repetition
+              .topCharFractionFromStats(col("__s2"), col("text"))
               .as("top_2gram_char_frac"),
-            graft.text.Repetition.dupNgramFraction(col("text"), 3)
+            graft.text.Repetition.dupFractionFromStats(col("__s3"))
               .as("dup_3gram_frac"),
-            graft.text.Repetition.topNgramCharFraction(col("text"), 3)
+            graft.text.Repetition
+              .topCharFractionFromStats(col("__s3"), col("text"))
               .as("top_3gram_char_frac"))
           .orderBy(col("doc_id")),
       Some("""

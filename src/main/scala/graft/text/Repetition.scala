@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * content is dominated by repeated lines or repeated word n-grams are
   * boilerplate/spam and get dropped before training.
   *
-  * Everything is pure Column algebra over the token array (split +
-  * higher-order functions) — map-only, no shuffle, no UDF: per-document
-  * signals at 100 TB stay a single pipelined pass over the scan, and
-  * the filter predicate composes into the same stage. The top-n-gram
-  * signal is O(grams × distinct) comparisons per row (interpreted HOF);
-  * that is quadratic in *document* length only — independent of corpus
-  * size — and bounded in practice by the tokenizer's document cap.
+  * Everything is map-only — no shuffle, no UDF: per-document signals
+  * at 100 TB stay a single pipelined pass over the scan, and the filter
+  * predicate composes into the same stage. The n-gram signals run on
+  * the native one-pass codegen expression
+  * [[graft.functions.NgramRepetition]] (O(len) per document); the
+  * composed higher-order-function forms (`...Hof`) are kept as the
+  * executable definition of the semantics and pinned bit-equivalent in
+  * RepetitionSpec — the HOF form is O(grams × distinct) interpreted
+  * comparisons per document, which measured as 31% of the whole bench
+  * (q38, 17.6 s) before the native replacement.
   *
   * Definitions (documented here because "duplicate fraction" has
   * several published variants; specs pin each):
@@ -65,13 +68,52 @@ object Repetition {
         .otherwise(lit(0.0))
     }
 
+  /** One-pass native n-gram statistics struct
+    * `(total, distinct, top_count, top_chars)` — see
+    * [[graft.functions.NgramRepetition]]. Compute this once per (row,
+    * n) and derive several signals from it via [[dupFractionFromStats]]
+    * / [[topCharFractionFromStats]].
+    */
+  def ngramStats(text: Column, n: Int): Column =
+    graft.functions.NgramRepetition.ngramRepetition(text, n)
+
+  /** `(total - distinct) / total` from an [[ngramStats]] struct; 0.0
+    * when the document has fewer than `n` tokens. Integer-valued
+    * operands and a single divide — bit-reproducible across engines.
+    */
+  def dupFractionFromStats(stats: Column): Column =
+    when(stats.getField("total") > 0,
+      (stats.getField("total") - stats.getField("distinct")).cast("double") /
+        stats.getField("total"))
+      .otherwise(lit(0.0))
+
+  /** `top_count * top_chars / length(text)` from an [[ngramStats]]
+    * struct; 0.0 when the document has fewer than `n` tokens.
+    */
+  def topCharFractionFromStats(stats: Column, text: Column): Column =
+    when(stats.getField("total") > 0,
+      (stats.getField("top_count") * stats.getField("top_chars"))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
   /** Fraction of the document's characters covered by its most frequent
     * word n-gram: `count * length(gram) / length(text)`. Ties on count
-    * resolve to the lexicographically greatest gram (struct max), so
-    * the result is deterministic and engine-portable. 0.0 when the
-    * document has fewer than `n` tokens.
+    * resolve to the lexicographically greatest gram, so the result is
+    * deterministic and engine-portable. 0.0 when the document has fewer
+    * than `n` tokens.
     */
   def topNgramCharFraction(text: Column, n: Int): Column =
+    TextStats.bindOnce(ngramStats(text, n))(topCharFractionFromStats(_, text))
+
+  /** `dupOccurrenceFraction` over word n-grams. */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    TextStats.bindOnce(ngramStats(text, n))(dupFractionFromStats)
+
+  /** Composed higher-order-function form of [[topNgramCharFraction]] —
+    * the executable definition of the semantics (struct-max tie-break),
+    * kept as the bit-equivalence witness for the native expression.
+    */
+  private[graft] def topNgramCharFractionHof(text: Column, n: Int): Column =
     TextStats.bindOnce(ngrams(TextStats.tokens(text), n)) { g =>
       TextStats.bindOnce(
         array_max(transform(array_distinct(g), x =>
@@ -84,8 +126,8 @@ object Repetition {
       }
     }
 
-  /** `dupOccurrenceFraction` over word n-grams. */
-  def dupNgramFraction(text: Column, n: Int): Column =
+  /** Composed form of [[dupNgramFraction]] — equivalence witness. */
+  private[graft] def dupNgramFractionHof(text: Column, n: Int): Column =
     dupOccurrenceFraction(ngrams(TextStats.tokens(text), n))
 
   /** Newline-split lines with surrounding whitespace trimmed and empty
@@ -105,6 +147,12 @@ object Repetition {
   /** Append the standard repetition-signal columns:
     * `dup_line_frac`, `dup_line_char_frac`, and per n in `ngramNs`
     * `dup_{n}gram_frac` / `top_{n}gram_char_frac`.
+    *
+    * The native stats struct is computed ONCE per (row, n) in its own
+    * projection and both fractions derive from it in the next —
+    * CollapseProject keeps the split because inlining would duplicate
+    * the non-cheap expression, so this is the Column-algebra form of a
+    * per-n `let` binding shared across output columns.
     */
   def withRepetitionStats(
       df: DataFrame,
@@ -115,8 +163,12 @@ object Repetition {
       .withColumn("dup_line_frac", dupLineFraction(t))
       .withColumn("dup_line_char_frac", dupLineCharFraction(t))
     ngramNs.foldLeft(base) { (d, n) =>
-      d.withColumn(s"dup_${n}gram_frac", dupNgramFraction(t, n))
-        .withColumn(s"top_${n}gram_char_frac", topNgramCharFraction(t, n))
+      d.withColumn(s"__stats_$n", ngramStats(t, n))
+        .withColumn(s"dup_${n}gram_frac",
+          dupFractionFromStats(col(s"__stats_$n")))
+        .withColumn(s"top_${n}gram_char_frac",
+          topCharFractionFromStats(col(s"__stats_$n"), t))
+        .drop(s"__stats_$n")
     }
   }
 }

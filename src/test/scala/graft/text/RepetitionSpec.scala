@@ -88,6 +88,55 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("native stats match the HOF witness bit-for-bit on adversarial docs") {
+    val rng = new scala.util.Random(41)
+    val words = Seq("a", "bb", "ccc", "dd", "a", "é", "日本", "x")
+    val random = (0 until 80).map { _ =>
+      (0 until rng.nextInt(30)).map(_ => words(rng.nextInt(words.size)))
+        .mkString(" ")
+    }
+    val edges = Seq(
+      "", " ", "  ", "a", "a ", " a", "a  b", "a b a b a",
+      "é é é", "日本 語 日本 語", "a b", "x x x x",
+      "tie z tie z a tie z") // count tie: greatest gram must win
+    val docs = (random ++ edges).toDF("text")
+    val got = docs.select(
+      Repetition.dupNgramFraction(col("text"), 2).as("d2"),
+      Repetition.topNgramCharFraction(col("text"), 2).as("t2"),
+      Repetition.dupNgramFraction(col("text"), 3).as("d3"),
+      Repetition.topNgramCharFraction(col("text"), 3).as("t3"),
+      Repetition.dupNgramFractionHof(col("text"), 2).as("hd2"),
+      Repetition.topNgramCharFractionHof(col("text"), 2).as("ht2"),
+      Repetition.dupNgramFractionHof(col("text"), 3).as("hd3"),
+      Repetition.topNgramCharFractionHof(col("text"), 3).as("ht3"))
+      .collect()
+    got.foreach { r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(4))
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(5))
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(6))
+      java.lang.Double.doubleToRawLongBits(r.getDouble(3)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(7))
+    }
+  }
+
+  test("native stats run under forced codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Seq("a b a b a", "solo", "")
+        .toDF("text")
+        .select(Repetition.ngramStats(col("text"), 2).as("s"))
+        .select(col("s.total"), col("s.distinct"), col("s.top_count"),
+          col("s.top_chars"))
+        .collect()
+      got(0).toSeq shouldBe Seq(4, 2, 2, 3) // grams: a b, b a, a b, b a
+      got(1).toSeq shouldBe Seq(0, 0, 0, 0)
+      got(2).toSeq shouldBe Seq(0, 0, 0, 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("the plan is map-only: no exchange, no UDF") {
     val df = Repetition.withRepetitionStats(
       Seq("a b c a b").toDF("text"), "text")
