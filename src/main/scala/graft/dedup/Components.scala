@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   * MapReduce and Beyond") converges in O(log n) rounds; the propagation
   * loop here keeps the simpler shape because dedup graphs are shallow.
   *
-  * Iterative-plan hygiene: each round's labels are
-  * `localCheckpoint(eager)`-materialized, truncating the lineage that
-  * would otherwise double every round and re-execute the whole chain at
-  * every convergence probe. The convergence check rides on the
-  * materializing action, costing one extra `isEmpty` probe per round.
+  * Iterative-plan hygiene: the symmetrized edge set is materialized
+  * ONCE (`localCheckpoint(eager)`) — each round's join would otherwise
+  * lazily re-scan the pair table, so a d-diameter graph re-reads it
+  * ~d times — and each round's labels are checkpointed, truncating the
+  * lineage that would otherwise double every round. Convergence is
+  * decided INSIDE the update aggregate: the self row carries the
+  * previous label through the groupBy, so "any label changed" is a
+  * column of the checkpointed round result and the probe is a cheap
+  * scan of already-materialized partitions, not a separate join-job.
   */
 object Components {
 
@@ -45,24 +49,33 @@ object Components {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true)
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    val idType = labels.schema("component").dataType
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val propagated = sym
         .join(labels, sym("v") === labels("id"))
-        .select(sym("u").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(sym("u").as("id"), col("component"),
+          lit(null).cast(idType).as("old"))
+      // exactly one row per id (the self row) carries the previous label
+      // in `old`; min/max ignore nulls, so the same aggregate yields the
+      // new label AND the old one — `changed` needs no second join.
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("old"))
         .union(propagated)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"), max(col("old")).as("old"))
+        .withColumn("changed", col("component") =!= col("old"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+      // one deterministic single-job probe over the checkpointed result
+      converged = !next
+        .agg(coalesce(max(col("changed")), lit(false)).as("any"))
+        .head.getBoolean(0)
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     if (!converged)

@@ -30,6 +30,19 @@ class ComponentsSpec extends SparkSpec {
     e.getMessage should include("did not converge")
   }
 
+  test("scans the pair table exactly once (edges are checkpointed)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val scans = spark.sparkContext.longAccumulator("pairScans")
+    val touch = udf { (_: Long) => scans.add(1L); true }
+    // path graph: 10 rounds of propagation — the old shape re-scanned
+    // the pair table every round (join + probe), ~20× here
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .filter(touch(col("id_a")))
+    Components.connectedComponents(pairs, "id_a", "id_b").collect()
+    // 9 pairs × two symmetrize arms, materialized once
+    scans.value shouldBe 18L
+  }
+
   test("keepCanonical keeps one row per cluster plus all singletons") {
     val docs = (0L until 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // clusters {0,1,2} and {5,6}; 3, 4, 7 untouched
