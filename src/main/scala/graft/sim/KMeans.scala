@@ -36,18 +36,26 @@ import org.apache.spark.sql.functions._
   *   - the k×dim sum table collects to the driver (bounded, same
   *     contract as IVF's centroid sample), never the data.
   *
-  * The interpreted HOF distance fold is the assignment's hot loop; for
-  * a production 100 TB run the same expression shape would move into a
-  * native codegen Expression like [[graft.functions.CosineFold]] — the
-  * arithmetic (and thus the result) would not change.
+  * The assignment's distance fold runs on the native codegen
+  * expression [[graft.functions.L2DistancesFold]] — one flat k×dim
+  * loop per row instead of k interpreted higher-order-function folds.
+  * The composed HOF form is kept as the executable definition of the
+  * arithmetic and pinned bit-equivalent in KMeansSpec.
   */
 object KMeans {
 
-  /** Squared-L2 distances from `vec` (float array, cast per-element) to
+  /** Squared-L2 distances from `vec` (float array, cast to double) to
     * each centroid, as a k-element array in centroid order. Sequential
     * fold in dimension order — deterministic and SQL-replayable.
     */
-  private def distances(vec: Column, cents: Seq[Array[Double]]): Column = {
+  private def distances(vec: Column, cents: Seq[Array[Double]]): Column =
+    graft.functions.L2DistancesFold.l2Distances(vec, cents)
+
+  /** Composed higher-order-function form of [[distances]] — the
+    * equivalence witness for the native expression (same sequential
+    * fold, same IEEE order).
+    */
+  private[sim] def distancesHof(vec: Column, cents: Seq[Array[Double]]): Column = {
     // bind the cast-to-double array once (interpreted HOFs re-evaluate
     // referenced subtrees per element — see TextStats.bindOnce)
     graft.text.TextStats.bindOnce(transform(vec, _.cast("double"))) { v =>

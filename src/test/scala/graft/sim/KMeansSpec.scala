@@ -70,6 +70,46 @@ class KMeansSpec extends SparkSpec {
     got.getInt(1) shouldBe 0
   }
 
+  test("native distance fold matches the HOF witness bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(43)
+    val cents = Seq.fill(5)(Array.fill(16)(rng.nextDouble() * 20 - 10))
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)((rng.nextDouble() * 20 - 10).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select(
+      graft.functions.L2DistancesFold.l2Distances(col("v"), cents).as("n"),
+      KMeans.distancesHof(col("v"), cents).as("h"))
+      .collect()
+    got.foreach { r =>
+      val n = r.getSeq[Double](0).map(java.lang.Double.doubleToRawLongBits)
+      val h = r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits)
+      n shouldBe h
+    }
+  }
+
+  test("native distance fold runs under forced codegen") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(-1.0f, 0.5f)))
+        .toDF("id", "v")
+      val got = df.select(graft.functions.L2DistancesFold
+        .l2Distances(col("v"), Seq(Array(0.0, 0.0), Array(1.0, 2.0))).as("d"))
+        .orderBy(col("id") * 0 + 1) // keep input order irrelevant; collect both
+        .collect().map(_.getSeq[Double](0))
+      got should contain (Seq(5.0, 0.0))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("dimension mismatch and null elements yield a null result") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    df.select(graft.functions.L2DistancesFold
+      .l2Distances(col("v"), Seq(Array(0.0, 0.0))).as("d"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("rejects bad parameters and too-few rows") {
     val df = Seq((0L, Array(1.0f))).toDF("id", "v")
     intercept[IllegalArgumentException] {
