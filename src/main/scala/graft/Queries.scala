@@ -1475,7 +1475,78 @@ object Queries {
           FROM df
         )
         SELECT vec_id, cid AS cluster, dist FROM af WHERE rn = 1
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // Exact substring-level dedup (dedup/SubstringDedup — the Lee et al.
+    // 2022 family): cross-document repeated substrings via winnowing
+    // fingerprints with positions (k=16, window=16 — any shared
+    // normalized substring >= 31 bytes is detected), df-capped at 50
+    // docs per hash, verified by exact 16-byte snippet equality at the
+    // matched offsets. DuckDB replays fingerprint selection with the
+    // q30 min-key window machinery (plus positions) and the same
+    // cap/join/verify. ASCII filter as in q30 so byte offsets align
+    // with character substrings in both engines.
+    GraftQuery(
+      "q45_substring_dedup",
+      (s, dir) =>
+        graft.dedup.SubstringDedup.substringMatches(
+          t(s, dir, "documents").filter(!col("text").rlike("[^ -~]")),
+          "doc_id", "text", k = 16, window = 16, maxDocFreq = 50)
+          .orderBy(col("id_a"), col("id_b"), col("pos_a"), col("pos_b")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        h AS (
+          SELECT doc_id, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id, t,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, t, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, t, hash, p FROM (
+            SELECT doc_id, t, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp AS (
+          SELECT doc_id, hash, p, substr(t, CAST(p AS INTEGER), 16) AS snippet
+          FROM sel
+          UNION ALL
+          SELECT doc_id, hash, p, substr(t, CAST(p AS INTEGER), 16) FROM shortd
+        ),
+        rare AS (
+          SELECT hash FROM fp GROUP BY hash HAVING COUNT(DISTINCT doc_id) <= 50
+        ),
+        fpc AS (SELECT fp.* FROM fp JOIN rare USING (hash))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(a.p - 1 AS INTEGER) AS pos_a,
+               CAST(b.p - 1 AS INTEGER) AS pos_b,
+               a.snippet
+        FROM fpc a JOIN fpc b
+          ON a.hash = b.hash AND a.doc_id < b.doc_id AND a.snippet = b.snippet
+        ORDER BY id_a, id_b, pos_a, pos_b"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

@@ -1,0 +1,121 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** Exact substring-level deduplication — the Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better") family:
+  * find substrings REPEATED ACROSS DOCUMENTS (boilerplate sentences,
+  * license headers, templated paragraphs inside otherwise-distinct
+  * pages). Document-level exact dedup ([[Dedup]]) and MinHash/SimHash
+  * near-dup miss these entirely: two pages sharing one boilerplate
+  * paragraph are neither identical nor globally similar.
+  *
+  * Lee et al. build a corpus-wide suffix array; that is inherently a
+  * single-machine (or sorted-global-index) design. The Spark-first
+  * shape used here reaches the same candidates with winnowing
+  * fingerprints ([[graft.functions.WinnowingFingerprintKeys]], the
+  * q30 machinery plus byte positions):
+  *
+  *   1. each document emits its selected (hash, pos) fingerprints over
+  *      normalized text — O(2·len/window) rows per document, each
+  *      carrying only a k-byte snippet, never the document;
+  *   2. fingerprints whose document frequency exceeds `maxDocFreq` are
+  *      dropped BEFORE the self-join (same hot-key cap as
+  *      [[graft.text.Decontaminate]] — a license line shared by a
+  *      million documents would otherwise produce a quadratic pair
+  *      blowup on one join key; the cap is part of the contract and
+  *      replayed by the oracle);
+  *   3. one hash equi-join emits cross-document candidates, and exact
+  *      equality of the k-byte snippets at the matched offsets verifies
+  *      them — a Karp-Rabin collision cannot survive, so the output is
+  *      exact, not probabilistic.
+  *
+  * Detection guarantee (winnowing): any shared normalized substring of
+  * length ≥ `window + k - 1` bytes contains a full window of the match
+  * in both documents, both windows select the same content-relative
+  * k-gram, and that shared fingerprint becomes an output row after
+  * snippet verification. Shared substrings shorter than `k` are never
+  * reported. Snippet extraction uses character offsets, so byte
+  * positions align with substrings only for single-byte text — callers
+  * filter to ASCII (as q30/q45 do) or accept byte-offset snippets.
+  *
+  * At 100 TB: fingerprint rows are ~(16 + k bytes) × 2/window per
+  * document byte; the only shuffle is the hash groupBy (df cap) plus
+  * one equi-join, both on a 64-bit key; nothing is quadratic after the
+  * cap. Output pairs feed [[Components.keepCanonical]] for
+  * cluster-level removal, or a span-level trimmer.
+  */
+object SubstringDedup {
+
+  /** One row per selected fingerprint: (id, hash, pos, snippet) over
+    * the NORMALIZED text (lowercase, trimmed, whitespace collapsed —
+    * [[TextStats.normalize]]), where `pos` is the 0-based offset of the
+    * fingerprinted k-gram and `snippet` is that k-gram itself.
+    */
+  def fingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, window: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    df.select(col(idCol), TextStats.normalize(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(graft.functions.WinnowingFingerprints
+          .winnowingFingerprintKeys(col("__t"), k, window)).as("__key"))
+      .select(
+        col(idCol),
+        shiftrightunsigned(col("__key"), 32).as("hash"),
+        col("__key").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("pos"),
+        col("__t").substr(
+          col("__key").bitwiseAND(lit(0xFFFFFFFFL)).cast("int") + 1,
+          lit(k)).as("snippet"))
+  }
+
+  /** Verified cross-document repeated-substring matches:
+    * `(id_a, id_b, pos_a, pos_b, snippet)` with `id_a < id_b`, one row
+    * per matched fingerprint instance pair. `snippet` is the shared
+    * k-byte normalized substring; any true shared span of
+    * ≥ `window + k - 1` bytes yields at least one row.
+    */
+  def substringMatches(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, window: Int = 16,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val fp = fingerprints(df, idCol, textCol, k, window)
+    // document frequency per hash; hot boilerplate hashes never reach
+    // the join (the tiny (hash) aggregate broadcasts under AQE)
+    val rare = fp.groupBy(col("hash"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("hash")
+    val capped = fp.join(rare, Seq("hash"))
+    // dataset aliases: both sides share lineage, so bare column refs
+    // would resolve to the same attribute (a trivially-true join key)
+    val a = capped.select(col("hash"), col(idCol).as("id_a"),
+      col("pos").as("pos_a"), col("snippet")).alias("fa")
+    val b = capped.select(col("hash"), col(idCol).as("id_b"),
+      col("pos").as("pos_b"), col("snippet").as("__sb")).alias("fb")
+    a.join(b, col("fa.hash") === col("fb.hash") &&
+        col("id_a") < col("id_b") && col("snippet") === col("__sb"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("snippet"))
+  }
+
+  /** Distinct document pairs sharing at least `minShared` verified
+    * substring fingerprints — the pair table for
+    * [[Components.keepCanonical]].
+    */
+  def sharedSubstringPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, window: Int = 16,
+      maxDocFreq: Long = 1000L, minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    substringMatches(df, idCol, textCol, k, window, maxDocFreq)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+}

@@ -60,6 +60,45 @@ case class WinnowingFingerprints(child: Expression, k: Int, window: Int)
   override def prettyName: String = "winnowing_fingerprints"
 }
 
+/** [[WinnowingFingerprints]] variant that keeps each selected
+  * fingerprint's byte position, encoded as `(hash << 32) | pos` —
+  * the anchor [[graft.dedup.SubstringDedup]] needs to verify exact
+  * substring equality at the matched offsets. Same selection, same
+  * order, same tie rule as the hash-only form.
+  */
+case class WinnowingFingerprintKeys(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnowing_fingerprint_keys requires a string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowingFingerprints.winnowKeys(input.asInstanceOf[UTF8String].getBytes, k, window))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = WinnowingFingerprints.getClass.getName.stripSuffix("$")
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.winnowKeys($c.getBytes(), $k, $window));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprintKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnowing_fingerprint_keys"
+}
+
 object WinnowingFingerprints {
 
   private val Base = 257L
@@ -67,6 +106,20 @@ object WinnowingFingerprints {
 
   /** Static tight-loop core (also called from generated code). */
   def winnow(bytes: Array[Byte], k: Int, window: Int): Array[Long] = {
+    val keys = winnowKeys(bytes, k, window)
+    val out = new Array[Long](keys.length)
+    var i = 0
+    while (i < keys.length) { out(i) = keys(i) >>> 32; i += 1 }
+    out
+  }
+
+  /** Selected fingerprints WITH their byte positions, each encoded as
+    * `(hash << 32) | pos` (hash < 2^31 and Spark strings are < 2 GiB,
+    * so both halves fit). Selection order — identical to [[winnow]]
+    * with positions attached. Feeds [[graft.dedup.SubstringDedup]],
+    * where the position anchors the exact-substring verification.
+    */
+  def winnowKeys(bytes: Array[Byte], k: Int, window: Int): Array[Long] = {
     val n = bytes.length - k + 1
     if (n <= 0) return Array.emptyLongArray
     // rolling Karp-Rabin hashes of all k-grams
@@ -86,11 +139,12 @@ object WinnowingFingerprints {
       i += 1
     }
     if (n <= window) {
-      // document shorter than one window: its single minimum
-      var min = hs(0)
+      // document shorter than one window: its single minimum (rightmost
+      // on ties, matching the windowed branch's tie rule)
+      var minIdx = 0
       var j = 1
-      while (j < n) { if (hs(j) <= min) min = hs(j); j += 1 }
-      return Array(min)
+      while (j < n) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      return Array((hs(minIdx) << 32) | minIdx.toLong)
     }
     // sliding-window minima, rightmost on ties, deduped by position
     val out = new scala.collection.mutable.ArrayBuffer[Long](n / window + 1)
@@ -104,7 +158,7 @@ object WinnowingFingerprints {
         j += 1
       }
       if (minIdx != lastPos) {
-        out += hs(minIdx)
+        out += (hs(minIdx) << 32) | minIdx.toLong
         lastPos = minIdx
       }
       start += 1
@@ -115,4 +169,8 @@ object WinnowingFingerprints {
   def winnowingFingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
     ExpressionBridge.column(
       WinnowingFingerprints(ExpressionBridge.expression(text), k, window))
+
+  def winnowingFingerprintKeys(text: Column, k: Int = 5, window: Int = 4): Column =
+    ExpressionBridge.column(
+      WinnowingFingerprintKeys(ExpressionBridge.expression(text), k, window))
 }

@@ -1,0 +1,142 @@
+package graft.dedup
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.WinnowingFingerprints
+
+class SubstringDedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def rand(rng: Random, n: Int): String =
+    (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+
+  test("winnowKeys carries correct byte positions for each fingerprint") {
+    val rng = new Random(11)
+    val texts = (0 until 40).map(_ => rand(rng, rng.nextInt(150))) ++
+      Seq("", "abc", "a" * 40)
+    texts.foreach { t =>
+      val bytes = t.getBytes("UTF-8")
+      val keys = WinnowingFingerprints.winnowKeys(bytes, 16, 16)
+      keys.map(_ >>> 32).toSeq shouldBe
+        WinnowingFingerprints.winnow(bytes, 16, 16).toSeq
+      keys.foreach { key =>
+        val hash = key >>> 32
+        val pos = (key & 0xFFFFFFFFL).toInt
+        // the hash really is the Karp-Rabin hash of the k-gram at pos
+        val P = (1L << 31) - 1
+        val expect = (pos until pos + 16)
+          .foldLeft(0L)((h, j) => (h * 257 + (bytes(j) & 0xFF)) % P)
+        hash shouldBe expect
+      }
+      // selection positions strictly increase
+      val poss = keys.map(k => (k & 0xFFFFFFFFL).toInt).toSeq
+      poss shouldBe poss.sorted
+      poss.distinct.size shouldBe poss.size
+    }
+  }
+
+  test("a planted shared substring >= window + k - 1 bytes is found") {
+    val rng = new Random(23)
+    val common = rand(rng, 31) // k + window - 1 with k = window = 16
+    val docs = Seq(
+      (0L, rand(rng, 60) + common + rand(rng, 60)),
+      (1L, rand(rng, 40) + common + rand(rng, 80)),
+      (2L, rand(rng, 120))) // unrelated
+      .toDF("doc_id", "text")
+    val got = SubstringDedup.substringMatches(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 10)
+      .collect()
+    got should not be empty
+    got.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 1L))
+    // every reported snippet is a true shared substring of both texts
+    got.foreach { r =>
+      val snippet = r.getString(4)
+      snippet.length shouldBe 16
+      common should include(snippet)
+    }
+  }
+
+  test("snippet verification anchors positions to real content") {
+    val rng = new Random(31)
+    val common = rand(rng, 40)
+    val a = rand(rng, 50) + common + rand(rng, 10)
+    val b = common + rand(rng, 90)
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val got = SubstringDedup.substringMatches(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 10)
+      .collect()
+    got should not be empty
+    got.foreach { r =>
+      val posA = r.getInt(2)
+      val posB = r.getInt(3)
+      val snippet = r.getString(4)
+      a.substring(posA, posA + 16) shouldBe snippet
+      b.substring(posB, posB + 16) shouldBe snippet
+    }
+  }
+
+  test("substrings shorter than k are never reported") {
+    val rng = new Random(37)
+    val common = rand(rng, 10) // < k = 16
+    val docs = Seq(
+      (0L, rand(rng, 80) + common + rand(rng, 80)),
+      (1L, rand(rng, 80) + common + rand(rng, 80)))
+      .toDF("doc_id", "text")
+    SubstringDedup.substringMatches(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 10)
+      .collect() shouldBe empty
+  }
+
+  test("the document-frequency cap drops boilerplate fingerprints") {
+    val rng = new Random(41)
+    val boiler = rand(rng, 50)
+    // the same boilerplate in 6 documents
+    val docs = (0L until 6L).map(i => (i, rand(rng, 30) + boiler + rand(rng, 30)))
+      .toDF("doc_id", "text")
+    val uncapped = SubstringDedup.substringMatches(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 100)
+    val capped = SubstringDedup.substringMatches(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 3)
+    val nUncapped = uncapped.count()
+    val nCapped = capped.count()
+    nUncapped should be > 0L
+    // interior boilerplate fingerprints (selected in all 6 docs) are
+    // dropped; only boundary-window selections — whose winnowing choice
+    // depends on the differing flanks, so df stays under the cap — may
+    // survive. The cap must do real work: 6 docs of shared boilerplate
+    // produce 15 pairs per interior fingerprint.
+    nCapped should be < nUncapped
+  }
+
+  test("sharedSubstringPairs feeds keepCanonical") {
+    val rng = new Random(43)
+    val common = rand(rng, 40)
+    val docs = Seq(
+      (0L, rand(rng, 50) + common),
+      (1L, common + rand(rng, 50)),
+      (2L, rand(rng, 100)))
+      .toDF("doc_id", "text")
+    val pairs = SubstringDedup.sharedSubstringPairs(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 10)
+    val kept = Components.keepCanonical(docs, "doc_id", pairs,
+      aCol = "id_a", bCol = "id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(0L, 2L)
+  }
+
+  test("fingerprint keys run under forced codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Seq("the quick brown fox jumps over the lazy dog", "")
+        .toDF("text")
+        .select(WinnowingFingerprints
+          .winnowingFingerprintKeys(col("text"), 16, 16).as("keys"))
+        .collect().map(_.getSeq[Long](0))
+      got(0) should not be empty
+      got(1) shouldBe empty
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+}
