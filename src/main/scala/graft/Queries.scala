@@ -1546,7 +1546,93 @@ object Queries {
                a.snippet
         FROM fpc a JOIN fpc b
           ON a.hash = b.hash AND a.doc_id < b.doc_id AND a.snippet = b.snippet
-        ORDER BY id_a, id_b, pos_a, pos_b"""))
+        ORDER BY id_a, id_b, pos_a, pos_b""")),
+
+    // Structured Streaming sessionization, oracle-checked: the events
+    // table replayed through a file-source stream (Trigger.AvailableNow),
+    // Streaming.sessionStats (native session_window + watermark), a
+    // parquet sink, and read back. Streaming semantics differ from batch
+    // q37 in two pinned ways the oracle replays: a gap of EXACTLY
+    // `gap` splits (session_window merges only strictly-overlapping
+    // windows), and append mode emits only sessions whose end the final
+    // watermark passed — with a 0-second delay, sessions ending within
+    // `gap` of the stream's max timestamp stay in state and are NOT
+    // emitted. Values are decimal-summed for bit-exact totals.
+    GraftQuery(
+      "q46_streaming_sessionize",
+      (s, dir) => {
+        // the file source tails a DIRECTORY (the production shape: new
+        // files land, the stream picks them up); stage the single test
+        // file into one via hard link (copy if cross-device)
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q46_src_")
+        val staged = srcDir.resolve("events.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/events.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val typed = org.apache.spark.sql.functions.expr("ts div 1000") // nanos -> micros
+        val stream = (if (src.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          src.withColumn("ts", timestamp_micros(typed)) else src)
+          .filter(col("user_id") < 50)
+          .withColumn("value_dec", col("value").cast("decimal(30,2)"))
+        val sessions = graft.streaming.Streaming.sessionStats(
+          stream, Seq("user_id"), "ts", "value_dec",
+          gap = "30 minutes", watermark = "0 seconds")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q46_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q46_ckpt_").toString
+        sessions.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"),
+            col("total_value").cast("double").as("total_value"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, CAST(value AS DECIMAL(30,2)) AS v
+          FROM events WHERE user_id < 50
+        ),
+        flagged AS (
+          SELECT user_id, ts, v,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS is_start
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts, v,
+            SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        ),
+        agg AS (
+          SELECT user_id,
+            epoch_us(MIN(ts)) AS session_start_us,
+            epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+            COUNT(*) AS n_events,
+            CAST(SUM(v) AS DOUBLE) AS total_value
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start_us, session_end_us, n_events, total_value
+        FROM agg
+        WHERE session_end_us <= (SELECT MAX(epoch_us(ts)) FROM e)
+        ORDER BY user_id, session_start_us"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
