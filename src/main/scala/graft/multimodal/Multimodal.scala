@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal columns for training-data pipelines: image/audio/video as
-  * opaque `BinaryType` columns with typed metadata structs, plus
-  * decode / feature-extract / frame-sample operators.
+/** Multimodal columns for training-data pipelines: image/audio media
+  * as opaque `BinaryType` columns with typed metadata structs, plus
+  * decode / feature-extract / chunk-sample operators.
   *
   * The Spark-side plumbing — schemas, batched `mapPartitions`, struct
   * outputs, partition behavior — is real and tested. The codec is
@@ -15,9 +15,16 @@ import org.apache.spark.sql.types._
   * no external dependency); [[JavaSoundDecoder]] is a REAL audio codec
   * over `javax.sound.sampled` (WAV/AU/AIFF). [[FakeImageDecoder]] /
   * [[FakePcmDecoder]] are clearly-marked DETERMINISTIC FAKEs kept for
-  * hash-reproducible tests and formats the JDK can't read. Video
-  * demuxing has no JDK codec, so it remains an honest fake behind the
-  * same pluggable shape.
+  * hash-reproducible tests and formats the JDK can't read.
+  *
+  * CONTAINER VIDEO IS OUT OF SCOPE: the JDK ships no mp4/mkv/codec
+  * demuxer and this build takes no external dependencies, so the
+  * library deliberately claims NO video-decode capability. What it does
+  * provide for video-shaped payloads is [[chunkSample]] — an honest
+  * fixed-stride sampler over RAW binary payloads (uncompressed frame
+  * dumps, fixed-record tensors) that distributes per-chunk work; a real
+  * demuxer would slot in front of it as a `MediaDecoder`-style plugin
+  * in a deployment that adds one.
   *
   * 100 TB notes: media bytes dominate row size — the operators keep them
   * streaming (batched `mapPartitions`, no collect), and feature
@@ -293,31 +300,36 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Sample every `everyN`-th frame of a fake video payload (fixed-size
-    * frame chunks — STUB for a real demuxer) into one row per frame:
-    * (originalRow..., frame_idx, frame_bytes). `explode`-shaped output so
-    * per-frame work distributes.
+  /** Sample every `everyN`-th fixed-size chunk of a RAW binary payload
+    * into one row per chunk: (originalRow..., chunk_idx, chunk_bytes).
+    * `explode`-shaped output so per-chunk work distributes.
+    *
+    * This is NOT a video demuxer (see the object doc: container video
+    * is out of scope — no JDK codec, no external deps). It is the
+    * distribution step for payloads that really are fixed-stride
+    * records: uncompressed frame dumps, fixed-shape tensor blobs,
+    * fixed-length sensor records.
     */
-  def frameSample(
+  def chunkSample(
       df: DataFrame,
-      videoCol: String,
+      binaryCol: String,
       everyN: Int,
-      frameBytes: Int = 256): DataFrame = {
-    require(everyN > 0 && frameBytes > 0)
-    val idx = df.schema.fieldIndex(videoCol)
+      chunkBytes: Int = 256): DataFrame = {
+    require(everyN > 0 && chunkBytes > 0)
+    val idx = df.schema.fieldIndex(binaryCol)
     val outSchema = df.schema
-      .add("frame_idx", IntegerType, nullable = false)
-      .add("frame_bytes", BinaryType, nullable = true)
+      .add("chunk_idx", IntegerType, nullable = false)
+      .add("chunk_bytes", BinaryType, nullable = true)
     df.mapPartitions { rows =>
       rows.flatMap { row =>
         val payload = row.getAs[Array[Byte]](idx)
         if (payload == null) Iterator.empty
         else {
-          val nFrames = payload.length / frameBytes
-          (0 until nFrames by everyN).iterator.map { f =>
-            val frame = java.util.Arrays.copyOfRange(
-              payload, f * frameBytes, (f + 1) * frameBytes)
-            Row.fromSeq(row.toSeq ++ Seq(f, frame))
+          val nChunks = payload.length / chunkBytes
+          (0 until nChunks by everyN).iterator.map { c =>
+            val chunk = java.util.Arrays.copyOfRange(
+              payload, c * chunkBytes, (c + 1) * chunkBytes)
+            Row.fromSeq(row.toSeq ++ Seq(c, chunk))
           }
         }
       }

@@ -6,9 +6,11 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 
 /** The multimodal plumbing is real (schemas, batched mapPartitions,
-  * struct outputs, frame explosion); image decode has a REAL JDK ImageIO
-  * codec plus the documented deterministic fake, audio/video remain
-  * fakes behind the pluggable traits.
+  * struct outputs, chunk explosion); image decode has a REAL JDK ImageIO
+  * codec and audio a REAL javax.sound codec, each with a documented
+  * deterministic fake for formats the JDK can't read. Container video
+  * is out of scope (no JDK codec, no external deps) — chunkSample is a
+  * raw fixed-stride sampler, not a demuxer.
   */
 class MultimodalSpec extends SparkSpec {
   import sqlImplicits._
@@ -165,16 +167,16 @@ class MultimodalSpec extends SparkSpec {
     out.schema.fieldNames.toSeq shouldBe Seq("id", "image_features")
   }
 
-  test("frame sampling explodes every n-th fixed-size chunk") {
-    val payload = Array.tabulate(1024)(_.toByte) // 4 frames of 256
-    val df = Seq((1L, payload), (2L, null)).toDF("id", "video")
-    val frames = Multimodal.frameSample(df, "video", everyN = 2, frameBytes = 256)
-      .orderBy("id", "frame_idx").collect()
-    frames.map(r => (r.getLong(0), r.getInt(r.fieldIndex("frame_idx")))).toSeq shouldBe
+  test("chunk sampling explodes every n-th fixed-size chunk") {
+    val payload = Array.tabulate(1024)(_.toByte) // 4 chunks of 256
+    val df = Seq((1L, payload), (2L, null)).toDF("id", "payload")
+    val chunks = Multimodal.chunkSample(df, "payload", everyN = 2, chunkBytes = 256)
+      .orderBy("id", "chunk_idx").collect()
+    chunks.map(r => (r.getLong(0), r.getInt(r.fieldIndex("chunk_idx")))).toSeq shouldBe
       Seq((1L, 0), (1L, 2)) // null payload row contributes nothing
-    frames(0).getAs[Array[Byte]]("frame_bytes").toSeq shouldBe
+    chunks(0).getAs[Array[Byte]]("chunk_bytes").toSeq shouldBe
       payload.slice(0, 256).toSeq
-    frames(1).getAs[Array[Byte]]("frame_bytes").toSeq shouldBe
+    chunks(1).getAs[Array[Byte]]("chunk_bytes").toSeq shouldBe
       payload.slice(512, 768).toSeq
   }
 
