@@ -1632,7 +1632,97 @@ object Queries {
         SELECT user_id, session_start_us, session_end_us, n_events, total_value
         FROM agg
         WHERE session_end_us <= (SELECT MAX(epoch_us(ts)) FROM e)
-        ORDER BY user_id, session_start_us"""))
+        ORDER BY user_id, session_start_us""")),
+
+    // Maximal verified shared spans (dedup/SubstringDedup.substringSpans):
+    // q45's matched fingerprints merged along alignment diagonals
+    // (pos_a - pos_b) with a gap<=k sessionization — window <= k makes
+    // consecutive in-span k-gram matches overlap, so every reported span
+    // is an exact shared substring, Lee-et-al.-shaped. DuckDB replays
+    // the q45 pipeline plus the same diagonal merge.
+    GraftQuery(
+      "q47_substring_spans",
+      (s, dir) =>
+        graft.dedup.SubstringDedup.substringSpans(
+          t(s, dir, "documents").filter(!col("text").rlike("[^ -~]")),
+          "doc_id", "text", k = 16, window = 16, maxDocFreq = 50)
+          .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        h AS (
+          SELECT doc_id, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id, t,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, t, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, t, hash, p FROM (
+            SELECT doc_id, t, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp AS (
+          SELECT doc_id, hash, p, substr(t, CAST(p AS INTEGER), 16) AS snippet
+          FROM sel
+          UNION ALL
+          SELECT doc_id, hash, p, substr(t, CAST(p AS INTEGER), 16) FROM shortd
+        ),
+        rare AS (
+          SELECT hash FROM fp GROUP BY hash HAVING COUNT(DISTINCT doc_id) <= 50
+        ),
+        fpc AS (SELECT fp.* FROM fp JOIN rare USING (hash)),
+        matches AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(a.p - 1 AS INTEGER) AS pos_a,
+                 CAST(b.p - 1 AS INTEGER) AS pos_b
+          FROM fpc a JOIN fpc b
+            ON a.hash = b.hash AND a.doc_id < b.doc_id AND a.snippet = b.snippet
+        ),
+        diag AS (
+          SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS dg FROM matches
+        ),
+        flagged AS (
+          SELECT id_a, id_b, pos_a, pos_b, dg,
+            CASE WHEN lag(pos_a) OVER w IS NULL
+                   OR pos_a - lag(pos_a) OVER w > 16
+                 THEN 1 ELSE 0 END AS is_start
+          FROM diag WINDOW w AS (PARTITION BY id_a, id_b, dg ORDER BY pos_a)
+        ),
+        sess AS (
+          SELECT id_a, id_b, pos_a, pos_b, dg,
+            SUM(is_start) OVER (PARTITION BY id_a, id_b, dg ORDER BY pos_a
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT id_a, id_b,
+          MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+          CAST(MAX(pos_a) - MIN(pos_a) + 16 AS INTEGER) AS length,
+          COUNT(*) AS n_fingerprints
+        FROM sess GROUP BY id_a, id_b, dg, sid
+        ORDER BY id_a, id_b, start_a, start_b"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

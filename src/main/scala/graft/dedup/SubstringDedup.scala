@@ -104,6 +104,56 @@ object SubstringDedup {
         col("snippet"))
   }
 
+  /** Matched fingerprints merged into MAXIMAL verified shared spans —
+    * the Lee et al. output shape: `(id_a, id_b, start_a, start_b,
+    * length, n_fingerprints)`, one row per contiguous cross-document
+    * duplicated substring.
+    *
+    * Merging is a diagonal sessionization: matches of one document
+    * pair with equal `pos_a - pos_b` lie on one alignment diagonal;
+    * consecutive diagonal matches at distance ≤ k have OVERLAPPING (or
+    * exactly abutting) verified k-gram regions, so their union is
+    * verified shared end to end — no unverified gap bytes can hide a
+    * difference. That soundness argument needs `window <= k`
+    * (winnowing selects at least one fingerprint per `window`
+    * positions, so inside a contiguous shared span consecutive
+    * selections are ≤ window ≤ k apart); the method enforces it.
+    * A reported span is therefore an EXACT shared substring of length
+    * ≥ k; true spans may split only where the df cap removed interior
+    * fingerprints.
+    *
+    * Plan shape: one window pass (lag + running sum) over the match
+    * table partitioned by (pair, diagonal), then a hash aggregate —
+    * the same exchange serves both, nothing corpus-sized.
+    */
+  def substringSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, window: Int = 16,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    require(window <= k,
+      s"span merging requires window <= k (got window=$window, k=$k): " +
+        "consecutive in-span fingerprints must overlap to stay verified")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byDiag = W.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("pos_a"))
+    substringMatches(df, idCol, textCol, k, window, maxDocFreq)
+      .withColumn("__diag", col("pos_a") - col("pos_b"))
+      .withColumn("__gap_start",
+        when(lag(col("pos_a"), 1).over(byDiag).isNull ||
+          col("pos_a") - lag(col("pos_a"), 1).over(byDiag) > k, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__gap_start"))
+        .over(byDiag.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__sid"))
+      .agg(
+        min(col("pos_a")).as("start_a"),
+        min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + lit(k)).as("length"),
+        count(lit(1)).as("n_fingerprints"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("length"), col("n_fingerprints"))
+  }
+
   /** Distinct document pairs sharing at least `minShared` verified
     * substring fingerprints — the pair table for
     * [[Components.keepCanonical]].

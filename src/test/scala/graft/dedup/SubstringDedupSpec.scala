@@ -127,6 +127,53 @@ class SubstringDedupSpec extends SparkSpec {
     kept shouldBe Set(0L, 2L)
   }
 
+  test("spans merge diagonal matches into one exact shared substring") {
+    val rng = new Random(47)
+    val common = rand(rng, 120) // long shared span -> several fingerprints
+    val a = rand(rng, 70) + common + rand(rng, 30)
+    val b = rand(rng, 20) + common + rand(rng, 60)
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val spans = SubstringDedup.substringSpans(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 10)
+      .collect()
+    spans should not be empty
+    // every span is an exact shared substring of both documents
+    spans.foreach { r =>
+      val (sa, sb, len) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      len should be >= 16
+      a.substring(sa, sa + len) shouldBe b.substring(sb, sb + len)
+    }
+    // the dominant span covers most of the planted common region
+    spans.map(_.getInt(4)).max should be >= 60
+    // and several fingerprints merged into it
+    spans.map(_.getLong(5)).max should be >= 2L
+  }
+
+  test("two separated shared substrings produce two spans") {
+    val rng = new Random(53)
+    val c1 = rand(rng, 40)
+    val c2 = rand(rng, 40)
+    val a = c1 + rand(rng, 100) + c2
+    val b = rand(rng, 50) + c1 + rand(rng, 200) + c2 + rand(rng, 10)
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val spans = SubstringDedup.substringSpans(
+      docs, "doc_id", "text", k = 16, window = 16, maxDocFreq = 10)
+      .collect()
+    spans.length should be >= 2
+    spans.foreach { r =>
+      val (sa, sb, len) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      a.substring(sa, sa + len) shouldBe b.substring(sb, sb + len)
+    }
+  }
+
+  test("span merging rejects window > k (gap bytes would be unverified)") {
+    val docs = Seq((0L, "x" * 100)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SubstringDedup.substringSpans(
+        docs, "doc_id", "text", k = 8, window = 16)
+    }
+  }
+
   test("fingerprint keys run under forced codegen") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {

