@@ -1722,7 +1722,87 @@ object Queries {
           CAST(MAX(pos_a) - MIN(pos_a) + 16 AS INTEGER) AS length,
           COUNT(*) AS n_fingerprints
         FROM sess GROUP BY id_a, id_b, dg, sid
-        ORDER BY id_a, id_b, start_a, start_b"""))
+        ORDER BY id_a, id_b, start_a, start_b""")),
+
+    // DSIR-style data selection (text/Dsir): hashed 1-2-gram importance
+    // scores of non-English docs against the English target slice, top
+    // 100 kept. NO floating point anywhere: smoothed bucket ratios are
+    // exact Q20 integers and their log2 runs the integer
+    // square-and-shift algorithm (20 rounds) in both engines — Spark in
+    // Scala over the bounded B-row bucket table, DuckDB as a recursive
+    // CTE — so scores are exact integer sums and the ranking is
+    // bit-reproducible. ASCII filter keeps the KR gram hash byte/char
+    // identical across engines (q30/q45 precedent).
+    GraftQuery(
+      "q48_dsir_selection",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(!col("text").rlike("[^ -~]"))
+        val target = docs.filter(col("lang") === "en")
+        val raw = docs.filter(col("lang") =!= "en")
+        graft.text.Dsir.selectTopK(raw, "doc_id", "text", target, k = 100)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, lang,
+            list_filter(
+              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              x -> x <> '') AS toks
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        grams AS (
+          SELECT doc_id, lang, unnest(list_concat(
+            toks,
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          )) AS g
+          FROM d
+        ),
+        hashed AS (
+          SELECT doc_id, lang,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, len(g) + 1),
+                  j -> CAST(ord(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) % 4096 AS bucket
+          FROM grams
+        ),
+        tcnt AS (SELECT bucket, COUNT(*) AS c FROM hashed WHERE lang = 'en' GROUP BY 1),
+        rcnt AS (SELECT bucket, COUNT(*) AS c FROM hashed WHERE lang <> 'en' GROUP BY 1),
+        tot AS (
+          SELECT (SELECT COUNT(*) FROM hashed WHERE lang = 'en') AS nt,
+                 (SELECT COUNT(*) FROM hashed WHERE lang <> 'en') AS nr
+        ),
+        ratio AS (
+          SELECT b, greatest(
+            ((COALESCE(tc.c, 0) + 1) * (tot.nr + 4096) * 1048576)
+              // ((COALESCE(rc.c, 0) + 1) * (tot.nt + 4096)), 1) AS s
+          FROM (SELECT unnest(range(0, 4096)) AS b) bb
+          CROSS JOIN tot
+          LEFT JOIN tcnt tc ON tc.bucket = bb.b
+          LEFT JOIN rcnt rc ON rc.bucket = bb.b
+        ),
+        norm AS (
+          SELECT b, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM ratio
+        ),
+        iter(b, bl, i, m, frac) AS (
+          SELECT b, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT b, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20
+        ),
+        ltab AS (SELECT b, (bl - 21) * 1048576 + frac AS l FROM iter WHERE i = 20)
+        SELECT h.doc_id, CAST(SUM(ltab.l) AS BIGINT) AS score
+        FROM hashed h JOIN ltab ON h.bucket = ltab.b
+        WHERE h.lang <> 'en'
+        GROUP BY h.doc_id
+        ORDER BY score DESC, h.doc_id
+        LIMIT 100"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
