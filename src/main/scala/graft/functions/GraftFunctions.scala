@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL registration for the engine's native expressions, via both
   * mechanisms Spark offers:
@@ -16,11 +17,43 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Parameter expressions of the literal-configured natives (window
+    * sizes, hash counts) must be integer literals — they become Scala
+    * constructor arguments, not runtime columns.
+    */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   private val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head)),
     ("jaccard_distinct", classOf[JaccardDistinct],
       exprs => JaccardDistinct(exprs(0), exprs(1))),
-    ("cosine_fold", classOf[CosineFold], exprs => CosineFold(exprs(0), exprs(1))))
+    ("cosine_fold", classOf[CosineFold], exprs => CosineFold(exprs(0), exprs(1))),
+    ("kr_hash", classOf[KrHash], exprs => KrHash(exprs.head)),
+    ("minhash_fold", classOf[MinHashFold], exprs => MinHashFold(exprs(0),
+      intLit(exprs(1), "minhash_fold", "numHashes"),
+      longLit(exprs(2), "minhash_fold", "seed"))),
+    ("ngram_repetition", classOf[NgramRepetition], exprs => NgramRepetition(
+      exprs(0), intLit(exprs(1), "ngram_repetition", "n"))),
+    ("winnowing_fingerprints", classOf[WinnowingFingerprints],
+      exprs => WinnowingFingerprints(exprs(0),
+        intLit(exprs(1), "winnowing_fingerprints", "k"),
+        intLit(exprs(2), "winnowing_fingerprints", "window"))),
+    ("winnowing_fingerprint_keys", classOf[WinnowingFingerprintKeys],
+      exprs => WinnowingFingerprintKeys(exprs(0),
+        intLit(exprs(1), "winnowing_fingerprint_keys", "k"),
+        intLit(exprs(2), "winnowing_fingerprint_keys", "window"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, _, builder) =>
