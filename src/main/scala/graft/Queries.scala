@@ -1802,7 +1802,75 @@ object Queries {
         WHERE h.lang <> 'en'
         GROUP BY h.doc_id
         ORDER BY score DESC, h.doc_id
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // CCNet-style LM perplexity scoring (text/NgramLm): add-one bigram
+    // model fit on the English slice, exact integer negative
+    // log2-likelihood per non-English document. Probabilities are Q20
+    // integers, log2 is the native integer square-and-shift expression
+    // (functions/ILog2Q20) running DISTRIBUTED over the joined bigram
+    // table — DuckDB replays the same 20 rounds as a recursive CTE over
+    // the DISTINCT probability values and joins back. Integer sums →
+    // bit-exact rows.
+    GraftQuery(
+      "q49_lm_perplexity",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(!col("text").rlike("[^ -~]"))
+        val lm = graft.text.NgramLm.fit(docs.filter(col("lang") === "en"), "text")
+        graft.text.NgramLm.score(
+          docs.filter(col("lang") =!= "en"), "doc_id", "text", lm)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, lang,
+            list_filter(
+              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              x -> x <> '') AS toks
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        bi AS (
+          SELECT doc_id, lang, toks[i] AS u, toks[i + 1] AS v
+          FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM d)
+        ),
+        cuv AS (SELECT u, v, COUNT(*) AS c FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+        cu AS (SELECT u, COUNT(*) AS c FROM bi WHERE lang = 'en' GROUP BY 1),
+        vsz AS (
+          SELECT COUNT(DISTINCT t) + 1 AS v
+          FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en')
+        ),
+        probs AS (
+          SELECT b.doc_id,
+            greatest(((COALESCE(cuv.c, 0) + 1) * 1048576)
+              // (COALESCE(cu.c, 0) + vsz.v), 1) AS s
+          FROM bi b
+          CROSS JOIN vsz
+          LEFT JOIN cuv ON b.u = cuv.u AND b.v = cuv.v
+          LEFT JOIN cu ON b.u = cu.u
+          WHERE b.lang <> 'en'
+        ),
+        svals AS (SELECT DISTINCT s FROM probs),
+        norm AS (
+          SELECT s, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM svals
+        ),
+        iter(s, bl, i, m, frac) AS (
+          SELECT s, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT s, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20
+        ),
+        ltab AS (SELECT s, (bl - 21) * 1048576 + frac AS l FROM iter WHERE i = 20)
+        SELECT p.doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(-ltab.l) AS BIGINT) AS nll_q20
+        FROM probs p JOIN ltab ON p.s = ltab.s
+        GROUP BY 1
+        ORDER BY 1"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

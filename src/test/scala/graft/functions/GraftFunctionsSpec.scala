@@ -20,7 +20,8 @@ class GraftFunctionsSpec extends SparkSpec {
         kr_hash(text) AS kh,
         ngram_repetition(text, 2) AS nr,
         winnowing_fingerprints(text, 3, 2) AS wf,
-        winnowing_fingerprint_keys(text, 3, 2) AS wk
+        winnowing_fingerprint_keys(text, 3, 2) AS wk,
+        ilog2_q20(CAST(3145728 AS BIGINT)) AS il
       FROM gf_t""").collect().head
 
     viaSql.getLong(0) shouldBe KrHash.hash("a b a b a".getBytes("UTF-8"))
@@ -29,6 +30,7 @@ class GraftFunctionsSpec extends SparkSpec {
       WinnowingFingerprints.winnow("a b a b a".getBytes, 3, 2).toSeq
     viaSql.getSeq[Long](3) shouldBe
       WinnowingFingerprints.winnowKeys("a b a b a".getBytes, 3, 2).toSeq
+    viaSql.getLong(4) shouldBe graft.text.Dsir.ilog2Q20(3145728L)
   }
 
   test("minhash_fold from SQL matches the column form") {
