@@ -1870,6 +1870,44 @@ object Queries {
           CAST(SUM(-ltab.l) AS BIGINT) AS nll_q20
         FROM probs p JOIN ltab ON p.s = ltab.s
         GROUP BY 1
+        ORDER BY 1""")),
+
+    // Cross-corpus (incremental) dedup (dedup/Dedup.dedupAgainst): the
+    // batch slice deduped against the existing-corpus slice — exact
+    // fingerprint anti-join, then banded MinHash candidates from ONE
+    // batch×corpus bucket equi-join (never a self-join), Jaccard
+    // verify, anti-join. DuckDB replays the CONTRACT: surviving batch
+    // rows = those with no exact content match and no corpus doc at
+    // Jaccard >= 0.9 (unigram shingle regime where banded recall is
+    // complete — same as q14's oracle).
+    GraftQuery(
+      "q50_dedup_against_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.Dedup.dedupAgainst(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          "doc_id", "text",
+          shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents
+        ),
+        corpus AS (SELECT * FROM d WHERE doc_id < 400),
+        batch AS (SELECT * FROM d WHERE doc_id >= 400)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)
+          AND NOT EXISTS (
+            SELECT 1 FROM corpus c
+            WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
         ORDER BY 1"""))
   )
 

@@ -309,6 +309,97 @@ object Dedup {
     } else verified
   }
 
+  // ---- cross-corpus (incremental) dedup ----
+
+  /** Near-duplicate matches of `batch` documents AGAINST an existing
+    * `corpus` — the incremental-ingest shape: the corpus was deduped
+    * yesterday, today's batch dedupes against it without re-pairing the
+    * corpus with itself. Returns (batch_id, corpus_id, jaccard) with
+    * jaccard ≥ threshold.
+    *
+    * Execution: both sides sign with the SAME seeded hash family, band
+    * into the same bucket space, and candidates come from ONE
+    * (band, bucket) equi-join of the two bucket tables — never a
+    * self-join, never corpus × corpus. Each side's bucket membership is
+    * capped inside the aggregation buffer ([[graft.functions.
+    * CappedCollectList]]) before the join, so a boilerplate bucket hot
+    * on both sides streams at most cap² pairs instead of
+    * |corpus| × |batch|.
+    */
+  def nearDuplicatesAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val rowsPerBand = numHashes / bands
+    val cap = math.min(maxBucketSize, (Int.MaxValue - 8).toLong).toInt
+    def sets(df: DataFrame) = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+    def sign(df: DataFrame) = df.withColumn("__sig",
+      graft.functions.MinHashFold.minhashFold(
+        transform(col("__shingles"), s => pmod(xxhash64(s), lit(MersennePrime))),
+        numHashes, seed))
+    val batchSets = sets(batch)
+    val corpusSets = sets(corpus)
+    def cappedBuckets(df: DataFrame, outCol: String) =
+      lshBuckets(sign(df), idCol, "__sig", bands, rowsPerBand)
+        .groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.CappedCollectList
+          .cappedCollectList(col(idCol), cap).as(outCol))
+        .filter(col(outCol).isNotNull)
+    val pairs = cappedBuckets(batchSets, "__bids")
+      .join(cappedBuckets(corpusSets, "__cids"), Seq("band", "bucket"))
+      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+      .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
+      .distinct()
+    val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
+    val ca = corpusSets.select(col(idCol).as("corpus_id"), col("__shingles").as("__sb"))
+    pairs.join(ba, "batch_id").join(ca, "corpus_id")
+      .withColumn("jaccard",
+        graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** `batch` reduced to rows that duplicate NOTHING in `corpus`:
+    * removes exact (normalized) content matches with one anti-join on
+    * the 128-bit fingerprint, then near-duplicates via
+    * [[nearDuplicatesAgainst]]. Dedup WITHIN the batch is a separate
+    * concern — run [[exactDedup]] / [[nearDuplicates]] +
+    * [[Components.keepCanonical]] first, then this against the corpus.
+    */
+  def dedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val key = TextStats.fingerprintMd5(col(textCol))
+    val corpusKeys = corpus.select(key.as("__key")).distinct()
+    val exactSurvivors = batch.withColumn("__key", key)
+      .join(corpusKeys, Seq("__key"), "left_anti")
+      .drop("__key")
+    val nearMatched = nearDuplicatesAgainst(
+      exactSurvivors, corpus, idCol, textCol,
+      shingleSize, numHashes, bands, threshold, seed, maxBucketSize)
+      .select(col("batch_id").as(idCol)).distinct()
+    exactSurvivors.join(nearMatched, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash from a column holding per-token 64-bit hashes:

@@ -174,6 +174,38 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainst removes exact and near corpus duplicates only") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The quick  brown fox jumps over the LAZY dog"), // exact after normalize
+      (11L, "alpha beta gamma delta epsilon zeta eta"), // near (jaccard 6/7)
+      (12L, "completely different content here entirely")) // survivor
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 1, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(12L)
+    // higher threshold keeps the near-but-not-exact doc
+    val keptStrict = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 1, threshold = 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    keptStrict shouldBe Set(11L, 12L)
+  }
+
+  test("nearDuplicatesAgainst pairs batch with corpus, never corpus with itself") {
+    val corpus = Seq(
+      (0L, "one two three four"),
+      (1L, "one two three four")). // corpus-internal dup must NOT pair
+      toDF("doc_id", "text")
+    val batch = Seq((10L, "one two three four")).toDF("doc_id", "text")
+    val got = Dedup.nearDuplicatesAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((10L, 0L), (10L, 1L))
+  }
+
   test("fingerprint keys run under forced codegen") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
