@@ -82,9 +82,23 @@ object SubstringDedup {
   def substringMatches(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, window: Int = 16,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = 1000L,
+      materialize: Boolean = true): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val fp = fingerprints(df, idCol, textCol, k, window)
+    // the fingerprint table feeds three plan branches (the df-cap
+    // aggregate and both self-join sides); without a persist each
+    // branch re-runs normalize + winnowing over the full corpus — the
+    // most expensive map stage, three times. Same lifecycle contract
+    // as Dedup.nearDuplicatesBySets: persisted for the duration, and
+    // (in the non-lazy shape) the caller's first action releases it
+    // naturally because the join result is what lives on. Pass
+    // materialize = false for a fully lazy, recomputable plan (e.g. on
+    // preemptible executors).
+    val fp0 = fingerprints(df, idCol, textCol, k, window)
+    val fp =
+      if (materialize)
+        fp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fp0
     // document frequency per hash; hot boilerplate hashes never reach
     // the join (the tiny (hash) aggregate broadcasts under AQE)
     val rare = fp.groupBy(col("hash"))
@@ -98,10 +112,17 @@ object SubstringDedup {
       col("pos").as("pos_a"), col("snippet")).alias("fa")
     val b = capped.select(col("hash"), col(idCol).as("id_b"),
       col("pos").as("pos_b"), col("snippet").as("__sb")).alias("fb")
-    a.join(b, col("fa.hash") === col("fb.hash") &&
+    val matches = a.join(b, col("fa.hash") === col("fb.hash") &&
         col("id_a") < col("id_b") && col("snippet") === col("__sb"))
       .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
         col("snippet"))
+    if (materialize) {
+      // materialize the (match-sized, not corpus-sized) result so the
+      // fingerprint cache releases now rather than at session end
+      val result = matches.localCheckpoint(true)
+      fp.unpersist()
+      result
+    } else matches
   }
 
   /** Matched fingerprints merged into MAXIMAL verified shared spans —
@@ -129,14 +150,15 @@ object SubstringDedup {
   def substringSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, window: Int = 16,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = 1000L,
+      materialize: Boolean = true): DataFrame = {
     require(window <= k,
       s"span merging requires window <= k (got window=$window, k=$k): " +
         "consecutive in-span fingerprints must overlap to stay verified")
     import org.apache.spark.sql.expressions.{Window => W}
     val byDiag = W.partitionBy(col("id_a"), col("id_b"), col("__diag"))
       .orderBy(col("pos_a"))
-    substringMatches(df, idCol, textCol, k, window, maxDocFreq)
+    substringMatches(df, idCol, textCol, k, window, maxDocFreq, materialize)
       .withColumn("__diag", col("pos_a") - col("pos_b"))
       .withColumn("__gap_start",
         when(lag(col("pos_a"), 1).over(byDiag).isNull ||
@@ -161,9 +183,10 @@ object SubstringDedup {
   def sharedSubstringPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, window: Int = 16,
-      maxDocFreq: Long = 1000L, minShared: Long = 1L): DataFrame = {
+      maxDocFreq: Long = 1000L, minShared: Long = 1L,
+      materialize: Boolean = true): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    substringMatches(df, idCol, textCol, k, window, maxDocFreq)
+    substringMatches(df, idCol, textCol, k, window, maxDocFreq, materialize)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
