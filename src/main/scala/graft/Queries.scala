@@ -1908,7 +1908,106 @@ object Queries {
             SELECT 1 FROM corpus c
             WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
                     / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // Semantic dedup (sim/SemDeDup — the SemDeDup recipe): 1 Lloyd
+    // round of the deterministic quantized k-means (k=4, init = 4
+    // smallest vec_ids — same machinery the q44 oracle replays), then
+    // within-cluster exact-cosine pairs at tau=0.35 (q24's fold), then
+    // keep-smallest-id per connected duplicate group (q43's recursive
+    // closure). DuckDB replays all three stages; every stage is
+    // bit-deterministic so the whole composition hash-matches.
+    GraftQuery(
+      "q51_semdedup",
+      (s, dir) =>
+        graft.sim.SemDeDup.semDeDup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 1, tau = 0.35)
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, x AS c FROM v WHERE vec_id < 4),
+        d1 AS (
+          SELECT v.vec_id, v.x, c0.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(v.x, (e, i) -> (e - c0.c[i]) * (e - c0.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM v, c0),
+        a1 AS (
+          SELECT vec_id, x, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1),
+        q1 AS (
+          SELECT cid, unnest(list_transform(x, (e, i) ->
+            struct_pack(pos := i, q := CAST(floor(e * 1048576e0) AS BIGINT)))) AS u
+          FROM a1 WHERE rn = 1),
+        c1 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q1 GROUP BY cid, u.pos)
+          GROUP BY cid),
+        dfin AS (
+          SELECT v.vec_id, v.x, c1.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(v.x, (e, i) -> (e - c1.c[i]) * (e - c1.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM v, c1),
+        af AS (
+          SELECT vec_id, x, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM dfin),
+        m AS (SELECT vec_id, x, cid FROM af WHERE rn = 1),
+        e AS (
+          SELECT a.vec_id AS u, b.vec_id AS w FROM m a JOIN m b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          WHERE list_reduce(list_transform(a.x, (p, i) -> p * b.x[i]), (p, q) -> p + q)
+            / (sqrt(list_reduce(list_transform(a.x, p -> p * p), (p, q) -> p + q))
+               * sqrt(list_reduce(list_transform(b.x, p -> p * p), (p, q) -> p + q)))
+            >= 0.35),
+        reach AS (
+          SELECT u, w FROM e
+          UNION
+          SELECT r.u, e2.w FROM reach r JOIN e e2 ON r.w = e2.u
+          WHERE e2.w <> r.u),
+        comp AS (SELECT u AS id, least(u, MIN(w)) AS component
+                 FROM reach GROUP BY u)
+        SELECT m.vec_id, m.cid AS cluster,
+          COALESCE(c.component, m.vec_id) AS "group",
+          m.vec_id = COALESCE(c.component, m.vec_id) AS keep
+        FROM m LEFT JOIN comp c ON m.vec_id = c.id
+        ORDER BY m.vec_id""")),
+
+    // Deterministic train/valid/test split (operators/Splits): the
+    // cross-engine-replayable Karp-Rabin bucket hash on "doc_id:v1",
+    // 80/10/10 over 10 000 buckets. Map-only, layout-independent —
+    // DuckDB replays the byte fold exactly (doc_id digits and the salt
+    // are ASCII, so ord(char) ≡ byte).
+    GraftQuery(
+      "q52_hash_split",
+      (s, dir) =>
+        graft.operators.Splits.withSplit(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          salt = "v1")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) || ':v1' AS k FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k) + 1),
+                i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM s),
+        hb AS (SELECT doc_id, ((hh * hh) % 2147483647) % 10000 AS b FROM h)
+        SELECT doc_id,
+          CASE WHEN b < 8000 THEN 'train'
+               WHEN b < 9000 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM hb ORDER BY doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/validation/test splitting — the standard
+  * curation-pipeline step that must be STABLE across reruns, engines
+  * and data layouts: a row's split may depend only on its key (and an
+  * explicit salt), never on partitioning, row order, or a seeded RNG
+  * stream (Spark's `rand(seed)` is partition-dependent and therefore
+  * not reproducible across repartitions).
+  *
+  * The assignment hashes `key[:salt]` with [[graft.functions.KrHash]]
+  * (Karp-Rabin fold mod 2^31−1 — chosen over xxhash64/crc32 because
+  * any engine with a list fold can replay it; see KrHash's doc), takes
+  * `hash mod buckets`, and maps cumulative-weight bucket ranges to
+  * split names. Changing the salt re-rolls the whole assignment
+  * (standard trick for fresh holdouts); adding a split or refining
+  * weights moves only the rows whose buckets change hands.
+  *
+  * Scale shape: map-only — one codegen'd projection over the scan, no
+  * shuffle, no driver state. The split column is a plain string column
+  * usable directly as a partition column for a split-partitioned sink.
+  */
+object Splits {
+
+  /** `df` plus `outCol`: the split name for each row.
+    *
+    * @param splits  (name, weight) in declaration order; weights must
+    *                sum to 1 (±1e-9). Bucket thresholds are
+    *                `round(cumWeight · buckets)`, so with the default
+    *                10 000 buckets weights are honored to 0.01%.
+    * @param salt    appended to the key as `key + ":" + salt` when
+    *                non-empty — distinct salts give independent splits.
+    */
+  def withSplit(
+      df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      salt: String = "", buckets: Int = 10000,
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0.0), s"negative split weight in $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in $splits")
+    require(buckets >= splits.size, s"need buckets >= ${splits.size}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $total")
+
+    val bucket = bucketOf(col(keyCol), salt, buckets)
+    // cumulative thresholds; the last is forced to `buckets` so the
+    // union of ranges covers every bucket despite rounding
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(w => math.round(w * buckets)) :+ buckets.toLong
+    val assignment = splits.map(_._1).zip(thresholds)
+      .foldLeft(Option.empty[Column]) { case (acc, (name, t)) =>
+        Some(acc match {
+          case None => when(bucket < t, name)
+          case Some(c) => c.when(bucket < t, name)
+        })
+      }.get.otherwise(splits.last._1) // unreachable: last t = buckets
+    df.withColumn(outCol, assignment)
+  }
+
+  /** `(kr_hash(key[:salt])² mod p) mod buckets` — the replayable bucket
+    * id in `[0, buckets)`. Exposed for callers that want raw buckets
+    * (e.g. percentage subsampling: `bucketOf(...) < 100` is a stable 1%).
+    *
+    * The squaring is load-bearing: a Karp-Rabin hash is LINEAR in the
+    * message, so two salts differing in the trailing byte shift every
+    * key's hash by the same constant — `h mod buckets` would move
+    * (almost) no key across splits when the salt changes. Squaring mod
+    * p makes the inter-salt difference key-dependent (`2h+Δ` instead of
+    * `Δ`), giving independent assignments, and stays a one-liner in any
+    * engine with 64-bit integers (h < 2^31 so h² < 2^62 never
+    * overflows). SplitsSpec pins the independence property.
+    */
+  def bucketOf(key: Column, salt: String, buckets: Int): Column = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val keyed =
+      if (salt.isEmpty) key.cast("string")
+      else concat(key.cast("string"), lit(":" + salt))
+    val h = graft.functions.KrHash.krHash(keyed)
+    (h * h) % KrPrime % buckets
+  }
+
+  private val KrPrime = (1L << 31) - 1
+}

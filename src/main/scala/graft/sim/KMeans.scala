@@ -48,7 +48,7 @@ object KMeans {
     * each centroid, as a k-element array in centroid order. Sequential
     * fold in dimension order — deterministic and SQL-replayable.
     */
-  private def distances(vec: Column, cents: Seq[Array[Double]]): Column =
+  private[sim] def distances(vec: Column, cents: Seq[Array[Double]]): Column =
     graft.functions.L2DistancesFold.l2Distances(vec, cents)
 
   /** Composed higher-order-function form of [[distances]] — the
@@ -71,7 +71,7 @@ object KMeans {
   /** 0-based index of the first minimum — ties break toward the lower
     * centroid index, replayed in SQL as `ORDER BY dist, cid`.
     */
-  private def argmin(dists: Column): Column =
+  private[sim] def argmin(dists: Column): Column =
     (array_position(dists, array_min(dists)) - 1L).cast("int")
 
   /** `iters` Lloyd rounds from deterministic init (the vectors of the k

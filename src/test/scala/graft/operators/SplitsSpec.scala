@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SplitsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def keys = (0L until 10000L).toDF("id")
+
+  test("weights are honored within bucket resolution") {
+    val got = Splits.withSplit(keys, "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "v1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.values.sum shouldBe 10000L
+    // KrHash buckets are uniform enough that 10k keys land within a few
+    // percent of the target on each split
+    got("train").toDouble shouldBe 8000.0 +- 300.0
+    got("valid").toDouble shouldBe 1000.0 +- 150.0
+    got("test").toDouble shouldBe 1000.0 +- 150.0
+  }
+
+  test("assignment is per-key deterministic and layout-independent") {
+    val a = Splits.withSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.withSplit(keys.repartition(17), "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a shouldBe b
+  }
+
+  test("distinct salts give independent assignments") {
+    val a = Splits.withSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.withSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a should not be b
+    // ~half the keys flip between independent fair coin flips
+    val flips = a.count { case (k, v) => b(k) != v }
+    flips.toDouble shouldBe 5000.0 +- 500.0
+  }
+
+  test("hand-computed KrHash bucket matches") {
+    // key 7, salt "v1" -> "7:v1" bytes [55, 58, 118, 49]
+    val bytes = "7:v1".getBytes("UTF-8")
+    var h = 0L
+    bytes.foreach(b => h = (h * 257 + (b & 0xFF)) % 2147483647L)
+    val got = Splits.withSplit(Seq(7L).toDF("id"), "id",
+      Seq("lo" -> 0.5, "hi" -> 0.5), salt = "v1")
+      .select(Splits.bucketOf(col("id"), "v1", 10000)).head().getLong(0)
+    got shouldBe (h * h) % 2147483647L % 10000
+  }
+
+  test("every bucket is covered despite rounding") {
+    // weights that do NOT hit round bucket boundaries
+    val got = Splits.withSplit(keys, "id",
+      Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+    got.filter(col("split").isNull).count() shouldBe 0L
+    got.select("split").distinct().count() shouldBe 3L
+  }
+
+  test("invalid weights are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      Splits.withSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.6))
+    an[IllegalArgumentException] should be thrownBy
+      Splits.withSplit(keys, "id", Seq("a" -> 0.5, "a" -> 0.5))
+  }
+}
