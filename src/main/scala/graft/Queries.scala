@@ -2007,7 +2007,72 @@ object Queries {
           CASE WHEN b < 8000 THEN 'train'
                WHEN b < 9000 THEN 'valid'
                ELSE 'test' END AS split
-        FROM hb ORDER BY doc_id"""))
+        FROM hb ORDER BY doc_id""")),
+
+    // Sequence packing (operators/Packing): concat-and-chunk the corpus
+    // into 2048-unit training sequences (n_chars as the unit count),
+    // one row per (doc, sequence) overlap with slice coordinates. The
+    // engine computes the global prefix sum with the two-level
+    // distributed scan (bucketed partial sums + per-bucket windows);
+    // DuckDB replays it as the plain global-window cumsum the scan is
+    // equivalent to — all-integer arithmetic, so exact.
+    GraftQuery(
+      "q53_pack_sequences",
+      (s, dir) =>
+        graft.operators.Packing.packSequences(
+          t(s, dir, "documents"), "doc_id", "doc_id", "n_chars",
+          seqLen = 2048, bucketWidth = 64)
+          .orderBy(col("seq_id"), col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+          WHERE n_chars > 0),
+        c AS (
+          SELECT doc_id, n,
+            CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+          FROM d),
+        sp AS (
+          SELECT doc_id, n, start,
+            unnest(range(start // 2048, (start + n - 1) // 2048 + 1)) AS seq_id
+          FROM c)
+        SELECT seq_id, doc_id,
+          greatest(0, start - seq_id * 2048) AS seq_off,
+          greatest(0, seq_id * 2048 - start) AS doc_off,
+          least((seq_id + 1) * 2048, start + n)
+            - greatest(seq_id * 2048, start) AS n_tok
+        FROM sp ORDER BY seq_id, doc_id""")),
+
+    // Exact grouped quantiles (sketch/Quantiles): per-(lang, source)
+    // length quantiles from the lossless (group, value) histogram —
+    // the shuffle carries distinct values, never rows, and the answer
+    // is the true discrete quantile (smallest value whose cumulative
+    // count reaches ceil(q·n)), not a sketch approximation. DuckDB
+    // replays histogram, cumulative window and threshold pick; the
+    // single q·n double product is the same IEEE op in both engines.
+    GraftQuery(
+      "q54_quantiles",
+      (s, dir) =>
+        graft.sketch.Quantiles.grouped(
+          t(s, dir, "documents"), Seq("lang", "source"), "n_chars",
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+          .orderBy(col("lang"), col("source"), col("q")),
+      Some("""
+        WITH h AS (
+          SELECT lang, source, n_chars AS v, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        w AS (
+          SELECT lang, source, v, c,
+            CAST(SUM(c) OVER (PARTITION BY lang, source ORDER BY v) AS BIGINT) AS cum,
+            CAST(SUM(c) OVER (PARTITION BY lang, source) AS BIGINT) AS n
+          FROM h),
+        e AS (
+          SELECT lang, source, v, cum, n,
+            unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q
+          FROM w)
+        SELECT lang, source, q,
+          MIN(CASE WHEN cum >= ceil(q * n) THEN v END) AS value
+        FROM e GROUP BY lang, source, q
+        ORDER BY lang, source, q"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

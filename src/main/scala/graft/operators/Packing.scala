@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the "concatenate every document's tokens, then
+  * chop into fixed-length training sequences" step that turns a curated
+  * corpus into LM training batches. Each document occupies the token
+  * interval `[start, start + n)` of the virtual concatenated stream
+  * (in a caller-chosen total order) and is emitted once per training
+  * sequence it overlaps, with the slice coordinates a loader needs:
+  * `(seq_id, id, seq_off, doc_off, n_tok)`.
+  *
+  * The global `start` offsets are a PREFIX SUM — the textbook
+  * sequential scan that a naive Spark translation expresses as a
+  * single-partition global window (`sum(n) over (order by key)`), a
+  * non-starter at 100 TB: all rows funnel through one task. This
+  * operator computes the same integers with the classic two-level
+  * distributed scan:
+  *
+  *   1. coarse buckets from the order key (`key div bucketWidth`);
+  *   2. one tiny aggregate: per-bucket token totals (#buckets rows,
+  *      map-side combinable), cumulated on the driver into exclusive
+  *      bucket offsets (bounded by #buckets, never by rows — the same
+  *      contract as the IVF centroid collect);
+  *   3. broadcast the (bucket, offset) table back; each row's start is
+  *      `bucket offset + within-bucket running sum`, a window
+  *      PARTITIONED BY BUCKET — every partition bounded by
+  *      `bucketWidth` keys, all buckets in parallel.
+  *
+  * All arithmetic is integer, so the result is bit-deterministic and
+  * replays in SQL as a plain global-window cumsum.
+  */
+object Packing {
+
+  /** One output row per (document, sequence) overlap.
+    *
+    * @param orderCol    numeric column defining the concatenation
+    *                    order; must be unique per row (`idCol` breaks
+    *                    window ties defensively, but distinct rows with
+    *                    equal keys make `start` order-dependent).
+    * @param nTokCol     per-row unit count (tokens, chars, bytes…);
+    *                    rows with 0 units are dropped (they occupy no
+    *                    stream interval). Negative counts throw.
+    * @param seqLen      training sequence length in the same units.
+    * @param bucketWidth order-key span per scan bucket: sized so one
+    *                    bucket's rows fit a task comfortably (dense
+    *                    keys: ~rows per bucket; sparse keys: smaller
+    *                    effective buckets — only the #buckets driver
+    *                    cumsum cares, and it is bounded by
+    *                    keyRange / bucketWidth).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, orderCol: String, nTokCol: String,
+      seqLen: Long, bucketWidth: Long = 1L << 16): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+
+    val rows = df.select(
+      col(idCol),
+      col(orderCol).cast("long").as("__ord"),
+      col(nTokCol).cast("long").as("__n"))
+      .filter(col("__n") =!= 0L)
+    // fail loudly on negative counts — a silent filter would hide
+    // upstream tokenizer bugs AND corrupt every downstream offset
+    val guarded = rows.withColumn("__n",
+      when(col("__n") < 0L, raise_error(concat(
+        lit(s"packSequences: negative $nTokCol for $idCol="), col(idCol))))
+        .otherwise(col("__n")))
+      .withColumn("__b", floor(col("__ord") / lit(bucketWidth)).cast("long"))
+
+    // tiny agg: per-bucket totals -> driver-side exclusive prefix
+    val totals = guarded.groupBy(col("__b")).agg(sum(col("__n")).as("__t"))
+      .collect() // bounded: one row per bucket
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(
+      offsets.toSeq.toDF("__b2", "__off"))
+
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val started = guarded
+      .join(offsetDf, col("__b") === col("__b2"))
+      .withColumn("__start", col("__off") + sum(col("__n")).over(w) - col("__n"))
+
+    val L = lit(seqLen)
+    started
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / L).cast("long"),
+        floor((col("__start") + col("__n") - 1L) / L).cast("long"))))
+      .select(
+        col("seq_id"),
+        col(idCol),
+        greatest(lit(0L), col("__start") - col("seq_id") * L).as("seq_off"),
+        greatest(lit(0L), col("seq_id") * L - col("__start")).as("doc_off"),
+        (least((col("seq_id") + 1L) * L, col("__start") + col("__n"))
+          - greatest(col("seq_id") * L, col("__start"))).as("n_tok"))
+  }
+}

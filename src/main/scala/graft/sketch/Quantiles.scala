@@ -1,0 +1,70 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles over a histogram — the curation
+  * pipeline's threshold-picking step ("drop the bottom decile of
+  * quality scores per language", "p99 document length per source").
+  *
+  * Spark's own exact `percentile` aggregate buffers every value of a
+  * group in one aggregation buffer — a driver-of-executor-memory bomb
+  * at 100 TB — and `percentile_approx` is (a) approximate and (b) not
+  * replayable in another engine. This operator computes EXACT discrete
+  * quantiles with a shape that scales: one `(group, value)` histogram
+  * aggregate (map-side combinable — the shuffle carries distinct
+  * values, not rows), a per-group cumulative-count window over the
+  * histogram (partitions bounded by the group's distinct-value count),
+  * and a threshold pick.
+  *
+  * The contract that makes it exact AND bounded: the value column must
+  * have bounded distinct cardinality per group — naturally true for
+  * lengths, counts and quantized scores (quality signals are typically
+  * bucketed to 2–3 decimals before thresholding; quantize first for
+  * continuous scores). The histogram is the summary; unlike a KLL/GK
+  * sketch it is lossless, so the answer is the true quantile, not a
+  * rank-error bound.
+  *
+  * Definition (discrete, lower): `Q(q)` = the smallest value whose
+  * cumulative count reaches `ceil(q · n)` — always an element of the
+  * data, never interpolated, and identical in any engine (the one
+  * `q · n` product is IEEE double in both).
+  */
+object Quantiles {
+
+  /** One row per (group, q): `(groupCols…, q, value)`.
+    *
+    * @param qs quantile fractions, each in (0, 1].
+    */
+  def grouped(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile fraction")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    require(qs.distinct.size == qs.size, s"duplicate fractions in $qs")
+
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    val base =
+      if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
+
+    val hist = base
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+
+    val byGroup = Window.partitionBy(keys.map(col): _*)
+    val cumW = byGroup.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(byGroup))
+
+    val out = withCum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .groupBy((keys.map(col) :+ col("q")): _*)
+      .agg(min(when(col("__cum") >= ceil(col("q") * col("__n")),
+        col(valueCol))).as("value"))
+    if (groupCols.nonEmpty) out else out.drop("__all")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sketch
+
+import graft.SparkSpec
+
+class QuantilesSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("matches the brute-force definition on a known group") {
+    // values 1..10 once each: Q(q) = smallest v with cum >= ceil(10q)
+    val df = (1 to 10).map(v => ("g", v.toLong)).toDF("g", "v")
+    val got = Quantiles.grouped(df, Seq("g"), "v", Seq(0.1, 0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    got(0.1) shouldBe 1L
+    got(0.25) shouldBe 3L // ceil(2.5) = 3rd value
+    got(0.5) shouldBe 5L
+    got(0.9) shouldBe 9L
+    got(1.0) shouldBe 10L
+  }
+
+  test("respects duplicates and skew") {
+    val df = (Seq.fill(97)(5L) ++ Seq(1L, 9L, 10L)).map(("g", _)).toDF("g", "v")
+    val got = Quantiles.grouped(df, Seq("g"), "v", Seq(0.01, 0.5, 0.98, 0.99))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    got(0.01) shouldBe 1L  // ceil(1) = 1st value
+    got(0.5) shouldBe 5L
+    got(0.98) shouldBe 5L  // 98 values <= 5
+    got(0.99) shouldBe 9L
+  }
+
+  test("groups are independent") {
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      (1 to 10).map(v => ("b", v * 1000L))).toDF("g", "v")
+    val got = Quantiles.grouped(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    got("a") shouldBe 50L
+    got("b") shouldBe 5000L
+  }
+
+  test("global quantiles with no group columns") {
+    val df = (1 to 1000).map(v => Tuple1(v.toLong)).toDF("v")
+    val got = Quantiles.grouped(df, Seq.empty, "v", Seq(0.5, 0.999))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    got(0.5) shouldBe 500L
+    got(0.999) shouldBe 999L
+    Quantiles.grouped(df, Seq.empty, "v", Seq(0.5)).columns shouldBe
+      Array("q", "value")
+  }
+
+  test("agrees with a sorted-scan reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(500)((rnd.nextInt(40) + 1).toLong)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.3, 0.62, 0.77, 0.95)) {
+      val expect = sorted(math.ceil(q * vals.size).toInt - 1)
+      val got = Quantiles.grouped(df, Seq("g"), "v", Seq(q))
+        .head().getLong(2)
+      got shouldBe expect
+    }
+  }
+
+  test("invalid fractions rejected") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.grouped(df, Seq("g"), "v", Seq(0.0))
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.grouped(df, Seq("g"), "v", Seq(1.1))
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.grouped(df, Seq("g"), "v", Seq(0.5, 0.5))
+  }
+}
