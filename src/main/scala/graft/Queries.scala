@@ -2072,7 +2072,57 @@ object Queries {
         SELECT lang, source, q,
           MIN(CASE WHEN cum >= ceil(q * n) THEN v END) AS value
         FROM e GROUP BY lang, source, q
-        ORDER BY lang, source, q"""))
+        ORDER BY lang, source, q""")),
+
+    // Streaming exact dedup through a real file sink (streaming/
+    // Streaming.streamingExactDedup): documents replayed as a stream
+    // (event time from doc_id), watermarked dropDuplicates on the
+    // normalized-content key, parquet sink, read back. Which physical
+    // duplicate survives is batch-order-dependent, so the query emits
+    // only columns DETERMINED BY the dedup key (the normalized text and
+    // its md5) — the oracle is a plain DISTINCT. Gives the streaming
+    // dedup path the same hard cross-engine evidence the batch q08 has.
+    GraftQuery(
+      "q55_streaming_dedup",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q55_src_")
+        val staged = srcDir.resolve("documents.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/documents.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+          .parquet(srcDir.toString)
+          // +1s: epoch-0 event time would sit exactly ON the initial
+          // watermark and be discarded as late before reaching the store
+          .withColumn("__ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+        val deduped = graft.streaming.Streaming.streamingExactDedup(
+          src, "text", "__ts", watermark = "0 seconds")
+          .select(
+            graft.text.TextStats.fingerprintMd5(col("text")).as("fp"),
+            graft.text.TextStats.normalize(col("text")).as("norm_text"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q55_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q55_ckpt_").toString
+        deduped.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out).orderBy(col("fp"))
+      },
+      Some("""
+        SELECT DISTINCT
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
+        FROM documents
+        ORDER BY fp"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

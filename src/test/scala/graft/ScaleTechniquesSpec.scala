@@ -115,4 +115,39 @@ class ScaleTechniquesSpec extends SparkSpec {
     plan should include("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
     plan should include("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>")
   }
+
+  test("sequence packing windows are bucket-partitioned, never global") {
+    val df = (0L until 300L).map(i => (i, 1L + i % 7)).toDF("id", "n")
+    val plan = executed(graft.operators.Packing.packSequences(
+      df, "id", "id", "n", seqLen = 64, bucketWidth = 32))
+    // every window spec in the plan must carry the bucket partition key;
+    // a naive global prefix sum would plan windowspecdefinition(id ASC...)
+    // with no partition column — one task for the whole corpus
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    specs should not be empty
+    specs.foreach(_ should include("__b"))
+    // and the bucket-offset table joins as a broadcast, not a shuffle
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("hash split is map-only: no exchange anywhere in the plan") {
+    val df = (0L until 100L).map(Tuple1(_)).toDF("id")
+    val plan = executed(graft.operators.Splits.withSplit(
+      df, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s"))
+    plan should not include "Exchange"
+  }
+
+  test("grouped quantiles window the histogram, not the rows") {
+    val df = (0L until 1000L).map(i => ("g" + i % 3, i % 19)).toDF("g", "v")
+    val q = graft.sketch.Quantiles.grouped(df, Seq("g"), "v", Seq(0.5, 0.9))
+    val plan = executed(q)
+    // the cumulative window must sit ABOVE the (group, value) count
+    // aggregate — windowing raw rows would buffer values per group
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    winAt should be >= 0
+    aggAt should be > winAt // later in text = deeper in the tree
+    plan should not include "CartesianProduct"
+  }
 }
