@@ -2122,7 +2122,61 @@ object Queries {
           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
         FROM documents
-        ORDER BY fp"""))
+        ORDER BY fp""")),
+
+    // Vocabulary tokenizer (functions/VocabTokenize): greedy maximal
+    // munch against a fixed vocabulary — multi-word entries ("table
+    // value", "key agg") win over word-by-word, and two corpus words
+    // ("merge", "vector") are deliberately absent so the per-character
+    // unk fallback is exercised on real rows. Native codegen map-only
+    // pass; DuckDB replays the same longest-match scan as a recursive
+    // CTE with a correlated max-length probe. ASCII filter as in
+    // q30/q45 so character indexing agrees byte-for-byte.
+    GraftQuery(
+      "q56_vocab_tokenize",
+      (s, dir) => {
+        val vocab = Seq(
+          "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+          "filter", "group", "hash", "join", "key", "line", "order", "part",
+          "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
+          "table", "the", "value", "window", " ", "table value", "key agg")
+        t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+          .select(col("doc_id"),
+            graft.functions.VocabTokenize.vocabTokenize(
+              graft.text.TextStats.normalize(col("text")), vocab).as("__toks"))
+          .select(col("doc_id"),
+            size(col("__toks")).cast("long").as("n_tokens"),
+            (size(col("__toks")) -
+              size(array_remove(col("__toks"), "<unk>"))).cast("long")
+              .as("n_unk"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE vocab(w) AS (
+          SELECT * FROM (VALUES ('a'),('agg'),('batch'),('big'),('column'),
+            ('customer'),('data'),('fast'),('filter'),('group'),('hash'),
+            ('join'),('key'),('line'),('order'),('part'),('query'),('row'),
+            ('scan'),('slow'),('small'),('sort'),('spark'),('stream'),
+            ('table'),('the'),('value'),('window'),(' '),
+            ('table value'),('key agg')) v(w)),
+        d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')),
+        step(doc_id, pos, n_tok, n_unk) AS (
+          SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          FROM d
+          UNION ALL
+          SELECT doc_id, pos + coalesce(l, 1), n_tok + 1,
+                 n_unk + CASE WHEN l IS NULL THEN 1 ELSE 0 END
+          FROM (
+            SELECT s.doc_id, s.pos, s.n_tok, s.n_unk,
+              (SELECT max(len(w)) FROM vocab v
+               WHERE substr(d.t, CAST(s.pos AS INTEGER), len(v.w)) = v.w) AS l
+            FROM step s JOIN d ON d.doc_id = s.doc_id
+            WHERE s.pos <= len(d.t)) q)
+        SELECT doc_id, max(n_tok) AS n_tokens, max(n_unk) AS n_unk
+        FROM step GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
