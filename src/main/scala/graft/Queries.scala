@@ -2176,7 +2176,59 @@ object Queries {
             FROM step s JOIN d ON d.doc_id = s.doc_id
             WHERE s.pos <= len(d.t)) q)
         SELECT doc_id, max(n_tok) AS n_tokens, max(n_unk) AS n_unk
-        FROM step GROUP BY doc_id ORDER BY doc_id"""))
+        FROM step GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Semantic decontamination, exact cross-corpus baseline
+    // (sim/Similarity.exactCosinePairsAcross): every (batch, corpus)
+    // embedding pair at cosine >= 0.35 on bounded slices — the
+    // quadratic-BY-CONTRACT verification baseline for the sub-quadratic
+    // LSH path (embeddingNearDuplicatesAgainst, benched uncapped as
+    // q57b; recall pinned on planted duplicates in
+    // CrossCorpusSimilaritySpec). Same precedent as q24/q24b.
+    GraftQuery(
+      "q57_semantic_decontaminate",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.sim.Similarity.exactCosinePairsAcross(
+          emb.filter(col("vec_id") >= 300),
+          emb.filter(col("vec_id") < 300),
+          "vec_id", "embedding", threshold = 0.35)
+          .orderBy(col("batch_id"), col("corpus_id"))
+      },
+      Some("""
+        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+                list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y)
+                / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x,y) -> x + y))
+                   * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x,y) -> x + y))) AS cosine
+              FROM s a JOIN s b ON a.vec_id >= 300 AND b.vec_id < 300)
+        SELECT batch_id, corpus_id, cosine FROM p
+        WHERE cosine >= 0.35
+        ORDER BY batch_id, corpus_id""")),
+
+    // Overlapping document chunking (text/Chunking): 256-char chunks
+    // every 192 chars (64 overlap) — the embedding/RAG prep step.
+    // Map-only sequence-explode + substring; all-integer start
+    // arithmetic and character-based substring replay exactly. ASCII
+    // filter as in q30/q45 so character indexing agrees.
+    GraftQuery(
+      "q58_chunking",
+      (s, dir) =>
+        graft.text.Chunking.chunk(
+          t(s, dir, "documents").filter(!col("text").rlike("[^ -~]")),
+          "doc_id", "text", chunkSize = 256, overlap = 64)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, len(text) AS n FROM documents
+          WHERE NOT regexp_matches(text, '[^ -~]') AND len(text) > 0),
+        c AS (
+          SELECT doc_id, text,
+            unnest(range(0, greatest(1, (n - 64 + 191) // 192))) AS chunk_id
+          FROM d)
+        SELECT doc_id, chunk_id, chunk_id * 192 AS chunk_start,
+          substr(text, CAST(chunk_id * 192 + 1 AS INTEGER), 256) AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
@@ -2211,6 +2263,19 @@ object Queries {
         graft.sim.Similarity.embeddingNearDuplicates(
           t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95)
           .orderBy(col("id_a"), col("id_b")),
+      None),
+    GraftQuery(
+      "q57b_semantic_decon_uncapped",
+      (s, dir) => {
+        // odd ids decontaminated against even ids — the LSH scale path
+        // (one batch×corpus bucket equi-join); proportions track sf
+        val emb = t(s, dir, "embeddings")
+        graft.sim.Similarity.embeddingDedupAgainst(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", threshold = 0.95)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
       None))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

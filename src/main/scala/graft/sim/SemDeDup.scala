@@ -46,7 +46,8 @@ object SemDeDup {
   def semDeDup(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, tau: Double,
-      quantBits: Int = 20): DataFrame = {
+      quantBits: Int = 20,
+      maxClusterSize: Option[Long] = None): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
     val cents = KMeans.fit(df, idCol, vecCol, k, iters, quantBits).toIndexedSeq
 
@@ -58,6 +59,21 @@ object SemDeDup {
         KMeans.argmin(KMeans.distances(col(vecCol), cents)).as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // optional fail-fast bound on the per-cluster quadratic stage: a
+      // silent cap would change dedup semantics, so an undersized k
+      // (e.g. k fixed while the corpus grew 100x) fails loudly instead
+      // of planning an unbounded within-cluster pair join. The size
+      // probe is one k-row aggregate over the persisted assignment.
+      maxClusterSize.foreach { cap =>
+        require(cap >= 1, s"maxClusterSize must be >= 1, got $cap")
+        val big = assigned.groupBy(col("cluster")).count()
+          .filter(col("count") > cap).collect() // bounded: <= k rows
+        require(big.isEmpty,
+          s"semDeDup: cluster(s) exceed maxClusterSize=$cap: " +
+            big.map(r => s"cluster ${r.getInt(0)} has ${r.getLong(1)} rows")
+              .mkString(", ") +
+            " — increase k (SemDeDup sizes k to the corpus, ~sqrt(N)) or the cap")
+      }
       val a = assigned.select(col(idCol).as("id_a"), col("__vec").as("__va"),
         col("cluster").as("__ca"))
       val b = assigned.select(col(idCol).as("id_b"), col("__vec").as("__vb"),

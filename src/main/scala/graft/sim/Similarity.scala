@@ -333,6 +333,141 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  private val crossBucketSchema = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  /** (band, bucket, id) sign-bit signatures — vectors dropped before any
+    * shuffle. Both sides of a cross-corpus match MUST use one plane set.
+    */
+  private def signBuckets(
+      df: DataFrame, idCol: String, vecCol: String, bits: Int, bands: Int,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+      : DataFrame =
+    df.select(col(idCol), col(vecCol)).mapPartitions { rows =>
+      val ps = bc.value
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        val vec = row.getSeq[Float](1)
+        (0 until bands).iterator.map { band =>
+          var sig = 0L
+          var b = 0
+          while (b < bits) {
+            val p = ps(band * bits + b)
+            var acc = 0.0
+            var i = 0
+            val n = math.min(vec.length, p.length)
+            while (i < n) { acc += vec(i).toDouble * p(i); i += 1 }
+            if (acc >= 0) sig |= (1L << b)
+            b += 1
+          }
+          Row(band, sig, id)
+        }
+      }
+    }(Encoders.row(crossBucketSchema))
+
+  /** Semantic-overlap pairs between a candidate `batch` and a reference
+    * `corpus` (benchmark sets, already-trained data): sign-bit LSH
+    * buckets on BOTH sides with one shared hyperplane set, candidates
+    * from a single batch×corpus (band, bucket) equi-join — never a
+    * self-join, never batch×corpus all-pairs — capped per side, exact
+    * [[graft.functions.CosineFold]] verify on candidates only.
+    * Returns (batch_id, corpus_id, cosine ≥ threshold).
+    *
+    * This is the embedding twin of
+    * [[graft.dedup.Dedup.nearDuplicatesAgainst]]: use it for SEMANTIC
+    * decontamination — paraphrased benchmark leakage that shared-n-gram
+    * screens ([[graft.text.Decontaminate]]) cannot see.
+    *
+    * Recall is probabilistic (sign-LSH): a cosine-θ pair collides per
+    * band with probability (1 − θ/π)^bits. The exact bounded baseline
+    * [[exactCosinePairsAcross]] is the verification contract (recall
+    * pinned in SimilaritySpec on planted near-duplicates).
+    */
+  def embeddingNearDuplicatesAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      bands: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val spark = batch.sparkSession
+    val cap = math.min(maxBucketSize, (Int.MaxValue - 8).toLong).toInt
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("batch_id", LongType, nullable = false),
+        StructField("corpus_id", LongType, nullable = false),
+        StructField("cosine", DoubleType, nullable = true))))
+    val firstVec = batch.select(col(vecCol)).head(1)
+    if (firstVec.isEmpty) return empty
+    if (corpus.select(col(vecCol)).head(1).isEmpty) return empty
+    val dim = firstVec.head.getSeq[Float](0).size
+    val bc = spark.sparkContext.broadcast(hyperplanes(bits * bands, dim, seed))
+    def capped(df: DataFrame, outCol: String) =
+      signBuckets(df, idCol, vecCol, bits, bands, bc)
+        .groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.CappedCollectList
+          .cappedCollectList(col("id"), cap).as(outCol))
+        .filter(col(outCol).isNotNull)
+    val pairs = capped(batch, "__bids")
+      .join(capped(corpus, "__cids"), Seq("band", "bucket"))
+      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+      .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
+      .distinct()
+    val ba = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__va"))
+    val ca = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vb"))
+    pairs.join(ba, "batch_id").join(ca, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.CosineFold.cosineFold(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** `batch` reduced to rows with NO corpus embedding at cosine ≥
+    * threshold — semantic decontamination / incremental semantic dedup.
+    * One anti-join on the matched ids from
+    * [[embeddingNearDuplicatesAgainst]].
+    */
+  def embeddingDedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      bands: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val matched = embeddingNearDuplicatesAgainst(
+      batch, corpus, idCol, vecCol, threshold, bits, bands, seed, maxBucketSize)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Exact cross-corpus cosine threshold-pairs on BOUNDED inputs: the
+    * quadratic-by-contract verification baseline for
+    * [[embeddingNearDuplicatesAgainst]] (the cross-corpus analog of
+    * [[exactCosinePairs]] — cap the inputs, it is batch×corpus).
+    */
+  def exactCosinePairsAcross(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vb"))
+    a.join(b, col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.CosineFold.cosineFold(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Column-expression cosine between two array columns: sequential
     * `aggregate` folds in double, so the result is bit-reproducible
     * across engines that fold left in double (the cross-engine oracle

@@ -10,11 +10,12 @@ class PlanGuardSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** q24 is the exact-cosine verification baseline: a range-condition
-    * self-join that is quadratic BY CONTRACT (it is the oracle for the
-    * sub-quadratic LSH path) and bounded by its caller.
+  /** q24/q57 are the exact-cosine verification baselines: non-equi
+    * joins that are quadratic BY CONTRACT (they are the oracles for the
+    * sub-quadratic LSH paths) and bounded by their callers.
     */
-  private val quadraticBaselines = Set("q24_embedding_neardup")
+  private val quadraticBaselines =
+    Set("q24_embedding_neardup", "q57_semantic_decontaminate")
 
   test("no oracle query plans a cartesian or nested-loop join") {
     Queries.all.foreach { q =>

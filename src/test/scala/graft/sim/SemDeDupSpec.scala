@@ -54,6 +54,20 @@ class SemDeDupSpec extends SparkSpec {
     got.foreach { case (id, (_, g, _)) => g shouldBe id }
   }
 
+  test("maxClusterSize fails loudly when a cluster outgrows the bound") {
+    val ex = intercept[IllegalArgumentException] {
+      SemDeDup.semDeDup(corpus, "id", "v", k = 2, iters = 1, tau = 0.9,
+        maxClusterSize = Some(2L))
+    }
+    ex.getMessage should include("maxClusterSize")
+    // generous bound passes and results match the unguarded run
+    val guarded = SemDeDup.semDeDup(corpus, "id", "v", 2, 2, 0.999,
+      maxClusterSize = Some(100L)).collect().map(_.toSeq).sortBy(_.toString)
+    val free = SemDeDup.semDeDup(corpus, "id", "v", 2, 2, 0.999)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    guarded shouldBe free
+  }
+
   test("deterministic under repartitioning") {
     val base = SemDeDup.semDeDup(corpus, "id", "v", 2, 2, 0.999)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
