@@ -22,12 +22,38 @@ class ComponentsSpec extends SparkSpec {
     got.keySet shouldBe (0L to 9L).toSet
   }
 
-  test("fails fast when maxIter is too small to converge") {
+  test("fails fast when maxIter is too small to converge (distributed path)") {
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Components.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
+      Components.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
+        maxDriverEdges = 0L) // force the distributed loop
     }
     e.getMessage should include("did not converge")
+  }
+
+  test("driver union-find and distributed propagation agree on random graphs") {
+    val rng = new scala.util.Random(23)
+    for (_ <- 1 to 5) {
+      val n = 40
+      val pairs = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val fast = Components.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Components.connectedComponents(pairs, "id_a", "id_b",
+        maxDriverEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      fast shouldBe dist
+    }
+  }
+
+  test("string-typed node ids work on both paths") {
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
+    Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe expect
+    Components.connectedComponents(pairs, "id_a", "id_b", maxDriverEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe expect
   }
 
   test("scans the pair table exactly once (edges are checkpointed)") {
