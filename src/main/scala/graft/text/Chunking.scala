@@ -39,7 +39,7 @@ object Chunking {
         col(idCol),
         col("chunk_id"),
         (col("chunk_id") * step).as("chunk_start"),
-        expr(s"substring($textCol, chunk_id * $step + 1, $chunkSize)")
+        substr(col(textCol), col("chunk_id") * step + 1L, lit(chunkSize))
           .as("chunk_text"))
   }
 }
