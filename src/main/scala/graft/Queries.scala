@@ -31,6 +31,16 @@ object Queries {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(30,2)")).cast("double")
 
+  /** Recursively delete a temp tree (streaming staging/checkpoint dirs
+    * — repeated bench/verify runs would otherwise accumulate in /tmp).
+    */
+  private def deleteTree(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- relational core (Catalyst-native; parity with the reference's
@@ -1595,6 +1605,10 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
+        // staging + state are done with; the sink must outlive this call
+        // (the returned frame reads it lazily)
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out)
           .select(col("user_id"),
             unix_micros(col("session_start")).as("session_start_us"),
@@ -2115,6 +2129,9 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
           .awaitTermination()
+        // staging + state are done with; the sink must outlive this call
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out).orderBy(col("fp"))
       },
       Some("""

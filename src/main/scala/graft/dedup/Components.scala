@@ -71,7 +71,16 @@ object Components {
     val ordering: Option[Ordering[Any]] = idType match {
       case LongType => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
-      case StringType => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case StringType => Some(new Ordering[Any] {
+        // Spark's min() on strings is UTF-8 BYTE order, which differs
+        // from Java String (UTF-16) order for supplementary characters
+        // — compare as UTF8String so both paths pick the same label
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String]))
+      })
       case _ => None
     }
     if (ordering.isDefined && maxDriverEdges > 0 &&

@@ -90,7 +90,10 @@ object VocabTokenize {
         p += matched
       } else {
         out += UTF8String.fromString(unk)
-        p += 1
+        // advance one CODE POINT: a supplementary character is one
+        // unmatched character, not two (surrogate halves are never
+        // valid match positions anyway)
+        p += Character.charCount(text.codePointAt(p))
       }
     }
     new GenericArrayData(out.toArray[Any])

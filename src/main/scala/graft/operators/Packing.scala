@@ -57,18 +57,27 @@ object Packing {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
 
+    // fail loudly on NULL or negative counts — a silent filter would
+    // hide upstream tokenizer bugs AND corrupt every downstream offset
     val rows = df.select(
       col(idCol),
       col(orderCol).cast("long").as("__ord"),
-      col(nTokCol).cast("long").as("__n"))
+      when(col(nTokCol).isNull || col(nTokCol).cast("long") < 0L,
+        raise_error(concat(
+          lit(s"packSequences: null or negative $nTokCol for $idCol="),
+          col(idCol).cast("string"))))
+        .otherwise(col(nTokCol).cast("long")).as("__n"))
       .filter(col("__n") =!= 0L)
-    // fail loudly on negative counts — a silent filter would hide
-    // upstream tokenizer bugs AND corrupt every downstream offset
-    val guarded = rows.withColumn("__n",
-      when(col("__n") < 0L, raise_error(concat(
-        lit(s"packSequences: negative $nTokCol for $idCol="), col(idCol))))
-        .otherwise(col("__n")))
-      .withColumn("__b", floor(col("__ord") / lit(bucketWidth)).cast("long"))
+    // `div` (integral divide) not `/`: long `/` goes through IEEE
+    // doubles and mis-buckets keys above 2^53. Truncating division is
+    // monotone in the key, which is all bucketing needs.
+    val guarded = rows
+      .withColumn("__b", expr(s"__ord div ${bucketWidth}L"))
+      // materialize ONCE: both the totals collect below and the final
+      // windowed plan read this narrow 4-column projection — without a
+      // checkpoint the whole upstream pipeline runs twice (and the
+      // raise_error guard fires here, before any partial output)
+      .localCheckpoint(true)
 
     // tiny agg: per-bucket totals -> driver-side exclusive prefix
     val totals = guarded.groupBy(col("__b")).agg(sum(col("__n")).as("__t"))
@@ -90,9 +99,11 @@ object Packing {
 
     val L = lit(seqLen)
     started
+      // __start >= 0 always (counts are non-negative), so truncating
+      // `div` equals floor division and stays exact past 2^53
       .withColumn("seq_id", explode(sequence(
-        floor(col("__start") / L).cast("long"),
-        floor((col("__start") + col("__n") - 1L) / L).cast("long"))))
+        expr(s"__start div ${seqLen}L"),
+        expr(s"(__start + __n - 1) div ${seqLen}L"))))
       .select(
         col("seq_id"),
         col(idCol),

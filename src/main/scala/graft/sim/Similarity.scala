@@ -280,12 +280,6 @@ object Similarity {
       seed: Long = 42L,
       maxBucketSize: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
-    val idIdx = corpus.schema.fieldIndex(idCol)
-    val vecIdx = corpus.schema.fieldIndex(vecCol)
-    val bucketSchema = StructType(Seq(
-      StructField("band", IntegerType, nullable = false),
-      StructField("bucket", LongType, nullable = false),
-      StructField("id", LongType, nullable = false)))
     val firstVec = corpus.select(col(vecCol)).head(1)
     if (firstVec.isEmpty) {
       // empty corpus: no pairs (head() on an empty frame would throw)
@@ -297,29 +291,8 @@ object Similarity {
           StructField("cosine", DoubleType, nullable = true))))
     }
     val dim = firstVec.head.getSeq[Float](0).size
-    val planes = hyperplanes(bits * bands, dim, seed)
-    val bc = spark.sparkContext.broadcast(planes)
-    val buckets = corpus.mapPartitions { rows =>
-      val ps = bc.value
-      rows.flatMap { row =>
-        val id = row.getLong(idIdx)
-        val vec = row.getSeq[Float](vecIdx)
-        (0 until bands).iterator.map { band =>
-          var sig = 0L
-          var b = 0
-          while (b < bits) {
-            val p = ps(band * bits + b)
-            var acc = 0.0
-            var i = 0
-            val n = math.min(vec.length, p.length)
-            while (i < n) { acc += vec(i).toDouble * p(i); i += 1 }
-            if (acc >= 0) sig |= (1L << b)
-            b += 1
-          }
-          Row(band, sig, id)
-        }
-      }
-    }(Encoders.row(bucketSchema))
+    val bc = spark.sparkContext.broadcast(hyperplanes(bits * bands, dim, seed))
+    val buckets = signBuckets(corpus, idCol, vecCol, bits, bands, bc)
     val pairs = graft.dedup.Dedup.candidatePairs(buckets, "id", maxBucketSize)
     // verify on candidates only: join the vectors back by id once; the
     // native fold keeps the whole verify inside codegen (zero-norm
@@ -453,6 +426,10 @@ object Similarity {
     * quadratic-by-contract verification baseline for
     * [[embeddingNearDuplicatesAgainst]] (the cross-corpus analog of
     * [[exactCosinePairs]] — cap the inputs, it is batch×corpus).
+    * Every (batch, corpus) pair is compared — batch and corpus are
+    * DIFFERENT datasets, so equal id values on the two sides are a
+    * coincidence, not the same item, and must not be excluded (the LSH
+    * path does not exclude them either).
     */
   def exactCosinePairsAcross(
       batch: DataFrame,
@@ -462,7 +439,7 @@ object Similarity {
       threshold: Double): DataFrame = {
     val a = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__va"))
     val b = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__vb"))
-    a.join(b, col("batch_id") =!= col("corpus_id"))
+    a.crossJoin(b)
       .select(col("batch_id"), col("corpus_id"),
         graft.functions.CosineFold.cosineFold(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)

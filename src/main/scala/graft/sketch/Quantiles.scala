@@ -44,17 +44,27 @@ object Quantiles {
     require(qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1], got $qs")
     require(qs.distinct.size == qs.size, s"duplicate fractions in $qs")
+    // the output schema is (groupCols…, q, value) — a group column with
+    // either reserved name would collide ambiguously in the result
+    require(!groupCols.contains("q") && !groupCols.contains("value"),
+      "group columns may not be named 'q' or 'value' (output columns)")
 
     val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
-    val base =
+    val base0 =
       if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
+    // alias the value away from user names ('q', 'value', a group name)
+    // and drop NULL values: a NULL is not a datum, and counting it
+    // would shift every quantile's rank threshold
+    val base = base0
+      .filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(valueCol).as("__v")): _*)
 
     val hist = base
-      .groupBy((keys :+ valueCol).map(col): _*)
+      .groupBy((keys :+ "__v").map(col): _*)
       .agg(count(lit(1)).as("__c"))
 
     val byGroup = Window.partitionBy(keys.map(col): _*)
-    val cumW = byGroup.orderBy(col(valueCol))
+    val cumW = byGroup.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = hist
       .withColumn("__cum", sum(col("__c")).over(cumW))
@@ -64,7 +74,7 @@ object Quantiles {
       .withColumn("q", explode(array(qs.map(lit): _*)))
       .groupBy((keys.map(col) :+ col("q")): _*)
       .agg(min(when(col("__cum") >= ceil(col("q") * col("__n")),
-        col(valueCol))).as("value"))
+        col("__v"))).as("value"))
     if (groupCols.nonEmpty) out else out.drop("__all")
   }
 }

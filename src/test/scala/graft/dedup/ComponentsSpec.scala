@@ -56,6 +56,22 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe expect
   }
 
+  test("both paths pick the same label for supplementary-character ids") {
+    // Java String (UTF-16) order and Spark's UTF-8 byte order DISAGREE
+    // here: "￿" < U+10000 in UTF-8 bytes but > in UTF-16 units —
+    // the fast path must use byte order to match min()
+    val hi = "￿"
+    val astral = new String(Character.toChars(0x10000))
+    val pairs = Seq((hi, astral)).toDF("id_a", "id_b")
+    def labels(cap: Long) =
+      Components.connectedComponents(pairs, "id_a", "id_b", maxDriverEdges = cap)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fast = labels(1000L)
+    val dist = labels(0L)
+    fast shouldBe dist
+    fast.values.toSet shouldBe Set(hi) // UTF-8 byte order: U+FFFF wins
+  }
+
   test("scans the pair table exactly once (edges are checkpointed)") {
     import org.apache.spark.sql.functions.{col, udf}
     val scans = spark.sparkContext.longAccumulator("pairScans")

@@ -33,6 +33,12 @@ class VocabTokenizeSpec extends SparkSpec {
     tok("") shouldBe Seq.empty
   }
 
+  test("an unmatched supplementary character is ONE unk, not two") {
+    // U+1F600 is a surrogate pair in UTF-16; the unk fallback must
+    // advance a full code point
+    tok("a😀b") shouldBe Seq("a", "<unk>", "b")
+  }
+
   test("null input stays null") {
     val got = Seq[(Integer, String)]((1, null)).toDF("id", "t")
       .select(VocabTokenize.vocabTokenize(col("t"), vocab))

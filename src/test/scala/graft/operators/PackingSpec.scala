@@ -79,4 +79,13 @@ class PackingSpec extends SparkSpec {
     }
     ex.getMessage should include("negative")
   }
+
+  test("null counts fail loudly instead of silently vanishing") {
+    val df = Seq((0L, java.lang.Long.valueOf(3L)), (1L, null: java.lang.Long))
+      .toDF("id", "n")
+    val ex = intercept[Exception] {
+      Packing.packSequences(df, "id", "id", "n", 4, 4).collect()
+    }
+    ex.getMessage should include("null or negative")
+  }
 }

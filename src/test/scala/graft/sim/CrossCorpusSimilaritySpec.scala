@@ -48,6 +48,22 @@ class CrossCorpusSimilaritySpec extends SparkSpec {
     kept shouldBe (fresh.map(_._1).toSet)
   }
 
+  test("equal id values on the two sides are compared, not excluded") {
+    // batch and corpus are different datasets — id 7 on both sides is a
+    // coincidence, and a cosine match between them is a real leak
+    val v = Seq.fill(8)(1.0f)
+    val batchDf = Seq((7L, v)).toDF("id", "vec")
+    val corpusDf = Seq((7L, v)).toDF("id", "vec")
+    val exact = Similarity.exactCosinePairsAcross(
+      batchDf, corpusDf, "id", "vec", threshold = 0.99).collect()
+    exact.length shouldBe 1
+    exact.head.getLong(0) shouldBe 7L
+    exact.head.getLong(1) shouldBe 7L
+    // and the LSH path agrees
+    Similarity.embeddingNearDuplicatesAgainst(
+      batchDf, corpusDf, "id", "vec", threshold = 0.99).count() shouldBe 1L
+  }
+
   test("pure-noise batch survives decontamination untouched") {
     val corpusDf = noise(60, 12, seed = 1, idBase = 0L).toDF("id", "vec")
     val batchDf = noise(30, 12, seed = 2, idBase = 500L).toDF("id", "vec")

@@ -59,6 +59,26 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("NULL values are not data: quantiles ignore them") {
+    val df = (Seq.fill(50)(null: java.lang.Long) ++
+      (1L to 10L).map(java.lang.Long.valueOf))
+      .map(v => ("g", v)).toDF("g", "v")
+    val got = Quantiles.grouped(df, Seq("g"), "v", Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    got(0.5) shouldBe 5L // median over the 10 real values, not 60 rows
+    got(1.0) shouldBe 10L
+  }
+
+  test("a value column named 'q' or 'value' still computes correctly") {
+    val df = (1 to 10).map(v => ("g", v.toLong)).toDF("g", "q")
+    val got = Quantiles.grouped(df, Seq("g"), "q", Seq(0.5))
+      .head().getLong(2)
+    got shouldBe 5L
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.grouped(df.withColumnRenamed("g", "value"),
+        Seq("value"), "q", Seq(0.5))
+  }
+
   test("invalid fractions rejected") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     an[IllegalArgumentException] should be thrownBy
