@@ -348,26 +348,39 @@ object Dedup {
       graft.functions.MinHashFold.minhashFold(
         transform(col("__shingles"), s => pmod(xxhash64(s), lit(MersennePrime))),
         numHashes, seed))
+    // each side's shingle table feeds TWO plan branches (signature
+    // buckets + verify join-back) — persist so normalization/shingling
+    // runs once per side, same contract as nearDuplicatesBySets; the
+    // (small) matched-pair result is checkpointed so the caches can be
+    // released before returning
     val batchSets = sets(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusSets = sets(corpus)
-    def cappedBuckets(df: DataFrame, outCol: String) =
-      lshBuckets(sign(df), idCol, "__sig", bands, rowsPerBand)
-        .groupBy(col("band"), col("bucket"))
-        .agg(graft.functions.CappedCollectList
-          .cappedCollectList(col(idCol), cap).as(outCol))
-        .filter(col(outCol).isNotNull)
-    val pairs = cappedBuckets(batchSets, "__bids")
-      .join(cappedBuckets(corpusSets, "__cids"), Seq("band", "bucket"))
-      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
-      .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
-      .distinct()
-    val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
-    val ca = corpusSets.select(col(idCol).as("corpus_id"), col("__shingles").as("__sb"))
-    pairs.join(ba, "batch_id").join(ca, "corpus_id")
-      .withColumn("jaccard",
-        graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def cappedBuckets(df: DataFrame, outCol: String) =
+        lshBuckets(sign(df), idCol, "__sig", bands, rowsPerBand)
+          .groupBy(col("band"), col("bucket"))
+          .agg(graft.functions.CappedCollectList
+            .cappedCollectList(col(idCol), cap).as(outCol))
+          .filter(col(outCol).isNotNull)
+      val pairs = cappedBuckets(batchSets, "__bids")
+        .join(cappedBuckets(corpusSets, "__cids"), Seq("band", "bucket"))
+        .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+        .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
+        .distinct()
+      val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
+      val ca = corpusSets.select(col(idCol).as("corpus_id"), col("__shingles").as("__sb"))
+      pairs.join(ba, "batch_id").join(ca, "corpus_id")
+        .withColumn("jaccard",
+          graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally {
+      batchSets.unpersist()
+      corpusSets.unpersist()
+    }
   }
 
   /** `batch` reduced to rows that duplicate NOTHING in `corpus`:
