@@ -300,6 +300,61 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize an image payload to `targetW` × `targetH` with REAL JDK
+    * rasterization (Graphics2D, bilinear) and re-encode as PNG —
+    * the standard normalize-before-embedding step. Deterministic per
+    * (payload, target) on a given JDK; PNG output because it is
+    * lossless and always writable through ImageIO.
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW >= 1 && targetH >= 1,
+      s"target dimensions must be >= 1, got ${targetW}x$targetH")
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "unsupported or corrupt image payload")
+    val dst = new java.awt.image.BufferedImage(
+      targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Resize an image binary column, batched via `mapPartitions` — the
+    * same plumbing shape as [[withImageFeatures]] (schema-stable, null
+    * payloads pass through as null). Resizing early SHRINKS the bytes
+    * that every downstream shuffle carries, which is the point at
+    * scale: normalize once, then everything else moves small payloads.
+    */
+  def withResizedImages(
+      df: DataFrame,
+      binaryCol: String,
+      targetW: Int,
+      targetH: Int,
+      outputCol: String = "image_resized",
+      batchSize: Int = 64): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"target dimensions must be >= 1, got ${targetW}x$targetH")
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = df.schema.add(outputCol, BinaryType, nullable = true)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val payload = row.getAs[Array[Byte]](idx)
+          val resized =
+            if (payload == null) null
+            else resizeImage(payload, targetW, targetH)
+          Row.fromSeq(row.toSeq :+ resized)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Sample every `everyN`-th fixed-size chunk of a RAW binary payload
     * into one row per chunk: (originalRow..., chunk_idx, chunk_bytes).
     * `explode`-shaped output so per-chunk work distributes.

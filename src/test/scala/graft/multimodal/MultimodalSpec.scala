@@ -43,6 +43,47 @@ class MultimodalSpec extends SparkSpec {
     f(7) shouldBe 0.114 +- 1e-3
   }
 
+  test("resizeImage rescales with real rasterization, content preserved") {
+    // left half red, right half blue, 16x8 -> 4x2: structure survives
+    val bytes = pngBytes(16, 8)((x, _) => if (x < 8) 0xFF0000 else 0x0000FF)
+    val resized = Multimodal.resizeImage(bytes, 4, 2)
+    val d = Multimodal.ImageIoDecoder.decodeImage(resized)
+    d.width shouldBe 4
+    d.height shouldBe 2
+    val f = d.features.map(_.toDouble)
+    f(0) shouldBe 0.5 +- 0.1 // mean R roughly preserved
+    f(2) shouldBe 0.5 +- 0.1 // mean B roughly preserved
+    f(1) shouldBe 0.0 +- 0.1 // no green appears from nowhere
+    // determinism per (payload, target)
+    Multimodal.resizeImage(bytes, 4, 2) shouldBe resized
+    // upscale works too
+    val up = Multimodal.ImageIoDecoder.decodeImage(
+      Multimodal.resizeImage(bytes, 32, 16))
+    up.width shouldBe 32
+    up.height shouldBe 16
+  }
+
+  test("withResizedImages runs distributed, nulls pass through, bytes shrink") {
+    val big = pngBytes(64, 64)((x, y) => (x * 4) << 16 | (y * 4))
+    val df = Seq((1L, big), (2L, null: Array[Byte]))
+      .toDF("id", "img").repartition(2)
+    val got = Multimodal.withResizedImages(df, "img", 8, 8)
+      .orderBy("id").collect()
+    val r1 = got(0).getAs[Array[Byte]]("image_resized")
+    val d = Multimodal.ImageIoDecoder.decodeImage(r1)
+    d.width shouldBe 8
+    d.height shouldBe 8
+    r1.length should be < big.length // normalize-early shrinks payloads
+    got(1).isNullAt(got(1).fieldIndex("image_resized")) shouldBe true
+  }
+
+  test("resizeImage rejects garbage and bad targets") {
+    an[Exception] should be thrownBy
+      Multimodal.resizeImage(Array[Byte](1, 2, 3), 4, 4)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resizeImage(pngBytes(4, 4)((_, _) => 0), 0, 4)
+  }
+
   test("ImageIoDecoder runs distributed through withImageFeatures") {
     val rows = Seq(
       (1L, pngBytes(6, 6)((_, _) => 0xFFFFFF)),
