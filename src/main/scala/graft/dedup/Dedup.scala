@@ -336,7 +336,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Long = 100000L): DataFrame = {
+      maxBucketSize: Long = 100000L,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     val rowsPerBand = numHashes / bands
@@ -349,14 +350,24 @@ object Dedup {
         transform(col("__shingles"), s => pmod(xxhash64(s), lit(MersennePrime))),
         numHashes, seed))
     // each side's shingle table feeds TWO plan branches (signature
-    // buckets + verify join-back) — persist so normalization/shingling
-    // runs once per side, same contract as nearDuplicatesBySets; the
-    // (small) matched-pair result is checkpointed so the caches can be
-    // released before returning
-    val batchSets = sets(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusSets = sets(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // buckets + verify join-back). With materialize = true (default),
+    // persist both so normalization/shingling runs once per side and
+    // eagerly checkpoint the (small) matched-pair result so the caches
+    // can be released before returning — same contract and same
+    // tradeoff as nearDuplicatesBySets: localCheckpoint blocks are
+    // executor-local and not replayable after executor loss, so
+    // materialize = false keeps everything lazy and fault-tolerant at
+    // the price of the double shingle derivation.
+    val batchSets0 = sets(batch)
+    val corpusSets0 = sets(corpus)
+    val batchSets =
+      if (materialize) batchSets0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batchSets0
+    val corpusSets =
+      if (materialize) corpusSets0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpusSets0
     try {
       def cappedBuckets(df: DataFrame, outCol: String) =
         lshBuckets(sign(df), idCol, "__sig", bands, rowsPerBand)
@@ -371,15 +382,17 @@ object Dedup {
         .distinct()
       val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
       val ca = corpusSets.select(col(idCol).as("corpus_id"), col("__shingles").as("__sb"))
-      pairs.join(ba, "batch_id").join(ca, "corpus_id")
+      val verified = pairs.join(ba, "batch_id").join(ca, "corpus_id")
         .withColumn("jaccard",
           graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
         .filter(col("jaccard") >= threshold)
         .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-        .localCheckpoint(true)
+      if (materialize) verified.localCheckpoint(true) else verified
     } finally {
-      batchSets.unpersist()
-      corpusSets.unpersist()
+      if (materialize) {
+        batchSets.unpersist()
+        corpusSets.unpersist()
+      }
     }
   }
 
@@ -400,7 +413,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Long = 100000L): DataFrame = {
+      maxBucketSize: Long = 100000L,
+      materialize: Boolean = true): DataFrame = {
     val key = TextStats.fingerprintMd5(col(textCol))
     val corpusKeys = corpus.select(key.as("__key")).distinct()
     val exactSurvivors = batch.withColumn("__key", key)
@@ -408,7 +422,8 @@ object Dedup {
       .drop("__key")
     val nearMatched = nearDuplicatesAgainst(
       exactSurvivors, corpus, idCol, textCol,
-      shingleSize, numHashes, bands, threshold, seed, maxBucketSize)
+      shingleSize, numHashes, bands, threshold, seed, maxBucketSize,
+      materialize)
       .select(col("batch_id").as(idCol)).distinct()
     exactSurvivors.join(nearMatched, Seq(idCol), "left_anti")
   }

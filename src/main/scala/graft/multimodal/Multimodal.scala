@@ -90,7 +90,14 @@ object Multimodal {
     */
   object ImageIoDecoder extends MediaDecoder {
     def decodeImage(bytes: Array[Byte]): DecodedImage = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // memory-cached stream: the default file cache creates+deletes an
+      // executor temp file per image (payload is already in memory)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on
+      // success; close again only to cover the failure path
+      val img = try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
       require(img != null, "unsupported or corrupt image payload")
       val w = img.getWidth
       val h = img.getHeight
@@ -309,10 +316,21 @@ object Multimodal {
   def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     require(targetW >= 1 && targetH >= 1,
       s"target dimensions must be >= 1, got ${targetW}x$targetH")
-    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // memory-cached ImageIO streams: the default file cache would
+    // create+delete an executor temp file per image in the hot path
+    // (payloads are already in-memory byte arrays)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself on
+    // success; close again only to cover the failure path
+    val src = try javax.imageio.ImageIO.read(iis)
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
     require(src != null, "unsupported or corrupt image payload")
+    // ARGB destination: PNG encodes alpha losslessly, so a transparent
+    // source keeps its alpha instead of being composited onto black
+    // (which would skew every downstream luminance/mean feature)
     val dst = new java.awt.image.BufferedImage(
-      targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
     val g = dst.createGraphics()
     try {
       g.setRenderingHint(
@@ -321,36 +339,38 @@ object Multimodal {
       g.drawImage(src, 0, 0, targetW, targetH, null)
     } finally g.dispose()
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(dst, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      javax.imageio.ImageIO.write(dst, "png", ios)
+      ios.flush()
+    } finally ios.close()
     out.toByteArray
   }
 
-  /** Resize an image binary column, batched via `mapPartitions` — the
-    * same plumbing shape as [[withImageFeatures]] (schema-stable, null
-    * payloads pass through as null). Resizing early SHRINKS the bytes
-    * that every downstream shuffle carries, which is the point at
-    * scale: normalize once, then everything else moves small payloads.
+  /** Resize an image binary column via `mapPartitions` (schema-stable,
+    * null payloads pass through as null; rows stream one at a time —
+    * each resize is independent, so there is nothing to batch).
+    * Resizing early SHRINKS the bytes that every downstream shuffle
+    * carries, which is the point at scale: normalize once, then
+    * everything else moves small payloads.
     */
   def withResizedImages(
       df: DataFrame,
       binaryCol: String,
       targetW: Int,
       targetH: Int,
-      outputCol: String = "image_resized",
-      batchSize: Int = 64): DataFrame = {
+      outputCol: String = "image_resized"): DataFrame = {
     require(targetW >= 1 && targetH >= 1,
       s"target dimensions must be >= 1, got ${targetW}x$targetH")
     val idx = df.schema.fieldIndex(binaryCol)
     val outSchema = df.schema.add(outputCol, BinaryType, nullable = true)
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { row =>
-          val payload = row.getAs[Array[Byte]](idx)
-          val resized =
-            if (payload == null) null
-            else resizeImage(payload, targetW, targetH)
-          Row.fromSeq(row.toSeq :+ resized)
-        }
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](idx)
+        val resized =
+          if (payload == null) null
+          else resizeImage(payload, targetW, targetH)
+        Row.fromSeq(row.toSeq :+ resized)
       }
     }(Encoders.row(outSchema))
   }

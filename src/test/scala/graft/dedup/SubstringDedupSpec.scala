@@ -204,6 +204,12 @@ class SubstringDedupSpec extends SparkSpec {
       shingleSize = 1, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((10L, 0L), (10L, 1L))
+    // materialize = false: fully lazy (no persist, no checkpoint —
+    // the fault-tolerant mode), identical results
+    val lazyGot = Dedup.nearDuplicatesAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 1, threshold = 0.9, materialize = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lazyGot shouldBe got
   }
 
   test("fingerprint keys run under forced codegen") {
