@@ -48,26 +48,43 @@ object Decontaminate {
       test: DataFrame, testId: String,
       textCol: String,
       n: Int,
-      maxTrainDocFreq: Long = 10000L): DataFrame = {
+      maxTrainDocFreq: Long = 10000L,
+      materialize: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxTrainDocFreq >= 1,
       s"maxTrainDocFreq must be >= 1, got $maxTrainDocFreq")
-    val tr = docNgrams(train, trainId, textCol, n)
+    // The train-side gram table (tokenize + n-grams + distinct +
+    // explode over the FULL training corpus — the dominant map work)
+    // feeds two plan branches: the df aggregate and the join. With
+    // materialize = true it is persisted so the corpus is tokenized
+    // once and the (small — real contamination is rare) pair result is
+    // checkpointed so the cache releases before returning; with
+    // materialize = false everything stays lazy and fault-tolerant at
+    // the price of the double derivation (same contract as
+    // Dedup.nearDuplicatesAgainst).
+    val tr0 = docNgrams(train, trainId, textCol, n)
       .withColumnRenamed(trainId, "train_id")
-    val te = docNgrams(test, testId, textCol, n)
-      .withColumnRenamed(testId, "test_id")
-    // Document frequency of each gram on the train side; grams above
-    // the cap never reach the join. Distinct-per-doc rows make count(*)
-    // the document frequency. The window form would shuffle the same
-    // data twice; a self-join on the tiny (gram, df) aggregate is the
-    // cheaper shape and AQE can broadcast it.
-    val rare = tr.groupBy("gram").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxTrainDocFreq)
-      .select("gram")
-    tr.join(rare, Seq("gram"))
-      .join(te, Seq("gram"))
-      .groupBy("train_id", "test_id")
-      .agg(count(lit(1)).as("shared_ngrams"))
+    val tr =
+      if (materialize) tr0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tr0
+    try {
+      val te = docNgrams(test, testId, textCol, n)
+        .withColumnRenamed(testId, "test_id")
+      // Document frequency of each gram on the train side; grams above
+      // the cap never reach the join. Distinct-per-doc rows make count(*)
+      // the document frequency. The window form would shuffle the same
+      // data twice; a self-join on the tiny (gram, df) aggregate is the
+      // cheaper shape and AQE can broadcast it.
+      val rare = tr.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxTrainDocFreq)
+        .select("gram")
+      val result = tr.join(rare, Seq("gram"))
+        .join(te, Seq("gram"))
+        .groupBy("train_id", "test_id")
+        .agg(count(lit(1)).as("shared_ngrams"))
+      if (materialize) result.localCheckpoint(true) else result
+    } finally if (materialize) tr.unpersist()
   }
 
   /** Test ids contaminated under the policy "shares >= minShared
@@ -80,19 +97,30 @@ object Decontaminate {
       textCol: String,
       n: Int,
       minShared: Long = 1L,
-      maxTrainDocFreq: Long = 10000L): DataFrame = {
+      maxTrainDocFreq: Long = 10000L,
+      materialize: Boolean = true): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     if (minShared == 1L) {
-      val tr = docNgrams(train, trainId, textCol, n)
-      val rare = tr.groupBy("gram").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxTrainDocFreq)
-        .select("gram")
-      val trainGrams = tr.join(rare, Seq("gram")).select("gram").distinct()
-      docNgrams(test, testId, textCol, n)
-        .join(trainGrams, Seq("gram"), "left_semi")
-        .select(col(testId).as("test_id")).distinct()
+      // tr feeds the df aggregate AND the semi-join build side — same
+      // persist-once contract as overlapPairs
+      val tr0 = docNgrams(train, trainId, textCol, n)
+      val tr =
+        if (materialize) tr0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else tr0
+      try {
+        val rare = tr.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxTrainDocFreq)
+          .select("gram")
+        val trainGrams = tr.join(rare, Seq("gram")).select("gram").distinct()
+        val result = docNgrams(test, testId, textCol, n)
+          .join(trainGrams, Seq("gram"), "left_semi")
+          .select(col(testId).as("test_id")).distinct()
+        if (materialize) result.localCheckpoint(true) else result
+      } finally if (materialize) tr.unpersist()
     } else {
-      overlapPairs(train, trainId, test, testId, textCol, n, maxTrainDocFreq)
+      overlapPairs(train, trainId, test, testId, textCol, n, maxTrainDocFreq,
+        materialize)
         .filter(col("shared_ngrams") >= minShared)
         .select("test_id").distinct()
     }
