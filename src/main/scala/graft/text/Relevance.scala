@@ -89,14 +89,26 @@ object Relevance {
     */
   def withTfIdf(
       df: DataFrame, idCol: String, textCol: String,
-      idf: (Column, Column) => Column = logIdf): DataFrame = {
-    val post = postings(df, idCol, textCol)
-    val freqs = docFrequencies(post)
-    val n = df.agg(count(lit(1)).as("__n"))
-    withScalars(post.join(freqs, Seq("term")), n)
-      .withColumn("tf_idf", col("tf").cast("double") *
-        idf(col("__n"), col("df")))
-      .select(col(idCol), col("term"), col("tf"), col("df"), col("tf_idf"))
+      idf: (Column, Column) => Column = logIdf,
+      materialize: Boolean = true): DataFrame = {
+    // the postings table (tokenize + explode over the corpus) feeds the
+    // document-frequency aggregate AND the score join — persist it so
+    // tokenization runs once (materialize = false: lazy/fault-tolerant,
+    // double derivation; same contract as Dedup.nearDuplicatesBySets)
+    val post0 = postings(df, idCol, textCol)
+    val post =
+      if (materialize) post0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else post0
+    try {
+      val freqs = docFrequencies(post)
+      val n = df.agg(count(lit(1)).as("__n"))
+      val result = withScalars(post.join(freqs, Seq("term")), n)
+        .withColumn("tf_idf", col("tf").cast("double") *
+          idf(col("__n"), col("df")))
+        .select(col(idCol), col("term"), col("tf"), col("df"), col("tf_idf"))
+      if (materialize) result.localCheckpoint(true) else result
+    } finally if (materialize) post.unpersist()
   }
 
   /** BM25 scores of all documents matching `query` (docs sharing no
@@ -111,25 +123,39 @@ object Relevance {
       docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String],
       k1: Double = 1.2, b: Double = 0.75,
-      idf: (Column, Column) => Column = bm25Idf): DataFrame = {
+      idf: (Column, Column) => Column = bm25Idf,
+      materialize: Boolean = true): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     val terms = query.distinct
-    val post = postings(docs, idCol, textCol)
+    // the query-filtered postings are SMALL but their derivation scans
+    // and tokenizes the whole corpus; persisted so that happens once
+    // (they feed the df aggregate and the score join). materialize =
+    // false keeps the plan lazy (fault-tolerant, inspectable) at the
+    // price of the double derivation.
+    val post0 = postings(docs, idCol, textCol)
       .filter(col("term").isInCollection(terms))
-    val freqs = docFrequencies(post)
-    val stats = docs.agg(count(lit(1)).as("__n"),
-      sum(size(cleanTokens(col(textCol)))).as("__total_dl"))
-    val termScore =
-      idf(col("__n"), col("df")) *
-        (col("tf") * (lit(k1) + lit(1.0))) /
-        (col("tf") +
-          lit(k1) * (lit(1.0) - lit(b) +
-            lit(b) * col("dl") / (col("__total_dl").cast("double") / col("__n"))))
-    withScalars(post.join(freqs, Seq("term")), stats)
-      .withColumn("__s", termScore)
-      .groupBy(col(idCol))
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term"), col("__s")))),
-        lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
+    val post =
+      if (materialize) post0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else post0
+    try {
+      val freqs = docFrequencies(post)
+      val stats = docs.agg(count(lit(1)).as("__n"),
+        sum(size(cleanTokens(col(textCol)))).as("__total_dl"))
+      val termScore =
+        idf(col("__n"), col("df")) *
+          (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / (col("__total_dl").cast("double") / col("__n"))))
+      val result = withScalars(post.join(freqs, Seq("term")), stats)
+        .withColumn("__s", termScore)
+        .groupBy(col(idCol))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("__s")))),
+          lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
+      // small: matching docs only; checkpointing frees the cache
+      if (materialize) result.localCheckpoint(true) else result
+    } finally if (materialize) post.unpersist()
   }
 }

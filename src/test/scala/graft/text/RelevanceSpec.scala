@@ -76,7 +76,10 @@ class RelevanceSpec extends SparkSpec {
   }
 
   test("scoring filters postings before the stats join (no corpus-wide join)") {
-    val plan = Relevance.bm25(docs, "doc_id", "text", Seq("apple"))
+    // materialize = false: the default eagerly checkpoints (plan shows
+    // only the checkpoint scan); the lazy form exposes the real plan
+    val plan = Relevance.bm25(docs, "doc_id", "text", Seq("apple"),
+      materialize = false)
       .queryExecution.executedPlan.toString
     // the per-term stats join must be fed by the isInCollection filter
     plan should include ("apple")
