@@ -49,20 +49,40 @@ object NgramLm {
       .select(col(idCol), col("u"),
         element_at(col("__toks"), col("__i") + 2).as("v"))
 
-  /** Fit the add-one bigram model on a target corpus. */
+  /** Fit the add-one bigram model on a target corpus.
+    *
+    * The token table (the expensive tokenize pass over the target) is
+    * persisted and feeds all three derivations — bigram counts,
+    * unigram context counts, and the vocabulary size — so the corpus
+    * is tokenized ONCE (previously three times). The returned model
+    * tables are eagerly checkpointed: a model is a fitted ARTIFACT,
+    * and lazy tables would silently re-run the whole fit on every
+    * downstream [[score]] action.
+    */
   def fit(target: DataFrame, textCol: String): BigramLm = {
-    val withId = target.select(
-      monotonically_increasing_id().as("__lm_id"), col(textCol))
-    val bi = docBigrams(withId, "__lm_id", textCol)
-    val bigrams = bi.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("__cuv"))
-    // unigram CONTEXT counts: occurrences as a bigram's left side, so
-    // the model normalizes exactly (sum_v p(v|u) = 1)
-    val unigrams = bi.groupBy(col("u")).agg(count(lit(1)).as("__cu"))
-    val v = withId
-      .select(explode(tokenArr(col(textCol))).as("t"))
-      .agg(countDistinct(col("t"))).head.getLong(0) + 1L
-    BigramLm(bigrams, unigrams, v)
+    val toks = target
+      .select(monotonically_increasing_id().as("__lm_id"),
+        tokenArr(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bi = toks
+        .select(col("__lm_id"), posexplode(col("__toks")).as(Seq("__i", "u")),
+          col("__toks"))
+        .filter(col("__i") < size(col("__toks")) - 1)
+        .select(col("__lm_id"), col("u"),
+          element_at(col("__toks"), col("__i") + 2).as("v"))
+      val bigrams = bi.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("__cuv"))
+        .localCheckpoint(true)
+      // unigram CONTEXT counts: occurrences as a bigram's left side, so
+      // the model normalizes exactly (sum_v p(v|u) = 1)
+      val unigrams = bi.groupBy(col("u")).agg(count(lit(1)).as("__cu"))
+        .localCheckpoint(true)
+      val v = toks
+        .select(explode(col("__toks")).as("t"))
+        .agg(countDistinct(col("t"))).head.getLong(0) + 1L
+      BigramLm(bigrams, unigrams, v)
+    } finally toks.unpersist()
   }
 
   /** (id, n_bigrams, nll_q20) per scored document — exact integer
