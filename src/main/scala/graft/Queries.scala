@@ -2245,7 +2245,42 @@ object Queries {
           FROM d)
         SELECT doc_id, chunk_id, chunk_id * 192 AS chunk_start,
           substr(text, CAST(chunk_id * 192 + 1 AS INTEGER), 256) AS chunk_text
-        FROM c ORDER BY doc_id, chunk_id"""))
+        FROM c ORDER BY doc_id, chunk_id""")),
+
+    // Token-weighted temperature mixing (operators/Mixing
+    // .mixByTemperatureWeighted): keep rates from per-source n_chars
+    // SUMS instead of document counts — LM mixes are token budgets, so
+    // a source of few huge documents counts as its mass. Same portable
+    // affine-mod draw and IEEE-sqrt rates as q42; weight sums are exact
+    // integers in both engines.
+    GraftQuery(
+      "q59_weighted_mix",
+      (s, dir) =>
+        graft.operators.Mixing.mixByTemperatureWeighted(
+          t(s, dir, "documents"), "source", "doc_id", "n_chars",
+          alpha = 0.5, seed = 41L)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH weights AS (
+          SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM weights),
+        r AS (
+          SELECT source,
+            sqrt(CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE))
+              / (CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE)) AS ratio
+          FROM weights, tot
+        ),
+        m AS (SELECT MAX(ratio) AS mr FROM r),
+        rates AS (SELECT source, ratio / mr AS rate FROM r, m)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates USING (source)
+        WHERE (CAST(((((d.doc_id % 2147483647) * 1103515245 + 41) % 2147483647)
+                      * 784588716 + 997) % 2147483647 AS DOUBLE) + 0.5e0)
+                / 2147483647e0
+              < rate
+        ORDER BY d.doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

@@ -70,6 +70,52 @@ object Mixing {
       alpha: Double = 0.5, seed: Long = 41L): DataFrame = {
     val rates = temperatureRates(df, stratumCol, alpha)
       .select(col(stratumCol), col("rate"))
+    mixWithRates(df, stratumCol, keyCol, rates, seed)
+  }
+
+  /** [[temperatureRates]] with strata weighted by an integral column
+    * (token counts, byte sizes) instead of row counts — LM mixes are
+    * specified over TOKEN budgets, and a source of few huge documents
+    * must count as its token mass, not its document count. Weight sums
+    * accumulate as exact integers (order-independent, engine-portable);
+    * each share costs one IEEE divide, like the unweighted form.
+    */
+  def temperatureRatesWeighted(
+      df: DataFrame, stratumCol: String, weightCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1] (got $alpha); alpha=1 is a no-op identity mix")
+    val weights = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val total = weights.agg(sum(col("w")).as("__W"))
+    def weight(p: Column): Column =
+      if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
+    val withShare = Scalars.withScalars(weights, total)
+      .withColumn("share",
+        col("w").cast("double") / col("__W").cast("double"))
+      .withColumn("__ratio", weight(col("share")) / col("share"))
+    val maxRatio = withShare.agg(max(col("__ratio")).as("__max_ratio"))
+    Scalars.withScalars(withShare, maxRatio)
+      .withColumn("rate", col("__ratio") / col("__max_ratio"))
+      .select(col(stratumCol), col("w"), col("share"), col("rate"))
+  }
+
+  /** Token-budget-weighted [[mixByTemperature]]: keep rates derived
+    * from per-stratum weight sums. The per-row draw is unchanged —
+    * each document still survives independently, so the realized mix
+    * approaches the target in token mass.
+    */
+  def mixByTemperatureWeighted(
+      df: DataFrame, stratumCol: String, keyCol: String, weightCol: String,
+      alpha: Double = 0.5, seed: Long = 41L): DataFrame = {
+    val rates = temperatureRatesWeighted(df, stratumCol, weightCol, alpha)
+      .select(col(stratumCol), col("rate"))
+    mixWithRates(df, stratumCol, keyCol, rates, seed)
+  }
+
+  private def mixWithRates(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      rates: DataFrame, seed: Long): DataFrame = {
     val draw = BootstrapEval.portableUniform(seed)(col(keyCol), lit(0L))
     df.join(broadcast(rates), Seq(stratumCol))
       .filter(draw < col("rate"))

@@ -46,6 +46,27 @@ class MixingSpec extends SparkSpec {
     ids(7L) should not be ids(8L)
   }
 
+  test("weighted rates follow token mass, not document counts") {
+    // few HUGE docs in stratum "heavy" vs many small docs in "light":
+    // by document count light dominates, by token mass heavy does —
+    // the weighted form must downsample heavy, not light
+    val df = (Seq((0L, "heavy", 10000L), (1L, "heavy", 10000L)) ++
+      (2 until 42).map(i => (i.toLong, "light", 100L))).toDF("id", "s", "tok")
+    val unweighted = Mixing.temperatureRates(df, "s", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val weighted = Mixing.temperatureRatesWeighted(df, "s", "tok", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    unweighted("heavy") shouldBe 1.0 // by doc count, heavy is the rare one
+    weighted("light") shouldBe 1.0 // by token mass, light is the rare one
+    // alpha=0.5: rate ratio is sqrt(w_light / w_heavy)
+    weighted("heavy") shouldBe math.sqrt(4000.0 / 20000.0) +- 1e-15
+    // and the row filter applies the weighted rates
+    val kept = Mixing.mixByTemperatureWeighted(df, "s", "id", "tok", 0.5)
+      .groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("light") shouldBe 40L // rate 1: everything survives
+  }
+
   test("rejects out-of-range alpha") {
     intercept[IllegalArgumentException] {
       Mixing.temperatureRates(corpus, "s", alpha = 0.0)
