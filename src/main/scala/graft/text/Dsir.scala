@@ -96,19 +96,19 @@ object Dsir {
     * Q20 integer log2 of the smoothed target/raw probability ratio.
     * Driver-side over two bounded B-row collects.
     */
-  def bucketScores(
-      target: DataFrame, raw: DataFrame,
-      idCol: String, textCol: String,
-      maxN: Int, buckets: Int): Seq[(Int, Long)] = {
-    def counts(df: DataFrame): (Map[Int, Long], Long) = {
-      val rows = hashedGrams(df, idCol, textCol, maxN, buckets)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-        .collect() // bounded: at most `buckets` rows
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (rows, rows.valuesIterator.sum)
-    }
-    val (tc, nt) = counts(target)
-    val (rc, nr) = counts(raw)
+  /** Bounded bucket-count collect: at most `buckets` rows. */
+  private def bucketCounts(grams: DataFrame): (Map[Int, Long], Long) = {
+    val rows = grams
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (rows, rows.valuesIterator.sum)
+  }
+
+  /** The Q20 score table from precomputed side counts. */
+  private def scoreTable(
+      tc: Map[Int, Long], nt: Long, rc: Map[Int, Long], nr: Long,
+      buckets: Int): Seq[(Int, Long)] = {
     val b = buckets.toLong
     val maxNt = if (tc.isEmpty) 0L else tc.valuesIterator.max
     require((maxNt + 1) <= Long.MaxValue / (nr + b) / Scale,
@@ -122,9 +122,25 @@ object Dsir {
     }
   }
 
+  def bucketScores(
+      target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String,
+      maxN: Int, buckets: Int): Seq[(Int, Long)] = {
+    val (tc, nt) = bucketCounts(hashedGrams(target, idCol, textCol, maxN, buckets))
+    val (rc, nr) = bucketCounts(hashedGrams(raw, idCol, textCol, maxN, buckets))
+    scoreTable(tc, nt, rc, nr, buckets)
+  }
+
   /** (id, score) for every raw document with at least one n-gram:
     * the exact integer sum of its occurrences' bucket scores. Higher
     * means more target-like.
+    *
+    * The RAW side's hashed-gram table (tokenize + n-gram + hash over
+    * the big corpus) feeds both the bucket-count collect and the score
+    * join — persisted so the derivation runs once, and the narrow
+    * (id, score) result is checkpointed so the cache releases before
+    * returning (the shared materialize contract; the target side is
+    * derived once regardless).
     */
   def importanceScores(
       raw: DataFrame, idCol: String, textCol: String,
@@ -132,12 +148,19 @@ object Dsir {
       maxN: Int = 2, buckets: Int = 4096): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val table = bucketScores(target, raw, idCol, textCol, maxN, buckets)
-      .toDF("bucket", "__l")
-    hashedGrams(raw, idCol, textCol, maxN, buckets)
-      .join(broadcast(table), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__l")).as("score"))
+    val rawGrams = hashedGrams(raw, idCol, textCol, maxN, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (tc, nt) = bucketCounts(
+        hashedGrams(target, idCol, textCol, maxN, buckets))
+      val (rc, nr) = bucketCounts(rawGrams)
+      val table = scoreTable(tc, nt, rc, nr, buckets).toDF("bucket", "__l")
+      rawGrams
+        .join(broadcast(table), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__l")).as("score"))
+        .localCheckpoint(true)
+    } finally rawGrams.unpersist()
   }
 
   /** The `k` most target-like raw documents, ties toward the smaller
