@@ -2280,7 +2280,45 @@ object Queries {
                       * 784588716 + 997) % 2147483647 AS DOUBLE) + 0.5e0)
                 / 2147483647e0
               < rate
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Rule-based quality filter with audit reason codes (text/
+    // QualityFilter — the C4/Gopher recipe): word-count bounds,
+    // mean-word-length bounds, minimum stopword ratio, each violation
+    // contributing its named code to a '|'-joined audit string.
+    // Map-only column predicates; single-divide double arithmetic
+    // replays bit-exactly.
+    GraftQuery(
+      "q60_quality_filter",
+      (s, dir) =>
+        graft.text.QualityFilter.withQualityFilter(
+          t(s, dir, "documents"), "text",
+          graft.text.QualityFilter.gopherRules(col("text"),
+            minWords = 30, maxWords = 90))
+          .select(col("doc_id"), col("fail_reasons"), col("keep"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        s AS (
+          SELECT doc_id, len(ts) AS wc,
+            CAST(len(text) - (len(ts) - 1) AS DOUBLE) / len(ts) AS ml,
+            CAST(len(list_filter(ts, t -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','are','was',
+               'it','that','this','for','on','with','as','at','by'], t)))
+              AS DOUBLE) / len(ts) AS sr
+          FROM d),
+        r AS (
+          SELECT doc_id,
+            concat_ws('|',
+              CASE WHEN wc < 30 THEN 'too_few_words' END,
+              CASE WHEN wc > 90 THEN 'too_many_words' END,
+              CASE WHEN ml < 3.0e0 OR ml > 10.0e0 THEN 'mean_word_length' END,
+              CASE WHEN sr < 0.06e0 THEN 'low_stopword_ratio' END)
+              AS fail_reasons
+          FROM s)
+        SELECT doc_id, fail_reasons, fail_reasons = '' AS keep
+        FROM r ORDER BY doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityFilterSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def filtered(rows: (Long, String)*) =
+    QualityFilter.withQualityFilter(
+      rows.toDF("id", "text"), "text",
+      QualityFilter.gopherRules(col("text"),
+        minWords = 3, maxWords = 6, minMeanWordLen = 2.0,
+        maxMeanWordLen = 8.0, minStopwordRatio = 0.2,
+        stopwords = Seq("the", "a")))
+      .select("id", "fail_reasons", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+
+  test("clean documents keep with empty reasons") {
+    val got = filtered((1L, "the quick brown fox jumps"))
+    got(1L) shouldBe (("", true))
+  }
+
+  test("each violated rule contributes its code, in rule order") {
+    val got = filtered(
+      (1L, "hi yo"), // 2 words < 3; mean len 2.5 ok; no stopwords
+      (2L, "one two three four five six seven"), // 7 > 6 words, no stopwords
+      (3L, "the aaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb")) // mean len > 8
+    got(1L)._1 shouldBe "too_few_words|low_stopword_ratio"
+    got(1L)._2 shouldBe false
+    got(2L)._1 shouldBe "too_many_words|low_stopword_ratio"
+    got(3L)._1 shouldBe "mean_word_length"
+  }
+
+  test("drop rates count each rule across the corpus") {
+    val df = QualityFilter.withQualityFilter(
+      Seq((1L, "hi yo"), (2L, "ho he"), (3L, "the quick brown fox jumps"))
+        .toDF("id", "text"),
+      "text",
+      QualityFilter.gopherRules(col("text"), minWords = 3, maxWords = 100,
+        minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+        minStopwordRatio = 0.2, stopwords = Seq("the")))
+    val rates = QualityFilter.dropRates(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates("too_few_words") shouldBe 2L
+    rates("low_stopword_ratio") shouldBe 2L
+    df.filter(col("keep")).count() shouldBe 1L
+  }
+
+  test("duplicate rule names rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      QualityFilter.withQualityFilter(
+        Seq((1L, "x")).toDF("id", "text"), "text",
+        Seq(QualityFilter.Rule("r", lit(true)),
+          QualityFilter.Rule("r", lit(false))))
+  }
+}
