@@ -84,4 +84,20 @@ object Splits {
   }
 
   private val KrPrime = (1L << 31) - 1
+
+  /** Stable fractional sample: keeps `fraction` of rows by key bucket —
+    * unlike `df.sample`, membership is a pure function of (key, salt),
+    * so reruns, retries and different partitionings select the SAME
+    * rows, and samples with different salts are independent. The
+    * standard tool for reproducible eval subsets and A/B corpus
+    * slices. Map-only.
+    */
+  def stableSample(
+      df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = "", buckets: Int = 1000000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    df.filter(bucketOf(col(keyCol), salt, buckets) <
+      math.round(fraction * buckets))
+  }
 }

@@ -59,6 +59,20 @@ class SplitsSpec extends SparkSpec {
     got.select("split").distinct().count() shouldBe 3L
   }
 
+  test("stable sample: reproducible, proportional, salt-independent") {
+    val a = Splits.stableSample(keys, "id", 0.1, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    val b = Splits.stableSample(keys.repartition(13), "id", 0.1, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    a shouldBe b // layout-independent
+    a.size.toDouble shouldBe 1000.0 +- 150.0
+    val c = Splits.stableSample(keys, "id", 0.1, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    c should not be a // different salt, different sample
+    Splits.stableSample(keys, "id", 0.0).count() shouldBe 0L
+    Splits.stableSample(keys, "id", 1.0).count() shouldBe 10000L
+  }
+
   test("invalid weights are rejected") {
     an[IllegalArgumentException] should be thrownBy
       Splits.withSplit(keys, "id", Seq("a" -> 0.5, "b" -> 0.6))
