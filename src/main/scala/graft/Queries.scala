@@ -2318,7 +2318,70 @@ object Queries {
               AS fail_reasons
           FROM s)
         SELECT doc_id, fail_reasons, fail_reasons = '' AS keep
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // BPE-style phrase mining (text/Phrases): 2 merge-training rounds —
+    // most-frequent adjacent DISTINCT pair, ties (count desc, lexico
+    // (u,v)) — then the corpus transformed by both merges. Distinct-
+    // sided pairs cannot chain, so the merge is a per-position neighbor
+    // test (map-only, no sequential state) that DuckDB replays with the
+    // same indexed list lambdas; per-doc before/after token counts pin
+    // both the learned merges and every application site.
+    GraftQuery(
+      "q61_phrase_mining",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (_, out) = graft.text.Phrases.minePhrases(
+          docs, "doc_id", "text", rounds = 2)
+        val before = docs.select(col("doc_id"),
+          size(graft.text.TextStats.tokens(
+            graft.text.TextStats.normalize(col("text"))))
+            .cast("long").as("n_before"))
+        before.join(out, Seq("doc_id"))
+          .select(col("doc_id"), col("n_before"),
+            size(col("tokens")).cast("long").as("n_after"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents),
+        p1 AS (
+          SELECT u, v FROM (
+            SELECT pr.u AS u, pr.v AS v, COUNT(*) AS c FROM (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                i -> struct_pack(u := ts[i], v := ts[i+1]))) AS pr
+              FROM d) q
+            WHERE pr.u <> pr.v GROUP BY 1, 2) cnts
+          ORDER BY c DESC, u, v LIMIT 1),
+        a1 AS (
+          SELECT doc_id, list_filter(
+            list_transform(ts, (t, i) ->
+              CASE WHEN t = p1.u AND ts[i+1] = p1.v THEN p1.u || ' ' || p1.v
+                   WHEN i > 1 AND ts[i-1] = p1.u AND t = p1.v THEN NULL
+                   ELSE t END),
+            x -> x IS NOT NULL) AS ts
+          FROM d, p1),
+        p2 AS (
+          SELECT u, v FROM (
+            SELECT pr.u AS u, pr.v AS v, COUNT(*) AS c FROM (
+              SELECT unnest(list_transform(range(1, len(ts)),
+                i -> struct_pack(u := ts[i], v := ts[i+1]))) AS pr
+              FROM a1) q
+            WHERE pr.u <> pr.v GROUP BY 1, 2) cnts
+          ORDER BY c DESC, u, v LIMIT 1),
+        a2 AS (
+          SELECT doc_id, list_filter(
+            list_transform(ts, (t, i) ->
+              CASE WHEN t = p2.u AND ts[i+1] = p2.v THEN p2.u || ' ' || p2.v
+                   WHEN i > 1 AND ts[i-1] = p2.u AND t = p2.v THEN NULL
+                   ELSE t END),
+            x -> x IS NOT NULL) AS ts
+          FROM a1, p2)
+        SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_before,
+          CAST(len(a2.ts) AS BIGINT) AS n_after
+        FROM d JOIN a2 USING (doc_id) ORDER BY doc_id"""))
   )
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
