@@ -138,6 +138,46 @@ class ScaleTechniquesSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("semantic dedup pairs by a cluster equi-join, never an all-pairs product") {
+    // semDeDup materializes eagerly (checkpoint), so its final plan is
+    // just a checkpoint scan — capture EVERY plan it executes instead
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized {
+        plans += qe.executedPlan.toString
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rng = new scala.util.Random(5)
+      val df = (0L until 60L)
+        .map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+        .toDF("id", "v")
+      graft.sim.SemDeDup.semDeDup(df, "id", "v", k = 3, iters = 1, tau = 0.9)
+        .collect()
+      // listener callbacks are async; wait until the count stabilizes
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = plans.synchronized(plans.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      plans.synchronized {
+        plans should not be empty
+        plans.foreach { p =>
+          p should not include "CartesianProduct"
+          p should not include "BroadcastNestedLoopJoin"
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("grouped quantiles window the histogram, not the rows") {
     val df = (0L until 1000L).map(i => ("g" + i % 3, i % 19)).toDF("g", "v")
     val q = graft.sketch.Quantiles.grouped(df, Seq("g"), "v", Seq(0.5, 0.9))
