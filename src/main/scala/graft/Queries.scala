@@ -2301,7 +2301,7 @@ object Queries {
         WITH d AS (
           SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
         s AS (
-          SELECT doc_id, len(ts) AS wc,
+          SELECT doc_id, text IS NULL AS tn, len(ts) AS wc,
             CAST(len(text) - (len(ts) - 1) AS DOUBLE) / len(ts) AS ml,
             CAST(len(list_filter(ts, t -> list_contains(
               ['the','a','an','and','or','of','to','in','is','are','was',
@@ -2310,11 +2310,11 @@ object Queries {
           FROM d),
         r AS (
           SELECT doc_id,
-            concat_ws('|',
+            CASE WHEN tn THEN 'null_text' ELSE concat_ws('|',
               CASE WHEN wc < 30 THEN 'too_few_words' END,
               CASE WHEN wc > 90 THEN 'too_many_words' END,
               CASE WHEN ml < 3.0e0 OR ml > 10.0e0 THEN 'mean_word_length' END,
-              CASE WHEN sr < 0.06e0 THEN 'low_stopword_ratio' END)
+              CASE WHEN sr < 0.06e0 THEN 'low_stopword_ratio' END) END
               AS fail_reasons
           FROM s)
         SELECT doc_id, fail_reasons, fail_reasons = '' AS keep

@@ -39,23 +39,41 @@ object Mixing {
     * pure downsampling (max rate = 1, attained by the rarest stratum).
     */
   def temperatureRates(
-      df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+      df: DataFrame, stratumCol: String, alpha: Double): DataFrame =
+    ratesFrom(
+      df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n")),
+      stratumCol, "n", alpha)
+
+  /** Shared share/ratio/rate pipeline over a per-stratum mass table —
+    * one implementation so the IEEE-ordering discipline (single
+    * divides; `sqrt` fast path for alpha = 0.5, the one power IEEE 754
+    * requires correctly rounded) cannot diverge between the count and
+    * weighted variants. Fails loudly on a non-positive or NULL stratum
+    * mass: share 0 would make the ratio NULL and silently drop the
+    * whole stratum downstream.
+    */
+  private def ratesFrom(
+      mass: DataFrame, stratumCol: String, massCol: String,
+      alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1] (got $alpha); alpha=1 is a no-op identity mix")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("__N"))
-    // p^alpha / p = p^(alpha-1); sqrt is the IEEE-correctly-rounded
-    // fast path for the standard temperature 0.5
+    val guarded = mass.withColumn(massCol,
+      when(col(massCol).isNull || col(massCol) <= 0L,
+        raise_error(concat(
+          lit(s"temperature mix: non-positive total $massCol for stratum "),
+          col(stratumCol).cast("string"))))
+        .otherwise(col(massCol)))
+    val total = guarded.agg(sum(col(massCol)).as("__N"))
     def weight(p: Column): Column =
       if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
-    val withShare = Scalars.withScalars(counts, total)
+    val withShare = Scalars.withScalars(guarded, total)
       .withColumn("share",
-        col("n").cast("double") / col("__N").cast("double"))
+        col(massCol).cast("double") / col("__N").cast("double"))
       .withColumn("__ratio", weight(col("share")) / col("share"))
     val maxRatio = withShare.agg(max(col("__ratio")).as("__max_ratio"))
     Scalars.withScalars(withShare, maxRatio)
       .withColumn("rate", col("__ratio") / col("__max_ratio"))
-      .select(col(stratumCol), col("n"), col("share"), col("rate"))
+      .select(col(stratumCol), col(massCol), col("share"), col("rate"))
   }
 
   /** `df` downsampled to the temperature-`alpha` mix over `stratumCol`.
@@ -82,23 +100,10 @@ object Mixing {
     */
   def temperatureRatesWeighted(
       df: DataFrame, stratumCol: String, weightCol: String,
-      alpha: Double): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0,
-      s"alpha must be in (0, 1] (got $alpha); alpha=1 is a no-op identity mix")
-    val weights = df.groupBy(col(stratumCol))
-      .agg(sum(col(weightCol).cast("long")).as("w"))
-    val total = weights.agg(sum(col("w")).as("__W"))
-    def weight(p: Column): Column =
-      if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
-    val withShare = Scalars.withScalars(weights, total)
-      .withColumn("share",
-        col("w").cast("double") / col("__W").cast("double"))
-      .withColumn("__ratio", weight(col("share")) / col("share"))
-    val maxRatio = withShare.agg(max(col("__ratio")).as("__max_ratio"))
-    Scalars.withScalars(withShare, maxRatio)
-      .withColumn("rate", col("__ratio") / col("__max_ratio"))
-      .select(col(stratumCol), col("w"), col("share"), col("rate"))
-  }
+      alpha: Double): DataFrame =
+    ratesFrom(
+      df.groupBy(col(stratumCol)).agg(sum(col(weightCol).cast("long")).as("w")),
+      stratumCol, "w", alpha)
 
   /** Token-budget-weighted [[mixByTemperature]]: keep rates derived
     * from per-stratum weight sums. The per-row draw is unchanged —

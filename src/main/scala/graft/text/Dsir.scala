@@ -91,11 +91,6 @@ object Dsir {
     (bl - 21L) * Scale + frac
   }
 
-  /** The B-row bucket score table: `(bucket, l)` with
-    * `l = ilog2Q20(⌊2^20 (n_t+1)(N_r+B) / ((n_r+1)(N_t+B))⌋)` — the
-    * Q20 integer log2 of the smoothed target/raw probability ratio.
-    * Driver-side over two bounded B-row collects.
-    */
   /** Bounded bucket-count collect: at most `buckets` rows. */
   private def bucketCounts(grams: DataFrame): (Map[Int, Long], Long) = {
     val rows = grams
@@ -122,6 +117,11 @@ object Dsir {
     }
   }
 
+  /** The B-row bucket score table: `(bucket, l)` with
+    * `l = ilog2Q20(⌊2^20 (n_t+1)(N_r+B) / ((n_r+1)(N_t+B))⌋)` — the
+    * Q20 integer log2 of the smoothed target/raw probability ratio.
+    * Driver-side over two bounded B-row collects.
+    */
   def bucketScores(
       target: DataFrame, raw: DataFrame,
       idCol: String, textCol: String,

@@ -40,14 +40,20 @@ object NgramLm {
   private def tokenArr(textCol: Column): Column =
     filter(TextStats.tokens(TextStats.normalize(textCol)), t => t =!= "")
 
+  /** (idCols..., u, v) bigram occurrences from a token-array frame. */
+  private def bigramsFromTokens(
+      toks: DataFrame, idCols: Seq[String]): DataFrame =
+    toks
+      .select(idCols.map(col) :+ posexplode(col("__toks")).as(Seq("__i", "u"))
+        :+ col("__toks"): _*)
+      .filter(col("__i") < size(col("__toks")) - 1)
+      .select(idCols.map(col) :+ col("u")
+        :+ element_at(col("__toks"), col("__i") + 2).as("v"): _*)
+
   /** One row per (id, u, v) bigram occurrence. */
   def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tokenArr(col(textCol)).as("__toks"))
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i", "u")),
-        col("__toks"))
-      .filter(col("__i") < size(col("__toks")) - 1)
-      .select(col(idCol), col("u"),
-        element_at(col("__toks"), col("__i") + 2).as("v"))
+    bigramsFromTokens(
+      df.select(col(idCol), tokenArr(col(textCol)).as("__toks")), Seq(idCol))
 
   /** Fit the add-one bigram model on a target corpus.
     *
@@ -60,17 +66,12 @@ object NgramLm {
     * downstream [[score]] action.
     */
   def fit(target: DataFrame, textCol: String): BigramLm = {
+    // no id column: the aggregates below group by token(s) only
     val toks = target
-      .select(monotonically_increasing_id().as("__lm_id"),
-        tokenArr(col(textCol)).as("__toks"))
+      .select(tokenArr(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bi = toks
-        .select(col("__lm_id"), posexplode(col("__toks")).as(Seq("__i", "u")),
-          col("__toks"))
-        .filter(col("__i") < size(col("__toks")) - 1)
-        .select(col("__lm_id"), col("u"),
-          element_at(col("__toks"), col("__i") + 2).as("v"))
+      val bi = bigramsFromTokens(toks, Seq.empty)
       val bigrams = bi.groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("__cuv"))
         .localCheckpoint(true)

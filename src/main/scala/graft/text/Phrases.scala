@@ -70,12 +70,18 @@ object Phrases {
       TextStats.tokens(TextStats.normalize(col(textCol))).as("__toks"))
     val merges = Seq.newBuilder[(String, String, Long)]
     var done = false
+    // each round's input feeds the pair count AND the merge transform.
+    // Round 1's input is the lazy tokenization, so it is persisted;
+    // every later round's input is already an eager localCheckpoint
+    // (materialized once), so re-persisting it would just build a
+    // second in-memory copy of the token corpus.
+    var materialized = false
     for (_ <- 0 until rounds if !done) {
-      // one bounded 1-row collect per round (KMeans.fit contract);
-      // persist the round input: it feeds the count AND the transform
-      val snap = cur.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val snap =
+        if (materialized) cur
+        else cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // one bounded 1-row collect per round (KMeans.fit contract)
         val top = adjacentPairCounts(snap, "__toks")
           .orderBy(col("cnt").desc, col("u"), col("v"))
           .limit(1).collect()
@@ -86,9 +92,9 @@ object Phrases {
           merges += ((u, v, c))
           cur = snap
             .select(col(idCol), applyMerge(col("__toks"), u, v).as("__toks"))
-            .localCheckpoint(true) // materialize before unpersisting snap
+            .localCheckpoint(true) // materialize before releasing snap
         }
-      } finally snap.unpersist()
+      } finally if (!materialized) { snap.unpersist(); materialized = true }
     }
     (merges.result(), cur.withColumnRenamed("__toks", "tokens"))
   }

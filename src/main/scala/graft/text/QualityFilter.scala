@@ -37,14 +37,11 @@ object QualityFilter {
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       minStopwordRatio: Double = 0.06,
       stopwords: Seq[String] = TextStats.EnglishStopwords): Seq[Rule] = {
-    val ts = TextStats.tokens(text)
-    val wc = size(ts)
+    val wc = TextStats.tokenCount(text)
     // mean word length from the text algebra (chars minus separators):
-    // same single-divide shape as TextStats.withQualityStats
+    // the avg_token_len expression of TextStats.withQualityStats
     val meanLen = (length(text) - (wc - lit(1))).cast("double") / wc
-    val stopRatio = TextStats.bindOnce(ts)(t0 =>
-      size(filter(t0, x => x.isin(stopwords.map(lit): _*))).cast("double")
-        / size(t0))
+    val stopRatio = TextStats.tokenSetRatio(text, stopwords)
     Seq(
       Rule("too_few_words", wc < minWords),
       Rule("too_many_words", wc > maxWords),
@@ -64,8 +61,13 @@ object QualityFilter {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       s"duplicate rule names in ${rules.map(_.name)}")
-    val reasons = concat_ws("|",
-      rules.map(r => when(r.fails, r.name)): _*)
+    require(rules.forall(!_.name.contains("|")),
+      s"rule names may not contain '|' (the audit-code separator): " +
+        rules.map(_.name).filter(_.contains("|")).mkString(", "))
+    // a NULL text makes every rule predicate NULL (never true), which
+    // would sail garbage rows through the filter — reject explicitly
+    val reasons = when(col(textCol).isNull, lit("null_text"))
+      .otherwise(concat_ws("|", rules.map(r => when(r.fails, r.name)): _*))
     df.withColumn("fail_reasons", reasons)
       .withColumn("keep", col("fail_reasons") === "")
   }

@@ -90,11 +90,16 @@ object Relevance {
   def withTfIdf(
       df: DataFrame, idCol: String, textCol: String,
       idf: (Column, Column) => Column = logIdf,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = false): DataFrame = {
     // the postings table (tokenize + explode over the corpus) feeds the
-    // document-frequency aggregate AND the score join — persist it so
-    // tokenization runs once (materialize = false: lazy/fault-tolerant,
-    // double derivation; same contract as Dedup.nearDuplicatesBySets)
+    // document-frequency aggregate AND the score join; materialize =
+    // true persists it so tokenization runs once — but ALSO eagerly
+    // checkpoints the (corpus-sized, one row per posting) RESULT,
+    // pinning a full copy in executor storage with non-replayable
+    // lineage. Unlike bm25/Dsir/Decontaminate, whose materialized
+    // results are small, here that trade is a space wash and a
+    // fault-tolerance downgrade — so the default stays LAZY (double
+    // tokenize) and compute-once is opt-in for bounded corpora.
     val post0 = postings(df, idCol, textCol)
     val post =
       if (materialize) post0

@@ -160,10 +160,12 @@ class ScaleTechniquesSpec extends SparkSpec {
         .toDF("id", "v")
       graft.sim.SemDeDup.semDeDup(df, "id", "v", k = 3, iters = 1, tau = 0.9)
         .collect()
-      // listener callbacks are async; wait until the count stabilizes
+      // listener callbacks are async; wait until the count stabilizes,
+      // with a hard deadline so dropped listener events cannot hang us
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
       var last = -1
       var stable = 0
-      while (stable < 3) {
+      while (stable < 3 && System.nanoTime < deadline) {
         Thread.sleep(200)
         val now = plans.synchronized(plans.size)
         if (now == last) stable += 1 else { stable = 0; last = now }

@@ -67,6 +67,14 @@ class MixingSpec extends SparkSpec {
     kept("light") shouldBe 40L // rate 1: everything survives
   }
 
+  test("zero-weight strata fail loudly instead of silently vanishing") {
+    val df = Seq((0L, "a", 0L), (1L, "b", 100L)).toDF("id", "s", "tok")
+    val ex = intercept[Exception] {
+      Mixing.temperatureRatesWeighted(df, "s", "tok", alpha = 0.5).collect()
+    }
+    ex.getMessage should include("non-positive")
+  }
+
   test("rejects out-of-range alpha") {
     intercept[IllegalArgumentException] {
       Mixing.temperatureRates(corpus, "s", alpha = 0.0)

@@ -49,6 +49,31 @@ class QualityFilterSpec extends SparkSpec {
     df.filter(col("keep")).count() shouldBe 1L
   }
 
+  test("null text is rejected, not silently passed") {
+    // every rule predicate is NULL on null text — without the explicit
+    // guard such rows would keep=true with no reasons
+    val got = QualityFilter.withQualityFilter(
+      Seq((1L, null: String), (2L, "the quick brown fox jumps"))
+        .toDF("id", "text"),
+      "text",
+      QualityFilter.gopherRules(org.apache.spark.sql.functions.col("text"),
+        minWords = 3, maxWords = 100, minMeanWordLen = 1.0,
+        maxMeanWordLen = 10.0, minStopwordRatio = 0.1,
+        stopwords = Seq("the")))
+      .select("id", "fail_reasons", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    got(1L) shouldBe (("null_text", false))
+    got(2L)._2 shouldBe true
+  }
+
+  test("rule names containing the separator are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      QualityFilter.withQualityFilter(
+        Seq((1L, "x")).toDF("id", "text"), "text",
+        Seq(QualityFilter.Rule("a|b", lit(true))))
+  }
+
   test("duplicate rule names rejected") {
     an[IllegalArgumentException] should be thrownBy
       QualityFilter.withQualityFilter(
