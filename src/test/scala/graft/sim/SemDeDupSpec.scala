@@ -68,6 +68,61 @@ class SemDeDupSpec extends SparkSpec {
     guarded shouldBe free
   }
 
+  test("agrees with a driver-side reference on random corpora") {
+    val rng = new scala.util.Random(31)
+    for (round <- 1 to 3) {
+      val n = 40
+      val dim = 6
+      val data = (0L until n.toLong).map { i =>
+        // planted structure: near-clones of 5 base directions (tight
+        // jitter) mixed with loose noise around the same directions
+        val jitter = if (i > 5 && rng.nextBoolean()) 0.01f else 2f
+        (i, Array.tabulate(dim)(d =>
+          (math.sin((i % 5) * 7 + d) * 10).toFloat
+            + rng.nextGaussian().toFloat * jitter))
+      }
+      val df = data.toDF("id", "v").repartition(3 + round)
+      val k = 3
+      val iters = 2
+      val tau = 0.999
+      val got = SemDeDup.semDeDup(df, "id", "v", k, iters, tau)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+      // reference: same quantized k-means via the library (bit-exact by
+      // its own spec), then exact pairwise cosine + union-find in Scala
+      val cents = KMeans.fit(df, "id", "v", k, iters)
+      def cluster(v: Array[Float]): Int =
+        cents.zipWithIndex.minBy { case (c, ci) =>
+          // double arithmetic, sequential dimension order — the same
+          // fold the native assignment expression computes
+          var d = 0.0
+          var j = 0
+          while (j < c.length) {
+            val diff = v(j).toDouble - c(j); d += diff * diff; j += 1
+          }
+          (d, ci)
+        }._2
+      val byCluster = data.groupBy { case (_, v) => cluster(v) }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      data.foreach { case (i, _) => parent(i) = i }
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      byCluster.values.foreach { members =>
+        for {
+          (a, va) <- members; (b, vb) <- members if a < b
+          if Similarity.cosine(va.toSeq, vb.toSeq) >= tau
+        } parent(find(a)) = find(b)
+      }
+      val groupOf = data.map { case (i, _) =>
+        i -> data.map(_._1).filter(j => find(j) == find(i)).min
+      }.toMap
+      got.view.mapValues(_._2).toMap shouldBe groupOf
+      got.foreach { case (i, (c, _)) =>
+        c shouldBe cluster(data.find(_._1 == i).get._2)
+      }
+    }
+  }
+
   test("deterministic under repartitioning") {
     val base = SemDeDup.semDeDup(corpus, "id", "v", 2, 2, 0.999)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
