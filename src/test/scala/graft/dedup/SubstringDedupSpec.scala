@@ -212,6 +212,44 @@ class SubstringDedupSpec extends SparkSpec {
     lazyGot shouldBe got
   }
 
+  test("dedupAgainst matches a brute-force reference on random corpora") {
+    // unigram shingles: banded MinHash recall is complete at the q50
+    // regime, so survivors must EQUAL the exact cross-Jaccard answer
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(13)
+    def doc(): String =
+      Seq.fill(3 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+    for (_ <- 1 to 3) {
+      val corpus = (0L until 15L).map(i => (i, doc()))
+      val batch = (100L until 115L).map { i =>
+        // some batch docs are exact or near copies of corpus docs
+        rng.nextInt(3) match {
+          case 0 => (i, corpus(rng.nextInt(corpus.size))._2)
+          case 1 => (i, corpus(rng.nextInt(corpus.size))._2 + " omega")
+          case _ => (i, doc())
+        }
+      }
+      val kept = Dedup.dedupAgainst(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text",
+        shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+      def toks(s: String) = s.toLowerCase.trim.split("\\s+").toSet
+      val expect = batch.filter { case (_, t) =>
+        val bt = toks(t)
+        !corpus.exists { case (_, c) =>
+          val ct = toks(c)
+          val norm = (x: String) => x.toLowerCase.trim.replaceAll("\\s+", " ")
+          norm(c) == norm(t) ||
+            bt.intersect(ct).size.toDouble / bt.union(ct).size >= 0.9
+        }
+      }.map(_._1).toSet
+      kept shouldBe expect
+    }
+  }
+
   test("fingerprint keys run under forced codegen") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
