@@ -61,7 +61,9 @@ object Mixing {
       when(col(massCol).isNull || col(massCol) <= 0L,
         raise_error(concat(
           lit(s"temperature mix: non-positive total $massCol for stratum "),
-          col(stratumCol).cast("string"))))
+          // coalesce: a NULL stratum would null out concat and raise
+          // an empty message exactly when the diagnostic matters most
+          coalesce(col(stratumCol).cast("string"), lit("NULL")))))
         .otherwise(col(massCol)))
     val total = guarded.agg(sum(col(massCol)).as("__N"))
     def weight(p: Column): Column =

@@ -59,13 +59,21 @@ object QualityFilter {
       df: DataFrame, textCol: String,
       rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.forall(_.name.nonEmpty),
+      "rule names must be non-empty (an empty code would make a failing " +
+        "document's fail_reasons empty — i.e. keep=true)")
     require(rules.map(_.name).distinct.size == rules.size,
       s"duplicate rule names in ${rules.map(_.name)}")
     require(rules.forall(!_.name.contains("|")),
       s"rule names may not contain '|' (the audit-code separator): " +
         rules.map(_.name).filter(_.contains("|")).mkString(", "))
+    require(!rules.exists(_.name == "null_text"),
+      "'null_text' is the reserved code for the built-in NULL-text guard")
     // a NULL text makes every rule predicate NULL (never true), which
-    // would sail garbage rows through the filter — reject explicitly
+    // would sail garbage rows through the filter — reject explicitly.
+    // The guard covers textCol: rules must be predicates over textCol
+    // (a rule built on a DIFFERENT nullable column needs its own
+    // isNull rule).
     val reasons = when(col(textCol).isNull, lit("null_text"))
       .otherwise(concat_ws("|", rules.map(r => when(r.fails, r.name)): _*))
     df.withColumn("fail_reasons", reasons)

@@ -170,6 +170,8 @@ class ScaleTechniquesSpec extends SparkSpec {
         val now = plans.synchronized(plans.size)
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
+      if (stable < 3)
+        fail("listener plan count did not stabilize within the deadline")
       plans.synchronized {
         plans should not be empty
         plans.foreach { p =>

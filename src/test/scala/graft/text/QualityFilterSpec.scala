@@ -67,11 +67,14 @@ class QualityFilterSpec extends SparkSpec {
     got(2L)._2 shouldBe true
   }
 
-  test("rule names containing the separator are rejected") {
-    an[IllegalArgumentException] should be thrownBy
+  test("rule names containing the separator, empty or reserved are rejected") {
+    def run(name: String) =
       QualityFilter.withQualityFilter(
         Seq((1L, "x")).toDF("id", "text"), "text",
-        Seq(QualityFilter.Rule("a|b", lit(true))))
+        Seq(QualityFilter.Rule(name, lit(true))))
+    an[IllegalArgumentException] should be thrownBy run("a|b")
+    an[IllegalArgumentException] should be thrownBy run("")
+    an[IllegalArgumentException] should be thrownBy run("null_text")
   }
 
   test("duplicate rule names rejected") {
