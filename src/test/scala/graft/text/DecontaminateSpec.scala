@@ -62,6 +62,38 @@ class DecontaminateSpec extends SparkSpec {
     strict shouldBe Set(102L)
   }
 
+  test("overlapPairs matches a brute-force reference on random corpora") {
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rng = new scala.util.Random(29)
+    def doc(): String =
+      Seq.fill(4 + rng.nextInt(8))(words(rng.nextInt(words.size))).mkString(" ")
+    for (_ <- 1 to 3) {
+      val train = (0L until 12L).map(i => (i, doc()))
+      val test = (100L until 108L).map(i => (i, doc()))
+      val n = 2
+      val got = Decontaminate.overlapPairs(
+        train.toDF("doc_id", "text"), "doc_id",
+        test.toDF("doc_id", "text"), "doc_id",
+        "text", n, maxTrainDocFreq = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+      def grams(s: String): Set[String] =
+        s.split(" ").sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+      val trainGrams = train.map { case (id, t) => id -> grams(t) }
+      val df = trainGrams.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size).toMap
+      val rare = df.filter(_._2 <= 4).keySet
+      val expect = (for {
+        (trId, tg) <- trainGrams
+        (teId, te) <- test.map { case (id, t) => id -> grams(t) }
+        shared = tg.intersect(te).intersect(rare)
+        if shared.nonEmpty
+      } yield (trId, teId) -> shared.size.toLong).toMap
+      got shouldBe expect
+    }
+  }
+
   test("explode happens on distinct grams (no per-occurrence rows)") {
     val tr = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
     Decontaminate.docNgrams(tr, "doc_id", "text", 2).count() shouldBe 2L
