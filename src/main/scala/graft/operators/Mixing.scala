@@ -120,11 +120,20 @@ object Mixing {
     mixWithRates(df, stratumCol, keyCol, rates, seed)
   }
 
+  /** NULL-SAFE join on the stratum: `groupBy` treats NULL as a stratum
+    * and [[ratesFrom]] computes a rate row for it, so the join back must
+    * match it too — a plain equi-join would silently DROP every
+    * NULL-stratum row (NULL keys never equal-match), contradicting the
+    * module's fail-loudly contract. With `<=>` the NULL stratum is mixed
+    * at its own computed rate, exactly like any other stratum.
+    */
   private def mixWithRates(
       df: DataFrame, stratumCol: String, keyCol: String,
       rates: DataFrame, seed: Long): DataFrame = {
     val draw = BootstrapEval.portableUniform(seed)(col(keyCol), lit(0L))
-    df.join(broadcast(rates), Seq(stratumCol))
+    val rateSide = rates.select(
+      col(stratumCol).as("__mix_stratum"), col("rate"))
+    df.join(broadcast(rateSide), col(stratumCol) <=> col("__mix_stratum"))
       .filter(draw < col("rate"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

@@ -50,12 +50,25 @@ object Packing {
     *                    effective buckets — only the #buckets driver
     *                    cumsum cares, and it is bounded by
     *                    keyRange / bucketWidth).
+    * @param maxBuckets  hard cap on occupied buckets, enforced BEFORE
+    *                    the driver-side cumsum collect. A sparse 64-bit
+    *                    order key (e.g. a hash id, which [[Splits]]
+    *                    deliberately encourages) puts ~one row per
+    *                    bucket, turning the "one row per bucket" collect
+    *                    into an unbounded driver collect; this guard
+    *                    fails loudly instead of OOMing the driver — the
+    *                    same contract as `Components.maxDriverEdges` and
+    *                    `SemDeDup.maxClusterSize`. The fix at scale is a
+    *                    wider `bucketWidth` (or a denser order key), not
+    *                    a bigger cap.
     */
   def packSequences(
       df: DataFrame, idCol: String, orderCol: String, nTokCol: String,
-      seqLen: Long, bucketWidth: Long = 1L << 16): DataFrame = {
+      seqLen: Long, bucketWidth: Long = 1L << 16,
+      maxBuckets: Long = 4000000L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
 
     // fail loudly on NULL or negative counts — a silent filter would
     // hide upstream tokenizer bugs AND corrupt every downstream offset
@@ -79,9 +92,19 @@ object Packing {
       // raise_error guard fires here, before any partial output)
       .localCheckpoint(true)
 
+    // count buckets FIRST (one cheap aggregate over the checkpointed
+    // narrow projection) so an over-sparse order key fails loudly here
+    // instead of as a silent driver OOM in the collect below
+    val nBuckets = guarded.agg(countDistinct(col("__b"))).head.getLong(0)
+    require(nBuckets <= maxBuckets,
+      s"packSequences: $nBuckets occupied buckets exceeds maxBuckets=" +
+        s"$maxBuckets — the driver-side bucket cumsum would collect one " +
+        s"row per bucket. Widen bucketWidth (currently $bucketWidth) or " +
+        s"use a denser order key.")
+
     // tiny agg: per-bucket totals -> driver-side exclusive prefix
     val totals = guarded.groupBy(col("__b")).agg(sum(col("__n")).as("__t"))
-      .collect() // bounded: one row per bucket
+      .collect() // bounded: one row per bucket, nBuckets <= maxBuckets
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }

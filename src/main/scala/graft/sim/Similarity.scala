@@ -379,8 +379,18 @@ object Similarity {
         StructField("cosine", DoubleType, nullable = true))))
     val firstVec = batch.select(col(vecCol)).head(1)
     if (firstVec.isEmpty) return empty
-    if (corpus.select(col(vecCol)).head(1).isEmpty) return empty
+    val corpusVec = corpus.select(col(vecCol)).head(1)
+    if (corpusVec.isEmpty) return empty
     val dim = firstVec.head.getSeq[Float](0).size
+    // batch and corpus are independently produced datasets; sizing the
+    // shared hyperplanes from one side only would either throw deep in
+    // the mapPartitions closure (shorter corpus vectors) or silently
+    // truncate signatures and degrade recall (longer ones)
+    val corpusDim = corpusVec.head.getSeq[Float](0).size
+    require(dim == corpusDim,
+      s"embeddingNearDuplicatesAgainst: embedding dimension mismatch — " +
+        s"batch $vecCol has dim $dim, corpus $vecCol has dim $corpusDim; " +
+        s"the shared-hyperplane LSH requires equal dimensions")
     val bc = spark.sparkContext.broadcast(hyperplanes(bits * bands, dim, seed))
     def capped(df: DataFrame, outCol: String) =
       signBuckets(df, idCol, vecCol, bits, bands, bc)

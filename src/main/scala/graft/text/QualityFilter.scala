@@ -74,8 +74,18 @@ object QualityFilter {
     // The guard covers textCol: rules must be predicates over textCol
     // (a rule built on a DIFFERENT nullable column needs its own
     // isNull rule).
+    //
+    // A rule predicate that itself evaluates to NULL on non-NULL text
+    // (e.g. a ratio over zero tokens — Spark's Divide returns NULL on a
+    // zero divisor) counts as NOT VIOLATED, made explicit here with
+    // coalesce rather than left to concat_ws's NULL-skipping: "the rule
+    // could not be evaluated" is not evidence of a violation, and the
+    // built-in gopherRules bound every such case by too_few_words
+    // anyway. Callers who want NULL-is-reject semantics add their own
+    // `Rule("x_unevaluable", pred.isNull)` alongside.
     val reasons = when(col(textCol).isNull, lit("null_text"))
-      .otherwise(concat_ws("|", rules.map(r => when(r.fails, r.name)): _*))
+      .otherwise(concat_ws("|",
+        rules.map(r => when(coalesce(r.fails, lit(false)), r.name)): _*))
     df.withColumn("fail_reasons", reasons)
       .withColumn("keep", col("fail_reasons") === "")
   }

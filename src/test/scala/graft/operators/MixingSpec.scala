@@ -84,6 +84,20 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("NULL-stratum rows are mixed at their own rate, not dropped") {
+    // NULL is the rarest stratum -> rate 1 -> every NULL row survives;
+    // a plain equi-join would silently drop all of them
+    val withNulls =
+      ((0 until 60).map(i => (i.toLong, "big")) ++
+        (60 until 70).map(i => (i.toLong, null: String))).toDF("id", "s")
+    val rates = Mixing.temperatureRates(withNulls, "s", alpha = 0.5)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(3)).toMap
+    rates(None) shouldBe 1.0 // a rate row exists for the NULL stratum
+    val kept = Mixing.mixByTemperature(withNulls, "s", "id", alpha = 0.5)
+    kept.filter(col("s").isNull).count() shouldBe 10L
+    kept.columns.toSeq shouldBe Seq("id", "s") // no helper columns leak
+  }
+
   test("plans no nested-loop join and no corpus-sized shuffle groupings") {
     val plan = Mixing.mixByTemperature(corpus, "s", "id")
       .queryExecution.executedPlan.toString

@@ -88,4 +88,23 @@ class PackingSpec extends SparkSpec {
     }
     ex.getMessage should include("null or negative")
   }
+
+  test("over-sparse order keys trip the maxBuckets guard, not the driver") {
+    // bucketWidth=1 on 100 distinct keys -> 100 occupied buckets
+    val df = (0L until 100L).map(i => (i, 2L)).toDF("id", "n")
+    val ex = intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "id", "id", "n",
+        seqLen = 4, bucketWidth = 1, maxBuckets = 10)
+    }
+    ex.getMessage should include("maxBuckets")
+    ex.getMessage should include("bucketWidth")
+    // same data under the cap works and the cap does not change layout
+    val a = Packing.packSequences(df, "id", "id", "n",
+      seqLen = 4, bucketWidth = 1, maxBuckets = 100)
+      .orderBy("seq_id", "id").collect().map(_.toSeq)
+    val b = Packing.packSequences(df, "id", "id", "n",
+      seqLen = 4, bucketWidth = 64)
+      .orderBy("seq_id", "id").collect().map(_.toSeq)
+    a shouldBe b
+  }
 }

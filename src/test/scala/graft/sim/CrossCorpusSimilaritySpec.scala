@@ -101,4 +101,19 @@ class CrossCorpusSimilaritySpec extends SparkSpec {
       batchDf, corpusDf, "id", "vec", threshold = 0.99,
       maxBucketSize = 100).count() shouldBe 50L
   }
+
+  test("mismatched embedding dimensions fail loudly up front") {
+    // batch dim 8, corpus dim 12: sizing hyperplanes off one side only
+    // would throw deep in a task (shorter corpus) or silently truncate
+    // signatures (longer corpus) — require equality before any job
+    val batchDf = Seq((1L, Seq.fill(8)(1.0f))).toDF("id", "vec")
+    val corpusDf = Seq((2L, Seq.fill(12)(1.0f))).toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDuplicatesAgainst(
+        batchDf, corpusDf, "id", "vec", threshold = 0.9)
+    }
+    ex.getMessage should include("dimension mismatch")
+    ex.getMessage should include("8")
+    ex.getMessage should include("12")
+  }
 }

@@ -84,4 +84,25 @@ class QualityFilterSpec extends SparkSpec {
         Seq(QualityFilter.Rule("r", lit(true)),
           QualityFilter.Rule("r", lit(false))))
   }
+
+  test("a NULL rule result counts as not-violated, explicitly") {
+    // a caller-supplied rule whose predicate evaluates to NULL on
+    // non-NULL text (divide-by-zero ratio) must not poison the whole
+    // reason string: other rules still report, keep is still honest
+    val nullRule = QualityFilter.Rule(
+      "bad_ratio", expr("try_divide(1.0, length(text) - length(text)) > 0.5"))
+    val always = QualityFilter.Rule("always", lit(true))
+    val got = QualityFilter.withQualityFilter(
+      Seq((1L, "hello world")).toDF("id", "text"), "text",
+      Seq(nullRule, always))
+      .select("fail_reasons", "keep").collect().head
+    got.getString(0) shouldBe "always" // NULL rule skipped, not poisoning
+    got.getBoolean(1) shouldBe false
+    // and a doc failing NO evaluable rule keeps despite the NULL rule
+    val kept = QualityFilter.withQualityFilter(
+      Seq((1L, "hello world")).toDF("id", "text"), "text",
+      Seq(nullRule))
+      .select("keep").collect().head.getBoolean(0)
+    kept shouldBe true
+  }
 }
