@@ -2381,8 +2381,69 @@ object Queries {
           FROM a1, p2)
         SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_before,
           CAST(len(a2.ts) AS BIGINT) AS n_after
-        FROM d JOIN a2 USING (doc_id) ORDER BY doc_id"""))
+        FROM d JOIN a2 USING (doc_id) ORDER BY doc_id""")),
+
+    // Cross-corpus dedup through the PREPARED INDEX
+    // (dedup/DedupIndex): the same split and parameters as q50, but the
+    // corpus side is served from an on-disk index built ONCE per
+    // process (exact fingerprints + capped MinHash bucket table +
+    // shingle sets as parquet) — the 100 TB incremental-ingest shape,
+    // where a new batch never re-shingles the corpus. Same oracle as
+    // q50: the index path must produce the identical survivor set. In
+    // Bench, the warmup pass pays the one-time build and the timed
+    // runs measure the amortized batch-only cost.
+    GraftQuery(
+      "q62_dedup_against_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = dedupIndexFor(s, dir, docs.filter(col("doc_id") < 400))
+        graft.dedup.DedupIndex.dedupAgainst(
+          docs.filter(col("doc_id") >= 400), idx, "doc_id", "text",
+          threshold = 0.9)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents
+        ),
+        corpus AS (SELECT * FROM d WHERE doc_id < 400),
+        batch AS (SELECT * FROM d WHERE doc_id >= 400)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)
+          AND NOT EXISTS (
+            SELECT 1 FROM corpus c
+            WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
+        ORDER BY 1"""))
   )
+
+  /** Per-process cache of the q62 prepared dedup index, keyed by data
+    * dir: built (written to a fresh temp dir and read back, so the
+    * query really runs against parquet) on first use, reused by every
+    * later call — which is the point: Bench's warmup pass pays the
+    * build, the timed runs measure batch-only cost. Parameters mirror
+    * q50's direct-path call (unigram shingles, 64 hashes, 16 bands).
+    */
+  private val dedupIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.dedup.DedupIndex.Index]()
+
+  private def dedupIndexFor(
+      s: SparkSession, dir: String,
+      corpus: => DataFrame): graft.dedup.DedupIndex.Index =
+    dedupIndexCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dedup_index_").toString
+      graft.dedup.DedupIndex.write(
+        corpus, "doc_id", "text", path,
+        graft.dedup.DedupIndex.Params(
+          shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+      graft.dedup.DedupIndex.read(s, path)
+    })
 
   /** Bench-only queries (no oracle, not part of the CORRECTNESS
     * surface): the LSH near-dup pipelines on the FULL corpus with their

@@ -1,0 +1,200 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** Prepared on-disk index for cross-corpus (incremental) dedup — the
+  * amortization [[Dedup.dedupAgainst]] cannot give: that call
+  * re-fingerprints and re-MinHashes the CORPUS on every batch, so at
+  * 100 TB the corpus pass dominates every ingest. This module persists
+  * the corpus-side derived state ONCE (the same pattern as
+  * [[graft.sim.Similarity.writeIvfIndex]] for ANN) and lets every
+  * subsequent batch dedup against it touching only:
+  *
+  *   - `exact`   — the distinct 128-bit content fingerprints
+  *                 (anti-join target for exact matches);
+  *   - `buckets` — the banded MinHash (band, bucket) → capped member
+  *                 list table (equi-join target for near-dup
+  *                 candidates; the cap is baked at build time with the
+  *                 same [[graft.functions.CappedCollectList]] contract
+  *                 as the direct path);
+  *   - `sets`    — (corpus_id, shingles) for the exact-Jaccard verify
+  *                 join-back;
+  *   - `meta`    — the build parameters, so a query can never run with
+  *                 a mismatched hash family (params travel WITH the
+  *                 index, not as caller arguments).
+  *
+  * Per-batch cost is then shingling/signing the BATCH plus one
+  * (band, bucket) equi-join and one verify join against parquet —
+  * never a corpus re-derivation. Results are pinned equal to the
+  * direct [[Dedup.dedupAgainst]] path in DedupIndexSpec, and q62 runs
+  * the index path against q50's oracle.
+  *
+  * Threshold is deliberately NOT baked: one index serves any Jaccard
+  * threshold (it only affects the verify filter). Rebuild when the
+  * corpus, shingle size, hash family, bands, or cap change.
+  */
+object DedupIndex {
+
+  /** Build-time parameters, stored in `meta` and read back verbatim. */
+  final case class Params(
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L) {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** A loaded index: three DataFrames (on-disk parquet after [[read]],
+    * in-memory plans after [[build]]) plus the build parameters.
+    */
+  final case class Index(
+      params: Params,
+      exact: DataFrame,   // (__key)
+      buckets: DataFrame, // (band, bucket, ids)
+      sets: DataFrame)    // (corpus_id, __shingles)
+
+  private def bufferCap(maxBucketSize: Long): Int =
+    math.min(maxBucketSize, (Int.MaxValue - 8).toLong).toInt
+
+  /** Sign a (id, __shingles) table and collapse it to capped
+    * (band, bucket, members) — the shared shape of the stored corpus
+    * table and the query-time batch side, so the two cannot drift.
+    */
+  private def cappedBuckets(
+      sets: DataFrame, idCol: String, outCol: String, params: Params): DataFrame = {
+    val signed = sets.withColumn("__sig",
+      Dedup.minhashSignature(col("__shingles"), params.numHashes, params.seed))
+    Dedup.lshBuckets(signed, idCol, "__sig", params.bands, params.rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.CappedCollectList
+        .cappedCollectList(col(idCol), bufferCap(params.maxBucketSize)).as(outCol))
+      .filter(col(outCol).isNotNull)
+  }
+
+  /** Derive the corpus-side index tables (lazily — nothing runs until
+    * [[write]] or a query consumes them). Corpus ids must be unique and
+    * non-null, as everywhere in this package.
+    */
+  def build(
+      corpus: DataFrame, idCol: String, textCol: String,
+      params: Params = Params()): Index = {
+    val exact = corpus
+      .select(TextStats.fingerprintMd5(col(textCol)).as("__key"))
+      .distinct()
+    val sets = corpus
+      .select(col(idCol).as("corpus_id"),
+        Dedup.shingles(col(textCol), params.shingleSize).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+    Index(params, exact, cappedBuckets(sets, "corpus_id", "ids", params), sets)
+  }
+
+  /** Build and persist the index under `path` (subdirs `meta`, `exact`,
+    * `buckets`, `sets`). The corpus is read once: the shingle table is
+    * cached for the duration of the build so the signature and sets
+    * writes don't re-derive it.
+    */
+  def write(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      params: Params = Params()): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = build(corpus, idCol, textCol, params)
+    val sets = idx.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // re-root buckets on the cached sets (build() derived them from
+      // the uncached plan): same expressions, one corpus pass
+      val buckets = cappedBuckets(sets, "corpus_id", "ids", params)
+      sets.write.mode("overwrite").parquet(s"$path/sets")
+      buckets.write.mode("overwrite").parquet(s"$path/buckets")
+      idx.exact.write.mode("overwrite").parquet(s"$path/exact")
+      Seq((params.shingleSize, params.numHashes, params.bands, params.seed,
+        params.maxBucketSize))
+        .toDF("shingleSize", "numHashes", "bands", "seed", "maxBucketSize")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally sets.unpersist()
+  }
+
+  /** Load an index written by [[write]]. The parameters come from the
+    * stored `meta`, so queries are always consistent with the build.
+    */
+  def read(spark: SparkSession, path: String): Index = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1, s"malformed dedup index meta at $path/meta: ${m.length} rows")
+    val r = m.head
+    val params = Params(
+      r.getAs[Int]("shingleSize"), r.getAs[Int]("numHashes"),
+      r.getAs[Int]("bands"), r.getAs[Long]("seed"), r.getAs[Long]("maxBucketSize"))
+    Index(params,
+      spark.read.parquet(s"$path/exact"),
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/sets"))
+  }
+
+  /** Near-duplicate matches of `batch` against the indexed corpus —
+    * [[Dedup.nearDuplicatesAgainst]] with the corpus side served from
+    * the index: the batch is shingled and signed with the index's
+    * stored hash family, bucket candidates come from ONE
+    * (band, bucket) equi-join against the stored bucket table, and the
+    * Jaccard verify joins the stored shingle sets. Returns
+    * (batch_id, corpus_id, jaccard) with jaccard ≥ threshold.
+    */
+  def nearDuplicatesAgainst(
+      batch: DataFrame, index: Index, idCol: String, textCol: String,
+      threshold: Double = 0.8, materialize: Boolean = true): DataFrame = {
+    val p = index.params
+    val batchSets0 = batch
+      .select(col(idCol), Dedup.shingles(col(textCol), p.shingleSize).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+    val batchSets =
+      if (materialize) batchSets0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batchSets0
+    try {
+      val batchBuckets = cappedBuckets(
+        batchSets.withColumnRenamed(idCol, "__bid")
+          .select(col("__bid"), col("__shingles")),
+        "__bid", "__bids", p)
+      val pairs = batchBuckets
+        .join(index.buckets, Seq("band", "bucket"))
+        .select(explode(col("__bids")).as("batch_id"), col("ids"))
+        .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
+        .distinct()
+      val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
+      val ca = index.sets.select(col("corpus_id"), col("__shingles").as("__sb"))
+      val verified = pairs.join(ba, "batch_id").join(ca, "corpus_id")
+        .withColumn("jaccard",
+          graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      if (materialize) verified.localCheckpoint(true) else verified
+    } finally {
+      if (materialize) batchSets.unpersist()
+    }
+  }
+
+  /** `batch` reduced to rows that duplicate nothing in the indexed
+    * corpus — [[Dedup.dedupAgainst]] through the index: exact
+    * fingerprint anti-join against `exact`, then near-dup anti-join via
+    * [[nearDuplicatesAgainst]]. Result is pinned equal to the direct
+    * path (DedupIndexSpec; q62 vs q50's oracle).
+    */
+  def dedupAgainst(
+      batch: DataFrame, index: Index, idCol: String, textCol: String,
+      threshold: Double = 0.8, materialize: Boolean = true): DataFrame = {
+    val key = TextStats.fingerprintMd5(col(textCol))
+    val exactSurvivors = batch.withColumn("__key", key)
+      .join(index.exact, Seq("__key"), "left_anti")
+      .drop("__key")
+    val nearMatched = nearDuplicatesAgainst(
+      exactSurvivors, index, idCol, textCol, threshold, materialize)
+      .select(col("batch_id").as(idCol)).distinct()
+    exactSurvivors.join(nearMatched, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Prepared cross-corpus dedup index: the index path must be a pure
+  * amortization of [[Dedup.dedupAgainst]] — identical results, corpus
+  * derivation served from parquet.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private def mkDoc(rng: Random): String =
+    Seq.fill(3 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+
+  private def mkCorpusAndBatch(seed: Int) = {
+    val rng = new Random(seed)
+    val corpus = (0L until 20L).map(i => (i, mkDoc(rng)))
+    val batch = (100L until 120L).map { i =>
+      rng.nextInt(3) match {
+        case 0 => (i, corpus(rng.nextInt(corpus.size))._2) // exact copy
+        case 1 => (i, corpus(rng.nextInt(corpus.size))._2 + " omega") // near
+        case _ => (i, mkDoc(rng))
+      }
+    }
+    (corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"))
+  }
+
+  private val params = DedupIndex.Params(
+    shingleSize = 1, numHashes = 64, bands = 16, seed = 42L)
+
+  test("in-memory index path equals the direct dedupAgainst path") {
+    for (seed <- Seq(7, 21, 63)) {
+      val (corpus, batch) = mkCorpusAndBatch(seed)
+      val direct = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val idx = DedupIndex.build(corpus, "doc_id", "text", params)
+      val viaIndex = DedupIndex.dedupAgainst(batch, idx, "doc_id", "text",
+        threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      viaIndex shouldBe direct
+    }
+  }
+
+  test("write/read round-trip preserves params and results") {
+    val (corpus, batch) = mkCorpusAndBatch(99)
+    val path = Files.createTempDirectory("dedup_index_spec_").toString
+    DedupIndex.write(corpus, "doc_id", "text", path, params)
+    val idx = DedupIndex.read(spark, path)
+    idx.params shouldBe params
+    val direct = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    DedupIndex.dedupAgainst(batch, idx, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe direct
+    // near-dup matches agree too (both anti-join stages, not just the end)
+    val directPairs = Dedup.nearDuplicatesAgainst(batch, corpus,
+      "doc_id", "text", shingleSize = 1, threshold = 0.9)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupIndex.nearDuplicatesAgainst(batch, idx, "doc_id", "text",
+      threshold = 0.9)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe directPairs
+  }
+
+  test("query over a read index scans parquet, not corpus text") {
+    val (corpus, batch) = mkCorpusAndBatch(5)
+    val path = Files.createTempDirectory("dedup_index_spec_").toString
+    DedupIndex.write(corpus, "doc_id", "text", path, params)
+    val idx = DedupIndex.read(spark, path)
+    val plan = DedupIndex.nearDuplicatesAgainst(batch, idx, "doc_id", "text",
+      threshold = 0.9, materialize = false)
+      .queryExecution.executedPlan.toString
+    // the corpus side must come from the stored index files
+    plan should include("buckets")
+    plan should include("sets")
+    // and no corpus-side re-shingling: the only regexp/normalize chain
+    // is the batch side (corpus text never appears in the plan)
+    plan should not include "Scan ExistingRDD"
+  }
+
+  test("one index serves multiple thresholds") {
+    val (corpus, batch) = mkCorpusAndBatch(31)
+    val idx = DedupIndex.build(corpus, "doc_id", "text", params)
+    for (th <- Seq(0.8, 0.9, 0.99)) {
+      val direct = Dedup.dedupAgainst(batch, corpus, "doc_id", "text",
+        shingleSize = 1, numHashes = 64, bands = 16, threshold = th)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      DedupIndex.dedupAgainst(batch, idx, "doc_id", "text", threshold = th)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe direct
+    }
+  }
+
+  test("capped buckets are baked into the stored table") {
+    // 30 identical corpus docs: every (band, bucket) holds all 30 ids;
+    // cap below that drops the bucket AT BUILD TIME, so the stored
+    // table is empty and the batch near-dup only sees exact matches
+    val corpus = (0L until 30L).map(i => (i, "same text every time"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "same text every time different tail end"))
+      .toDF("doc_id", "text")
+    val small = DedupIndex.build(corpus, "doc_id", "text",
+      params.copy(maxBucketSize = 10))
+    small.buckets.count() shouldBe 0L
+    DedupIndex.nearDuplicatesAgainst(batch, small, "doc_id", "text",
+      threshold = 0.5).count() shouldBe 0L
+    val big = DedupIndex.build(corpus, "doc_id", "text",
+      params.copy(maxBucketSize = 100))
+    DedupIndex.nearDuplicatesAgainst(batch, big, "doc_id", "text",
+      threshold = 0.5).count() shouldBe 30L
+  }
+}
