@@ -2419,7 +2419,114 @@ object Queries {
             SELECT 1 FROM corpus c
             WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
                     / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // Multimodal: fixed-stride chunk sampling over a RAW binary
+    // payload (multimodal/Multimodal.chunkSample) — the distribution
+    // step for fixed-record payloads (frame dumps, tensor blobs).
+    // The payload here is the document text cast to binary (the
+    // documents table is pure ASCII at every SF, verified, so DuckDB's
+    // character substring replays the byte slicing exactly); chunks
+    // are emitted back as strings for the compare. everyN=2 proves the
+    // stride logic, 64-byte chunks, truncated tail dropped.
+    GraftQuery(
+      "q63_chunk_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        graft.multimodal.Multimodal.chunkSample(docs, "payload",
+            everyN = 2, chunkBytes = 64)
+          .select(col("doc_id"), col("chunk_idx"),
+            col("chunk_bytes").cast("string").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, text,
+            unnest(range(0, length(text) // 64, 2)) AS i
+          FROM documents)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+          substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS chunk_text
+        FROM c
+        ORDER BY 1, 2""")),
+
+    // Multimodal: REAL JDK codec decode over golden fixtures
+    // (src/main/resources/graft/fixtures) — ImageIoDecoder metadata
+    // (width/height/channels/mean pixel) for three checked-in PNGs and
+    // JavaSoundDecoder metadata (rate/frames/per-window energies) for a
+    // checked-in WAV, plus the payload CRC32 proving the exact bytes
+    // decoded. The oracle replays the goldens as constants: fixtures
+    // are committed files, so the expected values are pinned, and the
+    // decode itself runs DISTRIBUTED through the same mapPartitions
+    // operators the unit suite covers (this is the north-star family's
+    // driver-visible correctness row).
+    GraftQuery(
+      "q64_media_meta",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val mm = graft.multimodal.Multimodal
+        def fixture(name: String): Array[Byte] = {
+          val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+          require(in != null, s"missing golden fixture $name")
+          try in.readAllBytes() finally in.close()
+        }
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        def df(names: Seq[String]): DataFrame = s.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              names.map(n => Row(n, fixture(n)))).asJava),
+          schema).repartition(2)
+        val img = mm.withImageFeatures(
+            df(Seq("img_gradient.png", "img_solid.png", "img_checker.png")),
+            "payload", mm.ImageIoDecoder)
+          .select(col("name"),
+            col("image_features.width").as("width"),
+            col("image_features.height").as("height"),
+            col("image_features.channels").as("channels"),
+            col("image_features.mean_pixel").as("mean_pixel"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("int").as("n_samples"),
+            // empty, not NULL: engines render a NULL array differently
+            // through pandas (None vs NaN), an empty one identically
+            array().cast("array<double>").as("energies"),
+            crc32(col("payload")).as("crc"))
+        val aud = mm.withAudioFeatures(
+            df(Seq("audio_ramp.wav")), "payload", mm.JavaSoundDecoder,
+            windowSamples = 128)
+          .select(col("name"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("int").as("channels"),
+            lit(null).cast("double").as("mean_pixel"),
+            col("audio_features.sample_rate").as("sample_rate"),
+            col("audio_features.n_samples").as("n_samples"),
+            col("audio_features.window_energies").cast("array<double>")
+              .as("energies"),
+            crc32(col("payload")).as("crc"))
+        img.unionByName(aud).orderBy(col("name"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('audio_ramp.wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), 8000, 440,
+           [0.25192075967788696e0, 0.197988823056221e0,
+            0.21787354350090027e0, 0.3080189526081085e0],
+           CAST(3235884360 AS BIGINT)),
+          ('img_checker.png', 16, 16, 4, 0.5e0, CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST([] AS DOUBLE[]),
+           CAST(1044419773 AS BIGINT)),
+          ('img_gradient.png', 8, 6, 3, 0.42483660130718953e0,
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST([] AS DOUBLE[]), CAST(3788437974 AS BIGINT)),
+          ('img_solid.png', 5, 5, 3, 0.4000000000000001e0,
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST([] AS DOUBLE[]), CAST(3529441795 AS BIGINT)))
+          v(name, width, height, channels, mean_pixel, sample_rate,
+            n_samples, energies, crc)
+        ORDER BY name"""))
   )
 
   /** Per-process cache of the q62 prepared dedup index, keyed by data
