@@ -2526,7 +2526,89 @@ object Queries {
            CAST([] AS DOUBLE[]), CAST(3529441795 AS BIGINT)))
           v(name, width, height, channels, mean_pixel, sample_rate,
             n_samples, energies, crc)
-        ORDER BY name"""))
+        ORDER BY name""")),
+
+    // Streaming SimHash near-duplicate detection, oracle-checked — the
+    // last streaming path that was unit-only: documents replayed
+    // through a file-source stream (the q46/q55 pattern), md5-portable
+    // fingerprints (the q17/q25 hash family) through the stateful
+    // banded flatMapGroupsWithState pipeline, parquet sink, read back.
+    // With chunks = 4 > maxDistance = 3 the pigeonhole guarantees every
+    // qualifying pair shares a bucket, and within one AvailableNow
+    // micro-batch every bucket member is compared against all earlier
+    // arrivals, so after collapsing the documented at-least-once
+    // emission (once per shared chunk) the sink holds EXACTLY the
+    // all-pairs Hamming result — the same oracle as q25. Event time is
+    // synthesized from doc_id (+1s origin: rows at the initial
+    // watermark are dropped).
+    GraftQuery(
+      "q65_streaming_simhash",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q65_src_")
+        val staged = srcDir.resolve("documents.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/documents.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+          .parquet(srcDir.toString)
+        val fp = src
+          .select(col("doc_id"),
+            transform(
+              split(graft.text.TextStats.normalize(col("text")), " "),
+              tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+              .as("__hashes"),
+            timestamp_micros((col("doc_id") + 1) * lit(1000000L)).as("ts"))
+          .select(col("doc_id"),
+            graft.functions.functions.simhash64(col("__hashes")).as("__fp"),
+            col("ts"))
+        val pairs = graft.streaming.Streaming
+          .streamingSimhashNearDuplicatesFromFingerprints(
+            fp, "doc_id", "__fp", "ts", maxDistance = 3, chunks = 4,
+            watermark = "0 seconds", maxBucketState = 100000)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q65_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q65_ckpt_").toString
+        pairs.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        s.read.parquet(out)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, b.range AS bit,
+            SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN range(0, 60) b
+          GROUP BY doc_id, b.range),
+        fp AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+              AS simhash
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q62 prepared dedup index, keyed by data

@@ -122,6 +122,29 @@ object Streaming {
       chunks: Int = 4,
       watermark: String = "1 hour",
       stateRetention: String = "1 hour",
+      maxBucketState: Int = 1000): Dataset[NearDupPair] =
+    streamingSimhashNearDuplicatesFromFingerprints(
+      graft.dedup.Dedup.withSimhash(
+        df.select(col(idCol), col(textCol), col(tsCol)), textCol, "__fp"),
+      idCol, "__fp", tsCol, maxDistance, chunks, watermark,
+      stateRetention, maxBucketState)
+
+  /** [[streamingSimhashNearDuplicates]] over PRECOMPUTED 64-bit
+    * fingerprints — the streaming twin of the batch
+    * [[graft.dedup.Dedup.simhashNearDuplicatesFromFingerprints]], and
+    * the seam that lets an engine-independent hash family (e.g. the
+    * md5-portable token hashes q17/q25 replay in DuckDB) flow through
+    * the stateful pipeline unchanged.
+    */
+  def streamingSimhashNearDuplicatesFromFingerprints(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      tsCol: String,
+      maxDistance: Int = 3,
+      chunks: Int = 4,
+      watermark: String = "1 hour",
+      stateRetention: String = "1 hour",
       maxBucketState: Int = 1000): Dataset[NearDupPair] = {
     require(64 % chunks == 0, "chunks must divide 64")
     val spark = df.sparkSession
@@ -131,8 +154,7 @@ object Streaming {
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(stateRetention))
     require(interval.months == 0, "stateRetention must not use month units")
     val retention = interval.days * 86400000L + interval.microseconds / 1000L
-    val fp = graft.dedup.Dedup.withSimhash(
-      df.select(col(idCol), col(textCol), col(tsCol)), textCol, "__fp")
+    val fp = df.withColumnRenamed(fpCol, "__fp")
       .withWatermark(tsCol, watermark)
     val chunkStructs = (0 until chunks).map { c =>
       concat_ws(":", lit(c),
