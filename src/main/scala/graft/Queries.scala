@@ -2608,8 +2608,98 @@ object Queries {
           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // IVF approximate top-k with nProbe < nCells, served from the
+    // PREPARED on-disk index (sim/Similarity.writeIvfIndex: assigned
+    // rows partitioned by cell, so the 4-of-16-cell probe is real
+    // partition pruning — the ~nCells/nProbe scan reduction a 100 TB
+    // corpus depends on). q26 proves the exhaustive case; this pins the
+    // APPROXIMATE path exactly: centroids are the first 16 embeddings
+    // (cell = vec_id, engine-replayable), so DuckDB replays the
+    // assignment argmax, the per-query probe ranking, and the pruned
+    // top-k — approximate recall as an equality check, not a bound.
+    GraftQuery(
+      "q66_ivf_probe",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfIndexFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfTopK(index, queries, k = 10, nProbe = 4)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= 4),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id"""))
   )
+
+  /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
+    * data dir — same pattern as [[dedupIndexFor]]: written once to a
+    * temp dir and read back, so the query scans the cell-partitioned
+    * parquet layout (partition pruning at probe time); Bench's warmup
+    * pays the build. Centroids are the first 16 embeddings by vec_id
+    * (cell = vec_id), the engine-replayable choice q66's oracle pins.
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  private def ivfIndexFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.Similarity.IvfIndex =
+    ivfIndexCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb, "vec_id", "embedding", centroids)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index_").toString
+      graft.sim.Similarity.writeIvfIndex(built, path)
+      graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
 
   /** Per-process cache of the q62 prepared dedup index, keyed by data
     * dir: built (written to a fresh temp dir and read back, so the

@@ -139,6 +139,23 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
       .toSeq
+    buildIvfWithCentroids(corpus, idCol, vecCol, sampled)
+  }
+
+  /** [[buildIvf]] with CALLER-SUPPLIED centroids — the seam for
+    * externally-chosen cells (a k-means pass, a prior index's
+    * centroids, or an engine-replayable deterministic set, as q66's
+    * oracle needs). Cell ids must be the centroids' positions in the
+    * list contract used everywhere: assignment tie-breaks on the
+    * smallest cell id.
+    */
+  def buildIvfWithCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): IvfIndex = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val sampled = centroids
     val bc = corpus.sparkSession.sparkContext.broadcast(sampled)
     val vecIdx = corpus.schema.fieldIndex(vecCol)
     val outSchema = corpus.schema.add("cell", IntegerType, nullable = false)
