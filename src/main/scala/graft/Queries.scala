@@ -2670,7 +2670,57 @@ object Queries {
             ORDER BY score DESC, vec_id) AS rn
           FROM s)
         WHERE rn <= 10
-        ORDER BY query_id, score DESC, vec_id"""))
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // The full S3 export pipeline (records/TfRecords.dfToTfRecord:
+    // vocab emission → spec projection → global orderBy(rand) shuffle →
+    // DISK_ONLY persist → gzip TFRecord part files → listing),
+    // oracle-checked end-to-end: the export is read back through the
+    // DSv2 source and must hold exactly the source rows (the oracle
+    // compare is content-based over sorted rows, so the shuffle's
+    // reordering is invisible — losslessness is what's pinned). The
+    // emitted lang vocabulary is folded into the same result:
+    // every read-back row's lang must appear in the .voc file
+    // (lang_in_vocab, all true) and the file's cardinality must equal
+    // COUNT(DISTINCT lang) (vocab_size, via a constant-key broadcast
+    // scalar join — no BNLJ).
+    GraftQuery(
+      "q67_export_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q67_").toString
+        val specs: graft.types.FeatureSpec.Specs = Map(
+          "doc_id" -> graft.types.FixedLenFeature(Nil, graft.types.FeatureDType.Int64),
+          "text" -> graft.types.FixedLenFeature(Nil, graft.types.FeatureDType.TfString),
+          "lang" -> graft.types.FixedLenFeature(Nil, graft.types.FeatureDType.TfString))
+        graft.records.TfRecords.dfToTfRecord(docs, specs, base,
+          vocabColumns = Seq("lang"), threshold = 0, seed = Some(7L),
+          requireHdfs = false)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("text", StringType, nullable = false),
+          StructField("lang", StringType, nullable = false)))
+        val back = s.read.format("tfrecord").schema(schema)
+          .option("codec", "gzip").load(s"$base/tf_records")
+        val vocab = s.read.textFile(s"$base/col_cardinalities/lang.voc")
+          .toDF("lang").withColumn("lang_in_vocab", lit(true))
+        graft.core.Scalars.withScalars(
+          back.join(broadcast(vocab), Seq("lang"), "left")
+            .withColumn("lang_in_vocab",
+              coalesce(col("lang_in_vocab"), lit(false))),
+          vocab.agg(count(lit(1)).as("vocab_size")))
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("lang_in_vocab"), col("vocab_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text, lang, TRUE AS lang_in_vocab,
+          (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents)
+            AS vocab_size
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
