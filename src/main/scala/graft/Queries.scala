@@ -2819,7 +2819,56 @@ object Queries {
           "vec_id", "embedding", threshold = 0.95)
           .select(col("vec_id")).orderBy(col("vec_id"))
       },
+      None),
+
+    // Corpus-heavy incremental-ingest pair: 92% of documents as the
+    // corpus, 8% as the arriving batch — the production dedupAgainst
+    // shape (q50/q62's oracle split is the reverse, so the batch cost
+    // dominates there and masks the index's point). q50b re-derives
+    // the corpus fingerprints + MinHash tables on EVERY call; q62b
+    // serves them from the prepared on-disk index (built once in
+    // Bench's warmup via the per-process cache). The delta between
+    // these two bench lines IS the per-ingest amortization the index
+    // buys at 100 TB.
+    GraftQuery(
+      "q50b_dedup_against_heavy",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.Dedup.dedupAgainst(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400),
+          "doc_id", "text",
+          shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      None),
+    GraftQuery(
+      "q62b_dedup_index_heavy",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = dedupIndexHeavyFor(s, dir, docs.filter(col("doc_id") >= 400))
+        graft.dedup.DedupIndex.dedupAgainst(
+          docs.filter(col("doc_id") < 400), idx, "doc_id", "text",
+          threshold = 0.9)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
       None))
+
+  private val dedupIndexHeavyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.dedup.DedupIndex.Index]()
+
+  private def dedupIndexHeavyFor(
+      s: SparkSession, dir: String,
+      corpus: => DataFrame): graft.dedup.DedupIndex.Index =
+    dedupIndexHeavyCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dedup_index_heavy_").toString
+      graft.dedup.DedupIndex.write(
+        corpus, "doc_id", "text", path,
+        graft.dedup.DedupIndex.Params(
+          shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+      graft.dedup.DedupIndex.read(s, path)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
