@@ -160,10 +160,78 @@ object Components {
       iter += 1
     }
     if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds; " +
-          "the pair graph has a longer path than expected — raise maxIter")
+      // Adversarial long-chain graph: propagation needs diameter rounds,
+      // so past maxIter switch to the alternating large-star/small-star
+      // algorithm (Kiveris et al.), which converges in O(log n) rounds
+      // regardless of diameter. Same label contract (min member id).
+      return largeStarSmallStar(sym)
     labels
+  }
+
+  /** Alternating large-star/small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round path for graphs whose diameter defeats plain
+    * min-label propagation (long chains). Each round rewrites the edge
+    * set: large-star connects every neighbor larger than a node to the
+    * minimum of its neighborhood; small-star does the same for the
+    * smaller neighbors. At the fixpoint the edges form stars rooted at
+    * each component's minimum id, which is exactly the label contract
+    * of the other two paths (ComponentsSpec pins equivalence).
+    *
+    * Per round: two groupBy-min aggregates and two equi-joins over the
+    * current edge set (checkpointed — the edge set SHRINKS toward one
+    * edge per non-root node, so rounds get cheaper), plus an exact
+    * set-equality convergence probe (count precheck, then except) —
+    * sound, and cheap once the count gate passes only near fixpoint.
+    */
+  private[dedup] def largeStarSmallStar(
+      sym0: DataFrame, maxRounds: Int = 100): DataFrame = {
+    var edges = sym0
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      val symAll = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = symAll.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = symAll.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")) // m ≤ u < v: canonical
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star over larger→smaller links: m = min(N<(u) ∪ {u});
+      // emit (v, m) for v ∈ N<(u) ∪ {u}, v ≠ m
+      val dir = ls.select(col("b").as("u"), col("a").as("v"))
+      val ssMin = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val next = dir.join(ssMin, "u")
+        .select(col("mn").as("a"), col("v").as("b"))
+        .union(ssMin.select(col("mn").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"largeStarSmallStar did not converge in $maxRounds rounds — " +
+          "this exceeds the O(log n) bound for any feasible graph")
+    // star fixpoint: component(node) = min(node, min neighbor)
+    edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("component"))
   }
 
   /** `df` reduced to one canonical row per duplicate cluster: a row

@@ -22,13 +22,14 @@ class ComponentsSpec extends SparkSpec {
     got.keySet shouldBe (0L to 9L).toSet
   }
 
-  test("fails fast when maxIter is too small to converge (distributed path)") {
+  test("maxIter too small for propagation still converges via the star fallback") {
+    // was a fail-fast throw before round 8; now the large-star/
+    // small-star fallback takes over, so the answer is right either way
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] {
-      Components.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
-        maxDriverEdges = 0L) // force the distributed loop
-    }
-    e.getMessage should include("did not converge")
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b",
+      maxIter = 2, maxDriverEdges = 0L) // force the distributed loop
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe (0L to 9L).map(_ -> 0L).toMap
   }
 
   test("driver union-find and distributed propagation agree on random graphs") {
@@ -98,5 +99,36 @@ class ComponentsSpec extends SparkSpec {
     val docs = (0L until 3L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     Components.keepCanonical(docs, "doc_id", pairs).count() shouldBe 3L
+  }
+
+  test("path graph of diameter > 50 past maxIter falls back to large-star/small-star") {
+    // diameter-60 chain, driver path disabled, maxIter far below the
+    // diameter: propagation cannot converge, so the Kiveris et al.
+    // fallback must take over and still label every node with the
+    // component minimum in O(log n) rounds
+    val n = 60L
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Components.connectedComponents(
+      pairs, "id_a", "id_b", maxIter = 3, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.keySet shouldBe (0L to n).toSet
+    labels.values.toSet shouldBe Set(0L)
+  }
+
+  test("large-star/small-star equals union-find on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(123)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)((rng.nextLong(40), rng.nextLong(40)))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      val fast = Components.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val stars = Components.largeStarSmallStar(sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      stars shouldBe fast
+    }
   }
 }
