@@ -2720,7 +2720,61 @@ object Queries {
         SELECT doc_id, text, lang, TRUE AS lang_in_vocab,
           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents)
             AS vocab_size
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Corpus-wide LINE dedup (dedup/LineDedup) — the C4 boilerplate
+    // removal step: a line survives iff it is the first corpus-wide
+    // occurrence of its content (ordered by doc_id, line index), docs
+    // reassembled in order, gutted docs kept with empty text. The
+    // corpus has no natural newlines, so both engines derive the same
+    // synthetic lines first (consecutive 2-token windows joined by
+    // "\n") and then the oracle replays keep-first as a window
+    // row_number — the aggregate min-struct form and the window form
+    // are the same answer, computed shuffle-cheap vs sort-heavy.
+    GraftQuery(
+      "q68_line_dedup",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_join(
+              transform(
+                sequence(lit(0),
+                  ((size(toks) - lit(1)) / lit(2)).cast("int")),
+                i => array_join(
+                  slice(toks, i * lit(2) + lit(1), lit(2)), " ")),
+              "\n").as("text"))
+        graft.dedup.LineDedup.dedupLines(docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        l AS (
+          SELECT doc_id,
+            list_transform(range(0, (len(toks) + 1) // 2),
+              i -> array_to_string(toks[i*2+1 : i*2+2], ' ')) AS lines
+          FROM d),
+        ln AS (
+          SELECT doc_id,
+            unnest(range(0, len(lines))) AS idx,
+            unnest(lines) AS line
+          FROM l),
+        ranked AS (
+          SELECT doc_id, idx, line,
+            ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+          FROM ln),
+        keep AS (
+          SELECT doc_id,
+            string_agg(line, chr(10) ORDER BY idx) AS text_dedup,
+            COUNT(*) AS n_lines_after
+          FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        SELECT l.doc_id,
+          COALESCE(k.text_dedup, '') AS text_dedup,
+          CAST(len(l.lines) AS BIGINT) AS n_lines_before,
+          CAST(COALESCE(k.n_lines_after, 0) AS BIGINT) AS n_lines_after
+        FROM l LEFT JOIN keep k USING (doc_id)
+        ORDER BY l.doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
