@@ -2774,7 +2774,67 @@ object Queries {
           CAST(len(l.lines) AS BIGINT) AS n_lines_before,
           CAST(COALESCE(k.n_lines_after, 0) AS BIGINT) AS n_lines_after
         FROM l LEFT JOIN keep k USING (doc_id)
-        ORDER BY l.doc_id"""))
+        ORDER BY l.doc_id""")),
+
+    // Character-level near-dup (dedup/Dedup.editDistanceNearDuplicates):
+    // SimHash-banded candidates (hamming <= 7 over 8 chunks —
+    // pigeonhole-complete for the bound) verified by EXACT Levenshtein
+    // distance <= 10 over normalized text. Both stages are part of the
+    // result contract, so the oracle replays the conjunction: the
+    // md5-portable fingerprint pipeline (as q17/q25/q65) all-pairs
+    // Hamming filter AND DuckDB's levenshtein. The Spark side uses the
+    // thresholded banded-DP levenshtein; at sf0.01 the edit bound
+    // keeps 23 of 345 fingerprint candidates — both stages bite.
+    GraftQuery(
+      "q69_edit_distance_neardup",
+      (s, dir) => {
+        val fp = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            transform(
+              split(graft.text.TextStats.normalize(col("text")), " "),
+              tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+              .as("__hashes"))
+          .withColumn("__fp",
+            graft.functions.functions.simhash64(col("__hashes")))
+          .drop("__hashes")
+        graft.dedup.Dedup.editDistanceNearDuplicatesFromFingerprints(
+          fp, "doc_id", "__fp", "text",
+          maxEdits = 10, maxDistance = 7, chunks = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, b.range AS bit,
+            SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN range(0, 60) b
+          GROUP BY doc_id, b.range),
+        fp AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+              AS simhash
+          FROM votes GROUP BY doc_id),
+        n AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 7)
+        SELECT c.id_a, c.id_b, c.hamming,
+          CAST(levenshtein(na.t, nb.t) AS INTEGER) AS edits
+        FROM cand c
+        JOIN n na ON na.doc_id = c.id_a
+        JOIN n nb ON nb.doc_id = c.id_b
+        WHERE levenshtein(na.t, nb.t) <= 10
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

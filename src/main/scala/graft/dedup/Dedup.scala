@@ -521,4 +521,66 @@ object Dedup {
         hammingDistance(col("id_a.fp"), col("id_b.fp")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** Character-level near-duplicates: SimHash-banded candidates
+    * verified by EXACT Levenshtein distance over the normalized text —
+    * the metric the token-set family (MinHash Jaccard) and the
+    * token-multiset family (SimHash Hamming) both miss: a handful of
+    * character typos that rewrite several tokens. The contract is
+    * explicitly two-stage and both stages are part of the result
+    * definition: pairs with `hammingDistance(simhash) <= maxDistance`
+    * AND `levenshtein(normalize(a), normalize(b)) <= maxEdits`. With
+    * `maxDistance < chunks` the pigeonhole makes the candidate stage
+    * complete for its own bound, so the result is exactly that
+    * conjunction — deterministic and engine-replayable (q69), never
+    * "whatever the filter happened to see".
+    *
+    * Scale shape: candidate generation is the capped banded equi-join
+    * (never all-pairs); only surviving candidate pairs join text back,
+    * and the verify uses Spark's THRESHOLDED Levenshtein
+    * (`levenshtein(l, r, k)` — banded DP, O(len·k) not O(len²),
+    * returns -1 past the bound so giant near-miss pairs exit early).
+    */
+  def editDistanceNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEdits: Int,
+      maxDistance: Int = 7,
+      chunks: Int = 8,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    editDistanceNearDuplicatesFromFingerprints(
+      withSimhash(df.select(col(idCol), col(textCol)), textCol, "__fp"),
+      idCol, "__fp", textCol, maxEdits, maxDistance, chunks, maxBucketSize)
+  }
+
+  /** [[editDistanceNearDuplicates]] over PRECOMPUTED fingerprints —
+    * the engine-independent-hash seam, as everywhere in this package.
+    */
+  def editDistanceNearDuplicatesFromFingerprints(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      textCol: String,
+      maxEdits: Int,
+      maxDistance: Int = 7,
+      chunks: Int = 8,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+    require(maxDistance < chunks,
+      s"maxDistance ($maxDistance) must be < chunks ($chunks) so the " +
+        "banded candidate stage is pigeonhole-complete for its bound")
+    val cand = simhashNearDuplicatesFromFingerprints(
+      df.select(col(idCol), col(fpCol)), idCol, fpCol,
+      maxDistance, chunks, maxBucketSize)
+    val ta = df.select(col(idCol).as("id_a"),
+      TextStats.normalize(col(textCol)).as("__ta"))
+    val tb = df.select(col(idCol).as("id_b"),
+      TextStats.normalize(col(textCol)).as("__tb"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edits",
+        levenshtein(col("__ta"), col("__tb"), maxEdits))
+      .filter(col("edits") >= 0 && col("edits") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("edits"))
+  }
 }

@@ -293,4 +293,39 @@ class DedupSpec extends SparkSpec {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 ^ 110 = 011
     df.select(Dedup.hammingDistance(col("a"), col("b"))).collect().head.getInt(0) shouldBe 2
   }
+
+  test("edit-distance near-dup finds typo-level copies and reports exact edits") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quikc")), // 2 edits (transposition = 2 subs)
+      (3L, "a completely different document about spark physical plans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDuplicates(
+      df, "doc_id", "text", maxEdits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    pairs.toSeq shouldBe Seq((1L, 2L, 2))
+  }
+
+  test("edit-distance verify kills fingerprint candidates past the bound") {
+    // same token multiset → identical SimHash (hamming 0, a candidate),
+    // but the reordering costs many character edits
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    Dedup.editDistanceNearDuplicates(df, "doc_id", "text", maxEdits = 3)
+      .count() shouldBe 0L
+    // generous bound: the same pair passes, proving it WAS a candidate
+    Dedup.editDistanceNearDuplicates(df, "doc_id", "text", maxEdits = 40)
+      .count() shouldBe 1L
+  }
+
+  test("edit-distance near-dup requires a pigeonhole-complete band config") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy {
+      Dedup.editDistanceNearDuplicates(
+        df, "doc_id", "text", maxEdits = 3, maxDistance = 8, chunks = 8)
+    }
+  }
 }
