@@ -2834,7 +2834,60 @@ object Queries {
         JOIN n na ON na.doc_id = c.id_a
         JOIN n nb ON nb.doc_id = c.id_b
         WHERE levenshtein(na.t, nb.t) <= 10
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Per-stratum token-budget selection (Mixing.sampleToTokenBudget) —
+    // the Pile/DoReMi budget-mix: each language contributes documents
+    // in stable KrHash order (the q52-replayable hash, salt 'mix1')
+    // until its char budget fills; a document survives iff the
+    // language's running inclusive total stays within budget. The
+    // engine computes the running total with the Packing-style
+    // two-level scan; DuckDB replays it as the equivalent plain
+    // per-stratum window cumsum. Budgets bite in every language at
+    // both verify SFs. cum_tokens is emitted as the audit trail.
+    GraftQuery(
+      "q70_token_budget_mix",
+      (s, dir) => {
+        val budgets = {
+          import s.implicits._
+          Seq(("en", 30000L), ("de", 12000L), ("es", 12000L),
+            ("fr", 12000L), ("zh", 12000L)).toDF("lang", "budget")
+        }
+        graft.operators.Mixing.sampleToTokenBudget(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars", budgets, salt = "mix1")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(doc_id AS VARCHAR) || ':mix1' AS k
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang, n_chars,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k) + 1),
+                i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM s),
+        o AS (
+          SELECT doc_id, lang, n_chars,
+            ((hh * hh) % 2147483647) % 1048576 AS ord
+          FROM h),
+        c AS (
+          SELECT doc_id, lang, n_chars,
+            SUM(n_chars) OVER (PARTITION BY lang ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM o),
+        b AS (SELECT * FROM (VALUES
+          ('en', 30000), ('de', 12000), ('es', 12000),
+          ('fr', 12000), ('zh', 12000)) v(lang, budget))
+        SELECT c.doc_id, c.lang, c.n_chars,
+          CAST(c.cum AS BIGINT) AS cum_tokens
+        FROM c JOIN b USING (lang)
+        WHERE c.cum <= b.budget
+        ORDER BY c.doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

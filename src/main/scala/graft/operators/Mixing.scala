@@ -137,4 +137,105 @@ object Mixing {
       .filter(draw < col("rate"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Per-stratum TOKEN-BUDGET selection — the budget-mix recipe (Pile/
+    * DoReMi style): each stratum contributes documents, in a stable
+    * layout-independent hash order, until its token budget fills. A
+    * document is kept iff its stratum's running token total up to AND
+    * INCLUDING it stays within the stratum's budget — so the result
+    * overshoots a budget by at most zero documents (the first document
+    * that would cross the line is excluded, as is everything after it
+    * in hash order). Deterministic pure function of (ids, token counts,
+    * budgets, salt): reruns, retries, and repartitions select the SAME
+    * documents, and distinct salts draw independent selections
+    * ([[Splits.bucketOf]]'s independence contract).
+    *
+    * Scale shape — the same two-level prefix scan as
+    * [[Packing.packSequences]], never a one-partition-per-stratum
+    * global window: per-(stratum, coarse-bucket) token totals (a
+    * map-side-combinable aggregate, ≤ strata × `ordBuckets/bucketWidth`
+    * rows, guarded by `maxBuckets` BEFORE the driver collect), a
+    * driver-side exclusive prefix per stratum, a broadcast join of the
+    * tiny offset table, and a window bounded to one coarse bucket.
+    * Budgets travel as a (stratum, budget) DataFrame; a stratum without
+    * a budget row fails loudly (a silent drop would hide a config gap),
+    * and a NULL stratum matches its budget row null-safely, as in
+    * [[mixWithRates]].
+    *
+    * Output: the input columns plus `cum_tokens` (the running inclusive
+    * total that admitted the row — the audit trail for "why is this
+    * document in the mix").
+    */
+  def sampleToTokenBudget(
+      df: DataFrame, stratumCol: String, idCol: String, tokenCol: String,
+      budgets: DataFrame, salt: String = "",
+      ordBuckets: Int = 1 << 20, bucketWidth: Long = 1L << 12,
+      maxBuckets: Long = 4000000L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rows = df
+      .withColumn("__n",
+        when(col(tokenCol).isNull || col(tokenCol).cast("long") < 0L,
+          raise_error(concat(
+            lit(s"sampleToTokenBudget: null or negative $tokenCol for $idCol="),
+            col(idCol).cast("string"))))
+          .otherwise(col(tokenCol).cast("long")))
+      .withColumn("__ord", graft.operators.Splits.bucketOf(
+        col(idCol), salt, ordBuckets))
+      .withColumn("__b", expr(s"__ord div ${bucketWidth}L"))
+      .localCheckpoint(true)
+
+    val nBuckets = rows.agg(
+      countDistinct(col(stratumCol), col("__b"))).head.getLong(0)
+    require(nBuckets <= maxBuckets,
+      s"sampleToTokenBudget: $nBuckets (stratum, bucket) groups exceeds " +
+        s"maxBuckets=$maxBuckets — widen bucketWidth (currently " +
+        s"$bucketWidth) or reduce ordBuckets")
+
+    // tiny agg -> driver exclusive prefix per stratum (bounded above)
+    val totals = rows.groupBy(col(stratumCol).as("__s"), col("__b"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (s, bs) =>
+      var acc = 0L
+      bs.sortBy(_._2).map { case (_, b, t) => val o = acc; acc += t; (s, b, o) }
+    }
+    val stratumType = df.schema(stratumCol).dataType
+    val offsetDf = broadcast(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          offsets.map { case (s, b, o) =>
+            org.apache.spark.sql.Row(s, b, o) }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__s2", stratumType),
+        org.apache.spark.sql.types.StructField("__b2",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budgetSide = budgets.select(
+      col(stratumCol).as("__bs"), col("budget").cast("long").as("__budget"))
+    rows
+      .join(offsetDf,
+        col(stratumCol) <=> col("__s2") && col("__b") === col("__b2"))
+      .withColumn("cum_tokens", col("__off") + sum(col("__n")).over(w))
+      .join(broadcast(budgetSide), col(stratumCol) <=> col("__bs"), "left")
+      .withColumn("__budget",
+        when(col("__budget").isNull,
+          raise_error(concat(
+            lit(s"sampleToTokenBudget: no budget row for $stratumCol="),
+            coalesce(col(stratumCol).cast("string"), lit("NULL")))))
+          .otherwise(col("__budget")))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select((df.columns.map(col) :+ col("cum_tokens")).toIndexedSeq: _*)
+  }
 }

@@ -104,4 +104,53 @@ class MixingSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("token-budget selection matches a driver-side reference") {
+    val rng = new scala.util.Random(9)
+    val docs = (0L until 120L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", 10L + rng.nextInt(90)))
+      .toDF("id", "s", "n_tok")
+    val budgets = Seq(("a", 400L), ("b", 700L)).toDF("s", "budget")
+    val got = Mixing.sampleToTokenBudget(docs, "s", "id", "n_tok", budgets)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // reference: same hash order, same inclusive-cumsum rule
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ord = docs.select(col("id"),
+        Splits.bucketOf(col("id"), "", 1 << 20).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+      val budget = Map("a" -> 400L, "b" -> 700L)(s)
+      var acc = 0L
+      ds.sortBy { case (id, _, _) => (ord(id), id) }.toSeq.flatMap {
+        case (id, _, n) =>
+          acc += n
+          if (acc <= budget) Some(id -> acc) else None
+      }
+    }
+    // the per-stratum cumsum stops at the FIRST crossing; docs after it
+    // in hash order are excluded even if they would individually fit
+    got shouldBe expect.toMap
+    // budgets respected exactly
+    got.values.max should be <= 700L
+  }
+
+  test("token-budget selection fails loudly on a stratum without a budget") {
+    val docs = Seq((1L, "a", 5L), (2L, "zz", 5L)).toDF("id", "s", "n_tok")
+    val budgets = Seq(("a", 100L)).toDF("s", "budget")
+    val e = intercept[Exception] {
+      Mixing.sampleToTokenBudget(docs, "s", "id", "n_tok", budgets).collect()
+    }
+    e.getMessage should include("no budget row")
+  }
+
+  test("token-budget selection is salt-independent between salts, stable within") {
+    val docs = (0L until 80L).map(i => (i, "a", 25L)).toDF("id", "s", "n_tok")
+    val budgets = Seq(("a", 500L)).toDF("s", "budget")
+    def ids(salt: String) =
+      Mixing.sampleToTokenBudget(docs, "s", "id", "n_tok", budgets, salt)
+        .collect().map(_.getLong(0)).toSet
+    ids("x") shouldBe ids("x")    // deterministic
+    ids("x") should not be ids("y") // independent selections per salt
+    ids("x").size shouldBe 20     // 500 / 25
+  }
 }
