@@ -2887,7 +2887,55 @@ object Queries {
           CAST(c.cum AS BIGINT) AS cum_tokens
         FROM c JOIN b USING (lang)
         WHERE c.cum <= b.budget
-        ORDER BY c.doc_id"""))
+        ORDER BY c.doc_id""")),
+
+    // Exact tie-aware ROC-AUC per group (eval/Ranking.rocAuc) — the
+    // Mann–Whitney form over a (group, score) histogram: shuffle
+    // carries DISTINCT scores (the Quantiles shape), the numerator is
+    // all-integer (ties count half via the 2N+n trick), and ONE IEEE
+    // divide emits the value, so DuckDB replays it bit-for-bit.
+    // Scores are a deterministic integer hash of doc_id (heavy ties —
+    // the tie path is load-bearing), labels lang='en', grouped by
+    // source (20 groups, both classes present in each at sf0.01/0.1).
+    GraftQuery(
+      "q71_roc_auc",
+      (s, dir) =>
+        graft.eval.Ranking.rocAuc(
+          t(s, dir, "documents")
+            .select(col("source"),
+              pmod(col("doc_id") * lit(37L), lit(101L)).cast("double")
+                .as("score"),
+              when(col("lang") === "en", 1).otherwise(0).as("label")),
+          "score", "label", groupCols = Seq("source"))
+          .orderBy(col("source")),
+      Some("""
+        WITH b AS (
+          SELECT source,
+            CAST((doc_id * 37) % 101 AS DOUBLE) AS s,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        hist AS (
+          SELECT source, s,
+            CAST(SUM(y) AS BIGINT) AS p,
+            CAST(SUM(1 - y) AS BIGINT) AS n
+          FROM b GROUP BY source, s),
+        c AS (
+          SELECT source, p, n,
+            SUM(n) OVER (PARTITION BY source ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cumn
+          FROM hist),
+        agg AS (
+          SELECT source,
+            CAST(SUM(p * (2 * cumn + n)) AS BIGINT) AS num,
+            CAST(SUM(p) AS BIGINT) AS n_pos,
+            CAST(SUM(n) AS BIGINT) AS n_neg
+          FROM c GROUP BY source)
+        SELECT source,
+          CASE WHEN n_pos > 0 AND n_neg > 0
+               THEN CAST(num AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+          END AS auc,
+          n_pos, n_neg
+        FROM agg ORDER BY source"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
