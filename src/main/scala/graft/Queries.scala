@@ -2935,7 +2935,64 @@ object Queries {
                THEN CAST(num AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
           END AS auc,
           n_pos, n_neg
-        FROM agg ORDER BY source"""))
+        FROM agg ORDER BY source""")),
+
+    // T5-style span corruption (text/SpanCorrupt): 30% of 3-token
+    // spans masked per document by the KrHash bucket of (doc_id#span),
+    // salt 'c1' — mask decisions, sentinel numbering, and both
+    // assembled strings are pure functions of the inputs, so DuckDB
+    // replays the exact (input, target) pair set: same span windows
+    // (q68's range/unnest zip), same hash fold (q52), same exclusive
+    // running count for <extra_id_k>, same ordered reassembly.
+    GraftQuery(
+      "q72_span_corrupt",
+      (s, dir) =>
+        graft.text.SpanCorrupt.spanCorrupt(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", maskRate = 0.3, spanLen = 3, salt = "c1")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sp AS (
+          SELECT doc_id,
+            unnest(range(0, (len(toks) + 2) // 3)) AS j,
+            unnest(list_transform(range(0, (len(toks) + 2) // 3),
+              j -> array_to_string(toks[j*3+1 : j*3+3], ' '))) AS span
+          FROM d),
+        k AS (
+          SELECT doc_id, j, span,
+            CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR) || ':c1'
+              AS key
+          FROM sp),
+        h AS (
+          SELECT doc_id, j, span,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(key) + 1),
+                i -> CAST(ord(substr(key, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM k),
+        m AS (
+          SELECT doc_id, j, span,
+            ((hh * hh) % 2147483647) % 1000000 < 300000 AS masked
+          FROM h),
+        n AS (
+          SELECT doc_id, j, span, masked,
+            SUM(CASE WHEN masked THEN 1 ELSE 0 END) OVER
+              (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - CASE WHEN masked THEN 1 ELSE 0 END AS kk
+          FROM m)
+        SELECT doc_id,
+          string_agg(CASE WHEN masked THEN '<extra_id_' || kk || '>'
+                          ELSE span END, ' ' ORDER BY j) AS input_text,
+          COALESCE(string_agg(
+            CASE WHEN masked THEN '<extra_id_' || kk || '> ' || span END,
+            ' ' ORDER BY j), '') AS target_text,
+          CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_masked
+        FROM n GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
