@@ -2992,7 +2992,41 @@ object Queries {
           CAST(COUNT(*) AS BIGINT) AS n_spans,
           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
             AS n_masked
-        FROM n GROUP BY doc_id ORDER BY doc_id"""))
+        FROM n GROUP BY doc_id ORDER BY doc_id""")),
+
+    // TF event-log source (eval/Events, reference S7) over a golden
+    // fixture — the last reference source that was unit-only: a
+    // checked-in events.out.tfevents file (Event protos in an
+    // uncompressed TFRecord stream) staged into a model dir, parsed by
+    // the native proto subset reader into the tidy (step, name, value)
+    // table. The oracle pins the goldens as constants; the no-value
+    // event in the fixture must be dropped (proto3 elides 0.0, the
+    // reference's `if value.simple_value:` behavior).
+    GraftQuery(
+      "q73_event_log_metrics",
+      (s, dir) => {
+        val modelDir = java.nio.file.Files
+          .createTempDirectory("graft_q73_model_")
+        val in = getClass.getResourceAsStream(
+          "/graft/fixtures/events.out.tfevents.golden")
+        require(in != null, "missing golden event-file fixture")
+        try java.nio.file.Files.copy(in,
+          modelDir.resolve("events.out.tfevents.golden"))
+        finally in.close()
+        graft.eval.Events
+          .getAllMetrics(s, modelDir.toString, requireHdfs = false)
+          .orderBy(col("step"), col("name"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(10 AS BIGINT), 'auc',  0.6100000143051147e0),
+          (CAST(10 AS BIGINT), 'loss', 2.75e0),
+          (CAST(20 AS BIGINT), 'auc',  0.7400000095367432e0),
+          (CAST(20 AS BIGINT), 'loss', 1.5e0),
+          (CAST(30 AS BIGINT), 'auc',  0.8299999833106995e0),
+          (CAST(30 AS BIGINT), 'loss', 0.875e0))
+          v(step, name, value)
+        ORDER BY step, name"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
