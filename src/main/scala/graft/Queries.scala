@@ -3026,7 +3026,52 @@ object Queries {
           (CAST(30 AS BIGINT), 'auc',  0.8299999833106995e0),
           (CAST(30 AS BIGINT), 'loss', 0.875e0))
           v(step, name, value)
-        ORDER BY step, name"""))
+        ORDER BY step, name""")),
+
+    // Size-preserving temperature remix WITH repeats (operators/Mixing
+    // .mixByTemperatureWithRepeats): the DoReMi/Pile reweighting form —
+    // rare sources get rate > 1 and are upsampled by document
+    // REPETITION (floor(rate) copies + a deterministic fractional
+    // extra), dominant sources downsample, expected total row count
+    // preserved. The rate normalizer Σ_t p_t^α is a SEQUENTIAL fold
+    // over strata in UTF-8 order (order-dependent IEEE sum made
+    // deterministic), which DuckDB replays as an ordered list_reduce;
+    // everything else is the q42 arithmetic (sqrt + single divides +
+    // the portable affine-mod uniform), so the exact multiset of
+    // (doc_id, copy) rows matches.
+    GraftQuery(
+      "q74_upsample_mix",
+      (s, dir) =>
+        graft.operators.Mixing.mixByTemperatureWithRepeats(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", alpha = 0.5, seed = 41L)
+          .orderBy(col("doc_id"), col("copy")),
+      Some("""
+        WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts),
+        r AS (
+          SELECT source, n,
+            CAST(n AS DOUBLE) / total_n AS share,
+            sqrt(CAST(n AS DOUBLE) / total_n) AS w
+          FROM counts, tot),
+        den AS (
+          SELECT list_reduce(list_prepend(0e0, list(w ORDER BY source)),
+            (a, b) -> a + b) AS d
+          FROM r),
+        rates AS (SELECT source, (w / share) / d AS rate FROM r, den),
+        base AS (
+          SELECT d.doc_id, d.source, rate, floor(rate) AS fl,
+            (CAST(((((d.doc_id % 2147483647) * 1103515245 + 41) % 2147483647)
+                    * 784588716 + 997) % 2147483647 AS DOUBLE) + 0.5e0)
+              / 2147483647e0 AS u
+          FROM documents d JOIN rates USING (source)),
+        nc AS (
+          SELECT doc_id, source,
+            CAST(fl AS BIGINT)
+              + CASE WHEN u < rate - fl THEN 1 ELSE 0 END AS n_copies
+          FROM base)
+        SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
+        FROM nc ORDER BY doc_id, copy"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -238,4 +238,132 @@ object Mixing {
       .filter(col("cum_tokens") <= col("__budget"))
       .select((df.columns.map(col) :+ col("cum_tokens")).toIndexedSeq: _*)
   }
+
+  /** SIZE-PRESERVING temperature rates for resampling WITH repeats —
+    * the DoReMi/Pile domain-reweighting form that [[mixByTemperature]]
+    * (pure downsampling, max rate 1) cannot express: rare strata get
+    * `rate > 1` and are UPSAMPLED by document repetition, dominant
+    * strata get `rate < 1`, and the expected output row count equals
+    * the input row count (`Σ_s n_s·rate_s = N` exactly, up to IEEE
+    * rounding): `rate_s = (q_s/p_s)` with `q_s ∝ p_s^alpha` normalized
+    * to `Σ q_s = 1`.
+    *
+    * Cross-engine determinism: the normalizer `Σ_t p_t^alpha` is a sum
+    * of doubles over strata, which is ORDER-DEPENDENT in IEEE
+    * arithmetic — a distributed aggregate would make the rates depend
+    * on partitioning. It is therefore computed as a SEQUENTIAL
+    * left-fold over strata in the UTF-8 order of their string form,
+    * from a driver-side collect of the per-stratum count table
+    * (bounded: one row per stratum — the vocab-counts contract), and
+    * replays in SQL as an ordered `list_reduce` (q74). `alpha = 0.5`
+    * stays on IEEE-correctly-rounded `sqrt`; other alphas go through
+    * `pow` (fine in production, excluded from the oracle — same rule
+    * as [[ratesFrom]]).
+    */
+  def temperatureRepeatRates(
+      df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1] (got $alpha); alpha=1 is a no-op identity mix")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per stratum
+      .map(r => (r.get(0), r.getLong(1)))
+      // UTF-8 order of the stratum's string form, NULL first — the
+      // documented, engine-replayable fold order (ORDER BY stratum)
+      .sortBy { case (s, _) => Option(s).map(_.toString) }(
+        Ordering.Option(Ordering.String))
+    val total = counts.map(_._2).sum.toDouble
+    def weight(p: Double): Double =
+      if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    val den = counts.foldLeft(0.0) { case (a, (_, n)) =>
+      a + weight(n / total)
+    }
+    val stratumType = df.schema(stratumCol).dataType
+    val rows = counts.map { case (s, n) =>
+      val share = n / total
+      // same op order as the SQL replay: (weight/share) first, then /den
+      org.apache.spark.sql.Row(s, n, (weight(share) / share) / den)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toIndexedSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(stratumCol, stratumType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rate",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Resample `df` WITH repeats to caller-supplied per-stratum rates
+    * (`rate >= 0`, may exceed 1): every row emits `floor(rate)` copies
+    * plus one more iff its deterministic uniform draw falls under the
+    * fractional part — so a stratum at rate 2.3 repeats every document
+    * twice and a reproducible 30% of them a third time. Output rows
+    * carry a 0-based `copy` index (downstream packing/training can
+    * distinguish repetitions); rows of a rate-0 stratum vanish.
+    *
+    * Fail-loud guards: a stratum without a rate row, a NULL/negative
+    * rate, and `rate > maxRate` all raise — `maxRate` bounds row
+    * amplification (a near-empty stratum under [[temperatureRepeatRates]]
+    * gets `rate ≈ share^(alpha-1)`, which grows without bound as the
+    * stratum shrinks; silently exploding the corpus is never the right
+    * default at 100 TB).
+    *
+    * Scale shape: broadcast join of the tiny rate table + a map-only
+    * `explode(sequence)` — no corpus shuffle; NULL strata match their
+    * rate row null-safely ([[mixWithRates]] contract).
+    */
+  def upsampleWithRates(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      rates: DataFrame, seed: Long = 41L,
+      maxRate: Double = 100.0): DataFrame = {
+    require(maxRate > 0.0, s"maxRate must be positive, got $maxRate")
+    val rateSide = rates.select(
+      col(stratumCol).as("__up_stratum"), col("rate").as("__rate"))
+    val draw = BootstrapEval.portableUniform(seed)(col(keyCol), lit(0L))
+    val guardedRate =
+      when(col("__rate").isNull || col("__rate") < 0.0,
+        raise_error(concat(
+          lit(s"upsampleWithRates: null or negative rate for $stratumCol="),
+          coalesce(col(stratumCol).cast("string"), lit("NULL")))))
+        .when(col("__rate") > maxRate,
+          raise_error(concat(
+            lit(s"upsampleWithRates: rate exceeds maxRate=$maxRate for "),
+            lit(s"$stratumCol="),
+            coalesce(col(stratumCol).cast("string"), lit("NULL")),
+            lit(" — raise maxRate only if the row amplification is intended"))))
+        .otherwise(col("__rate"))
+    // left join + raise on a missing rate row: a stratum absent from
+    // the rate table is a config gap, not a silent drop
+    val checked = df
+      .join(broadcast(rateSide), col(stratumCol) <=> col("__up_stratum"), "left")
+      .withColumn("__rate",
+        when(col("__rate").isNull && col("__up_stratum").isNull,
+          raise_error(concat(
+            lit(s"upsampleWithRates: no rate row for $stratumCol="),
+            coalesce(col(stratumCol).cast("string"), lit("NULL")))))
+          .otherwise(guardedRate))
+    val copies = floor(col("__rate"))
+    val frac = col("__rate") - copies.cast("double")
+    val n = copies.cast("long") +
+      when(draw < frac, 1L).otherwise(0L)
+    checked
+      .withColumn("copy", explode(
+        when(n > 0L, sequence(lit(0L), n - 1L))))
+      .select((df.columns.map(col) :+ col("copy")).toIndexedSeq: _*)
+  }
+
+  /** [[temperatureRepeatRates]] + [[upsampleWithRates]]: size-preserving
+    * temperature remix with repeats, deterministic row-for-row.
+    */
+  def mixByTemperatureWithRepeats(
+      df: DataFrame, stratumCol: String, keyCol: String,
+      alpha: Double = 0.5, seed: Long = 41L,
+      maxRate: Double = 100.0): DataFrame =
+    upsampleWithRates(df, stratumCol, keyCol,
+      temperatureRepeatRates(df, stratumCol, alpha).select(
+        col(stratumCol), col("rate")),
+      seed, maxRate)
 }

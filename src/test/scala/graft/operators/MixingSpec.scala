@@ -153,4 +153,83 @@ class MixingSpec extends SparkSpec {
     ids("x") should not be ids("y") // independent selections per salt
     ids("x").size shouldBe 20     // 500 / 25
   }
+
+  test("repeat rates are size-preserving and upsample the rare stratum") {
+    val rates = Mixing.temperatureRepeatRates(corpus, "s", alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // Σ n_s · rate_s = N (IEEE rounding only)
+    val mass = rates.map { case (_, n, rate) => n * rate }.sum
+    mass shouldBe 100.0 +- 1e-9
+    val byS = rates.map { case (s, _, r) => s -> r }.toMap
+    assert(byS("rare") > 1.0, "rare stratum must upsample")
+    assert(byS("big") < 1.0, "dominant stratum must downsample")
+    // rate_s = p_s^(α-1) / Σ p_t^α, sequential fold in stratum order
+    val shares = Map("big" -> 0.6, "mid" -> 0.3, "rare" -> 0.1)
+    val den = Seq("big", "mid", "rare").map(s => math.sqrt(shares(s))).sum
+    byS("rare") shouldBe (math.sqrt(0.1) / 0.1) / den +- 1e-12
+  }
+
+  test("upsampling emits floor(rate) copies plus a reproducible fractional extra") {
+    val df = (0L until 200L).map(i => (i, "a")).toDF("id", "s")
+    val rates = Seq(("a", 2.3)).toDF("s", "rate")
+    val out = Mixing.upsampleWithRates(df, "s", "id", rates, seed = 5L)
+    val perDoc = out.groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.size shouldBe 200 // rate >= 1: every doc survives
+    all(perDoc.values) should (be(2L) or be(3L))
+    // expectation ~30% get the third copy; loose band for a 200-draw sample
+    val thirds = perDoc.values.count(_ == 3L)
+    assert(thirds > 30 && thirds < 90, s"got $thirds thirds")
+    // copy index is 0-based and dense per doc
+    out.filter(col("id") === 0L)
+      .select("copy").collect().map(_.getLong(0)).sorted shouldBe
+      (0L until perDoc(0L)).toArray
+    // bit-for-bit reproducible
+    out.collect().toSet shouldBe
+      Mixing.upsampleWithRates(df, "s", "id", rates, seed = 5L).collect().toSet
+  }
+
+  test("rate-0 strata vanish; fractional-only strata keep ~rate of rows once") {
+    val df = ((0L until 100L).map(i => (i, "keepish")) ++
+      (100L until 150L).map(i => (i, "gone"))).toDF("id", "s")
+    val rates = Seq(("keepish", 0.4), ("gone", 0.0)).toDF("s", "rate")
+    val out = Mixing.upsampleWithRates(df, "s", "id", rates)
+    out.filter(col("s") === "gone").count() shouldBe 0L
+    val kept = out.filter(col("s") === "keepish").count()
+    assert(kept > 20L && kept < 60L, s"got $kept")
+    out.groupBy("id").count().collect().foreach(_.getLong(1) shouldBe 1L)
+  }
+
+  test("upsampling fails loudly on missing, null, negative, or excessive rates") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    def run(rates: org.apache.spark.sql.DataFrame, maxRate: Double = 100.0) =
+      Mixing.upsampleWithRates(df, "s", "id", rates, maxRate = maxRate).collect()
+    intercept[Exception] { run(Seq(("a", 1.0)).toDF("s", "rate")) }
+      .getMessage should include("no rate row")
+    intercept[Exception] {
+      run(Seq(("a", 1.0), ("b", -0.5)).toDF("s", "rate"))
+    }.getMessage should include("negative rate")
+    intercept[Exception] {
+      run(Seq(("a", 1.0), ("b", 500.0)).toDF("s", "rate"))
+    }.getMessage should include("maxRate")
+  }
+
+  test("mixByTemperatureWithRepeats preserves corpus size in expectation") {
+    val out = Mixing.mixByTemperatureWithRepeats(corpus, "s", "id", alpha = 0.5)
+    val n = out.count()
+    // E[n] = 100; bands generous for one 100-row draw
+    assert(n > 70L && n < 130L, s"got $n")
+    // rare stratum upsampled: more rows out than in
+    assert(out.filter(col("s") === "rare").count() > 10L)
+    out.columns.toSeq shouldBe Seq("id", "s", "copy")
+  }
+
+  test("NULL-stratum rows upsample at their own rate, not dropped") {
+    val withNulls =
+      ((0 until 90).map(i => (i.toLong, "big")) ++
+        (90 until 100).map(i => (i.toLong, null: String))).toDF("id", "s")
+    val out = Mixing.mixByTemperatureWithRepeats(withNulls, "s", "id")
+    assert(out.filter(col("s").isNull).count() > 10L,
+      "NULL stratum is the rare one and must upsample")
+  }
 }
