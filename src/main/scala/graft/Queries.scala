@@ -3071,7 +3071,43 @@ object Queries {
               + CASE WHEN u < rate - fl THEN 1 ELSE 0 END AS n_copies
           FROM base)
         SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
-        FROM nc ORDER BY doc_id, copy"""))
+        FROM nc ORDER BY doc_id, copy""")),
+
+    // Exact per-stratum k-sample (operators/Sampling.sampleExactK):
+    // exactly min(k, |stratum|) docs per source, the k smallest in the
+    // salted Karp-Rabin hash order of doc_id. Engine-side it's a
+    // bounded-heap aggregate (TopKAggregator — partial truncation to k
+    // BEFORE the shuffle, never a full-stratum window sort); DuckDB
+    // replays the selection as the row_number window it is equivalent
+    // to, over the same replayed hash (q52's fold + square).
+    GraftQuery(
+      "q75_exact_k_sample",
+      (s, dir) =>
+        graft.operators.Sampling.sampleExactK(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", k = 5, salt = "v1")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, source,
+            CAST(doc_id AS VARCHAR) || ':v1' AS k
+          FROM documents),
+        h AS (
+          SELECT doc_id, source,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k) + 1),
+                i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM s),
+        b AS (
+          SELECT doc_id, source,
+            ((hh * hh) % 2147483647) % 1048576 AS bk
+          FROM h),
+        r AS (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn
+          FROM b)
+        SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -95,4 +95,59 @@ object Sampling {
       when(positivePredicate, weightCol * maxSampling / globalPos)
         .otherwise(weightCol * maxSampling / globalNeg))
   }
+
+  /** EXACT-size uniform sample without replacement, per stratum:
+    * exactly `min(k, |stratum|)` rows from each stratum — the "give me
+    * precisely 10k eval docs per language" contract that rate-based
+    * samplers ([[sampleWithPredicate]], [[Splits.stableSample]]) only
+    * hit in expectation. Selection keeps the k smallest rows in the
+    * salted Karp-Rabin hash order of their id (ties broken by id), so
+    * the sample is a deterministic pure function of (ids, k, salt):
+    * reruns, retries and repartitionings select the SAME rows, distinct
+    * salts draw independent samples, and any engine can replay the
+    * selection as `row_number() OVER (PARTITION BY stratum ORDER BY
+    * bucket, id) <= k` (q75).
+    *
+    * Scale shape — why this is not a `row_number` window: a window
+    * shuffles EVERY row to its stratum's partition and sorts the full
+    * stratum (the whole corpus moves, and one giant stratum = one giant
+    * sort). Here the per-stratum k-smallest runs as a bounded-heap
+    * AGGREGATE ([[graft.sim.TopKAggregator]], O(k) state): the partial
+    * aggregate truncates to k per stratum per input partition BEFORE
+    * the shuffle, so the shuffle carries at most k · |strata| ·
+    * #partitions (id, bucket) pairs — never rows, never text. One
+    * equi-join on the unique id brings the winners' full rows back
+    * (the selected-id table is ≤ k·|strata| rows; AQE broadcasts it
+    * when small).
+    *
+    * Ids must be integral and non-NULL (a NULL id raises — a silent
+    * drop would bias the sample).
+    */
+  def sampleExactK(
+      df: DataFrame, stratumCol: String, idCol: String, k: Int,
+      salt: String = "", ordBuckets: Int = 1 << 20): DataFrame = {
+    require(k > 0, s"k must be >= 1, got $k")
+    val topK = graft.sim.TopKAggregator.udafFor(k)
+    val guardedId =
+      when(col(idCol).isNull,
+        raise_error(lit(s"sampleExactK: NULL $idCol — ids must be non-NULL")))
+        .otherwise(col(idCol).cast("long"))
+    // negated bucket: TopKAggregator keeps (score DESC, id ASC), so
+    // -bucket makes it "k smallest buckets, ties to the smaller id" —
+    // exactly ORDER BY bucket, id. Buckets < 2^20 are exact in double.
+    val keyed = df.select(
+      col(stratumCol),
+      guardedId.as("__id"),
+      negate(Splits.bucketOf(col(idCol), salt, ordBuckets).cast("double"))
+        .as("__score"))
+    val picked = keyed
+      .groupBy(col(stratumCol))
+      .agg(topK(col("__id"), col("__score")).as("__top"))
+      .select(col(stratumCol).as("__ss"), explode(col("__top")).as("__t"))
+      .select(col("__ss"), col("__t").getField("id").as("__sel_id"))
+    df.join(picked,
+        col(stratumCol) <=> col("__ss") &&
+          col(idCol).cast("long") === col("__sel_id"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -116,4 +116,57 @@ class SamplingSpec extends SparkSpec {
       df, 1.0, 0.5, 0.5, col("id") % 2 === 0)
     out.count().toDouble shouldBe 10000.0 +- 600.0
   }
+
+  private lazy val strat =
+    ((0L until 300L).map(i => (i, "a", s"t$i")) ++
+      (300L until 400L).map(i => (i, "b", s"t$i")) ++
+      (400L until 403L).map(i => (i, "c", s"t$i"))).toDF("id", "s", "payload")
+
+  test("sampleExactK returns exactly min(k, |stratum|) rows per stratum") {
+    val out = Sampling.sampleExactK(strat, "s", "id", k = 10)
+    val counts = out.groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts shouldBe Map("a" -> 10L, "b" -> 10L, "c" -> 3L)
+    out.columns.toSeq shouldBe Seq("id", "s", "payload") // no helpers leak
+  }
+
+  test("sampleExactK matches the row_number-over-hash-order reference") {
+    val k = 7
+    val got = Sampling.sampleExactK(strat, "s", "id", k, salt = "v1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: same bucket hash, same (bucket, id) order, per stratum
+    val ord = strat.select(col("id"), col("s"),
+        Splits.bucketOf(col("id"), "v1", 1 << 20).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = ord.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (id, _, b) => (b, id) }.take(k).map(_._1).toSeq
+    }.toSet
+    got shouldBe expect
+  }
+
+  test("sampleExactK is layout-independent and salt-independent") {
+    def ids(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.sampleExactK(df, "s", "id", 20, salt)
+        .select("id").collect().map(_.getLong(0)).toSet
+    ids(strat.repartition(17), "x") shouldBe ids(strat.repartition(2), "x")
+    ids(strat, "x") should not be ids(strat, "y")
+  }
+
+  test("sampleExactK plans an aggregate, not a window sort") {
+    val plan = Sampling.sampleExactK(strat, "s", "id", 5)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("Aggregate")
+  }
+
+  test("sampleExactK fails loudly on NULL ids and non-positive k") {
+    intercept[IllegalArgumentException] {
+      Sampling.sampleExactK(strat, "s", "id", 0)
+    }
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "a")).toDF("id", "s")
+    intercept[Exception] {
+      Sampling.sampleExactK(withNull, "s", "id", 5).collect()
+    }.getMessage should include("NULL")
+  }
 }
