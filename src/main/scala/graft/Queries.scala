@@ -3107,7 +3107,54 @@ object Queries {
           SELECT doc_id, source,
             row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn
           FROM b)
-        SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id"""))
+        SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id""")),
+
+    // Precision/recall/F1 threshold sweep (eval/Ranking.prCurve) over
+    // the same scored table as q71: one operating point per (source,
+    // distinct score), classify positive iff score >= threshold.
+    // tp/fp/fn are exact-integer cumulative windows over the score
+    // histogram (descending for tp/fp, whole-partition for n_pos);
+    // precision/recall/f1 are each ONE integer-operand IEEE divide, so
+    // the entire table is bit-identical in DuckDB.
+    GraftQuery(
+      "q76_pr_curve",
+      (s, dir) =>
+        graft.eval.Ranking.prCurve(
+          t(s, dir, "documents")
+            .select(col("source"),
+              pmod(col("doc_id") * lit(37L), lit(101L)).cast("double")
+                .as("score"),
+              when(col("lang") === "en", 1).otherwise(0).as("label")),
+          "score", "label", groupCols = Seq("source"))
+          .orderBy(col("source"), col("threshold")),
+      Some("""
+        WITH b AS (
+          SELECT source,
+            CAST((doc_id * 37) % 101 AS DOUBLE) AS s,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        hist AS (
+          SELECT source, s,
+            CAST(SUM(y) AS BIGINT) AS p,
+            CAST(SUM(1 - y) AS BIGINT) AS n
+          FROM b GROUP BY source, s),
+        c AS (
+          SELECT source, s, p, n,
+            SUM(p) OVER (PARTITION BY source ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+            SUM(n) OVER (PARTITION BY source ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+            SUM(p) OVER (PARTITION BY source) AS npos
+          FROM hist)
+        SELECT source, s AS threshold,
+          CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          CAST(npos - tp AS BIGINT) AS fn,
+          CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+          CASE WHEN npos > 0
+               THEN CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) END AS recall,
+          CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (npos - tp) AS DOUBLE)
+            AS f1
+        FROM c ORDER BY source, threshold"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

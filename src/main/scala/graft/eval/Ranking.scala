@@ -31,6 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Shared (group, distinct score) histogram with 0/1-guarded labels:
+    * `(keys…, __s, __p, __n)` — the one aggregate both metrics build
+    * on; NULL or non-0/1 labels raise (a silent coercion would corrupt
+    * the metric).
+    */
+  private def scoreHistogram(
+      df: DataFrame, predCol: String, labelCol: String,
+      keys: Seq[String], metric: String): DataFrame = {
+    val base0 =
+      if (keys != Seq("__all")) df else df.withColumn("__all", lit(0))
+    val lab = col(labelCol).cast("long")
+    val base = base0.select(
+      (keys.map(col) :+ col(predCol).as("__s") :+
+        when(lab.isNull || (lab =!= 0L && lab =!= 1L),
+          raise_error(concat(
+            lit(s"$metric: $labelCol must be 0/1, got "),
+            coalesce(col(labelCol).cast("string"), lit("NULL")))))
+          .otherwise(lab).as("__y")): _*)
+    base
+      .groupBy((keys.map(col) :+ col("__s")): _*)
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+  }
+
   /** One row per group: `(groupCols…, auc, n_pos, n_neg)`. Labels must
     * be 0/1 (NULL or other values raise — a silent coercion would
     * corrupt the metric).
@@ -41,21 +65,7 @@ object Ranking {
     require(!groupCols.exists(Seq("auc", "n_pos", "n_neg").contains),
       "group columns may not be named 'auc', 'n_pos' or 'n_neg'")
     val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
-    val base0 =
-      if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
-    val lab = col(labelCol).cast("long")
-    val base = base0.select(
-      (keys.map(col) :+ col(predCol).as("__s") :+
-        when(lab.isNull || (lab =!= 0L && lab =!= 1L),
-          raise_error(concat(
-            lit(s"rocAuc: $labelCol must be 0/1, got "),
-            coalesce(col(labelCol).cast("string"), lit("NULL")))))
-          .otherwise(lab).as("__y")): _*)
-
-    val hist = base
-      .groupBy((keys.map(col) :+ col("__s")): _*)
-      .agg(sum(col("__y")).as("__p"),
-        sum(lit(1L) - col("__y")).as("__n"))
+    val hist = scoreHistogram(df, predCol, labelCol, keys, "rocAuc")
 
     // negatives strictly below each distinct score: exclusive cumsum
     val w = Window.partitionBy(keys.map(col): _*)
@@ -77,5 +87,57 @@ object Ranking {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc") :+
         col("n_pos") :+ col("n_neg")): _*)
+  }
+
+  /** Operating-point sweep: one row per (group, distinct score),
+    * classifying positive iff `score >= threshold` — the table behind
+    * a precision/recall curve and threshold selection for quality
+    * filters ("keep documents the classifier scores above t").
+    *
+    * `(groupCols…, threshold, tp, fp, fn, precision, recall, f1)`.
+    * `tp`/`fp` are DESCENDING cumulative sums over the score
+    * histogram, `fn = n_pos − tp`; all three are exact integers, and
+    * each ratio is ONE final IEEE divide of integer operands —
+    * bit-identical in any engine (q76 replays the whole table).
+    * `recall` is NULL when the group has no positives (undefined, not
+    * silently 0); `precision`'s denominator `tp+fp ≥ 1` at every
+    * distinct-score row, so it is always defined.
+    *
+    * Scale shape: identical to [[rocAuc]] — one map-side-combinable
+    * histogram aggregate (the shuffle carries DISTINCT scores, never
+    * examples), then windows over per-group score cardinality
+    * (quantize continuous scores first, as with Quantiles).
+    */
+  def prCurve(
+      df: DataFrame, predCol: String, labelCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val reserved =
+      Seq("threshold", "tp", "fp", "fn", "precision", "recall", "f1")
+    require(!groupCols.exists(reserved.contains),
+      s"group columns may not be named any of ${reserved.mkString(", ")}")
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    val hist = scoreHistogram(df, predCol, labelCol, keys, "prCurve")
+
+    val wDesc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+
+    hist
+      .withColumn("tp", sum(col("__p")).over(wDesc))
+      .withColumn("fp", sum(col("__n")).over(wDesc))
+      .withColumn("__npos", sum(col("__p")).over(wAll))
+      .withColumn("fn", col("__npos") - col("tp"))
+      .select((groupCols.map(col) :+
+        col("__s").as("threshold") :+
+        col("tp") :+ col("fp") :+ col("fn") :+
+        (col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision") :+
+        when(col("__npos") > 0L,
+          col("tp").cast("double") / col("__npos").cast("double"))
+          .as("recall") :+
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1")): _*)
   }
 }

@@ -53,4 +53,55 @@ class RankingSpec extends SparkSpec {
     }
     e.getMessage should include("must be 0/1")
   }
+
+  test("prCurve matches hand-computed operating points with ties") {
+    // scores: 0.9:{1}, 0.5:{1,0}, 0.1:{0}  (a tie block at 0.5)
+    val df = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0))
+      .toDF("score", "label")
+    val rows = Ranking.prCurve(df, "score", "label")
+      .orderBy(org.apache.spark.sql.functions.col("threshold").desc)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    rows shouldBe Array(
+      // t=0.9: tp=1 fp=0 fn=1  P=1    R=0.5  F1=2/3
+      (0.9, 1L, 0L, 1L, 1.0, 0.5, 2.0 / 3.0),
+      // t=0.5: tp=2 fp=1 fn=0  P=2/3  R=1    F1=4/5
+      (0.5, 2L, 1L, 0L, 2.0 / 3.0, 1.0, 0.8),
+      // t=0.1: tp=2 fp=2 fn=0  P=1/2  R=1    F1=2/3
+      (0.1, 2L, 2L, 0L, 0.5, 1.0, 2.0 / 3.0))
+  }
+
+  test("prCurve on a positive-free group: recall NULL, precision 0, f1 0") {
+    val df = Seq(("g1", 0.7, 0), ("g1", 0.3, 0), ("g2", 0.5, 1))
+      .toDF("g", "score", "label")
+    val out = Ranking.prCurve(df, "score", "label", Seq("g"))
+    val g1 = out.filter(org.apache.spark.sql.functions.col("g") === "g1")
+      .orderBy(org.apache.spark.sql.functions.col("threshold").desc)
+      .collect()
+    g1.length shouldBe 2
+    g1.foreach { r =>
+      r.isNullAt(6) shouldBe true        // recall undefined
+      r.getDouble(5) shouldBe 0.0        // precision = 0/(0+fp)
+      r.getDouble(7) shouldBe 0.0        // f1 = 0
+    }
+    // and the healthy group is unaffected
+    val g2 = out.filter(org.apache.spark.sql.functions.col("g") === "g2")
+      .collect().head
+    g2.getDouble(5) shouldBe 1.0
+    g2.getDouble(6) shouldBe 1.0
+  }
+
+  test("prCurve totals at the lowest threshold cover the whole group") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rng.nextInt(15).toDouble, rng.nextInt(2)))
+    val df = rows.toDF("score", "label")
+    val last = Ranking.prCurve(df, "score", "label")
+      .orderBy(org.apache.spark.sql.functions.col("threshold"))
+      .collect().head
+    last.getLong(1) shouldBe rows.count(_._2 == 1).toLong // tp = all pos
+    last.getLong(2) shouldBe rows.count(_._2 == 0).toLong // fp = all neg
+    last.getLong(3) shouldBe 0L                           // fn = 0
+    last.getDouble(5) shouldBe 1.0                        // recall 1
+  }
 }
