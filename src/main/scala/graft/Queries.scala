@@ -3154,7 +3154,70 @@ object Queries {
                THEN CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) END AS recall,
           CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (npos - tp) AS DOUBLE)
             AS f1
-        FROM c ORDER BY source, threshold"""))
+        FROM c ORDER BY source, threshold""")),
+
+    // Best-k per stratum by a quality score (operators/Sampling
+    // .topKByScore): the 5 longest documents per source, ties to the
+    // smaller doc_id — bounded-heap aggregate engine-side (k rows per
+    // stratum per partition cross the shuffle), a row_number window in
+    // the oracle (the equivalence IS the check).
+    GraftQuery(
+      "q77_topk_by_score",
+      (s, dir) =>
+        graft.operators.Sampling.topKByScore(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "doc_id", "n_chars", k = 5)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+        ORDER BY doc_id""")),
+
+    // Cohen's kappa (eval/Ranking.cohensKappa) between a threshold
+    // classifier on the q71 score and the lang='en' labels, per
+    // source: exact 64-bit-integer confusion arithmetic with one final
+    // divide — κ's textbook (p_o−p_e)/(1−p_e) in its integer-rational
+    // form, bit-identical in DuckDB.
+    GraftQuery(
+      "q78_cohens_kappa",
+      (s, dir) =>
+        graft.eval.Ranking.cohensKappa(
+          t(s, dir, "documents")
+            .select(col("source"),
+              when(pmod(col("doc_id") * lit(37L), lit(101L)) >= 50, 1)
+                .otherwise(0).as("pred"),
+              when(col("lang") === "en", 1).otherwise(0).as("gold")),
+          "pred", "gold", groupCols = Seq("source"))
+          .orderBy(col("source")),
+      Some("""
+        WITH b AS (
+          SELECT source,
+            CASE WHEN (doc_id * 37) % 101 >= 50 THEN 1 ELSE 0 END AS a,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        cm AS (
+          SELECT source,
+            CAST(SUM(a * y) AS BIGINT) AS n11,
+            CAST(SUM(a * (1 - y)) AS BIGINT) AS n10,
+            CAST(SUM((1 - a) * y) AS BIGINT) AS n01,
+            CAST(SUM((1 - a) * (1 - y)) AS BIGINT) AS n00
+          FROM b GROUP BY source),
+        k AS (
+          SELECT source, n11 + n10 + n01 + n00 AS n,
+            (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS ch,
+            n11 + n00 AS diag
+          FROM cm)
+        SELECT source,
+          CASE WHEN n * n <> ch
+               THEN CAST(n * diag - ch AS DOUBLE) / CAST(n * n - ch AS DOUBLE)
+          END AS kappa,
+          CAST(n AS BIGINT) AS n
+        FROM k ORDER BY source"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

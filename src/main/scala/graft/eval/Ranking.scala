@@ -1,6 +1,6 @@
 package graft.eval
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,5 +139,72 @@ object Ranking {
         ((lit(2L) * col("tp")).cast("double") /
           (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
           .as("f1")): _*)
+  }
+
+  /** Cohen's kappa between two binary labelings — chance-corrected
+    * agreement for "does the cheap classifier agree with the expensive
+    * one / the human labels" checks on curation filters.
+    *
+    * One row per group: `(groupCols…, kappa, n)`. With confusion
+    * counts `n11,n10,n01,n00` (first index = `aCol`, second = `bCol`)
+    * the textbook `κ = (p_o − p_e)/(1 − p_e)` reduces to the
+    * INTEGER-rational form
+    *
+    *   κ = (N·(n11+n00) − [(n11+n10)(n11+n01) + (n01+n00)(n10+n00)])
+    *       / (N² − [·])
+    *
+    * so the whole computation is exact 64-bit integer arithmetic with
+    * ONE final IEEE divide — bit-identical in any engine (q78). When
+    * chance agreement is 1 (both labelings constant) κ is undefined
+    * and emitted NULL, not silently 0. Labels must be 0/1 (the
+    * [[rocAuc]] guard).
+    *
+    * Scale shape: one map-side-combinable aggregate (4 conditional
+    * sums per group); nothing else moves.
+    */
+  def cohensKappa(
+      df: DataFrame, aCol: String, bCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(!groupCols.exists(Seq("kappa", "n").contains),
+      "group columns may not be named 'kappa' or 'n'")
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    val base0 =
+      if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
+    def guarded(c: String): Column = {
+      val l = col(c).cast("long")
+      when(l.isNull || (l =!= 0L && l =!= 1L),
+        raise_error(concat(
+          lit(s"cohensKappa: $c must be 0/1, got "),
+          coalesce(col(c).cast("string"), lit("NULL")))))
+        .otherwise(l)
+    }
+    val counted = base0
+      .select((keys.map(col) :+ guarded(aCol).as("__a") :+
+        guarded(bCol).as("__b")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__a") * col("__b")).as("__n11"),
+        sum(col("__a") * (lit(1L) - col("__b"))).as("__n10"),
+        sum((lit(1L) - col("__a")) * col("__b")).as("__n01"),
+        sum((lit(1L) - col("__a")) * (lit(1L) - col("__b"))).as("__n00"))
+    // n² must stay inside 64 bits for the exact-integer form: 3·10⁹
+    // rows per group is the documented ceiling (9·10¹⁸ < 2⁶³−1). A
+    // bigger group raises rather than silently overflowing — and a
+    // 0/1 agreement statistic over >3B examples has long since
+    // converged; sample first.
+    val nRaw = col("__n11") + col("__n10") + col("__n01") + col("__n00")
+    val n = when(nRaw > 3000000000L,
+      raise_error(concat(
+        lit("cohensKappa: group size "), nRaw.cast("string"),
+        lit(" exceeds the exact-integer ceiling of 3e9 rows — sample first"))))
+      .otherwise(nRaw)
+    val chance =
+      (col("__n11") + col("__n10")) * (col("__n11") + col("__n01")) +
+        (col("__n01") + col("__n00")) * (col("__n10") + col("__n00"))
+    counted.select((groupCols.map(col) :+
+      when(n * n =!= chance,
+        (n * (col("__n11") + col("__n00")) - chance).cast("double") /
+          (n * n - chance).cast("double")).as("kappa") :+
+      n.as("n")): _*)
   }
 }

@@ -150,4 +150,49 @@ object Sampling {
           col(idCol).cast("long") === col("__sel_id"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Best-k selection per stratum: the `min(k, |stratum|)` HIGHEST-
+    * scoring rows from each stratum (ties to the smaller id) — the
+    * "keep the 10k highest-quality documents per domain" curation
+    * step, [[sampleExactK]]'s score-ordered sibling (that one ranks by
+    * a hash, this one by a caller-supplied quality/relevance score).
+    * Same engine shape: a bounded-heap partial+final aggregate
+    * ([[graft.sim.TopKAggregator]]) so each input partition forwards
+    * at most k (id, score) pairs per stratum — never a full-stratum
+    * window sort — then one equi-join on the unique id restores the
+    * winners' rows. Deterministic (score, id) total order ⇒ replayable
+    * as `row_number() OVER (PARTITION BY stratum ORDER BY score DESC,
+    * id) <= k` (q77).
+    *
+    * NULL and NaN scores raise: NULL has no rank, and NaN would
+    * silently outrank every real score (IEEE total order puts it on
+    * top) — either way a quietly biased selection.
+    */
+  def topKByScore(
+      df: DataFrame, stratumCol: String, idCol: String, scoreCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be >= 1, got $k")
+    val topK = graft.sim.TopKAggregator.udafFor(k)
+    val guardedId =
+      when(col(idCol).isNull,
+        raise_error(lit(s"topKByScore: NULL $idCol — ids must be non-NULL")))
+        .otherwise(col(idCol).cast("long"))
+    val score = col(scoreCol).cast("double")
+    val guardedScore =
+      when(score.isNull || isnan(score),
+        raise_error(concat(
+          lit(s"topKByScore: NULL or NaN $scoreCol for $idCol="),
+          col(idCol).cast("string"))))
+        .otherwise(score)
+    val picked = df
+      .select(col(stratumCol), guardedId.as("__id"), guardedScore.as("__score"))
+      .groupBy(col(stratumCol))
+      .agg(topK(col("__id"), col("__score")).as("__top"))
+      .select(col(stratumCol).as("__ss"), explode(col("__top")).as("__t"))
+      .select(col("__ss"), col("__t").getField("id").as("__sel_id"))
+    df.join(picked,
+        col(stratumCol) <=> col("__ss") &&
+          col(idCol).cast("long") === col("__sel_id"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -92,6 +92,42 @@ class RankingSpec extends SparkSpec {
     g2.getDouble(6) shouldBe 1.0
   }
 
+  test("cohensKappa matches hand-computed values and the sklearn identity") {
+    // confusion: n11=20 n10=5 n01=10 n00=15, N=50
+    val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(15)((0, 0))
+    val df = rows.toDF("a", "b")
+    val got = Ranking.cohensKappa(df, "a", "b").collect().head
+    // po = 35/50, pe = (25·30 + 25·20)/2500 = 0.5 -> κ = 0.4
+    got.getDouble(0) shouldBe 0.4 +- 1e-15
+    got.getLong(1) shouldBe 50L
+  }
+
+  test("cohensKappa: perfect agreement 1, perfect disagreement negative, constant NULL") {
+    Ranking.cohensKappa(
+      Seq((1, 1), (0, 0), (1, 1)).toDF("a", "b"), "a", "b")
+      .collect().head.getDouble(0) shouldBe 1.0
+    Ranking.cohensKappa(
+      Seq((1, 0), (0, 1)).toDF("a", "b"), "a", "b")
+      .collect().head.getDouble(0) shouldBe -1.0
+    // both labelings constant: chance agreement 1, kappa undefined
+    Ranking.cohensKappa(
+      Seq((1, 1), (1, 1)).toDF("a", "b"), "a", "b")
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("cohensKappa groups independently and guards labels") {
+    val df = Seq(("g1", 1, 1), ("g1", 0, 0), ("g2", 1, 0), ("g2", 0, 1))
+      .toDF("g", "a", "b")
+    val out = Ranking.cohensKappa(df, "a", "b", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out("g1") shouldBe 1.0
+    out("g2") shouldBe -1.0
+    intercept[Exception] {
+      Ranking.cohensKappa(Seq((2, 1)).toDF("a", "b"), "a", "b").collect()
+    }.getMessage should include("must be 0/1")
+  }
+
   test("prCurve totals at the lowest threshold cover the whole group") {
     val rng = new scala.util.Random(7)
     val rows = Seq.fill(400)((rng.nextInt(15).toDouble, rng.nextInt(2)))

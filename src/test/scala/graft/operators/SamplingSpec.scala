@@ -159,6 +159,42 @@ class SamplingSpec extends SparkSpec {
     plan should include("Aggregate")
   }
 
+  test("topKByScore keeps the k highest scores per stratum, ties to smaller id") {
+    val df = Seq(
+      (1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 9.0), (4L, "a", 1.0),
+      (5L, "b", 2.0)).toDF("id", "s", "q")
+    val got = Sampling.topKByScore(df, "s", "id", "q", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    got shouldBe Set(2L, 3L, 5L) // 9.0-tie resolves to ids 2,3; b has 1 row
+  }
+
+  test("topKByScore matches a row_number reference on random scores") {
+    val rng = new scala.util.Random(11)
+    val df = (0L until 500L)
+      .map(i => (i, s"s${i % 7}", rng.nextInt(50).toDouble))
+      .toDF("id", "s", "q")
+    val got = Sampling.topKByScore(df, "s", "id", "q", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expect = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _, q) => (-q, id) }.take(10).map(_._1).toSeq
+      }.toSet
+    got shouldBe expect
+  }
+
+  test("topKByScore fails loudly on NULL and NaN scores") {
+    val withNull = Seq((1L, "a", java.lang.Double.valueOf(1.0)),
+      (2L, "a", null.asInstanceOf[java.lang.Double])).toDF("id", "s", "q")
+    intercept[Exception] {
+      Sampling.topKByScore(withNull, "s", "id", "q", 5).collect()
+    }.getMessage should include("NULL or NaN")
+    val withNan = Seq((1L, "a", 1.0), (2L, "a", Double.NaN)).toDF("id", "s", "q")
+    intercept[Exception] {
+      Sampling.topKByScore(withNan, "s", "id", "q", 5).collect()
+    }.getMessage should include("NULL or NaN")
+  }
+
   test("sampleExactK fails loudly on NULL ids and non-positive k") {
     intercept[IllegalArgumentException] {
       Sampling.sampleExactK(strat, "s", "id", 0)
