@@ -3217,7 +3217,77 @@ object Queries {
                THEN CAST(n * diag - ch AS DOUBLE) / CAST(n * n - ch AS DOUBLE)
           END AS kappa,
           CAST(n AS BIGINT) AS n
-        FROM k ORDER BY source"""))
+        FROM k ORDER BY source""")),
+
+    // Corpus drift report (text/Drift.tokenKlContributions): per-token
+    // KL(en ‖ non-en) contributions over the union vocabulary, add-one
+    // smoothed, probabilities in Q20 fixed point and log2 via the
+    // integer square-and-shift expression — every contribution an
+    // exact 64-bit integer (Q40), order-independent, replayed in
+    // DuckDB with the q48/q49 recursive-CTE log2 on both sides.
+    GraftQuery(
+      "q79_kl_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.text.Drift.tokenKlContributions(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "text")
+          .orderBy(col("contrib_q40").desc, col("token"))
+      },
+      Some("""
+        WITH RECURSIVE ta AS (
+          SELECT unnest(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS token
+          FROM documents WHERE lang = 'en'),
+        tb AS (
+          SELECT unnest(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS token
+          FROM documents WHERE lang <> 'en'),
+        ca AS (SELECT token, COUNT(*) AS c_a FROM ta GROUP BY 1),
+        cb AS (SELECT token, COUNT(*) AS c_b FROM tb GROUP BY 1),
+        j AS (
+          SELECT COALESCE(ca.token, cb.token) AS token,
+            COALESCE(c_a, 0) AS n_a, COALESCE(c_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        tot AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+            CAST(SUM(n_b) AS BIGINT) AS nb, COUNT(*) AS v
+          FROM j),
+        sq AS (
+          SELECT token, n_a, n_b,
+            greatest(((n_a + 1) * 1048576) // (na + v), 1) AS sa,
+            greatest(((n_b + 1) * 1048576) // (nb + v), 1) AS sb
+          FROM j, tot),
+        stack AS (
+          SELECT token, 0 AS side, sa AS s FROM sq
+          UNION ALL SELECT token, 1, sb FROM sq),
+        norm AS (
+          SELECT token, side, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM stack),
+        iter(token, side, bl, i, m, frac) AS (
+          SELECT token, side, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT token, side, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (SELECT token, side, (bl - 21) * 1048576 + frac AS l
+                 FROM iter WHERE i = 20),
+        la AS (SELECT token, l FROM ltab WHERE side = 0),
+        lb AS (SELECT token, l FROM ltab WHERE side = 1)
+        SELECT j.token, CAST(j.n_a AS BIGINT) AS n_a,
+          CAST(j.n_b AS BIGINT) AS n_b,
+          CAST(sq.sa * (la.l - lb.l) AS BIGINT) AS contrib_q40
+        FROM j JOIN sq ON j.token = sq.token
+          JOIN la ON j.token = la.token
+          JOIN lb ON j.token = lb.token
+        ORDER BY contrib_q40 DESC, j.token"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
