@@ -3287,7 +3287,40 @@ object Queries {
         FROM j JOIN sq ON j.token = sq.token
           JOIN la ON j.token = la.token
           JOIN lb ON j.token = lb.token
-        ORDER BY contrib_q40 DESC, j.token"""))
+        ORDER BY contrib_q40 DESC, j.token""")),
+
+    // Reliability/calibration table (eval/Ranking.calibrationTable)
+    // over integer-quantized predictions (the quantize-first contract):
+    // per (source, bin) counts, empirical positive rate, mean predicted
+    // probability and gap — integer sums + one divide each, so every
+    // cell replays bit-exactly.
+    GraftQuery(
+      "q80_calibration",
+      (s, dir) =>
+        graft.eval.Ranking.calibrationTable(
+          t(s, dir, "documents")
+            .select(col("source"),
+              pmod(col("doc_id") * lit(37L), lit(101L)).as("pq"),
+              when(col("lang") === "en", 1).otherwise(0).as("label")),
+          "pq", scale = 100L, "label", bins = 10,
+          groupCols = Seq("source"))
+          .orderBy(col("source"), col("bin")),
+      Some("""
+        WITH b AS (
+          SELECT source, (doc_id * 37) % 101 AS q,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        bb AS (SELECT source, least((q * 10) // 100, 9) AS bin, q, y FROM b),
+        agg AS (
+          SELECT source, bin, COUNT(*) AS n,
+            CAST(SUM(y) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS sq
+          FROM bb GROUP BY source, bin)
+        SELECT source, CAST(bin AS BIGINT) AS bin, n, n_pos,
+          CAST(sq AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mean_pred,
+          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+          CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(sq AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS gap
+        FROM agg ORDER BY source, bin"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -207,4 +207,75 @@ object Ranking {
           (n * n - chance).cast("double")).as("kappa") :+
       n.as("n")): _*)
   }
+
+  /** Reliability (calibration) table over QUANTIZED predictions: one
+    * row per (group, bin) with the bin's example count, empirical
+    * positive rate, and mean predicted probability — "is the quality
+    * classifier's 0.9 really a 0.9" before its threshold gates a
+    * corpus.
+    *
+    * Predictions arrive as integers `predQ ∈ [0, scale]` (probability
+    * = predQ/scale) — the quantize-first contract this eval family
+    * already uses for continuous scores ([[prCurve]], Quantiles): a
+    * mean of raw doubles is IEEE-order-dependent under distributed
+    * aggregation, while the integer sum is exact, order-independent,
+    * and engine-replayable. `mean_pred = Σ predQ / (n·scale)` and
+    * `frac_pos = n_pos / n` are each ONE final IEEE divide (q80);
+    * `gap = frac_pos − mean_pred` is one deterministic subtract.
+    *
+    * Bins are `⌊predQ·bins/scale⌋` clamped to `bins−1` (so predQ =
+    * scale lands in the top bin). Out-of-range or NULL predictions
+    * raise. Scale shape: one map-side-combinable aggregate over
+    * (group, bin) — at most `bins` rows per group move.
+    */
+  def calibrationTable(
+      df: DataFrame, predQCol: String, scale: Long, labelCol: String,
+      bins: Int = 10, groupCols: Seq[String] = Nil): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(scale < Long.MaxValue / bins,
+      s"bins·scale must fit a long, got $bins × $scale")
+    val reserved = Seq("bin", "n", "n_pos", "mean_pred", "frac_pos", "gap")
+    require(!groupCols.exists(reserved.contains),
+      s"group columns may not be named any of ${reserved.mkString(", ")}")
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    val base0 =
+      if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
+    val q = col(predQCol).cast("long")
+    val guardedQ =
+      when(q.isNull || q < 0L || q > scale,
+        raise_error(concat(
+          lit(s"calibrationTable: $predQCol must be an integer in [0, $scale], got "),
+          coalesce(col(predQCol).cast("string"), lit("NULL")))))
+        .otherwise(q)
+    val lab = col(labelCol).cast("long")
+    val guardedLab =
+      when(lab.isNull || (lab =!= 0L && lab =!= 1L),
+        raise_error(concat(
+          lit(s"calibrationTable: $labelCol must be 0/1, got "),
+          coalesce(col(labelCol).cast("string"), lit("NULL")))))
+        .otherwise(lab)
+    base0
+      .select((keys.map(col) :+ guardedQ.as("__q") :+ guardedLab.as("__y")): _*)
+      .withColumn("__bin",
+        least(expr(s"(__q * ${bins}L) div ${scale}L"), lit(bins - 1L)))
+      .groupBy((keys.map(col) :+ col("__bin").as("bin")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__q")).as("__sumq"))
+      // n ≤ Long.Max/scale proves Σq ≤ n·scale never wrapped (each
+      // q ≤ scale) — the check is valid POST-aggregation, so a too-big
+      // bin raises instead of silently overflowing
+      .withColumn("n",
+        when(col("n") > Long.MaxValue / scale,
+          raise_error(concat(
+            lit(s"calibrationTable: bin row count exceeds the exact-sum " +
+              s"ceiling of ${Long.MaxValue / scale} for scale=$scale — " +
+              "sample first"), col("n").cast("string"))))
+          .otherwise(col("n")))
+      .select((groupCols.map(col) :+ col("bin") :+ col("n") :+ col("n_pos") :+
+        (col("__sumq").cast("double") /
+          (col("n") * lit(scale)).cast("double")).as("mean_pred") :+
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos")): _*)
+      .withColumn("gap", col("frac_pos") - col("mean_pred"))
+  }
 }

@@ -128,6 +128,37 @@ class RankingSpec extends SparkSpec {
     }.getMessage should include("must be 0/1")
   }
 
+  test("calibrationTable bins, counts, and single-divide means are exact") {
+    // scale=100, bins=10: predQ 95,95 -> bin 9; 42 -> bin 4; 100 -> bin 9
+    val df = Seq((95L, 1), (95L, 0), (42L, 0), (100L, 1))
+      .toDF("pq", "label")
+    val rows = Ranking.calibrationTable(df, "pq", 100L, "label", bins = 10)
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    rows shouldBe Array(
+      (4L, 1L, 0L, 42.0 / 100.0, 0.0, 0.0 - 42.0 / 100.0),
+      (9L, 3L, 2L, 290.0 / 300.0, 2.0 / 3.0, 2.0 / 3.0 - 290.0 / 300.0))
+  }
+
+  test("calibrationTable groups independently and guards inputs") {
+    val df = Seq(("g1", 50L, 1), ("g2", 50L, 0)).toDF("g", "pq", "label")
+    val out = Ranking.calibrationTable(df, "pq", 100L, "label",
+        bins = 10, groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    out("g1") shouldBe 1.0 - 0.5
+    out("g2") shouldBe 0.0 - 0.5
+    intercept[Exception] {
+      Ranking.calibrationTable(
+        Seq((101L, 1)).toDF("pq", "label"), "pq", 100L, "label").collect()
+    }.getMessage should include("[0, 100]")
+    intercept[Exception] {
+      Ranking.calibrationTable(
+        Seq((50L, 7)).toDF("pq", "label"), "pq", 100L, "label").collect()
+    }.getMessage should include("must be 0/1")
+  }
+
   test("prCurve totals at the lowest threshold cover the whole group") {
     val rng = new scala.util.Random(7)
     val rows = Seq.fill(400)((rng.nextInt(15).toDouble, rng.nextInt(2)))
