@@ -3320,7 +3320,44 @@ object Queries {
           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
             - CAST(sq AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS gap
-        FROM agg ORDER BY source, bin"""))
+        FROM agg ORDER BY source, bin""")),
+
+    // Calibration summary scalars (eval/Ranking.calibrationSummary)
+    // over the same quantized predictions as q80: per source, ECE
+    // (the weighted |gap| telescopes to an exact integer sum over
+    // bins / one divide), MCE (max of per-bin exact divides), and
+    // Brier score (integer Σ(q−scale·y)² / one divide) — every value
+    // bit-replayable.
+    GraftQuery(
+      "q81_calibration_summary",
+      (s, dir) =>
+        graft.eval.Ranking.calibrationSummary(
+          t(s, dir, "documents")
+            .select(col("source"),
+              pmod(col("doc_id") * lit(37L), lit(101L)).as("pq"),
+              when(col("lang") === "en", 1).otherwise(0).as("label")),
+          "pq", scale = 100L, "label", bins = 10,
+          groupCols = Seq("source"))
+          .orderBy(col("source")),
+      Some("""
+        WITH b AS (
+          SELECT source, (doc_id * 37) % 101 AS q,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        bb AS (SELECT source, least((q * 10) // 100, 9) AS bin, q, y FROM b),
+        agg AS (
+          SELECT source, bin, COUNT(*) AS n,
+            CAST(SUM(y) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS sq,
+            CAST(SUM((q - 100 * y) * (q - 100 * y)) AS BIGINT) AS sq2
+          FROM bb GROUP BY source, bin)
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n,
+          CAST(SUM(ABS(100 * np - sq)) AS DOUBLE)
+            / CAST(SUM(n) * 100 AS DOUBLE) AS ece,
+          MAX(CAST(ABS(100 * np - sq) AS DOUBLE)
+            / CAST(n * 100 AS DOUBLE)) AS mce,
+          CAST(SUM(sq2) AS DOUBLE)
+            / CAST(SUM(n) * 10000 AS DOUBLE) AS brier
+        FROM agg GROUP BY source ORDER BY source"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

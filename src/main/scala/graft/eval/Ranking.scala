@@ -231,13 +231,94 @@ object Ranking {
   def calibrationTable(
       df: DataFrame, predQCol: String, scale: Long, labelCol: String,
       bins: Int = 10, groupCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("bin", "n", "n_pos", "mean_pred", "frac_pos", "gap")
+    require(!groupCols.exists(reserved.contains),
+      s"group columns may not be named any of ${reserved.mkString(", ")}")
+    binnedQuantized(df, predQCol, scale, labelCol, bins, groupCols,
+      "calibrationTable")
+      .select((groupCols.map(col) :+ col("__bin").as("bin") :+
+        col("n") :+ col("n_pos") :+
+        (col("__sumq").cast("double") /
+          (col("n") * lit(scale)).cast("double")).as("mean_pred") :+
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos")): _*)
+      .withColumn("gap", col("frac_pos") - col("mean_pred"))
+  }
+
+  /** One row per group with the standard calibration summary scalars,
+    * all derived from the same (group, bin) integer table as
+    * [[calibrationTable]]:
+    *
+    *   - `ece`   — expected calibration error, `Σ_b (n_b/N)·|gap_b|`.
+    *     The weighted rational telescopes: `(n_b/N)·|frac_pos_b −
+    *     mean_pred_b| = |scale·n_pos_b − Σq_b| / (N·scale)`, so the
+    *     numerator is an EXACT integer sum over bins and the divide
+    *     happens once.
+    *   - `mce`   — maximum calibration error, `max_b |gap_b|`; each
+    *     bin's `|gap|` is one exact divide, and max is
+    *     order-independent.
+    *   - `brier` — mean squared error of the probability,
+    *     `Σ(q_i − scale·y_i)² / (N·scale²)`: integer numerator
+    *     accumulated per (group, bin) in the shared aggregate, one
+    *     final divide.
+    *
+    * Same guards and scale shape as [[calibrationTable]]; the
+    * post-aggregation ceiling tightens to `N ≤ Long.Max/scale²` (each
+    * squared term is ≤ scale², so that bound proves the Brier sum
+    * never wrapped).
+    */
+  def calibrationSummary(
+      df: DataFrame, predQCol: String, scale: Long, labelCol: String,
+      bins: Int = 10, groupCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("n", "ece", "mce", "brier")
+    require(!groupCols.exists(reserved.contains),
+      s"group columns may not be named any of ${reserved.mkString(", ")}")
+    require(scale <= 3037000499L, // floor(sqrt(Long.Max)): scale² must fit
+      s"scale² must fit a long, got $scale")
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    val gapNum = abs(lit(scale) * col("n_pos") - col("__sumq"))
+    binnedQuantized(df, predQCol, scale, labelCol, bins, groupCols,
+      "calibrationSummary")
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(gapNum).as("__eceNum"),
+        max(gapNum.cast("double") /
+          (col("n") * lit(scale)).cast("double")).as("mce"),
+        sum(col("__sumsq")).as("__brierNum"))
+      // N ≤ Long.Max/scale² proves both Σ|scale·n_pos − Σq| ≤ N·scale
+      // and Σ(q − scale·y)² ≤ N·scale² never wrapped (post-aggregation
+      // check, same contract as the per-bin ceiling)
+      .withColumn("n",
+        when(col("n") > Long.MaxValue / scale / scale,
+          raise_error(concat(
+            lit(s"calibrationSummary: group row count exceeds the " +
+              s"exact-sum ceiling of ${Long.MaxValue / scale / scale} " +
+              s"for scale=$scale — sample first, got "),
+            col("n").cast("string"))))
+          .otherwise(col("n")))
+      .select((groupCols.map(col) :+ col("n") :+
+        (col("__eceNum").cast("double") /
+          (col("n") * lit(scale)).cast("double")).as("ece") :+
+        col("mce") :+
+        (col("__brierNum").cast("double") /
+          (col("n") * lit(scale * scale)).cast("double")).as("brier")): _*)
+  }
+
+  /** Shared (group, bin) exact-integer aggregate behind
+    * [[calibrationTable]] and [[calibrationSummary]]: guards inputs,
+    * bins `⌊predQ·bins/scale⌋` clamped to `bins−1`, and returns
+    * `(keys…, __bin, n, n_pos, __sumq, __sumsq)` where `__sumsq` is
+    * `Σ(q − scale·y)²` (the Brier numerator). The per-bin ceiling
+    * `n ≤ Long.Max/scale` proves Σq never wrapped — valid
+    * POST-aggregation, so a too-big bin raises instead of silently
+    * overflowing.
+    */
+  private def binnedQuantized(
+      df: DataFrame, predQCol: String, scale: Long, labelCol: String,
+      bins: Int, groupCols: Seq[String], metric: String): DataFrame = {
     require(scale >= 1, s"scale must be >= 1, got $scale")
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(scale < Long.MaxValue / bins,
       s"bins·scale must fit a long, got $bins × $scale")
-    val reserved = Seq("bin", "n", "n_pos", "mean_pred", "frac_pos", "gap")
-    require(!groupCols.exists(reserved.contains),
-      s"group columns may not be named any of ${reserved.mkString(", ")}")
     val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
     val base0 =
       if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
@@ -245,37 +326,31 @@ object Ranking {
     val guardedQ =
       when(q.isNull || q < 0L || q > scale,
         raise_error(concat(
-          lit(s"calibrationTable: $predQCol must be an integer in [0, $scale], got "),
+          lit(s"$metric: $predQCol must be an integer in [0, $scale], got "),
           coalesce(col(predQCol).cast("string"), lit("NULL")))))
         .otherwise(q)
     val lab = col(labelCol).cast("long")
     val guardedLab =
       when(lab.isNull || (lab =!= 0L && lab =!= 1L),
         raise_error(concat(
-          lit(s"calibrationTable: $labelCol must be 0/1, got "),
+          lit(s"$metric: $labelCol must be 0/1, got "),
           coalesce(col(labelCol).cast("string"), lit("NULL")))))
         .otherwise(lab)
     base0
       .select((keys.map(col) :+ guardedQ.as("__q") :+ guardedLab.as("__y")): _*)
       .withColumn("__bin",
         least(expr(s"(__q * ${bins}L) div ${scale}L"), lit(bins - 1L)))
-      .groupBy((keys.map(col) :+ col("__bin").as("bin")): _*)
+      .withColumn("__d", col("__q") - lit(scale) * col("__y"))
+      .groupBy((keys.map(col) :+ col("__bin")): _*)
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
-        sum(col("__q")).as("__sumq"))
-      // n ≤ Long.Max/scale proves Σq ≤ n·scale never wrapped (each
-      // q ≤ scale) — the check is valid POST-aggregation, so a too-big
-      // bin raises instead of silently overflowing
+        sum(col("__q")).as("__sumq"),
+        sum(col("__d") * col("__d")).as("__sumsq"))
       .withColumn("n",
         when(col("n") > Long.MaxValue / scale,
           raise_error(concat(
-            lit(s"calibrationTable: bin row count exceeds the exact-sum " +
+            lit(s"$metric: bin row count exceeds the exact-sum " +
               s"ceiling of ${Long.MaxValue / scale} for scale=$scale — " +
-              "sample first"), col("n").cast("string"))))
+              "sample first, got "), col("n").cast("string"))))
           .otherwise(col("n")))
-      .select((groupCols.map(col) :+ col("bin") :+ col("n") :+ col("n_pos") :+
-        (col("__sumq").cast("double") /
-          (col("n") * lit(scale)).cast("double")).as("mean_pred") :+
-        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos")): _*)
-      .withColumn("gap", col("frac_pos") - col("mean_pred"))
   }
 }

@@ -159,6 +159,43 @@ class RankingSpec extends SparkSpec {
     }.getMessage should include("must be 0/1")
   }
 
+  test("calibrationSummary ece/mce/brier match hand-computed exact rationals") {
+    // scale=100, bins=10. Rows: (95,1) (95,0) -> bin 9; (42,0) -> bin 4;
+    // (100,1) -> bin 9 (clamped).
+    // bin 4: n=1 np=0 sq=42  -> |100*0-42|  = 42;  sq2 = 42²            = 1764
+    // bin 9: n=3 np=2 sq=290 -> |100*2-290| = 90;  sq2 = 25+9025+0      = 9050
+    // ece = (42+90)/(4*100);  mce = max(42/100, 90/300);
+    // brier = (1764+9050)/(4*10000)
+    val df = Seq((95L, 1), (95L, 0), (42L, 0), (100L, 1))
+      .toDF("pq", "label")
+    val r = Ranking.calibrationSummary(df, "pq", 100L, "label", bins = 10)
+      .collect()
+    r should have length 1
+    r(0).getLong(0) shouldBe 4L
+    r(0).getDouble(1) shouldBe 132.0 / 400.0
+    r(0).getDouble(2) shouldBe 42.0 / 100.0
+    r(0).getDouble(3) shouldBe 10814.0 / 40000.0
+  }
+
+  test("calibrationSummary: perfect predictor scores 0, groups independent") {
+    // predQ = 100*y exactly: ece = mce = brier = 0 in exact arithmetic.
+    val perfect = Seq((100L, 1), (0L, 0), (100L, 1), (0L, 0))
+      .toDF("pq", "label")
+    val p = Ranking.calibrationSummary(perfect, "pq", 100L, "label").collect()
+    (p(0).getDouble(1), p(0).getDouble(2), p(0).getDouble(3)) shouldBe
+      ((0.0, 0.0, 0.0))
+    val grouped = Seq(("g1", 100L, 1), ("g2", 0L, 1)).toDF("g", "pq", "label")
+    val out = Ranking.calibrationSummary(grouped, "pq", 100L, "label",
+        groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    out("g1") shouldBe 0.0 // brier: (100-100)²
+    out("g2") shouldBe 1.0 // brier: (0-100)²/10000
+    intercept[Exception] {
+      Ranking.calibrationSummary(
+        Seq((-1L, 1)).toDF("pq", "label"), "pq", 100L, "label").collect()
+    }.getMessage should include("[0, 100]")
+  }
+
   test("prCurve totals at the lowest threshold cover the whole group") {
     val rng = new scala.util.Random(7)
     val rows = Seq.fill(400)((rng.nextInt(15).toDouble, rng.nextInt(2)))
