@@ -100,4 +100,84 @@ object Splits {
     df.filter(bucketOf(col(keyCol), salt, buckets) <
       math.round(fraction * buckets))
   }
+
+  /** EXACT-count split: per stratum, split `i` receives exactly
+    * `⌊n·cumW_i/W⌋ − ⌊n·cumW_{i−1}/W⌋` rows (`n` = stratum size, `W` =
+    * Σ weights) — unlike [[withSplit]], whose per-bucket assignment
+    * only honors fractions in expectation (a 500-doc domain can hand
+    * its "10%" eval split 9.2% of rows). The standard use is exact
+    * eval/holdout sizing per domain, where an undersized eval set
+    * quietly widens confidence intervals.
+    *
+    * Rows are ranked inside each stratum by (salted [[bucketOf]] hash,
+    * id) — a pure function of (id, salt), so reruns, retries, and any
+    * repartitioning assign every row the SAME split, and distinct
+    * salts give independent assignments (the [[withSplit]] contract).
+    * Cumulative-floor thresholds mean the union of ranges covers every
+    * row and adding weight to one split moves only boundary rows.
+    * All-integer weights ⇒ thresholds are exact and engine-replayable
+    * as `row_number() OVER (PARTITION BY stratum ORDER BY bucket, id)
+    * ≤ n·cumW_i // W` (q82).
+    *
+    * Ids must be integral, non-NULL (raises — a silent drop would bias
+    * the split) and unique within a stratum (duplicate ids would
+    * multiply rows through the restore join). NULL strata form their
+    * own group, consistent with window partitioning.
+    *
+    * Scale shape: the ranking window sorts a PROJECTED (stratum, id,
+    * bucket) table — document text never rides the sort shuffle — then
+    * one equi-join on the unique id restores full rows (the
+    * [[Sampling.sampleExactK]] join-back shape). The per-stratum sort
+    * is inherent: exact counts need a total order, which is why
+    * [[withSplit]] (map-only) stays the right tool when expectation-
+    * level fractions suffice.
+    */
+  def splitExactCounts(
+      df: DataFrame, stratumCol: String, idCol: String,
+      splits: Seq[(String, Long)], salt: String = "",
+      outCol: String = "split", ordBuckets: Int = 1 << 20): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0L), s"split weights must be > 0: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in $splits")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
+    val w = splits.map(_._2).sum
+    require(splits.forall(_._2 <= Long.MaxValue / splits.size),
+      s"split weights overflow: $splits")
+    val guardedId =
+      when(col(idCol).isNull,
+        raise_error(lit(s"splitExactCounts: NULL $idCol — ids must be non-NULL")))
+        .otherwise(col(idCol).cast("long"))
+    val spec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+    val ranked = df
+      .select(col(stratumCol), guardedId.as("__id"),
+        bucketOf(col(idCol), salt, ordBuckets).as("__bk"))
+      .withColumn("__rn",
+        row_number().over(spec.orderBy(col("__bk"), col("__id"))))
+      .withColumn("__n", count(lit(1)).over(spec))
+      // n ≤ Long.Max/W proves n·cumW never overflows the threshold
+      // arithmetic below — fail loud, not silently misassign
+      .withColumn("__n",
+        when(col("__n") > Long.MaxValue / w,
+          raise_error(concat(
+            lit(s"splitExactCounts: stratum size exceeds the exact-" +
+              s"threshold ceiling of ${Long.MaxValue / w} for total " +
+              s"weight $w, got "), col("__n").cast("string"))))
+          .otherwise(col("__n")))
+    val cum = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    val assignment = splits.map(_._1).zip(cum)
+      .foldLeft(Option.empty[Column]) { case (acc, (name, cw)) =>
+        val cond = col("__rn") <= expr(s"(__n * ${cw}L) div ${w}L")
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }.get
+    val picked = ranked.select(
+      col(stratumCol).as("__ss"), col("__id").as("__sel_id"),
+      assignment.as(outCol))
+    df.join(picked,
+        col(stratumCol) <=> col("__ss") &&
+          col(idCol).cast("long") === col("__sel_id"))
+      .select((df.columns.map(col).toIndexedSeq :+ col(outCol)): _*)
+  }
 }

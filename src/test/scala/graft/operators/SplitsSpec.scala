@@ -79,4 +79,73 @@ class SplitsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Splits.withSplit(keys, "id", Seq("a" -> 0.5, "a" -> 0.5))
   }
+
+  test("splitExactCounts: sizes are exact cumulative-floor differences") {
+    // strata of deliberately awkward sizes: 7, 10, 503
+    val df = ((0L until 7L).map(("s7", _)) ++
+      (100L until 110L).map(("s10", _)) ++
+      (1000L until 1503L).map(("s503", _))).toDF("stratum", "id")
+    val got = Splits.splitExactCounts(df, "stratum", "id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), salt = "v1")
+      .groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def exp(n: Long) = {
+      val t = Seq(8L, 9L, 10L).map(c => n * c / 10L)
+      (t(0), t(1) - t(0), t(2) - t(1))
+    }
+    for ((s, n) <- Seq(("s7", 7L), ("s10", 10L), ("s503", 503L))) {
+      val (tr, va, te) = exp(n)
+      got.getOrElse((s, "train"), 0L) shouldBe tr
+      got.getOrElse((s, "val"), 0L) shouldBe va
+      got.getOrElse((s, "test"), 0L) shouldBe te
+    }
+    // exact coverage: every row labeled
+    got.values.sum shouldBe (7L + 10L + 503L)
+  }
+
+  test("splitExactCounts is layout-independent and salt-independent") {
+    val df = (0L until 2000L).map(i => (s"g${i % 3}", i)).toDF("stratum", "id")
+    val a = Splits.splitExactCounts(df, "stratum", "id",
+        Seq("a" -> 1L, "b" -> 1L), salt = "s1")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    val b = Splits.splitExactCounts(df.repartition(17), "stratum", "id",
+        Seq("a" -> 1L, "b" -> 1L), salt = "s1")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    a shouldBe b
+    val c = Splits.splitExactCounts(df, "stratum", "id",
+        Seq("a" -> 1L, "b" -> 1L), salt = "s2")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    c should not be a
+    // both salts still split each stratum exactly in half
+    val flips = a.count { case (k, v) => c(k) != v }
+    flips.toDouble shouldBe 1000.0 +- 200.0
+  }
+
+  test("splitExactCounts guards ids, weights, and column collisions") {
+    val df = Seq(("g", 1L), ("g", 2L)).toDF("stratum", "id")
+    an[IllegalArgumentException] should be thrownBy
+      Splits.splitExactCounts(df, "stratum", "id", Seq("a" -> 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Splits.splitExactCounts(df, "stratum", "id",
+        Seq("a" -> 1L, "a" -> 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Splits.splitExactCounts(df.withColumn("split", lit("x")),
+        "stratum", "id", Seq("a" -> 1L))
+    intercept[Exception] {
+      Splits.splitExactCounts(
+        Seq(("g", Option.empty[java.lang.Long])).toDF("stratum", "id"),
+        "stratum", "id", Seq("a" -> 1L)).collect()
+    }.getMessage should include("NULL id")
+  }
+
+  test("splitExactCounts keeps NULL strata as their own group") {
+    val df = Seq((Option("g"), 1L), (Option("g"), 2L),
+      (Option.empty[String], 3L), (Option.empty[String], 4L))
+      .toDF("stratum", "id")
+    val got = Splits.splitExactCounts(df, "stratum", "id",
+        Seq("a" -> 1L, "b" -> 1L))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    got.size shouldBe 4 // no row vanished through the restore join
+    Seq(3L, 4L).map(got).sorted shouldBe Seq("a", "b")
+  }
 }
