@@ -3357,7 +3357,111 @@ object Queries {
             / CAST(n * 100 AS DOUBLE)) AS mce,
           CAST(SUM(sq2) AS DOUBLE)
             / CAST(SUM(n) * 10000 AS DOUBLE) AS brier
-        FROM agg GROUP BY source ORDER BY source"""))
+        FROM agg GROUP BY source ORDER BY source""")),
+
+    // Exact-count deterministic split (operators/Splits.splitExactCounts):
+    // per source, train/val/test sizes are exactly the cumulative-floor
+    // differences n·cumW//W over integer weights 8/1/1, rows ranked by
+    // the replayable salted KrHash bucket (q52/q75's hash) then id —
+    // layout-independent and bit-replayable as a row_number window.
+    GraftQuery(
+      "q82_split_exact",
+      (s, dir) =>
+        graft.operators.Splits.splitExactCounts(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), salt = "v1")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, source,
+            CAST(doc_id AS VARCHAR) || ':v1' AS k
+          FROM documents),
+        h AS (
+          SELECT doc_id, source,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k) + 1),
+                i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM s),
+        r AS (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY ((hh * hh) % 2147483647) % 1048576, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS n
+          FROM h)
+        SELECT doc_id, source,
+          CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+               WHEN rn <= (n * 9) // 10 THEN 'val'
+               ELSE 'test' END AS split
+        FROM r ORDER BY doc_id""")),
+
+    // Pipeline funnel report (text/Funnel.funnelReport): per-stage
+    // doc/token survival with FIRST-failing-stage attribution over the
+    // q60 gopher rules run as an ordered pipeline. The corpus reduces
+    // to <= nStages+1 rows in one aggregate; in/out columns are exact
+    // integer cumulative windows over that tiny table, so every cell
+    // replays bit-exactly.
+    GraftQuery(
+      "q83_funnel",
+      (s, dir) => {
+        val rules = graft.text.QualityFilter.gopherRules(col("text"),
+          minWords = 30, maxWords = 90)
+        graft.text.Funnel.funnelReport(
+          t(s, dir, "documents"), rules,
+          graft.text.TextStats.tokenCount(col("text")))
+          .orderBy(col("stage_idx"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        s AS (
+          SELECT len(ts) AS wc,
+            CAST(len(text) - (len(ts) - 1) AS DOUBLE) / len(ts) AS ml,
+            CAST(len(list_filter(ts, t -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','are','was',
+               'it','that','this','for','on','with','as','at','by'], t)))
+              AS DOUBLE) / len(ts) AS sr
+          FROM d),
+        f AS (
+          SELECT wc,
+            CASE WHEN wc < 30 THEN 0
+                 WHEN wc > 90 THEN 1
+                 WHEN ml < 3.0e0 OR ml > 10.0e0 THEN 2
+                 WHEN sr < 0.06e0 THEN 3
+                 ELSE 4 END AS ff
+          FROM s),
+        a AS (
+          SELECT ff, CAST(COUNT(*) AS BIGINT) AS nd,
+            CAST(SUM(wc) AS BIGINT) AS nt
+          FROM f GROUP BY ff),
+        st AS (SELECT * FROM (VALUES
+          (0, 'too_few_words'), (1, 'too_many_words'),
+          (2, 'mean_word_length'), (3, 'low_stopword_ratio'))
+          AS t(stage_idx, stage)),
+        tot AS (
+          SELECT CAST(SUM(nd) AS BIGINT) AS totd,
+            CAST(SUM(nt) AS BIGINT) AS tott
+          FROM a),
+        j AS (
+          SELECT st.stage_idx, st.stage,
+            COALESCE(a.nd, 0) AS dd, COALESCE(a.nt, 0) AS dt
+          FROM st LEFT JOIN a ON st.stage_idx = a.ff),
+        c AS (
+          SELECT stage_idx, stage, dd, dt,
+            COALESCE(SUM(dd) OVER (ORDER BY stage_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cdd,
+            COALESCE(SUM(dt) OVER (ORDER BY stage_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cdt
+          FROM j)
+        SELECT CAST(c.stage_idx AS BIGINT) AS stage_idx, c.stage,
+          CAST(tot.totd - c.cdd AS BIGINT) AS docs_in,
+          CAST(c.dd AS BIGINT) AS docs_dropped,
+          CAST(tot.totd - c.cdd - c.dd AS BIGINT) AS docs_out,
+          CAST(tot.tott - c.cdt AS BIGINT) AS tokens_in,
+          CAST(c.dt AS BIGINT) AS tokens_dropped,
+          CAST(tot.tott - c.cdt - c.dt AS BIGINT) AS tokens_out
+        FROM c, tot ORDER BY stage_idx"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
