@@ -3461,7 +3461,47 @@ object Queries {
           CAST(tot.tott - c.cdt AS BIGINT) AS tokens_in,
           CAST(c.dt AS BIGINT) AS tokens_dropped,
           CAST(tot.tott - c.cdt - c.dt AS BIGINT) AS tokens_out
-        FROM c, tot ORDER BY stage_idx"""))
+        FROM c, tot ORDER BY stage_idx""")),
+
+    // Deterministic systematic PPS sampling (operators/Sampling
+    // .samplePps): exactly k=10 picks per source distributed
+    // proportionally to token-count weight, rows ordered by the
+    // replayable salted KrHash; n_picks is the all-integer
+    // floor-difference of pick-points in each row's weight interval,
+    // replayed as two cumulative windows.
+    GraftQuery(
+      "q84_pps_sample",
+      (s, dir) =>
+        graft.operators.Sampling.samplePps(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            graft.text.TextStats.tokenCount(col("text")).cast("long").as("w")),
+          "source", "doc_id", "w", k = 10, salt = "v1")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+            CAST(doc_id AS VARCHAR) || ':v1' AS kk
+          FROM documents),
+        h AS (
+          SELECT doc_id, source, w,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kk) + 1),
+                i -> CAST(ord(substr(kk, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM s),
+        c AS (
+          SELECT doc_id, source, w,
+            SUM(w) OVER (PARTITION BY source
+              ORDER BY ((hh * hh) % 2147483647) % 1048576, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+            SUM(w) OVER (PARTITION BY source) AS tw
+          FROM h)
+        SELECT doc_id, source, w,
+          CAST((cw * 10) // tw - ((cw - w) * 10) // tw AS BIGINT) AS n_picks
+        FROM c
+        WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
+        ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stratified weighted sampling.
@@ -168,6 +169,89 @@ object Sampling {
     * silently outrank every real score (IEEE total order puts it on
     * top) — either way a quietly biased selection.
     */
+  /** Deterministic systematic PPS (probability-proportional-to-size)
+    * sampling with an exact multiplicity column — "pick ~k documents
+    * per domain, preferring the longer / higher-quality ones, the same
+    * ones on every rerun". Classic use: weighted corpus subsampling
+    * (weight = token count or a quality score quantized to an integer)
+    * and deterministic importance RESAMPLING (the multiplicity column
+    * says how many copies a heavy row earns).
+    *
+    * Semantics (all-integer, engine-replayable — q84): within each
+    * stratum, rows are ordered by (salted [[Splits.bucketOf]] hash,
+    * id); with `c_i` the cumulative weight and `W` the stratum total,
+    * row i receives `n_picks = ⌊c_i·k/W⌋ − ⌊c_{i−1}·k/W⌋` — the count
+    * of the k systematic pick-points `{⌈W/k⌉-spaced positions}` falling
+    * in its weight interval. Exactly k picks are distributed per
+    * stratum (Σ n_picks = k); rows with `n_picks = 0` are dropped, a
+    * row with weight > W/k can absorb several picks (the certainty
+    * units of PPS theory). Selection probability is exactly
+    * proportional to weight for weights ≤ W/k, and the whole
+    * assignment is a pure function of (ids, weights, salt) —
+    * layout-independent, rerun-stable, replayable as two window
+    * functions.
+    *
+    * Weights must be non-NULL, ≥ 0 and integral (raise otherwise);
+    * zero-weight rows are never picked but do not perturb others. Ids
+    * integral, non-NULL, unique per stratum (the join-back contract of
+    * [[sampleExactK]]). NULL strata form their own group.
+    *
+    * Scale shape: the cumulative-weight window runs over a PROJECTED
+    * (stratum, id, weight, bucket) table — row payloads never ride the
+    * sort shuffle — then one equi-join on the unique id restores the
+    * picked rows. The per-stratum sort is inherent to systematic
+    * sampling's total order.
+    */
+  def samplePps(
+      df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
+      k: Int, salt: String = "", outCol: String = "n_picks",
+      ordBuckets: Int = 1 << 20): DataFrame = {
+    require(k > 0, s"k must be >= 1, got $k")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists in the input")
+    val guardedId =
+      when(col(idCol).isNull,
+        raise_error(lit(s"samplePps: NULL $idCol — ids must be non-NULL")))
+        .otherwise(col(idCol).cast("long"))
+    val w = col(weightCol).cast("long")
+    val guardedW =
+      when(w.isNull || w < 0L,
+        raise_error(concat(
+          lit(s"samplePps: $weightCol must be a non-negative integer, got "),
+          coalesce(col(weightCol).cast("string"), lit("NULL")))))
+        .otherwise(w)
+    val spec = Window.partitionBy(col(stratumCol))
+    val ordered = spec.orderBy(col("__bk"), col("__id"))
+    val ranked = df
+      .select(col(stratumCol), guardedId.as("__id"), guardedW.as("__w"),
+        Splits.bucketOf(col(idCol), salt, ordBuckets).as("__bk"))
+      .withColumn("__c", sum(col("__w")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(spec))
+      // W ≤ Long.Max/k proves c·k never overflows the pick arithmetic;
+      // W ≥ 1 rules out the all-zero stratum (no pick-points exist)
+      .withColumn("__tot",
+        when(col("__tot") > Long.MaxValue / k,
+          raise_error(concat(
+            lit(s"samplePps: stratum weight exceeds the exact-pick " +
+              s"ceiling of ${Long.MaxValue / k} for k=$k, got "),
+            col("__tot").cast("string"))))
+          .when(col("__tot") < 1L,
+            raise_error(lit("samplePps: stratum total weight is 0 — " +
+              "no pick-points exist; filter empty strata first")))
+          .otherwise(col("__tot")))
+      .withColumn(outCol,
+        expr(s"(__c * ${k}L) div __tot") -
+          expr(s"((__c - __w) * ${k}L) div __tot"))
+      .filter(col(outCol) >= 1L)
+    val picked = ranked.select(
+      col(stratumCol).as("__ss"), col("__id").as("__sel_id"), col(outCol))
+    df.join(picked,
+        col(stratumCol) <=> col("__ss") &&
+          col(idCol).cast("long") === col("__sel_id"))
+      .select((df.columns.map(col).toIndexedSeq :+ col(outCol)): _*)
+  }
+
   def topKByScore(
       df: DataFrame, stratumCol: String, idCol: String, scoreCol: String,
       k: Int): DataFrame = {

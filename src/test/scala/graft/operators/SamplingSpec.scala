@@ -205,4 +205,45 @@ class SamplingSpec extends SparkSpec {
       Sampling.sampleExactK(withNull, "s", "id", 5).collect()
     }.getMessage should include("NULL")
   }
+
+  test("samplePps distributes exactly k picks per stratum, PPS-weighted") {
+    val rng = new scala.util.Random(3)
+    val df = (0L until 400L).map(i =>
+      (s"g${i % 4}", i, rng.nextInt(50).toLong + 1L)).toDF("s", "id", "w")
+    val got = Sampling.samplePps(df, "s", "id", "w", k = 7, salt = "v1")
+    val picks = got.groupBy("s").agg(sum("n_picks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    picks.values.toSet shouldBe Set(7L)
+    // every emitted row carries >= 1 pick
+    got.filter(col("n_picks") < 1).count() shouldBe 0L
+  }
+
+  test("samplePps: heavy rows absorb multiple picks; zero weight never picked") {
+    // one row with 90% of the mass at k=5 must take >= 4 picks
+    val df = Seq(("g", 1L, 90L), ("g", 2L, 5L), ("g", 3L, 5L),
+      ("g", 4L, 0L)).toDF("s", "id", "w")
+    val got = Sampling.samplePps(df, "s", "id", "w", k = 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    got.values.sum shouldBe 5L
+    got(1L) should be >= 4L
+    got.contains(4L) shouldBe false // zero weight
+  }
+
+  test("samplePps is layout-independent and guards inputs") {
+    val df = (0L until 300L).map(i => ("g", i, (i % 9) + 1L)).toDF("s", "id", "w")
+    val a = Sampling.samplePps(df, "s", "id", "w", k = 11, salt = "x")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sorted
+    val b = Sampling.samplePps(df.repartition(13), "s", "id", "w",
+        k = 11, salt = "x")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sorted
+    a shouldBe b
+    intercept[Exception] {
+      Sampling.samplePps(Seq(("g", 1L, -2L)).toDF("s", "id", "w"),
+        "s", "id", "w", k = 2).collect()
+    }.getMessage should include("non-negative")
+    intercept[Exception] {
+      Sampling.samplePps(Seq(("g", 1L, 0L)).toDF("s", "id", "w"),
+        "s", "id", "w", k = 2).collect()
+    }.getMessage should include("total weight is 0")
+  }
 }
