@@ -3501,7 +3501,221 @@ object Queries {
           CAST((cw * 10) // tw - ((cw - w) * 10) // tw AS BIGINT) AS n_picks
         FROM c
         WHERE (cw * 10) // tw - ((cw - w) * 10) // tw >= 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // HTML → visible text (text/Boilerplate.stripHtml): the web-corpus
+    // ingestion step. Each document is deterministically wrapped in a
+    // fixed HTML shell (script block with a bare `<`, style block,
+    // comment, entities incl. a double-encoded `&amp;lt;` case) and the
+    // operator must recover exactly the visible text. Map-only regex
+    // chain in the Java∩RE2 subset; the oracle replays the identical
+    // chain with DuckDB's RE2.
+    GraftQuery(
+      "q85_strip_html",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>"), col("source"),
+          lit("</title><style type=\"text/css\"> p { margin: 0; } " +
+            "</style><script> if (1 < 2) { document.write(\"&nbsp;\"); } " +
+            "</script></head><body><!-- nav --><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit(" &amp; more &lt;tags&gt; &quot;q&quot; " +
+            "&#39;x&#39;</p></body></html>"))
+        graft.text.Boilerplate.withStrippedHtml(
+          t(s, dir, "documents").select(col("doc_id"), html.as("text")),
+          "text")
+          .select(col("doc_id"), col("text_clean"), col("n_chars_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><title>' || source
+            || '</title><style type="text/css"> p { margin: 0; } '
+            || '</style><script> if (1 < 2) { document.write("&nbsp;"); } '
+            || '</script></head><body><!-- nav --><h1>Doc '
+            || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+            || ' &amp; more &lt;tags&gt; &quot;q&quot; '
+            || '&#39;x&#39;</p></body></html>' AS html
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g') AS t1
+          FROM h),
+        d AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(t1,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t2
+          FROM s),
+        c AS (
+          SELECT doc_id,
+            trim(regexp_replace(t2, '\s+', ' ', 'g')) AS text_clean
+          FROM d)
+        SELECT doc_id, text_clean,
+          CAST(len(text_clean) AS BIGINT) AS n_chars_clean
+        FROM c ORDER BY doc_id""")),
+
+    // URL normalization + domain-policy filter (text/Urls): canonical
+    // scheme/host/port/path/query/fragment policy, then subdomain-aware
+    // blocklisting on the domain key. URLs are synthesized per doc_id
+    // to cover every branch: mixed-case scheme/host, default and
+    // non-default ports, trailing slashes, tracking params in first/
+    // middle/last/only position, fragments. doc_id%7∈{3,5} lands on
+    // blocked domains and must vanish. Map-only regexp algebra.
+    GraftQuery(
+      "q86_url_policy",
+      (s, dir) => {
+        val id = col("doc_id")
+        val url = concat(
+          when(pmod(id, lit(3)) === 0, "HTTP")
+            .when(pmod(id, lit(3)) === 1, "https").otherwise("HtTpS"),
+          lit("://WWW.Site"), pmod(id, lit(7)).cast("string"),
+          lit(".Example.COM"),
+          when(pmod(id, lit(3)) === 0, ":80")
+            .when(pmod(id, lit(3)) === 1, ":443").otherwise(":8443"),
+          lit("/Articles/"), col("source"),
+          when(pmod(id, lit(2)) === 0, "/").otherwise(""),
+          when(pmod(id, lit(4)) === 0,
+            concat(lit("?utm_source=news&id="), id.cast("string"),
+              lit("&utm_medium=email")))
+            .when(pmod(id, lit(4)) === 1,
+              concat(lit("?id="), id.cast("string"), lit("&gclid=abc")))
+            .when(pmod(id, lit(4)) === 2, lit(""))
+            .otherwise(lit("?utm_campaign=x")),
+          when(pmod(id, lit(5)) === 0, "#section2").otherwise(""))
+        val withUrl = t(s, dir, "documents").select(col("doc_id"),
+          url.as("url"))
+        graft.text.Urls.filterByDomainPolicy(withUrl, "url",
+          Seq("site3.example.com", "site5.example.com"))
+          .select(col("doc_id"),
+            graft.text.Urls.normalizeUrl(col("url")).as("url_norm"),
+            graft.text.Urls.domain(col("url")).as("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+              ELSE 'HtTpS' END)
+            || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+            || '.Example.COM'
+            || (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+              ELSE ':8443' END)
+            || '/Articles/' || source
+            || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+            || (CASE doc_id % 4
+              WHEN 0 THEN '?utm_source=news&id='
+                || CAST(doc_id AS VARCHAR) || '&utm_medium=email'
+              WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=abc'
+              WHEN 2 THEN '' ELSE '?utm_campaign=x' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)
+              AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            lower(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+              1)) AS sch,
+            regexp_replace(lower(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+              2)), '^www\.', '') AS hp0,
+            regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+              3) AS pth0,
+            coalesce(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+              4), '') AS q0
+          FROM u),
+        n AS (
+          SELECT doc_id, sch,
+            CASE WHEN sch = 'http' THEN regexp_replace(hp0, ':80$', '')
+                 WHEN sch = 'https' THEN regexp_replace(hp0, ':443$', '')
+                 ELSE hp0 END AS hp,
+            CASE WHEN regexp_replace(pth0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(pth0, '/+$', '') END AS pth,
+            CASE WHEN regexp_replace(regexp_replace(q0,
+                '(?i)[?&](utm_[a-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*',
+                '', 'g'), '^&', '?') = '?' THEN ''
+              ELSE regexp_replace(regexp_replace(q0,
+                '(?i)[?&](utm_[a-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*',
+                '', 'g'), '^&', '?') END AS qq
+          FROM p),
+        f AS (
+          SELECT doc_id, sch || '://' || hp || pth || qq AS url_norm,
+            regexp_replace(hp, ':[0-9]+$', '') AS domain
+          FROM n)
+        SELECT doc_id, url_norm, domain
+        FROM f
+        WHERE NOT (domain = 'site3.example.com'
+          OR domain LIKE '%.site3.example.com'
+          OR domain = 'site5.example.com'
+          OR domain LIKE '%.site5.example.com')
+        ORDER BY doc_id""")),
+
+    // C4-style line-level boilerplate removal (text/Boilerplate
+    // .cleanLines): keep lines with >=3 words that end in terminal
+    // punctuation and mention no boilerplate marker. Each document is
+    // extended with four synthetic boilerplate lines (javascript
+    // notice, nav bar, legal footer, and an alternating fifth line
+    // that is kept on even ids and too short on odd ids), so survival
+    // varies per row. ArrayFilter HOF, map-only; the oracle replays
+    // the predicate with DuckDB list_filter.
+    GraftQuery(
+      "q87_c4_lines",
+      (s, dir) => {
+        val doc = concat(
+          col("text"),
+          lit(".\nPlease enable JavaScript to continue.\n" +
+            "Home | About | Contact\n© 2026 "),
+          col("source"), lit(" All Rights Reserved.\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("Document "), col("doc_id").cast("string"),
+              lit(" includes a closing sentence here.")))
+            .otherwise(lit("Tiny line.")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.text.Boilerplate.cleanLines(doc).as("text_clean"))
+          .withColumn("n_lines_kept",
+            when(col("text_clean") === "", lit(0L))
+              .otherwise(size(split(col("text_clean"), "\n")).cast("long")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            text || '.' || chr(10)
+            || 'Please enable JavaScript to continue.' || chr(10)
+            || 'Home | About | Contact' || chr(10)
+            || '© 2026 ' || source || ' All Rights Reserved.' || chr(10)
+            || (CASE WHEN doc_id % 2 = 0 THEN 'Document '
+                || CAST(doc_id AS VARCHAR)
+                || ' includes a closing sentence here.'
+              ELSE 'Tiny line.' END) AS doc
+          FROM documents),
+        k AS (
+          SELECT doc_id,
+            array_to_string(list_filter(string_split(doc, chr(10)), l ->
+              len(string_split(trim(l), ' ')) >= 3
+              AND regexp_matches(trim(l), '[.!?]$')
+              AND NOT contains(lower(trim(l)), 'javascript')
+              AND NOT contains(lower(trim(l)), 'cookie')
+              AND NOT contains(lower(trim(l)), 'all rights reserved')
+              AND NOT contains(lower(trim(l)), 'terms of use')
+              AND NOT contains(lower(trim(l)), '©')), chr(10))
+              AS text_clean
+          FROM d)
+        SELECT doc_id, text_clean,
+          CAST(CASE WHEN text_clean = '' THEN 0
+            ELSE len(string_split(text_clean, chr(10))) END AS BIGINT)
+            AS n_lines_kept
+        FROM k ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
