@@ -195,6 +195,66 @@ object Dedup {
       .distinct()
   }
 
+  /** Containment near-duplicate pairs: |shingles(A) ∩ shingles(B)| /
+    * min(|A|, |B|) ≥ threshold — the asymmetric-overlap complement of
+    * Jaccard near-dup (Broder's containment measure). A short document
+    * pasted inside a much longer one scores near 1.0 containment but a
+    * LOW Jaccard (the union is dominated by the long side), so
+    * MinHash-LSH dedup systematically misses exactly the
+    * quote-embedding / boilerplate-wrapper duplicates this catches.
+    *
+    * Scale shape: a posting-list (inverted-index) self-join. Distinct
+    * shingles are exploded, shingles appearing in more than
+    * `maxDocFreq` documents are dropped BEFORE the join (a shingle
+    * shared by d docs fans out d(d−1)/2 candidate pairs; hot
+    * boilerplate grams carry no identity signal — the same
+    * pre-join doc-frequency cap as [[SubstringDedup]] and
+    * `Decontaminate`), then one equi-join on the shingle feeds a pair
+    * count (postings are distinct per (doc, shingle) by construction,
+    * so `count` IS the intersection size — no count-distinct shuffle).
+    * Containment is computed over the RETAINED shingle universe: both
+    * the intersection and the set sizes exclude capped shingles, so
+    * the reported ratio is internally consistent and the whole
+    * pipeline replays as plain SQL (q88). At 100 TB the shingle
+    * strings would ride the shuffle as 64-bit hashes (as in
+    * [[nearDuplicates]]); exact strings are kept here so the measure
+    * is exact, not probabilistic.
+    */
+  def containmentNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDocFreq >= 2L,
+      s"maxDocFreq < 2 can never produce a pair, got $maxDocFreq")
+    val postings = df
+      .select(col(idCol).as("__cid"),
+        explode(shingles(col(textCol), shingleSize)).as("__g"))
+    val rare = postings.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("__g"))
+    // corpus-sized on both sides: a plain shuffle equi-join, never a
+    // broadcast of the shingle table
+    val kept = postings.join(rare, "__g")
+    val sizes = kept.groupBy(col("__cid")).agg(count(lit(1)).as("__n"))
+    val shared = kept.as("a")
+      .join(kept.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__cid") < col("b.__cid"))
+      .groupBy(col("a.__cid").as("id_a"), col("b.__cid").as("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.__cid"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.__cid"))
+      // exact-integer division on both engines → bit-reproducible
+      .withColumn("containment",
+        col("__shared").cast("double") /
+          least(col("sa.__n"), col("sb.__n")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns —
     * builtins-only composed form, kept as the equivalence witness for
     * the fused native expression

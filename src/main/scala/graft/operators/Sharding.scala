@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharded materialization — the final step of a curation
+  * pipeline: the corpus written as `nShards` stable shards with a
+  * manifest (row count, key range, order-independent content checksum
+  * per shard) so a training job can (a) assign shards to readers
+  * without listing files, (b) verify a transfer without re-reading the
+  * corpus, and (c) reproduce the exact layout from the keys alone.
+  *
+  * Shard assignment is `Splits.bucketOf(key, salt, nShards)` — a pure
+  * function of (key, salt), independent of partitioning, row order and
+  * cluster size, and replayable in any engine with 64-bit integers
+  * (the [[Splits]] contract). The checksum is the SUM of the per-key
+  * squared Karp-Rabin hashes mod 2³¹−1: addition commutes, so the
+  * checksum is identical however the shard's rows were ordered or
+  * partitioned when it was computed — a content fingerprint, not a
+  * layout fingerprint. (Sum-of-hashes is weaker than an order-aware
+  * digest against adversarial tampering, but transfer verification
+  * guards against corruption, not adversaries.)
+  *
+  * Scale shape: the manifest is one map-side-combinable aggregate over
+  * a projected (shard, key, hash) table — document text never rides
+  * the shuffle — and the write is `repartition(shard)` +
+  * `sortWithinPartitions(key)` + parquet `partitionBy(shard)`: one
+  * exchange keyed by shard, within-shard key order for free range
+  * metadata (parquet min/max row-group stats → key-range scan pruning
+  * on the read side).
+  */
+object Sharding {
+
+  /** Stable shard id in `[0, nShards)` for `key` (see [[Splits.bucketOf]]). */
+  def shardOf(key: Column, nShards: Int, salt: String = ""): Column =
+    Splits.bucketOf(key, salt, nShards).cast("int")
+
+  /** `df` plus a `shard` column. */
+  def withShard(
+      df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard", shardOf(col(keyCol), nShards, salt))
+  }
+
+  /** One row per non-empty shard: `(shard, n_rows, min_key, max_key,
+    * key_checksum)` with the order-independent checksum described
+    * above. Exactly the aggregate a writer emits next to the data and
+    * a reader re-computes to verify it.
+    */
+  def shardManifest(
+      df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val p = lit((1L << 31) - 1)
+    val h = graft.functions.KrHash.krHash(col(keyCol).cast("string"))
+    withShard(df, keyCol, nShards, salt)
+      .select(col("shard"), col(keyCol).as("__k"),
+        ((h * h) % p).as("__h"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__k")).as("min_key"),
+        max(col("__k")).as("max_key"),
+        sum(col("__h")).as("key_checksum"))
+  }
+
+  /** Write `df` as `path/shard=N/…` parquet, rows sorted by `keyCol`
+    * within each shard: one exchange on the shard id, then a
+    * per-partition sort — no global sort. Returns the manifest
+    * (computed from the input projection, not by re-reading the sink).
+    */
+  def writeSortedShards(
+      df: DataFrame, keyCol: String, nShards: Int, path: String,
+      salt: String = ""): DataFrame = {
+    val sharded = withShard(df, keyCol, nShards, salt)
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    shardManifest(df, keyCol, nShards, salt)
+  }
+}
