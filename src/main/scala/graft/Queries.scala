@@ -1585,9 +1585,16 @@ object Queries {
           .schema(s.read.parquet(s"$dir/events.parquet").schema)
           .parquet(srcDir.toString)
         val typed = org.apache.spark.sql.functions.expr("ts div 1000") // nanos -> micros
-        val stream = (if (src.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          src.withColumn("ts", timestamp_micros(typed)) else src)
+        // normalize every corpus generation of `ts` (Long nanos /
+        // TIMESTAMP_NTZ / TIMESTAMP) to TIMESTAMP — event-time
+        // watermarks reject NTZ; sessions run UTC so values are unchanged
+        val stream = (src.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src.withColumn("ts", timestamp_micros(typed))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            src.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => src
+        })
           .filter(col("user_id") < 50)
           .withColumn("value_dec", col("value").cast("decimal(30,2)"))
         val sessions = graft.streaming.Streaming.sessionStats(
@@ -2489,9 +2496,9 @@ object Queries {
             col("image_features.mean_pixel").as("mean_pixel"),
             lit(null).cast("int").as("sample_rate"),
             lit(null).cast("int").as("n_samples"),
-            // empty, not NULL: engines render a NULL array differently
-            // through pandas (None vs NaN), an empty one identically
-            array().cast("array<double>").as("energies"),
+            // a STRING, not array<double>: the driver's pandas compare
+            // lexsorts every column and list-typed cells are unsortable
+            lit("").as("energies_e9"),
             crc32(col("payload")).as("crc"))
         val aud = mm.withAudioFeatures(
             df(Seq("audio_ramp.wav")), "payload", mm.JavaSoundDecoder,
@@ -2503,8 +2510,12 @@ object Queries {
             lit(null).cast("double").as("mean_pixel"),
             col("audio_features.sample_rate").as("sample_rate"),
             col("audio_features.n_samples").as("n_samples"),
-            col("audio_features.window_energies").cast("array<double>")
-              .as("energies"),
+            // nano-quantized integers joined to one sortable string;
+            // round() is HALF_UP in both engines for positive doubles
+            concat_ws(",", transform(
+              col("audio_features.window_energies").cast("array<double>"),
+              e => round(e * lit(1e9)).cast("long").cast("string")))
+              .as("energies_e9"),
             crc32(col("payload")).as("crc"))
         img.unionByName(aud).orderBy(col("name"))
       },
@@ -2512,20 +2523,19 @@ object Queries {
         SELECT * FROM (VALUES
           ('audio_ramp.wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
            CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), 8000, 440,
-           [0.25192075967788696e0, 0.197988823056221e0,
-            0.21787354350090027e0, 0.3080189526081085e0],
+           '251920760,197988823,217873544,308018953',
            CAST(3235884360 AS BIGINT)),
           ('img_checker.png', 16, 16, 4, 0.5e0, CAST(NULL AS INTEGER),
-           CAST(NULL AS INTEGER), CAST([] AS DOUBLE[]),
+           CAST(NULL AS INTEGER), '',
            CAST(1044419773 AS BIGINT)),
           ('img_gradient.png', 8, 6, 3, 0.42483660130718953e0,
            CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-           CAST([] AS DOUBLE[]), CAST(3788437974 AS BIGINT)),
+           '', CAST(3788437974 AS BIGINT)),
           ('img_solid.png', 5, 5, 3, 0.4000000000000001e0,
            CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-           CAST([] AS DOUBLE[]), CAST(3529441795 AS BIGINT)))
+           '', CAST(3529441795 AS BIGINT)))
           v(name, width, height, channels, mean_pixel, sample_rate,
-            n_samples, energies, crc)
+            n_samples, energies_e9, crc)
         ORDER BY name""")),
 
     // Streaming SimHash near-duplicate detection, oracle-checked — the
@@ -3531,13 +3541,13 @@ object Queries {
       Some("""
         WITH h AS (
           SELECT doc_id,
-            '<html><head><title>' || source
-            || '</title><style type="text/css"> p { margin: 0; } '
-            || '</style><script> if (1 < 2) { document.write("&nbsp;"); } '
-            || '</script></head><body><!-- nav --><h1>Doc '
-            || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-            || ' &amp; more &lt;tags&gt; &quot;q&quot; '
-            || '&#39;x&#39;</p></body></html>' AS html
+            '<html><head><title>' || source ||
+            '</title><style type="text/css"> p { margin: 0; } ' ||
+            '</style><script> if (1 < 2) { document.write("&nbsp;"); } ' ||
+            '</script></head><body><!-- nav --><h1>Doc ' ||
+            CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+            ' &amp; more &lt;tags&gt; &quot;q&quot; ' ||
+            '&#39;x&#39;</p></body></html>' AS html
           FROM documents),
         s AS (
           SELECT doc_id,
@@ -3603,19 +3613,19 @@ object Queries {
         WITH u AS (
           SELECT doc_id,
             (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
-              ELSE 'HtTpS' END)
-            || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
-            || '.Example.COM'
-            || (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
-              ELSE ':8443' END)
-            || '/Articles/' || source
-            || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
-            || (CASE doc_id % 4
-              WHEN 0 THEN '?utm_source=news&id='
-                || CAST(doc_id AS VARCHAR) || '&utm_medium=email'
+              ELSE 'HtTpS' END) ||
+            '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+            '.Example.COM' ||
+            (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+              ELSE ':8443' END) ||
+            '/Articles/' || source ||
+            (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+            (CASE doc_id % 4
+              WHEN 0 THEN '?utm_source=news&id=' ||
+                CAST(doc_id AS VARCHAR) || '&utm_medium=email'
               WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=abc'
-              WHEN 2 THEN '' ELSE '?utm_campaign=x' END)
-            || (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)
+              WHEN 2 THEN '' ELSE '?utm_campaign=x' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)
               AS url
           FROM documents),
         p AS (
@@ -3690,13 +3700,13 @@ object Queries {
       Some("""
         WITH d AS (
           SELECT doc_id,
-            text || '.' || chr(10)
-            || 'Please enable JavaScript to continue.' || chr(10)
-            || 'Home | About | Contact' || chr(10)
-            || '© 2026 ' || source || ' All Rights Reserved.' || chr(10)
-            || (CASE WHEN doc_id % 2 = 0 THEN 'Document '
-                || CAST(doc_id AS VARCHAR)
-                || ' includes a closing sentence here.'
+            text || '.' || chr(10) ||
+            'Please enable JavaScript to continue.' || chr(10) ||
+            'Home | About | Contact' || chr(10) ||
+            '© 2026 ' || source || ' All Rights Reserved.' || chr(10) ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'Document ' ||
+                CAST(doc_id AS VARCHAR) ||
+                ' includes a closing sentence here.'
               ELSE 'Tiny line.' END) AS doc
           FROM documents),
         k AS (

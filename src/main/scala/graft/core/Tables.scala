@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated test corpus
   * (`/root/testdata/sf*`; see TESTDATA.md). All `SparkEntry.queries`
@@ -14,11 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns written by the corpus generator as parquet
-    * TIMESTAMP(NANOS), which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL). With `nanosAsLong` they surface as
-    * LongType nanos; we rebuild a real timestamp with integer
-    * `div` (a double round-trip would lose precision above 2^53 ns).
+  /** Event-time columns whose parquet physical type has varied across
+    * corpus generations; normalize every variant to session-local
+    * TIMESTAMP so downstream `unix_micros`/watermark code sees one type:
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it by default
+    *     (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it surfaces as
+    *     LongType nanos and we rebuild via integer `div` (a double
+    *     round-trip would lose precision above 2^53 ns);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *     TIMESTAMP_NTZ, which `unix_micros` and event-time watermarks
+    *     reject — cast to TIMESTAMP (sessions run with UTC timezone, so
+    *     the wall-clock values are unchanged, matching the oracle's
+    *     naive read of the same parquet).
     */
   private val NanoTsColumns = Map("events" -> Seq("ts"))
 
@@ -30,6 +37,9 @@ object Tables {
     NanoTsColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
         d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else if (d.schema.fieldNames.contains(c) &&
+          d.schema(c).dataType == TimestampNTZType)
+        d.withColumn(c, col(c).cast(TimestampType))
       else d
     }
   }
