@@ -3725,7 +3725,168 @@ object Queries {
           CAST(CASE WHEN text_clean = '' THEN 0
             ELSE len(string_split(text_clean, chr(10))) END AS BIGINT)
             AS n_lines_kept
-        FROM k ORDER BY doc_id"""))
+        FROM k ORDER BY doc_id""")),
+
+    // Containment near-duplicates (dedup/Dedup.containmentNearDuplicates):
+    // |A∩B| / min(|A|,|B|) over 3-gram shingle sets — the asymmetric
+    // overlap measure that catches short-doc-inside-long-doc duplication
+    // Jaccard dilutes. Posting-list self-join with the doc-frequency cap
+    // replayed by the oracle; exact integer division → bit-equal doubles.
+    GraftQuery(
+      "q88_containment",
+      (s, dir) =>
+        graft.dedup.Dedup.containmentNearDuplicates(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text",
+          shingleSize = 3, threshold = 0.4, maxDocFreq = 50)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3),
+        p0 AS (SELECT doc_id, unnest(gs) AS g FROM t),
+        rare AS (SELECT g FROM p0 GROUP BY g HAVING count(*) <= 50),
+        keep AS (SELECT doc_id, g FROM p0 JOIN rare USING (g)),
+        sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+        sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS shared
+               FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+        FROM sh JOIN sz sa ON sh.id_a = sa.doc_id
+          JOIN sz sb ON sh.id_b = sb.doc_id
+        WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.4
+        ORDER BY 1, 2""")),
+
+    // Encoding-quality triage (text/Encoding.withEncodingQuality):
+    // U+FFFD replacement chars, C0-control spill, and UTF-8-as-Latin-1
+    // mojibake lead sequences, counted exactly. Corruption is
+    // synthesized deterministically per doc_id%5 (replacement chars /
+    // mojibake é+’ / control bytes / mojibake ñ / clean) so every
+    // branch fires; the corpus text itself is pure ASCII at every SF.
+    GraftQuery(
+      "q89_encoding_quality",
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(5))
+        val tail = when(m === 0, lit(" caf� tr�s bad"))
+          .when(m === 1, lit(" cafÃ© donâ€™t"))
+          .when(m === 2, lit(" xyz"))
+          .when(m === 3, lit(" niÃ±o more"))
+          .otherwise(lit(" clean tail."))
+        graft.text.Encoding.withEncodingQuality(
+          t(s, dir, "documents")
+            .select(col("doc_id"), concat(col("text"), tail).as("text")),
+          "text")
+          .select(col("doc_id"), col("n_chars"), col("n_replacement"),
+            col("n_control"), col("n_mojibake"), col("bad_char_frac"),
+            col("enc_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text ||
+            (CASE doc_id % 5
+              WHEN 0 THEN ' caf' || chr(65533) || ' tr' || chr(65533) || 's bad'
+              WHEN 1 THEN ' caf' || chr(195) || chr(169) || ' don' ||
+                chr(226) || chr(8364) || chr(8482) || 't'
+              WHEN 2 THEN ' x' || chr(1) || 'y' || chr(2) || 'z'
+              WHEN 3 THEN ' ni' || chr(195) || chr(177) || 'o more'
+              ELSE ' clean tail.' END) AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+            CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT)
+              AS n_replacement,
+            CAST(len(t) - len(regexp_replace(t,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+              AS n_control,
+            CAST(
+              (len(t) - len(replace(t, chr(195) || chr(169), ''))) // 2 +
+              (len(t) - len(replace(t, chr(195) || chr(168), ''))) // 2 +
+              (len(t) - len(replace(t, chr(195) || chr(160), ''))) // 2 +
+              (len(t) - len(replace(t, chr(195) || chr(177), ''))) // 2 +
+              (len(t) - len(replace(t, chr(195) || chr(188), ''))) // 2 +
+              (len(t) - len(replace(t, chr(195) || chr(182), ''))) // 2 +
+              (len(t) - len(replace(t, chr(226) || chr(8364), ''))) // 2 +
+              (len(t) - len(replace(t, chr(194) || chr(160), ''))) // 2
+              AS BIGINT) AS n_mojibake
+          FROM d)
+        SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+          CASE WHEN n_chars = 0 THEN 0e0
+            ELSE CAST(n_replacement + n_control AS DOUBLE) / n_chars END
+            AS bad_char_frac,
+          (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0)
+            AS enc_clean
+        FROM c ORDER BY doc_id""")),
+
+    // Corpus composition report (text/CorpusReport.report): per-source
+    // plus grand-total doc/token/char counts and token extremes in ONE
+    // ROLLUP aggregate — one scan + one shuffle however many levels,
+    // vs a per-level union re-scanning the corpus. All-integer output;
+    // GROUPING() disambiguates the total row.
+    GraftQuery(
+      "q90_corpus_report",
+      (s, dir) =>
+        graft.text.CorpusReport.report(
+          t(s, dir, "documents"), "source", "text")
+          .select(coalesce(col("source"), lit("<all>")).as("source_group"),
+            col("is_total"), col("n_docs"), col("n_tokens"),
+            col("n_chars"), col("min_tokens"), col("max_tokens"))
+          .orderBy(col("is_total"), col("source_group")),
+      Some("""
+        WITH d AS (
+          SELECT source,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+            END AS t,
+            len(text) AS c
+          FROM documents)
+        SELECT coalesce(source, '<all>') AS source_group,
+          GROUPING(source) = 1 AS is_total,
+          count(*) AS n_docs,
+          CAST(SUM(t) AS BIGINT) AS n_tokens,
+          CAST(SUM(c) AS BIGINT) AS n_chars,
+          CAST(MIN(t) AS BIGINT) AS min_tokens,
+          CAST(MAX(t) AS BIGINT) AS max_tokens
+        FROM d GROUP BY ROLLUP (source)
+        ORDER BY is_total, source_group""")),
+
+    // Sharded-materialization manifest (operators/Sharding
+    // .shardManifest): stable KrHash shard assignment plus per-shard
+    // row count, key range, and an order-independent sum-of-squared-
+    // hashes checksum — what a writer emits next to the data and a
+    // reader recomputes to verify a transfer. The oracle replays the
+    // full hash→shard→aggregate pipeline.
+    GraftQuery(
+      "q91_shard_manifest",
+      (s, dir) =>
+        graft.operators.Sharding.shardManifest(
+          t(s, dir, "documents"), "doc_id", nShards = 16)
+          .orderBy(col("shard")),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS kk FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kk) + 1),
+                i -> CAST(ord(substr(kk, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM s),
+        b AS (
+          SELECT doc_id, (hh * hh) % 2147483647 AS h2,
+            CAST(((hh * hh) % 2147483647) % 16 AS INTEGER) AS shard
+          FROM h)
+        SELECT shard, count(*) AS n_rows, min(doc_id) AS min_key,
+          max(doc_id) AS max_key,
+          CAST(sum(h2) AS BIGINT) AS key_checksum
+        FROM b GROUP BY shard ORDER BY shard"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
