@@ -3886,7 +3886,96 @@ object Queries {
         SELECT shard, count(*) AS n_rows, min(doc_id) AS min_key,
           max(doc_id) AS max_key,
           CAST(sum(h2) AS BIGINT) AS key_checksum
-        FROM b GROUP BY shard ORDER BY shard"""))
+        FROM b GROUP BY shard ORDER BY shard""")),
+
+    // Tolerant JSONL ingestion (sources/JsonCorpus): documents staged
+    // as JSONL with every doc_id%97==0 line deterministically truncated
+    // (the crawler partial-flush failure mode), read back PERMISSIVE
+    // with explicit schema + corrupt-record audit. Valid rows survive
+    // byte-exact; the corrupt count rides every row via the BNLJ-free
+    // 1-row broadcast join, so the oracle checks parse tolerance AND
+    // the audit trail in one result.
+    GraftQuery(
+      "q92_jsonl_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val line = to_json(struct(col("doc_id"), col("source"), col("text")))
+        val lines = t(s, dir, "documents").filter(col("doc_id") < 500)
+          .withColumn("l", line)
+          .select(
+            when(pmod(col("doc_id"), lit(97)) === 0,
+              expr("substring(l, 1, length(l) - 1)"))
+              .otherwise(col("l")).as("value"))
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_q92_src_").toString
+        lines.write.mode("overwrite").text(srcDir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("text", StringType)))
+        graft.sources.JsonCorpus.readJsonlWithAudit(s, srcDir, schema)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("n_chars"),
+            col("n_corrupt"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_chars
+          FROM documents WHERE doc_id < 500 AND doc_id % 97 <> 0),
+        c AS (
+          SELECT count(*) AS n_corrupt FROM documents
+          WHERE doc_id < 500 AND doc_id % 97 = 0)
+        SELECT v.doc_id, v.source, v.n_chars, c.n_corrupt
+        FROM v, c ORDER BY v.doc_id""")),
+
+    // Snapshot-over-snapshot corpus diff (text/CorpusDiff.diff): the
+    // per-ingest volume-shift monitor. Old = doc_id < 300 with src4
+    // withheld (so src4 reports "added"); new = the full table with
+    // src0 withheld (so src0 reports "removed"); everything else lands
+    // changed/unchanged with exact integer deltas.
+    GraftQuery(
+      "q93_corpus_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.text.CorpusDiff.diff(
+          docs.filter(col("doc_id") < 300 && col("source") =!= "src4"),
+          docs.filter(col("source") =!= "src0"),
+          "source", "text")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split(
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+            END AS t, doc_id
+          FROM documents),
+        o AS (
+          SELECT source, count(*) AS docs_old,
+            CAST(SUM(t) AS BIGINT) AS tokens_old
+          FROM tok WHERE doc_id < 300 AND source <> 'src4'
+          GROUP BY source),
+        n AS (
+          SELECT source, count(*) AS docs_new,
+            CAST(SUM(t) AS BIGINT) AS tokens_new
+          FROM tok WHERE source <> 'src0'
+          GROUP BY source)
+        SELECT coalesce(o.source, n.source) AS source,
+          coalesce(docs_old, 0) AS docs_old,
+          coalesce(docs_new, 0) AS docs_new,
+          coalesce(docs_new, 0) - coalesce(docs_old, 0) AS docs_delta,
+          coalesce(tokens_old, 0) AS tokens_old,
+          coalesce(tokens_new, 0) AS tokens_new,
+          coalesce(tokens_new, 0) - coalesce(tokens_old, 0) AS tokens_delta,
+          CASE WHEN o.source IS NULL THEN 'added'
+            WHEN n.source IS NULL THEN 'removed'
+            WHEN docs_old = docs_new AND tokens_old = tokens_new
+              THEN 'unchanged'
+            ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.source = n.source
+        ORDER BY source"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — the optional name filter
+    // is a local-iteration convenience; the driver passes exactly two
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // deterministic declaration order (Queries.all), not Map order
-    Queries.all.foreach { q =>
+    Queries.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       try q.run(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>
