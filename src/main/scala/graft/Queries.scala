@@ -3975,7 +3975,46 @@ object Queries {
               THEN 'unchanged'
             ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.source = n.source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // Train-side decontamination with a Bloom prefilter
+    // (text/Decontaminate.dropContaminatedTrain): eval grams → one
+    // Bloom filter, train gram table probed MAP-SIDE, exact semi-join
+    // on the hits. The oracle replays the exact no-bloom computation —
+    // the two are provably identical (no false negatives; the
+    // semi-join kills false positives), so hash-equality here IS the
+    // bloom-path correctness proof.
+    GraftQuery(
+      "q94_bloom_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.text.Decontaminate.dropContaminatedTrain(
+          docs.filter(col("doc_id") >= 50 && col("doc_id") < 1000),
+          "doc_id",
+          docs.filter(col("doc_id") < 50), "doc_id",
+          "text", n = 3, maxTrainDocFreq = 40L)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+          WHERE doc_id < 1000),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(0, greatest(len(ts) - 2, 0)),
+              i -> array_to_string(ts[(i+1):(i+3)], ' ')))) AS gram
+          FROM d),
+        te AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id >= 50),
+        rare AS (SELECT gram FROM tr GROUP BY gram HAVING count(*) <= 40),
+        bad AS (
+          SELECT DISTINCT tr.doc_id FROM tr
+          JOIN rare ON tr.gram = rare.gram
+          JOIN te ON tr.gram = te.gram)
+        SELECT doc_id FROM d
+        WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

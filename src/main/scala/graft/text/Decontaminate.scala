@@ -125,4 +125,57 @@ object Decontaminate {
         .select("test_id").distinct()
     }
   }
+
+  /** The training corpus with every document sharing a (train-rare)
+    * n-gram with the eval set REMOVED — decontaminating the TRAIN side,
+    * the production direction: GPT-3 appendix C removes training
+    * documents, not benchmark items, so published benchmark numbers
+    * stay comparable.
+    *
+    * Scale shape — built on the size asymmetry: eval sets are MBs,
+    * training corpora are TBs. The eval side's distinct grams
+    * aggregate into ONE Bloom filter ([[graft.operators.BloomPrune]] —
+    * bounded bytes however many grams), and the train-side gram table
+    * (the corpus-dominating explode) probes it MAP-SIDE, so only
+    * probable hits — true contamination plus an fpp-sized sliver —
+    * ever reach a shuffle. The exact semi-join that follows removes
+    * Bloom false positives, and Bloom filters have no false negatives,
+    * so the result is EXACTLY the no-bloom semi-join; the filter only
+    * cuts shuffle volume. The train-doc-frequency cap (boilerplate
+    * grams carry no leak signal; see [[overlapPairs]]) is computed on
+    * the pruned table — identical counts for any gram that can matter,
+    * since every occurrence of a bloom-member gram passes the probe.
+    */
+  def dropContaminatedTrain(
+      train: DataFrame, trainId: String,
+      test: DataFrame, testId: String,
+      textCol: String, n: Int,
+      maxTrainDocFreq: Long = 10000L,
+      fpp: Double = 0.03): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val te = docNgrams(test, testId, textCol, n)
+      .select("gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded: the distinct grams of the (small) eval side
+      val nEvalGrams = math.max(te.count(), 1L)
+      val bloom = graft.operators.BloomPrune.keyBloom(
+        te, "gram", nEvalGrams, fpp)
+      val hits = graft.operators.BloomPrune.probableMatches(
+        docNgrams(train, trainId, textCol, n), "gram", bloom)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rare = hits.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxTrainDocFreq)
+          .select("gram")
+        // contaminated ids are rare (real leakage is the exception) —
+        // checkpoint them so both caches release before returning
+        val contaminated = hits.join(rare, Seq("gram"))
+          .join(te, Seq("gram"), "left_semi")
+          .select(col(trainId)).distinct()
+          .localCheckpoint(true)
+        train.join(contaminated, Seq(trainId), "left_anti")
+      } finally hits.unpersist()
+    } finally te.unpersist()
+  }
 }

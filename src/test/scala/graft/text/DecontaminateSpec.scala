@@ -98,4 +98,52 @@ class DecontaminateSpec extends SparkSpec {
     val tr = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
     Decontaminate.docNgrams(tr, "doc_id", "text", 2).count() shouldBe 2L
   }
+
+  test("dropContaminatedTrain removes exactly the leaking train docs") {
+    val got = Decontaminate.dropContaminatedTrain(
+      trainDf, "doc_id", testDf, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // train 1 and 3 share "quick brown fox" with test 100; train 2
+    // shares its trigrams with test 102 — nothing survives here...
+    got shouldBe Set.empty[Long]
+    // ...but with n = 4 train 3 survives ("the quick brown fox" ≠
+    // "a quick brown fox"); train 1 still leaks via "quick brown fox
+    // jumps" and train 2 is contained in test 102
+    val got4 = Decontaminate.dropContaminatedTrain(
+      trainDf, "doc_id", testDf, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got4 shouldBe Set(3L)
+  }
+
+  test("bloom path equals the exact no-bloom semi-join on random corpora") {
+    val rng = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def doc() = Seq.fill(8 + rng.nextInt(8))(words(rng.nextInt(words.size)))
+      .mkString(" ")
+    val train = (0L until 60L).map(i => (i, doc())).toDF("doc_id", "text")
+    val test = (100L until 110L).map(i => (i, doc())).toDF("doc_id", "text")
+    val viaBloom = Decontaminate.dropContaminatedTrain(
+      train, "doc_id", test, "doc_id", "text", n = 3, maxTrainDocFreq = 20L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact reference: train docs sharing >= 1 train-rare gram with test
+    val tr = Decontaminate.docNgrams(train, "doc_id", "text", 3)
+    val rare = tr.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20L).select("gram")
+    val teGrams = Decontaminate.docNgrams(test, "doc_id", "text", 3)
+      .select("gram").distinct()
+    val leaking = tr.join(rare, Seq("gram")).join(teGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    viaBloom shouldBe ((0L until 60L).toSet -- leaking)
+  }
+
+  test("dropContaminatedTrain honors the train-side doc-frequency cap") {
+    // "x y z" is in every train doc (df = 3 > cap 2) and in the eval
+    // set — capped away, so nothing is removed
+    val tr = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))
+      .toDF("doc_id", "text")
+    val te = Seq((9L, "x y z q")).toDF("doc_id", "text")
+    Decontaminate.dropContaminatedTrain(
+      tr, "doc_id", te, "doc_id", "text", n = 3, maxTrainDocFreq = 2L)
+      .count() shouldBe 3L
+  }
 }
