@@ -4014,6 +4014,62 @@ object Queries {
           JOIN te ON tr.gram = te.gram)
         SELECT doc_id FROM d
         WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id""")),
+
+    // End-to-end curation composition: quality gate (map-only) → exact
+    // dedup (one agg) → deterministic split → shard assignment
+    // (map-only) — four operator families composed as plain DataFrame
+    // transforms and replayed as ONE SQL pipeline. This is the
+    // README-cookbook shape verified as a whole, not piecewise: each
+    // stage's output feeds the next, so a contract mismatch between
+    // stages (normalization drift, id type change) fails the hash here
+    // even if every stage is green in isolation.
+    GraftQuery(
+      "q95_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val gated = docs.filter(
+          size(split(graft.text.TextStats.normalize(col("text")), " "))
+            >= 5)
+        val deduped = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+        val assigned = graft.operators.Splits.withSplit(
+          deduped, "doc_id", Seq("train" -> 0.9, "val" -> 0.1),
+          salt = "r9")
+        graft.operators.Sharding.withShard(assigned, "doc_id", nShards = 8)
+          .select(col("doc_id"), col("split"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH gated AS (
+          SELECT doc_id, text FROM documents
+          WHERE len(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 5),
+        deduped AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rn
+            FROM gated)
+          WHERE rn = 1),
+        hashed AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kk) + 1),
+                i -> CAST(ord(substr(kk, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hsplit,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kb) + 1),
+                i -> CAST(ord(substr(kb, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hshard
+          FROM (SELECT doc_id,
+                  CAST(doc_id AS VARCHAR) || ':r9' AS kk,
+                  CAST(doc_id AS VARCHAR) AS kb
+                FROM deduped))
+        SELECT doc_id,
+          CASE WHEN ((hsplit * hsplit) % 2147483647) % 10000 < 9000
+            THEN 'train' ELSE 'val' END AS split,
+          CAST(((hshard * hshard) % 2147483647) % 8 AS INTEGER) AS shard
+        FROM hashed
         ORDER BY doc_id"""))
   )
 
