@@ -37,6 +37,18 @@ object LineDedup {
 
   /** (idCol, outputCol, n_lines_before, n_lines_after) per input row.
     *
+    * Execution (round 9 — line text never rides ANY shuffle): the
+    * exploded line table drops text right after fingerprinting, so the
+    * first-occurrence aggregate shuffles (fp, doc, idx) only; the
+    * aggregate's output IS the survivor list — `min(struct(doc, idx))`
+    * per fingerprint — which collapses to one (doc → surviving index
+    * array) row per document (ints only). One equi-join of that tiny
+    * table against the original frame on the id, and each document
+    * rebuilds ITSELF map-side by filtering its own split by index
+    * membership. The previous join-back-on-fingerprint shape (kept
+    * below as the equivalence witness) shuffled line text twice —
+    * through the fp join and again through the reassembly groupBy.
+    *
     * @param delimiter line separator, split AND re-join token (a
     *                  literal string, regex-quoted for the split)
     * @param normalizeLines compare lines by their normalized form
@@ -55,6 +67,53 @@ object LineDedup {
     val lineKey: Column => Column =
       if (normalizeLines) l => md5(graft.text.TextStats.normalize(l))
       else l => md5(l)
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(delimiter))
+
+    // (fp, doc, idx) — text dropped BEFORE the shuffle
+    val lines = df
+      .select(id, posexplode(parts).as(Seq("__idx", "__line")))
+      .select(id, col("__idx"), lineKey(col("__line")).as("__fp"))
+
+    // first corpus-wide occurrence per line content: min over the
+    // (doc, idx) pair — struct min is lexicographic, so this is
+    // "smallest doc id, then smallest index within it"; its output is
+    // exactly the survivor set, no join-back needed
+    val keep = lines
+      .groupBy(col("__fp"))
+      .agg(min(struct(id.as("d"), col("__idx").as("i"))).as("__first"))
+      .groupBy(col("__first.d").as("__kid"))
+      .agg(sort_array(collect_list(col("__first.i"))).as("__keep"))
+
+    // per-document index arrays are bounded by the document's own line
+    // count (they arrived in one row), so the collect_list is safe
+    df.join(keep, id === col("__kid"), "left")
+      .select(id,
+        coalesce(
+          array_join(
+            filter(parts, (l, i) => array_contains(col("__keep"), i)),
+            delimiter),
+          lit("")).as(outputCol),
+        size(parts).cast("long").as("n_lines_before"),
+        when(col("__keep").isNull, lit(0L))
+          .otherwise(size(col("__keep")).cast("long")).as("n_lines_after"))
+  }
+
+  /** Join-back-on-fingerprint form — the pre-round-9 shape, kept as
+    * the equivalence witness (LineDedupSpec pins identical output on
+    * random corpora). Shuffles line text twice; do not use at scale.
+    */
+  private[graft] def dedupLinesJoined(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delimiter: String = "\n",
+      outputCol: String = "text_dedup",
+      normalizeLines: Boolean = false): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val id = col(idCol)
+    val lineKey: Column => Column =
+      if (normalizeLines) l => md5(graft.text.TextStats.normalize(l))
+      else l => md5(l)
 
     val lines = df
       .select(id, posexplode(
@@ -62,9 +121,6 @@ object LineDedup {
         .as(Seq("__idx", "__line")))
       .withColumn("__fp", lineKey(col("__line")))
 
-    // first corpus-wide occurrence per line content: min over the
-    // (doc, idx) pair — struct min is lexicographic, so this is
-    // "smallest doc id, then smallest index within it"
     val firsts = lines
       .groupBy(col("__fp"))
       .agg(min(struct(id.as("d"), col("__idx").as("i"))).as("__first"))
@@ -82,8 +138,6 @@ object LineDedup {
           delimiter).as(outputCol),
         count(lit(1)).as("n_lines_after"))
 
-    // keep fully-gutted documents (empty output) and carry the before
-    // count from a cheap map-side size()
     df.select(id,
         size(split(col(textCol), java.util.regex.Pattern.quote(delimiter)))
           .cast("long").as("n_lines_before"))

@@ -70,4 +70,37 @@ class LineDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out shouldBe expect
   }
+
+  test("no-text-shuffle path equals the join-back witness on random corpora") {
+    val rng = new scala.util.Random(23)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "", "  spaced  ")
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rng.nextInt(6)
+      id -> Seq.fill(n)(pool(rng.nextInt(pool.size))).mkString("\n")
+    }
+    val df = docs.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    rows(LineDedup.dedupLines(df, "doc_id", "text")) shouldBe
+      rows(LineDedup.dedupLinesJoined(df, "doc_id", "text"))
+    // and with normalization on
+    rows(LineDedup.dedupLines(df, "doc_id", "text",
+      normalizeLines = true)) shouldBe
+      rows(LineDedup.dedupLinesJoined(df, "doc_id", "text",
+        normalizeLines = true))
+  }
+
+  test("the default path never aggregates or re-joins line text") {
+    val df = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val plan = LineDedup.dedupLines(df, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // reassembly is a map-side filter of each doc's own split — the
+    // witness's string-buffering collect_list(struct(idx, line)) and
+    // its fingerprint join-back must be gone
+    plan should not include "collect_list(struct(__idx"
+    // exactly one Join node (keep-arrays ⋈ df on id), not two
+    // (case-sensitive: `array_join` is not a Join)
+    "Join ".r.findAllMatchIn(plan).size shouldBe 1
+  }
 }
