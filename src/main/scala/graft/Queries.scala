@@ -4070,6 +4070,30 @@ object Queries {
             THEN 'train' ELSE 'val' END AS split,
           CAST(((hshard * hshard) % 2147483647) % 8 AS INTEGER) AS shard
         FROM hashed
+        ORDER BY doc_id""")),
+
+    // Z-order (Morton) clustering key (operators/ZOrder.zValue2): the
+    // multi-dimensional layout key behind Delta/Iceberg OPTIMIZE
+    // ZORDER — bit-interleave (doc_id, n_chars) so range-partitioning
+    // on one value keeps BOTH dimensions' file stats tight (per-file
+    // span proof in ZOrderSpec). Pure shift/and algebra, map-only,
+    // replayed bit-for-bit in SQL.
+    GraftQuery(
+      "q96_zorder_key",
+      (s, dir) =>
+        graft.operators.ZOrder.withZValue(
+          t(s, dir, "documents")
+            .select(col("doc_id"), length(col("text")).as("n_chars_z")),
+          "doc_id", "n_chars_z", bits = 16)
+          .select(col("doc_id"), col("n_chars_z").cast("long").as("n_chars_z"),
+            col("zvalue"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_z,
+          CAST(list_sum(list_transform(range(0, 16), i ->
+            (((doc_id >> i) & 1) << (2 * i)) +
+            (((len(text) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zvalue
+        FROM documents
         ORDER BY doc_id"""))
   )
 
