@@ -4094,7 +4094,48 @@ object Queries {
             (((doc_id >> i) & 1) << (2 * i)) +
             (((len(text) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zvalue
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Unicode NFC canonicalization (functions/NfcNormalize, native
+    // codegen over JDK Normalizer): decomposed sequences (e +
+    // combining acute) are appended per doc_id%3 so composed,
+    // decomposed, and pure-ASCII branches all fire; both engines must
+    // produce identical composed output and char counts. DuckDB
+    // replays via its nfc_normalize.
+    GraftQuery(
+      "q97_nfc_normalize",
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(3))
+        val tail = when(m === 0, lit(" café résumé"))
+          .when(m === 1, lit(" café déjà"))
+          .otherwise(lit(" plain ascii"))
+        val raw = concat(col("text"), tail)
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("n_chars_raw"),
+            graft.functions.NfcNormalize.nfcNormalize(col("raw"))
+              .as("text_nfc"))
+          .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
+          .select(col("doc_id"), col("n_chars_raw"), col("n_chars_nfc"),
+            col("text_nfc"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text ||
+            (CASE doc_id % 3
+              WHEN 0 THEN ' cafe' || chr(769) || ' re' || chr(769) ||
+                'sume' || chr(769)
+              WHEN 1 THEN ' caf' || chr(233) || ' d' || chr(233) ||
+                'j' || chr(224)
+              ELSE ' plain ascii' END) AS raw
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(raw) AS BIGINT) AS n_chars_raw,
+          CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+          nfc_normalize(raw) AS text_nfc
+        FROM d ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

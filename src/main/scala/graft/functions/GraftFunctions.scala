@@ -41,6 +41,7 @@ object GraftFunctions {
       exprs => JaccardDistinct(exprs(0), exprs(1))),
     ("cosine_fold", classOf[CosineFold], exprs => CosineFold(exprs(0), exprs(1))),
     ("kr_hash", classOf[KrHash], exprs => KrHash(exprs.head)),
+    ("nfc_normalize", classOf[NfcNormalize], exprs => NfcNormalize(exprs.head)),
     ("ilog2_q20", classOf[ILog2Q20], exprs => ILog2Q20(exprs.head)),
     ("minhash_fold", classOf[MinHashFold], exprs => MinHashFold(exprs(0),
       intLit(exprs(1), "minhash_fold", "numHashes"),

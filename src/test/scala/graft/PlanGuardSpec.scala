@@ -28,4 +28,23 @@ class PlanGuardSpec extends SparkSpec {
       }
     }
   }
+
+  test("no oracle SQL line was mutilated by stripMargin (lone leading pipe)") {
+    // Queries.oracleSql applies .stripMargin: an author writing a
+    // continuation line that STARTS with the || concat operator loses
+    // its first pipe, leaving an invalid single-| binary expression
+    // the driver's DuckDB run rejects (round-8 q85-q87, round-9 q97).
+    // Legit SQL never starts a line with a single pipe, so detect the
+    // mutilation in the POST-stripMargin text the driver will run.
+    val lonePipe = "^\\s*\\|(?!\\|)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      withClue(s"$name: ") {
+        sql.linesIterator.zipWithIndex.foreach { case (line, i) =>
+          withClue(s"line ${i + 1} '${line.trim.take(40)}': ") {
+            lonePipe.findFirstIn(line) shouldBe None
+          }
+        }
+      }
+    }
+  }
 }
