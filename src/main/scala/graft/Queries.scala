@@ -4198,6 +4198,17 @@ object Queries {
     * degenerate, exactly the hot-bucket case `maxBucketSize` exists for.
     */
   val benchOnly: Seq[GraftQuery] = Seq(
+    // full-corpus containment (q88 bounds its slice to match the
+    // quadratic-ish oracle; this prices the posting-list join with the
+    // df cap doing its real job over every document)
+    GraftQuery(
+      "q88b_containment_full",
+      (s, dir) =>
+        graft.dedup.Dedup.containmentNearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5, maxDocFreq = 50)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
     GraftQuery(
       "q14b_near_dup_uncapped",
       (s, dir) =>
