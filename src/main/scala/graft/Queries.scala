@@ -4135,7 +4135,68 @@ object Queries {
           CAST(len(raw) AS BIGINT) AS n_chars_raw,
           CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
           nfc_normalize(raw) AS text_nfc
-        FROM d ORDER BY doc_id"""))
+        FROM d ORDER BY doc_id""")),
+
+    // Incremental IVF index maintenance (sim/Similarity
+    // .appendToIvfIndex): the on-disk index is built from vec_id < 800
+    // and the remainder is APPENDED against the stored centroids —
+    // then q66's exact probe query runs against it with q66's oracle
+    // verbatim. Green here proves the append path is invisible in
+    // results: assignment is centroid-determined per row, so
+    // build-then-append ≡ one-shot build (also pinned row-level in
+    // SimilaritySpec).
+    GraftQuery(
+      "q98_ivf_append",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfAppendIndexFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfTopK(index, queries, k = 10, nProbe = 4)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= 4),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
@@ -4147,6 +4208,35 @@ object Queries {
     */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  /** q98's incrementally-built twin of [[ivfIndexFor]]: same centroids,
+    * but the on-disk index is built from vec_id < 800 and the rest
+    * arrives via [[graft.sim.Similarity.appendToIvfIndex]] — the final
+    * table must be row-identical to the one-shot build, which is
+    * exactly what serving q98 against q66's oracle proves.
+    */
+  private val ivfAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  private def ivfAppendIndexFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.Similarity.IvfIndex =
+    ivfAppendIndexCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb.filter(col("vec_id") < 800), "vec_id", "embedding", centroids)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_append_").toString
+      graft.sim.Similarity.writeIvfIndex(built, path)
+      graft.sim.Similarity.appendToIvfIndex(
+        s, path, emb.filter(col("vec_id") >= 800), "vec_id", "embedding")
+      graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
 
   private def ivfIndexFor(
       s: SparkSession, dir: String,

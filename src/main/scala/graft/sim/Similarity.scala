@@ -194,13 +194,42 @@ object Similarity {
   def readIvfIndex(
       spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex = {
     val assigned = spark.read.parquet(s"$path/assigned")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    IvfIndex(assigned, readIvfCentroids(spark, path), idCol, vecCol)
+  }
+
+  /** The stored centroid table of an on-disk index (nCells rows —
+    * bounded driver collect by construction).
+    */
+  def readIvfCentroids(
+      spark: SparkSession, path: String): Seq[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
       .toSeq
-    IvfIndex(assigned, centroids, idCol, vecCol)
+
+  /** Append a vector batch to an on-disk IVF index WITHOUT a rebuild —
+    * the index-MAINTENANCE half of the 100 TB ANN story: a daily
+    * ingest batch costs one map-only assignment against the STORED
+    * centroids plus an append of batch-sized parquet into the
+    * cell-partitioned layout; the existing corpus is never re-read.
+    * Because assignment is per-row and fully centroid-determined,
+    * existing rows' cells cannot change, so the read-back index is
+    * row-identical to a full rebuild over old ∪ new with the same
+    * centroids (pinned in SimilaritySpec) — every [[ivfTopK]]
+    * guarantee carries over unchanged. Centroid drift under sustained
+    * appends is a caller policy (periodic rebuild); the index is exact
+    * for whatever centroids it stores.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val centroids = readIvfCentroids(spark, path)
+    require(centroids.nonEmpty, s"no centroids stored under $path")
+    buildIvfWithCentroids(batch, idCol, vecCol, centroids)
+      .assigned.write.partitionBy("cell").mode("append")
+      .parquet(s"$path/assigned")
   }
 
   /** Probe the `nProbe` cells nearest to each query and run exact top-k

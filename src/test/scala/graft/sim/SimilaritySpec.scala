@@ -133,6 +133,41 @@ class SimilaritySpec extends SparkSpec {
     plan should include("cell")
   }
 
+  test("appendToIvfIndex equals a full rebuild with the same centroids") {
+    val data = corpus(120, 8, seed = 13)
+    val (oldPart, newPart) = data.splitAt(80)
+    val dfOld = oldPart.toDF("vec_id", "embedding")
+    val dfNew = newPart.toDF("vec_id", "embedding")
+    val dfAll = data.toDF("vec_id", "embedding")
+
+    val base = Similarity.buildIvf(dfOld, "vec_id", "embedding", nCells = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString + "/idx"
+    Similarity.writeIvfIndex(base, dir)
+    Similarity.appendToIvfIndex(spark, dir, dfNew, "vec_id", "embedding")
+    val appended = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+
+    val rebuilt = Similarity.buildIvfWithCentroids(
+      dfAll, "vec_id", "embedding", base.centroids)
+    def table(ix: Similarity.IvfIndex) = ix.assigned
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    table(appended) shouldBe table(rebuilt)
+
+    // search results identical through the appended index
+    val queries = Seq((0L, data(5)._2.toArray), (1L, data(100)._2.toArray))
+    def results(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queries, k = 7, nProbe = 2)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    results(appended) shouldBe results(rebuilt)
+
+    // appending an EMPTY batch is a no-op, not an error
+    Similarity.appendToIvfIndex(spark, dir,
+      dfNew.filter(col("vec_id") < -1), "vec_id", "embedding")
+    table(Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")) shouldBe
+      table(rebuilt)
+  }
+
   test("ivf scans fewer rows than the corpus") {
     val data = corpus(100, 8, seed = 9)
     val df = data.toDF("vec_id", "embedding")
