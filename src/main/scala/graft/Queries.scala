@@ -4196,7 +4196,43 @@ object Queries {
             ORDER BY score DESC, vec_id) AS rn
           FROM s)
         WHERE rn <= 10
-        ORDER BY query_id, score DESC, vec_id"""))
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // Segmented dedup-index growth (dedup/DedupIndex.appendSegment):
+    // q62's corpus enters the on-disk index as a base build
+    // (doc_id < 300) plus one appended LSM segment ([300, 400)), then
+    // q62's EXACT query and oracle run against the segment union —
+    // green means index growth by append is invisible in results (the
+    // per-segment candidate cap can only widen candidates; the exact
+    // verify keeps the answer identical).
+    GraftQuery(
+      "q99_dedup_index_segment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = dedupSegIndexFor(s, dir, docs.filter(col("doc_id") < 400))
+        graft.dedup.DedupIndex.dedupAgainst(
+          docs.filter(col("doc_id") >= 400), idx, "doc_id", "text",
+          threshold = 0.9)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents
+        ),
+        corpus AS (SELECT * FROM d WHERE doc_id < 400),
+        batch AS (SELECT * FROM d WHERE doc_id >= 400)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)
+          AND NOT EXISTS (
+            SELECT 1 FROM corpus c
+            WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
+        ORDER BY 1"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
@@ -4276,6 +4312,30 @@ object Queries {
         corpus, "doc_id", "text", path,
         graft.dedup.DedupIndex.Params(
           shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+      graft.dedup.DedupIndex.read(s, path)
+    })
+
+  /** q99's segmented twin of [[dedupIndexFor]]: the same corpus
+    * (doc_id < 400) enters the on-disk index as a base build
+    * (doc_id < 300) plus one appended LSM segment ([300, 400)); green
+    * against q62's oracle proves segment union serves the identical
+    * corpus.
+    */
+  private val dedupSegIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.dedup.DedupIndex.Index]()
+
+  private def dedupSegIndexFor(
+      s: SparkSession, dir: String,
+      corpus: => DataFrame): graft.dedup.DedupIndex.Index =
+    dedupSegIndexCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dedup_seg_index_").toString
+      graft.dedup.DedupIndex.write(
+        corpus.filter(col("doc_id") < 300), "doc_id", "text", path,
+        graft.dedup.DedupIndex.Params(
+          shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+      graft.dedup.DedupIndex.appendSegment(
+        s, path, corpus.filter(col("doc_id") >= 300), "doc_id", "text")
       graft.dedup.DedupIndex.read(s, path)
     })
 

@@ -95,46 +95,101 @@ object DedupIndex {
     Index(params, exact, cappedBuckets(sets, "corpus_id", "ids", params), sets)
   }
 
-  /** Build and persist the index under `path` (subdirs `meta`, `exact`,
-    * `buckets`, `sets`). The corpus is read once: the shingle table is
-    * cached for the duration of the build so the signature and sets
-    * writes don't re-derive it.
+  /** The three derived tables written under `root` (shared by the base
+    * [[write]] and every [[appendSegment]]). The corpus is read once:
+    * the shingle table is cached for the duration so the signature and
+    * sets writes don't re-derive it.
     */
-  def write(
-      corpus: DataFrame, idCol: String, textCol: String, path: String,
-      params: Params = Params()): Unit = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  private def writeTables(
+      corpus: DataFrame, idCol: String, textCol: String, root: String,
+      params: Params): Unit = {
     val idx = build(corpus, idCol, textCol, params)
     val sets = idx.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // re-root buckets on the cached sets (build() derived them from
       // the uncached plan): same expressions, one corpus pass
       val buckets = cappedBuckets(sets, "corpus_id", "ids", params)
-      sets.write.mode("overwrite").parquet(s"$path/sets")
-      buckets.write.mode("overwrite").parquet(s"$path/buckets")
-      idx.exact.write.mode("overwrite").parquet(s"$path/exact")
-      Seq((params.shingleSize, params.numHashes, params.bands, params.seed,
-        params.maxBucketSize))
-        .toDF("shingleSize", "numHashes", "bands", "seed", "maxBucketSize")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      sets.write.mode("overwrite").parquet(s"$root/sets")
+      buckets.write.mode("overwrite").parquet(s"$root/buckets")
+      idx.exact.write.mode("overwrite").parquet(s"$root/exact")
     } finally sets.unpersist()
   }
 
-  /** Load an index written by [[write]]. The parameters come from the
-    * stored `meta`, so queries are always consistent with the build.
+  /** Build and persist the index under `path` (subdirs `meta`, `exact`,
+    * `buckets`, `sets`, later per-segment trees under `segments/` via
+    * [[appendSegment]]).
     */
-  def read(spark: SparkSession, path: String): Index = {
+  def write(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      params: Params = Params()): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    writeTables(corpus, idCol, textCol, path, params)
+    Seq((params.shingleSize, params.numHashes, params.bands, params.seed,
+      params.maxBucketSize))
+      .toDF("shingleSize", "numHashes", "bands", "seed", "maxBucketSize")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def segmentDirs(
+      spark: SparkSession, path: String): Seq[String] = {
+    val segRoot = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(segRoot)) Nil
+    else fs.listStatus(segRoot).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("seg"))
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
+
+  /** Append `batch` to an on-disk index as a NEW SEGMENT (LSM-style) —
+    * the index-growth half of the incremental-dedup lifecycle: after
+    * `dedupAgainst(batch, index)` keeps a batch's survivors, those
+    * survivors join the corpus by writing THEIR derived tables under
+    * `segments/segNNNN/` with the index's stored hash family. Cost is
+    * batch-sized; the existing corpus tables are never touched, read,
+    * or re-aggregated. [[read]] serves the union of all segments.
+    *
+    * Semantics vs a monolithic rebuild: identical EXCEPT that the
+    * `maxBucketSize` candidate cap applies per segment rather than
+    * globally (a segmented index can only produce MORE candidates for
+    * a hot bucket, and the exact-Jaccard verify keeps results correct
+    * either way); DedupIndexSpec pins segmented ≡ rebuilt when caps
+    * don't bind. Compaction — when segments accumulate — is a
+    * [[write]] over the unioned corpus.
+    */
+  def appendSegment(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val params = readParams(spark, path)
+    val next = segmentDirs(spark, path)
+      .map(_.split('/').last.stripPrefix("seg").toInt)
+      .foldLeft(-1)(math.max) + 1
+    writeTables(batch, idCol, textCol, f"$path/segments/seg$next%04d", params)
+  }
+
+  private def readParams(spark: SparkSession, path: String): Params = {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"malformed dedup index meta at $path/meta: ${m.length} rows")
     val r = m.head
-    val params = Params(
+    Params(
       r.getAs[Int]("shingleSize"), r.getAs[Int]("numHashes"),
       r.getAs[Int]("bands"), r.getAs[Long]("seed"), r.getAs[Long]("maxBucketSize"))
-    Index(params,
-      spark.read.parquet(s"$path/exact"),
-      spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/sets"))
+  }
+
+  /** Load an index written by [[write]] (+ any [[appendSegment]]s):
+    * the served tables are the union of the base and every segment.
+    * The parameters come from the stored `meta`, so queries are always
+    * consistent with the build.
+    */
+  def read(spark: SparkSession, path: String): Index = {
+    val params = readParams(spark, path)
+    val roots = path +: segmentDirs(spark, path)
+    def union(sub: String): DataFrame =
+      roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)
+    Index(params, union("exact"), union("buckets"), union("sets"))
   }
 
   /** Near-duplicate matches of `batch` against the indexed corpus —

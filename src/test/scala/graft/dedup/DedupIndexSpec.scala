@@ -118,4 +118,43 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.nearDuplicatesAgainst(batch, big, "doc_id", "text",
       threshold = 0.5).count() shouldBe 30L
   }
+
+  test("appendSegment equals a monolithic rebuild (caps not binding)") {
+    for (seed <- Seq(5, 17)) {
+      val rng = new Random(seed)
+      val partA = (0L until 15L).map(i => (i, mkDoc(rng)))
+      val partB = (50L until 65L).map(i => (i, mkDoc(rng)))
+      val batch = (100L until 120L).map { i =>
+        rng.nextInt(3) match {
+          case 0 => (i, (partA ++ partB)(rng.nextInt(30))._2)
+          case 1 => (i, (partA ++ partB)(rng.nextInt(30))._2 + " omega")
+          case _ => (i, mkDoc(rng))
+        }
+      }.toDF("doc_id", "text")
+
+      val path = Files.createTempDirectory("dedup_index_seg_").toString
+      DedupIndex.write(partA.toDF("doc_id", "text"), "doc_id", "text",
+        path, params)
+      DedupIndex.appendSegment(spark, path,
+        partB.toDF("doc_id", "text"), "doc_id", "text")
+      val segmented = DedupIndex.read(spark, path)
+      segmented.params shouldBe params
+
+      val rebuilt = DedupIndex.build(
+        (partA ++ partB).toDF("doc_id", "text"), "doc_id", "text", params)
+      def survivors(ix: DedupIndex.Index) =
+        DedupIndex.dedupAgainst(batch, ix, "doc_id", "text", threshold = 0.9)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      survivors(segmented) shouldBe survivors(rebuilt)
+
+      // a second append stacks as seg0001 and still serves the union
+      DedupIndex.appendSegment(spark, path,
+        Seq((200L, "omega omega kappa")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      val twice = DedupIndex.read(spark, path)
+      DedupIndex.dedupAgainst(
+        Seq((300L, "omega omega kappa")).toDF("doc_id", "text"),
+        twice, "doc_id", "text", threshold = 0.9).count() shouldBe 0L
+    }
+  }
 }
