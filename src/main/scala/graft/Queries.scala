@@ -4232,7 +4232,78 @@ object Queries {
             SELECT 1 FROM corpus c
             WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
                     / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // Leakage-safe splitting: a train/val split hashed on the ROW key
+    // puts two near-duplicate documents in different splits and the
+    // model "generalizes" to its own training data — the standard
+    // dedup-aware fix is splitting by the duplicate-CLUSTER id, so a
+    // whole cluster lands on one side. Pure composition: q43's
+    // near-dup components feed Splits.withSplit keyed on the component
+    // (co-location is then true BY CONSTRUCTION — a split is a pure
+    // function of the key). The oracle replays clustering (recursive
+    // CTE) + the salted KrHash split thresholds end to end.
+    GraftQuery(
+      "q100_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.dedup.Dedup.nearDuplicates(
+          docs.filter(col("doc_id") < 500), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+        val comp = graft.dedup.Components.connectedComponents(
+          pairs, "id_a", "id_b")
+        val withComp = docs.filter(col("doc_id") < 500)
+          .join(comp, docs("doc_id") === comp("id"), "left")
+          .select(docs("doc_id"),
+            coalesce(col("component"), docs("doc_id")).as("component"))
+        graft.operators.Splits.withSplit(
+          withComp, "component", Seq("train" -> 0.9, "val" -> 0.1),
+          salt = "leak")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3),
+        e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM t a, t b
+          WHERE a.doc_id <> b.doc_id
+            AND len(a.gs) > 0 AND len(b.gs) > 0
+            AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.85
+        ),
+        reach AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+          WHERE e2.v <> r.u
+        ),
+        comp AS (SELECT u AS id, least(u, MIN(v)) AS component
+                 FROM reach GROUP BY u),
+        assigned AS (
+          SELECT d.doc_id,
+            COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+          WHERE d.doc_id < 500),
+        hashed AS (
+          SELECT doc_id, component,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kk) + 1),
+                i -> CAST(ord(substr(kk, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM (SELECT doc_id, component,
+                  CAST(component AS VARCHAR) || ':leak' AS kk
+                FROM assigned))
+        SELECT doc_id, component,
+          CASE WHEN ((hh * hh) % 2147483647) % 10000 < 9000
+            THEN 'train' ELSE 'val' END AS split
+        FROM hashed
+        ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
