@@ -4303,7 +4303,71 @@ object Queries {
           CASE WHEN ((hh * hh) % 2147483647) % 10000 < 9000
             THEN 'train' ELSE 'val' END AS split
         FROM hashed
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Mergeable distinct-count sketch (sketch/Hll): per-source distinct
+    // whitespace tokens via HyperLogLog with EXACT-integer registers —
+    // the 60-bit md5-prefix hash (q69's), rho from binary bit-length
+    // (never a float log), and the scaled register sum S = Σ 2^(R−rho)
+    // as a plain BIGINT, so the whole sketch replays bit-for-bit in
+    // DuckDB; the only IEEE arithmetic is the final fixed-order
+    // α·m²·2^R/S estimate chain. exact_distinct rides along as the
+    // audit column (and pins the estimate's error in data). The sketch
+    // shuffle carries ≤ sources × 256 register rows, not tokens — the
+    // mergeable-dashboard shape for 100 TB (HllSpec pins union ≡
+    // max-merge of per-shard sketches).
+    GraftQuery(
+      "q101_hll_distinct",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(graft.text.TextStats.normalize(col("text")), " "))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+        val est = graft.sketch.Hll.distinctEstimate(
+          toks, Seq("source"), col("tok"), p = 8)
+        val exact = toks.groupBy(col("source"))
+          .agg(countDistinct(col("tok")).as("exact_distinct"))
+        est.join(exact, "source").orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM toks),
+        b AS (
+          SELECT source, hv >> 52 AS bucket,
+            hv & ((CAST(1 AS BIGINT) << 52) - 1) AS rest
+          FROM h),
+        r AS (
+          SELECT source, bucket,
+            MAX(CASE WHEN rest = 0 THEN 53
+                     ELSE 53 - length(bin(rest)) END) AS rho
+          FROM b GROUP BY source, bucket),
+        agg AS (
+          SELECT source, COUNT(*) AS nb,
+            CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS sp
+          FROM r GROUP BY source),
+        ex AS (
+          SELECT source, COUNT(DISTINCT tok) AS exact_distinct
+          FROM toks GROUP BY source)
+        SELECT agg.source,
+          CAST(256 - nb AS BIGINT) AS v_zero,
+          CAST(sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+            AS s_scaled,
+          CAST(0.7213 AS DOUBLE)
+            / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+            * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+            * CAST(9007199254740992 AS DOUBLE)
+            / CAST(sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+            AS est_distinct,
+          ex.exact_distinct
+        FROM agg JOIN ex ON agg.source = ex.source
+        ORDER BY agg.source"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
