@@ -4367,7 +4367,64 @@ object Queries {
             AS est_distinct,
           ex.exact_distinct
         FROM agg JOIN ex ON agg.source = ex.source
-        ORDER BY agg.source"""))
+        ORDER BY agg.source""")),
+
+    // Vocabulary coverage / OOV-rate curve (vocab/Coverage): what does
+    // a k-entry vocab cover? Computed WITHOUT ranking tokens — token
+    // counts collapse to frequency classes (distinct count values,
+    // O(√N) rows), one tiny-table window gives each class its prefix,
+    // and each k gets its exact top-k mass by class arithmetic (the
+    // boundary class contributes (k − before)·c — exact because
+    // same-count tokens are interchangeable). All-integer sums, one
+    // IEEE divide per ratio.
+    GraftQuery(
+      "q102_vocab_coverage",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(
+            explode(split(graft.text.TextStats.normalize(col("text")), " "))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+        graft.vocab.Coverage.coverageReport(
+          toks, col("tok"), Seq(100L, 1000L, 5000L, 20000L, 100000L))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        cls AS (
+          SELECT c, COUNT(*) AS nc, CAST(c * COUNT(*) AS BIGINT) AS mass
+          FROM cnt GROUP BY c),
+        rk AS (
+          SELECT c, nc, mass,
+            COALESCE(CAST(SUM(nc) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              0) AS before
+          FROM cls),
+        ks AS (SELECT unnest([100, 1000, 5000, 20000, 100000]) AS k),
+        per AS (
+          SELECT k, nc, mass,
+            CASE WHEN before + nc <= k THEN mass
+                 WHEN before >= k THEN 0
+                 ELSE (k - before) * c END AS covered_here,
+            CASE WHEN before + nc <= k THEN nc
+                 WHEN before >= k THEN 0
+                 ELSE k - before END AS used_here
+          FROM rk CROSS JOIN ks)
+        SELECT CAST(k AS BIGINT) AS k,
+          CAST(SUM(used_here) AS BIGINT) AS tokens_used,
+          CAST(SUM(covered_here) AS BIGINT) AS covered_tokens,
+          CAST(SUM(mass) AS BIGINT) AS total_tokens,
+          CAST(SUM(nc) AS BIGINT) AS distinct_tokens,
+          CAST(SUM(covered_here) AS DOUBLE) / CAST(SUM(mass) AS DOUBLE)
+            AS coverage,
+          CAST(SUM(mass) - SUM(covered_here) AS DOUBLE)
+            / CAST(SUM(mass) AS DOUBLE) AS oov_rate
+        FROM per GROUP BY k ORDER BY k"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
