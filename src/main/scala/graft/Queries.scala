@@ -4424,7 +4424,67 @@ object Queries {
             AS coverage,
           CAST(SUM(mass) - SUM(covered_here) AS DOUBLE)
             / CAST(SUM(mass) AS DOUBLE) AS oov_rate
-        FROM per GROUP BY k ORDER BY k"""))
+        FROM per GROUP BY k ORDER BY k""")),
+
+    // Character-entropy quality signal (text/Entropy): per-doc Shannon
+    // entropy in Q20 integer fixed point — numerator n·L(n) − Σ c·L(c)
+    // with L = the ILog2Q20 square-and-shift log, one IEEE divide for
+    // bits/char — the gibberish / single-char-flood / base64-noise
+    // detector. DuckDB replays the identical integers with the q79
+    // 20-round recursive-CTE log over the (doc, char) count stack.
+    // Bounded to doc_id < 1500 purely for oracle-side replay cost; the
+    // engine path is two hash aggregates whose shuffle carries
+    // (doc × distinct char) rows.
+    GraftQuery(
+      "q103_char_entropy",
+      (s, dir) =>
+        graft.text.Entropy.charEntropy(
+          t(s, dir, "documents").filter(col("doc_id") < 1500),
+          Seq("doc_id"), col("text"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 1500),
+        ch AS (
+          SELECT doc_id, substr(text, CAST(i AS BIGINT), 1) AS ch
+          FROM (SELECT doc_id, text,
+                  unnest(range(1, length(text) + 1)) AS i FROM d)),
+        cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS dc
+              FROM cnt GROUP BY doc_id),
+        stack AS (
+          SELECT doc_id, ch, 0 AS side, c << 20 AS s FROM cnt
+          UNION ALL
+          SELECT doc_id, '', 1, n << 20 FROM n),
+        norm AS (
+          SELECT doc_id, ch, side, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM stack),
+        iter(doc_id, ch, side, bl, i, m, frac) AS (
+          SELECT doc_id, ch, side, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT doc_id, ch, side, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (SELECT doc_id, ch, side, (bl - 21) * 1048576 + frac AS l
+                 FROM iter WHERE i = 20),
+        sumc AS (
+          SELECT c.doc_id, CAST(SUM(c.c * lt.l) AS BIGINT) AS sum_clog
+          FROM cnt c JOIN ltab lt
+            ON lt.doc_id = c.doc_id AND lt.ch = c.ch AND lt.side = 0
+          GROUP BY c.doc_id),
+        lnd AS (SELECT doc_id, l AS ln FROM ltab WHERE side = 1)
+        SELECT n.doc_id, n.n AS n_chars,
+          CAST(n.dc AS BIGINT) AS distinct_chars,
+          CAST(n.n * lnd.ln - sumc.sum_clog AS BIGINT) AS entropy_num_q20,
+          CAST(n.n * lnd.ln - sumc.sum_clog AS DOUBLE)
+            / CAST(n.n * 1048576 AS DOUBLE) AS entropy_bits
+        FROM n JOIN sumc ON n.doc_id = sumc.doc_id
+        JOIN lnd ON n.doc_id = lnd.doc_id
+        ORDER BY n.doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
