@@ -4484,7 +4484,45 @@ object Queries {
             / CAST(n.n * 1048576 AS DOUBLE) AS entropy_bits
         FROM n JOIN sumc ON n.doc_id = sumc.doc_id
         JOIN lnd ON n.doc_id = lnd.doc_id
-        ORDER BY n.doc_id"""))
+        ORDER BY n.doc_id""")),
+
+    // Prefix-filtered EXACT Jaccard set-similarity join
+    // (dedup/PrefixJoin, AllPairs/PPJoin family): every token-set pair
+    // with J ≥ 3/5 — no LSH recall loss. The rational threshold keeps
+    // ⌈t·|r|⌉ and the acceptance test in exact integers (an IEEE
+    // ceil(0.6·5) is 4, which would silently shorten the prefix and
+    // drop true pairs). The oracle is the brute-force all-pairs
+    // SEMANTIC definition on a bounded slice — green means the prefix
+    // filter is lossless, which PrefixJoinSpec additionally pins vs
+    // brute force on random corpora.
+    GraftQuery(
+      "q104_prefix_jaccard_join",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 800)
+          .select(col("doc_id"),
+            filter(
+              split(graft.text.TextStats.normalize(col("text")), " "),
+              tok => tok =!= "").as("toks"))
+        graft.dedup.PrefixJoin.prefixJaccardJoin(
+          docs, "doc_id", col("toks"), tNum = 3, tDen = 5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_distinct(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS ts
+          FROM documents WHERE doc_id < 800)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+                   AS DOUBLE) AS jaccard
+        FROM tok a, tok b
+        WHERE a.doc_id < b.doc_id
+          AND len(a.ts) > 0 AND len(b.ts) > 0
+          AND 5 * len(list_intersect(a.ts, b.ts)) >=
+              3 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
