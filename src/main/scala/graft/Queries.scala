@@ -4522,7 +4522,28 @@ object Queries {
           AND len(a.ts) > 0 AND len(b.ts) > 0
           AND 5 * len(list_intersect(a.ts, b.ts)) >=
               3 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Scale-safe dense row enumeration (operators/Enumerate): global
+    // contiguous ids 0..n−1 in (source, doc_id) order via range
+    // repartition + per-partition sort + the two-job offset scan
+    // (zipWithIndex) — never a partitionless row_number window that
+    // funnels the corpus through one task. The id is a pure function
+    // of the total order, so DuckDB's window replay matches exactly
+    // even though the engine never builds that window.
+    GraftQuery(
+      "q105_dense_ids",
+      (s, dir) =>
+        graft.operators.Enumerate.denseIds(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("source", "doc_id"))
+          .orderBy(col("dense_id")),
+      Some("""
+        SELECT doc_id, source,
+          CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+            AS dense_id
+        FROM documents
+        ORDER BY dense_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
