@@ -4571,7 +4571,99 @@ object Queries {
             AS sum_total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_nationkey
-        ORDER BY c_nationkey"""))
+        ORDER BY c_nationkey""")),
+
+    // Clipped n-gram overlap (eval/Overlap, the BLEU modified-precision
+    // core) as a cleaning-divergence report: q41's planted-PII corpus
+    // is the reference, its redacted form the candidate, and the
+    // per-doc unigram/bigram clipped precision quantifies exactly how
+    // much the redaction stage rewrote each document. Integer clipped
+    // counts + one IEEE divide per row; no joins on the engine side —
+    // one (id, gram)-keyed aggregate per n.
+    GraftQuery(
+      "q107_ngram_overlap",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from 10."),
+            (col("doc_id") % 200).cast("string"), lit(".0."),
+            (col("doc_id") % 250).cast("string"),
+            lit(" call +1 555 010 "),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" ref 90000000"), (col("doc_id") % 10).cast("string")
+          ).as("t"))
+        val norm = graft.text.TextStats
+        val pairs = planted.select(col("doc_id"),
+          filter(split(norm.normalize(graft.text.Redact.redact(col("t"))), " "),
+            x => x =!= "").as("ct"),
+          filter(split(norm.normalize(col("t")), " "),
+            x => x =!= "").as("rt"))
+        graft.eval.Overlap.ngramPrecision(
+          pairs, Seq("doc_id"), col("ct"), col("rt"), Seq(1, 2))
+          .orderBy(col("doc_id"), col("n"))
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+            concat(substr(text, 1, 40),
+              ' contact user', CAST(doc_id AS VARCHAR),
+              '@mail.example.com from 10.',
+              CAST(doc_id % 200 AS VARCHAR), '.0.',
+              CAST(doc_id % 250 AS VARCHAR),
+              ' call +1 555 010 ',
+              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+              ' ref 90000000', CAST(doc_id % 10 AS VARCHAR)) AS t
+          FROM documents),
+        s1 AS (SELECT doc_id, t, regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1 FROM planted),
+        s2 AS (SELECT *, regexp_replace(r1,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r2 FROM s1),
+        s3 AS (SELECT *, regexp_replace(r2,
+          '\+[0-9][0-9 ()-]{5,}[0-9]', '<PHONE>', 'g') AS r3 FROM s2),
+        s4 AS (SELECT *, regexp_replace(r3,
+          '\b[0-9]{9,}\b', '<ID>', 'g') AS r4 FROM s3),
+        tk AS (
+          SELECT doc_id,
+            list_filter(string_split(
+              regexp_replace(lower(trim(r4)), '\s+', ' ', 'g'), ' '),
+              x -> x <> '') AS ct,
+            list_filter(string_split(
+              regexp_replace(lower(trim(t)), '\s+', ' ', 'g'), ' '),
+              x -> x <> '') AS rt
+          FROM s4),
+        cand_g AS (
+          SELECT doc_id, 1 AS n, unnest(ct) AS g FROM tk
+          UNION ALL
+          SELECT doc_id, 2, unnest(list_transform(range(1, len(ct)),
+            i -> array_to_string(ct[i:i+1], ' '))) FROM tk),
+        ref_g AS (
+          SELECT doc_id, 1 AS n, unnest(rt) AS g FROM tk
+          UNION ALL
+          SELECT doc_id, 2, unnest(list_transform(range(1, len(rt)),
+            i -> array_to_string(rt[i:i+1], ' '))) FROM tk),
+        cc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM cand_g GROUP BY doc_id, n, g),
+        rc AS (SELECT doc_id, n, g, COUNT(*) AS r FROM ref_g GROUP BY doc_id, n, g),
+        j AS (
+          SELECT COALESCE(cc.doc_id, rc.doc_id) AS doc_id,
+            COALESCE(cc.n, rc.n) AS n,
+            COALESCE(c, 0) AS c, COALESCE(r, 0) AS r
+          FROM cc FULL OUTER JOIN rc
+            ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g),
+        agg AS (
+          SELECT doc_id, n,
+            CAST(SUM(LEAST(c, r)) AS BIGINT) AS clipped,
+            CAST(SUM(c) AS BIGINT) AS cand_ngrams,
+            CAST(SUM(r) AS BIGINT) AS ref_ngrams
+          FROM j GROUP BY doc_id, n)
+        SELECT doc_id, CAST(n AS INTEGER) AS n, clipped, cand_ngrams,
+          ref_ngrams,
+          CASE WHEN cand_ngrams > 0
+            THEN CAST(clipped AS DOUBLE) / CAST(cand_ngrams AS DOUBLE)
+          END AS clip_precision
+        FROM agg
+        ORDER BY doc_id, n"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
