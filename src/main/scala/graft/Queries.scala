@@ -4663,7 +4663,325 @@ object Queries {
             THEN CAST(clipped AS DOUBLE) / CAST(cand_ngrams AS DOUBLE)
           END AS clip_precision
         FROM agg
-        ORDER BY doc_id, n"""))
+        ORDER BY doc_id, n""")),
+
+    // Per-source mergeable MinHash sketch → source-level similarity
+    // matrix (sketch/SourceSketch): each source collapses to a
+    // 32-component element-wise-min signature over KR token hashes
+    // (engine-replayable hash family — the SIGNATURES are oracle-checked
+    // through the matrix, not just a downstream condition); the pairwise
+    // stage runs on the |sources|×32 signature table, corpus-size-
+    // independent. ASCII-only docs as in q49: the oracle replays the KR
+    // byte fold with per-character ords.
+    GraftQuery(
+      "q108_source_similarity",
+      (s, dir) =>
+        graft.sketch.SourceSketch.similarityMatrix(
+          t(s, dir, "documents").filter(!col("text").rlike("[^ -~]")),
+          "source", "text", numHashes = 32, seed = 42L)
+          .orderBy(col("group_a"), col("group_b")),
+      Some {
+        val params = graft.dedup.Dedup.hashParams(32, 42L)
+        val values = params.zipWithIndex
+          .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(",\n          ")
+        s"""
+        WITH p(i, a, b) AS (VALUES
+          $values),
+        d AS (SELECT source, text FROM documents
+              WHERE NOT regexp_matches(text, '[^ -~]')),
+        tok AS (SELECT DISTINCT source, tk FROM (
+          SELECT source, unnest(list_filter(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS tk
+          FROM d)),
+        kr AS (SELECT source, tk,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(tk) + 1),
+              i -> CAST(ord(substr(tk, i, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 257 + ch) % 2147483647) AS h
+          FROM tok),
+        sig AS (SELECT source, p.i AS i,
+          MIN((h * p.a + p.b) % 2147483647) AS sig
+          FROM kr CROSS JOIN p GROUP BY 1, 2),
+        pairs AS (SELECT sa.source AS group_a, sb.source AS group_b,
+          CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+            AS matches
+          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
+          GROUP BY 1, 2)
+        SELECT group_a, group_b, matches,
+          CAST(matches AS DOUBLE) / CAST(32 AS DOUBLE) AS est_jaccard
+        FROM pairs ORDER BY group_a, group_b"""
+      }),
+
+    // Exact two-sample Kolmogorov–Smirnov drift (eval/Ranking
+    // .ksStatistic): per source, D between the n_chars distributions of
+    // English vs non-English docs — max |cumA·n_b − cumB·n_a| in exact
+    // integers over the shared distinct-value histogram, ONE final
+    // divide; at_value = smallest value attaining the max.
+    GraftQuery(
+      "q109_ks_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.eval.Ranking.ksStatistic(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "n_chars", groupCols = Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT source, n_chars AS v, 1 AS ca, 0 AS cb
+          FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT source, n_chars, 0, 1
+          FROM documents WHERE lang <> 'en'),
+        hist AS (SELECT source, v,
+          CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+          FROM u GROUP BY 1, 2),
+        cum AS (SELECT source, v,
+          SUM(ca) OVER (PARTITION BY source ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS cuma,
+          SUM(cb) OVER (PARTITION BY source ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS cumb,
+          SUM(ca) OVER (PARTITION BY source) AS na,
+          SUM(cb) OVER (PARTITION BY source) AS nb
+          FROM hist),
+        d AS (SELECT source, v, abs(cuma * nb - cumb * na) AS dd, na, nb
+          FROM cum),
+        agg AS (SELECT source, MAX(na) AS n_a, MAX(nb) AS n_b,
+          MAX(dd) AS d_max FROM d GROUP BY 1),
+        atv AS (SELECT d.source, MIN(d.v) AS at_value
+          FROM d JOIN agg ON d.source = agg.source AND d.dd = agg.d_max
+          GROUP BY 1)
+        SELECT agg.source, CAST(n_a AS BIGINT) AS n_a,
+          CAST(n_b AS BIGINT) AS n_b,
+          CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(d_max AS BIGINT) END AS d_num,
+          CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(d_max AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+          END AS ks,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN at_value END AS at_value
+        FROM agg JOIN atv ON agg.source = atv.source
+        ORDER BY agg.source""")),
+
+    // PMI collocation mining (text/Collocations): adjacent-bigram
+    // pointwise mutual information as the EXACT Q20 integer
+    // L(c_xy) + L(N) − L(c_x) − L(c_y) over the ILog2Q20
+    // square-and-shift log — replayed with the q49/q79 recursive-CTE
+    // integer log2 over the distinct count values.
+    GraftQuery(
+      "q110_pmi_collocations",
+      (s, dir) =>
+        graft.text.Collocations.pmi(
+          t(s, dir, "documents"), "text", minCount = 5L)
+          .orderBy(col("pmi_q20").desc, col("w1"), col("w2")),
+      Some("""
+        WITH RECURSIVE tk AS (
+          SELECT list_filter(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '') AS toks
+          FROM documents),
+        nz AS (SELECT toks FROM tk WHERE len(toks) > 0),
+        uni AS (SELECT unnest(toks) AS w FROM nz),
+        uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+        bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM nz)),
+        bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        sel AS (SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y
+          FROM bc JOIN uc ux ON bc.w1 = ux.w
+                  JOIN uc uy ON bc.w2 = uy.w),
+        vals AS (SELECT DISTINCT v FROM (
+          SELECT c_xy AS v FROM sel
+          UNION SELECT c_x FROM sel
+          UNION SELECT c_y FROM sel
+          UNION SELECT n FROM tot)),
+        sv AS (SELECT v, v * 1048576 AS s FROM vals),
+        norm AS (SELECT v, length(bin(s)) AS bl,
+          CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+               ELSE s << (21 - length(bin(s))) END AS m
+          FROM sv),
+        iter(v, bl, i, m, frac) AS (
+          SELECT v, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT v, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (SELECT v, (bl - 21) * 1048576 + frac AS l
+          FROM iter WHERE i = 20)
+        SELECT sel.w1, sel.w2, CAST(c_xy AS BIGINT) AS c_xy,
+          CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+          CAST(lxy.l + ln2.l - lx.l - ly.l AS BIGINT) AS pmi_q20
+        FROM sel CROSS JOIN tot
+          JOIN ltab lxy ON sel.c_xy = lxy.v
+          JOIN ltab lx ON sel.c_x = lx.v
+          JOIN ltab ly ON sel.c_y = ly.v
+          JOIN ltab ln2 ON tot.n = ln2.v
+        ORDER BY pmi_q20 DESC, w1, w2""")),
+
+    // Unicode script-mix profile (text/Scripts): per-doc counts over
+    // explicit BMP code-point-range classes (Java∩RE2 — NOT engine-
+    // dependent \p{Script} properties) + dominant-script routing label.
+    // Non-Latin material is synthesized per doc_id%5 branch (the
+    // q89/q97 pattern) since the corpus is Latin-heavy.
+    GraftQuery(
+      "q111_script_mix",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(substring(col("text"), 1, 60),
+            when(col("doc_id") % 5 === 0, lit(" Привет мир данных"))
+              .when(col("doc_id") % 5 === 1, lit(" 機械学習データ処理"))
+              .when(col("doc_id") % 5 === 2, lit(" مرحبا بالبيانات"))
+              .when(col("doc_id") % 5 === 3, lit(" αλφα βητα 42"))
+              .otherwise(lit(""))).as("t"))
+        graft.text.Scripts.withScriptProfile(planted, "t")
+          .drop("t")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+            concat(substr(text, 1, 60),
+              CASE WHEN doc_id % 5 = 0 THEN ' Привет мир данных'
+                   WHEN doc_id % 5 = 1 THEN ' 機械学習データ処理'
+                   WHEN doc_id % 5 = 2 THEN ' مرحبا بالبيانات'
+                   WHEN doc_id % 5 = 3 THEN ' αλφα βητα 42'
+                   ELSE '' END) AS t
+          FROM documents),
+        counted AS (
+          SELECT doc_id, t,
+            length(t) - length(regexp_replace(t,
+              '[A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}]', '', 'g'))
+              AS n_latin,
+            length(t) - length(regexp_replace(t,
+              '[\x{400}-\x{4FF}]', '', 'g')) AS n_cyrillic,
+            length(t) - length(regexp_replace(t,
+              '[\x{370}-\x{3FF}]', '', 'g')) AS n_greek,
+            length(t) - length(regexp_replace(t,
+              '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]',
+              '', 'g')) AS n_cjk,
+            length(t) - length(regexp_replace(t,
+              '[\x{600}-\x{6FF}]', '', 'g')) AS n_arabic,
+            length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+            length(t) AS n_total
+          FROM planted),
+        m AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_cjk,
+            n_arabic, n_digit) AS mx FROM counted)
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+          n_digit, n_total,
+          CASE WHEN t IS NULL THEN NULL
+               WHEN mx = 0 THEN 'none'
+               WHEN n_latin = mx THEN 'latin'
+               WHEN n_cyrillic = mx THEN 'cyrillic'
+               WHEN n_greek = mx THEN 'greek'
+               WHEN n_cjk = mx THEN 'cjk'
+               WHEN n_arabic = mx THEN 'arabic'
+               ELSE 'digit' END AS dominant_script
+        FROM m ORDER BY doc_id""")),
+
+    // Streaming tumbling-window throughput monitor (streaming
+    // .windowedEventCounts promoted to oracle evidence): AvailableNow
+    // file stream → watermarked 1-hour windows → parquet sink; append
+    // mode emits only windows the final watermark closed, which the
+    // oracle replays as the max-event-time cutoff (the q46 protocol).
+    GraftQuery(
+      "q112_streaming_window",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q112_src_")
+        val staged = srcDir.resolve("events.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/events.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val typed = expr("ts div 1000") // nanos -> micros
+        val stream = (src.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src.withColumn("ts", timestamp_micros(typed))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            src.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => src
+        }).withColumn("value_dec", col("value").cast("decimal(30,2)"))
+        val windows = graft.streaming.Streaming.windowedEventCounts(
+          stream, "ts", "event_type", "value_dec",
+          windowLength = "1 hour", watermark = "0 seconds")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q112_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q112_ckpt_").toString
+        windows.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        s.read.parquet(out)
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("n"),
+            col("total_value").cast("double").as("total_value"))
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT ts, event_type, CAST(value AS DECIMAL(30,2)) AS v
+          FROM events),
+        agg AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+            event_type, COUNT(*) AS n,
+            CAST(SUM(v) AS DOUBLE) AS total_value
+          FROM e GROUP BY 1, 2)
+        SELECT ws AS window_start_us, event_type, n, total_value
+        FROM agg
+        WHERE ws + 3600000000 <= (SELECT MAX(epoch_us(ts)) FROM e)
+        ORDER BY 1, 2""")),
+
+    // Embedding-space drift (sim/EmbeddingDrift): pairwise cosine
+    // between per-label centroids off exact Q20-quantized integer
+    // coordinate sums (cos(S_a/n_a, S_b/n_b) = cos(S_a, S_b), so no
+    // per-group divide exists at all); decimal dot/norm accumulators,
+    // one deterministic cast + IEEE sqrt/divide per pair.
+    GraftQuery(
+      "q113_embedding_drift",
+      (s, dir) =>
+        graft.sim.EmbeddingDrift.centroidCosine(
+          t(s, dir, "embeddings"), "label", "embedding", quantBits = 20)
+          .orderBy(col("group_a"), col("group_b")),
+      Some("""
+        WITH x AS (
+          SELECT label, i - 1 AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+              AS qv
+          FROM (SELECT label, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)),
+        sums AS (SELECT label, dim, SUM(qv) AS s, COUNT(*) AS n
+          FROM x GROUP BY 1, 2),
+        norms AS (SELECT label, SUM(s * s) AS n2, MAX(n) AS n
+          FROM sums GROUP BY 1),
+        dots AS (SELECT a.label AS group_a, b.label AS group_b,
+            SUM(a.s * b.s) AS dot
+          FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+          GROUP BY 1, 2)
+        SELECT group_a, group_b,
+          CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+          CASE WHEN na.n2 > 0 AND nb.n2 > 0
+            THEN CAST(dot AS DOUBLE) /
+              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          END AS cos
+        FROM dots
+          JOIN norms na ON dots.group_a = na.label
+          JOIN norms nb ON dots.group_b = nb.label
+        ORDER BY group_a, group_b"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -312,6 +312,92 @@ object Ranking {
     * POST-aggregation, so a too-big bin raises instead of silently
     * overflowing.
     */
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group — "did
+    * this batch's length/score/quality distribution shift against the
+    * reference corpus", the distribution-shape companion to the
+    * token-level KL report ([[graft.text.Drift]]): KL sees vocabulary
+    * drift, KS sees numeric-marginal drift (document lengths, quality
+    * scores, model confidences) and is threshold-free.
+    *
+    * With per-distinct-value counts and cumulative sums `cumA_v, cumB_v`
+    * over the SHARED value axis,
+    *
+    *   D = max_v |cumA_v / n_a − cumB_v / n_b|
+    *
+    * computed exactly as `d_num = max_v |cumA_v·n_b − cumB_v·n_a|` in
+    * 64-bit integers with ONE final divide `ks = d_num / (n_a·n_b)` —
+    * bit-identical in any engine (q109 replays it). `at_value` is the
+    * SMALLEST value attaining the max — where the CDFs diverge most,
+    * which is what a drift investigation looks at first.
+    *
+    * Scale shape: one map-side-combinable (group, value) histogram
+    * aggregate over the tagged union (the shuffle carries DISTINCT
+    * values, never rows — quantize continuous values first, as with
+    * [[graft.sketch.Quantiles]]), then cumulative + whole-partition
+    * windows sharing ONE exchange/sort, then a tiny per-group
+    * aggregate. Groups empty on either side emit NULL statistics
+    * (undefined, not silently 0); NULL values raise (they would
+    * silently drop mass); `n_a·n_b` overflow raises rather than wraps
+    * (ceiling ≈ 3e9 rows per group per side, same class as
+    * [[cohensKappa]]).
+    */
+  def ksStatistic(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("n_a", "n_b", "d_num", "ks", "at_value")
+    require(!groupCols.exists(reserved.contains),
+      s"group columns may not be named any of ${reserved.mkString(", ")}")
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    def side(df: DataFrame, flag: Int): DataFrame = {
+      val base = if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
+      val v = col(valueCol)
+      base.select((keys.map(col) :+
+        when(v.isNull, raise_error(lit(
+          s"ksStatistic: NULL $valueCol — drop or impute explicitly, " +
+            "a silent skip would shift the CDF")))
+          .otherwise(v).as("__v") :+
+        lit(flag).as("__side")): _*)
+    }
+    val hist = side(a, 0).unionByName(side(b, 1))
+      .groupBy((keys.map(col) :+ col("__v")): _*)
+      .agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+
+    // both windows share one partitioning → one exchange + one sort
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val guarded = hist
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__nb",
+        when(col("__na") > 0L && col("__nb") > lit(Long.MaxValue) / col("__na"),
+          raise_error(concat(lit("ksStatistic: n_a·n_b exceeds 64-bit "),
+            lit("exact range — quantize or sample first (n_a="),
+            col("__na").cast("string"), lit(", n_b="),
+            col("__nb").cast("string"), lit(")"))))
+          .otherwise(col("__nb")))
+      .withColumn("__d",
+        abs(sum(col("__ca")).over(wCum) * col("__nb") -
+          sum(col("__cb")).over(wCum) * col("__na")))
+
+    guarded
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        // min over (−d, v): largest d, then SMALLEST value attaining it
+        min(struct((-col("__d")).as("nd"), col("__v").as("v"))).as("__m"))
+      .select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        when(col("n_a") > 0L && col("n_b") > 0L, -col("__m.nd"))
+          .as("d_num") :+
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          (-col("__m.nd")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("ks") :+
+        when(col("n_a") > 0L && col("n_b") > 0L, col("__m.v"))
+          .as("at_value")): _*)
+  }
+
   private def binnedQuantized(
       df: DataFrame, predQCol: String, scale: Long, labelCol: String,
       bins: Int, groupCols: Seq[String], metric: String): DataFrame = {
