@@ -4981,7 +4981,182 @@ object Queries {
         FROM dots
           JOIN norms na ON dots.group_a = na.label
           JOIN norms nb ON dots.group_b = nb.label
-        ORDER BY group_a, group_b"""))
+        ORDER BY group_a, group_b""")),
+
+    // Population stability index (text/Drift.psiContributions): the
+    // industry-standard binned drift gate, per-bin contributions over
+    // caller-owned integer length buckets — exact Q20/Q40 integers via
+    // the shared add-one smoothing + ILog2Q20 machinery (q79's replay
+    // shape with bins instead of tokens).
+    GraftQuery(
+      "q114_psi_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("bin", expr("least(n_chars div 100, 20L)"))
+        graft.text.Drift.psiContributions(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "bin")
+          .orderBy(col("bin"))
+      },
+      Some("""
+        WITH RECURSIVE b1 AS (
+          SELECT LEAST(n_chars // 100, 20) AS bin
+          FROM documents WHERE lang = 'en'),
+        b2 AS (
+          SELECT LEAST(n_chars // 100, 20) AS bin
+          FROM documents WHERE lang <> 'en'),
+        ca AS (SELECT bin, COUNT(*) AS n_a FROM b1 GROUP BY 1),
+        cb AS (SELECT bin, COUNT(*) AS n_b FROM b2 GROUP BY 1),
+        j AS (
+          SELECT COALESCE(ca.bin, cb.bin) AS bin,
+            COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        tot AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+            CAST(SUM(n_b) AS BIGINT) AS nb, COUNT(*) AS v
+          FROM j),
+        sq AS (
+          SELECT bin, n_a, n_b,
+            greatest(((n_a + 1) * 1048576) // (na + v), 1) AS sa,
+            greatest(((n_b + 1) * 1048576) // (nb + v), 1) AS sb
+          FROM j, tot),
+        stack AS (
+          SELECT bin, 0 AS side, sa AS s FROM sq
+          UNION ALL SELECT bin, 1, sb FROM sq),
+        norm AS (
+          SELECT bin, side, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM stack),
+        iter(bin, side, bl, i, m, frac) AS (
+          SELECT bin, side, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT bin, side, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (SELECT bin, side, (bl - 21) * 1048576 + frac AS l
+                 FROM iter WHERE i = 20),
+        la AS (SELECT bin, l FROM ltab WHERE side = 0),
+        lb AS (SELECT bin, l FROM ltab WHERE side = 1)
+        SELECT j.bin, CAST(j.n_a AS BIGINT) AS n_a,
+          CAST(j.n_b AS BIGINT) AS n_b,
+          CAST((sq.sa - sq.sb) * (la.l - lb.l) AS BIGINT) AS contrib_q40
+        FROM j JOIN sq ON j.bin = sq.bin
+          JOIN la ON j.bin = la.bin
+          JOIN lb ON j.bin = lb.bin
+        ORDER BY j.bin""")),
+
+    // Image perceptual-hash dedup (multimodal/ImageHash): synthesized
+    // ANALYTIC-pixel PNGs round-trip the real JDK codec, hash to the
+    // exact-integer 8×8 average-hash, and group by hash with keep-min
+    // canonicals. The oracle re-derives the hash from the pixel FORMULA
+    // (nearest-neighbor sample + integer mean threshold) — the first
+    // multimodal oracle that replays the math, not pinned constants.
+    // Hash emitted as (hi, lo) 32-bit halves: exact nonneg integers on
+    // both sides, no two's-complement reconstruction in SQL.
+    GraftQuery(
+      "q115_image_hash_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 25).cast("int").as("pattern"))
+        val withPng = graft.multimodal.ImageHash.withSyntheticPng(
+          docs, "pattern", "img")
+        val hashed = graft.multimodal.ImageHash.withImageHash(
+          withPng, "img", "ahash")
+        graft.multimodal.ImageHash.duplicateGroups(hashed, "doc_id", "ahash")
+          .select(col("doc_id"),
+            shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+            col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+            col("canonical_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, j * 8 + i AS k,
+            299 * ((28 * i + 13 * (doc_id % 25)) % 256)
+            + 587 * ((44 * j + 29 * (doc_id % 25)) % 256)
+            + 114 * ((4 * i + 4 * j + (doc_id % 25)) % 256) AS gv
+          FROM documents,
+            (SELECT unnest(range(0, 8)) AS i),
+            (SELECT unnest(range(0, 8)) AS j)),
+        means AS (
+          SELECT doc_id, CAST(SUM(gv) // 64 AS BIGINT) AS mean
+          FROM g GROUP BY 1),
+        bits AS (
+          SELECT g.doc_id, k,
+            CASE WHEN gv > mean THEN 1 ELSE 0 END AS bit
+          FROM g JOIN means ON g.doc_id = means.doc_id),
+        hashes AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN k >= 32
+              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS ahash_hi,
+            CAST(SUM(CASE WHEN k < 32
+              THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS ahash_lo
+          FROM bits GROUP BY 1),
+        canon AS (
+          SELECT ahash_hi, ahash_lo, MIN(doc_id) AS canonical_id
+          FROM hashes GROUP BY 1, 2)
+        SELECT h.doc_id, h.ahash_hi, h.ahash_lo, c.canonical_id
+        FROM hashes h JOIN canon c
+          ON h.ahash_hi = c.ahash_hi AND h.ahash_lo = c.ahash_lo
+        ORDER BY h.doc_id""")),
+
+    // Duplicate-cluster size report (dedup/Components.sizeHistogram):
+    // q43's clustering reduced to the dedup ops dashboard — how many
+    // clusters of each size, how much corpus they hold. The oracle
+    // extends q43's recursive-CTE closure with the two-level histogram.
+    GraftQuery(
+      "q116_cluster_sizes",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.dedup.Dedup.nearDuplicates(
+          docs.filter(col("doc_id") < 500), "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+        val comp = graft.dedup.Components.connectedComponents(
+          pairs, "id_a", "id_b")
+        val labeled = docs
+          .join(comp, docs("doc_id") === comp("id"), "left")
+          .select(coalesce(col("component"), docs("doc_id")).as("component"))
+        graft.dedup.Components.sizeHistogram(labeled, "component")
+          .orderBy(col("size"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3),
+        e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM t a, t b
+          WHERE a.doc_id <> b.doc_id
+            AND len(a.gs) > 0 AND len(b.gs) > 0
+            AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.85
+        ),
+        reach AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+          WHERE e2.v <> r.u
+        ),
+        comp AS (SELECT u AS id, least(u, MIN(v)) AS component
+                 FROM reach GROUP BY u),
+        lab AS (
+          SELECT COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        sizes AS (
+          SELECT component, COUNT(*) AS size FROM lab GROUP BY 1)
+        SELECT CAST(size AS BIGINT) AS size,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY size ORDER BY size"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

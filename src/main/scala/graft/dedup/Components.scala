@@ -247,4 +247,20 @@ object Components {
       .select(col("id"))
     df.join(dropped, df(idCol) === dropped("id"), "left_anti")
   }
+
+  /** `(size, n_clusters, n_docs)` histogram over a cluster-labeled
+    * table — the dedup ops dashboard: how many duplicate clusters of
+    * each size exist, and how much of the corpus they hold (singletons
+    * at size 1; `Σ n_docs` = corpus size; `Σ (size−1)·n_clusters` =
+    * rows a keep-canonical pass would remove — the dedup ratio read
+    * straight off the report). Two map-side-combinable aggregates; the
+    * first shuffle carries one row per cluster, the second one row per
+    * DISTINCT size (a handful — cluster-size distributions are
+    * heavy-tailed at the small end).
+    */
+  def sizeHistogram(labeled: DataFrame, labelCol: String): DataFrame =
+    labeled
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("size")).as("n_docs"))
 }

@@ -88,4 +88,69 @@ object Drift {
     withP.select(col("token"), col("n_a"), col("n_b"),
       (col("__sa") * (col("__la") - col("__lb"))).as("contrib_q40"))
   }
+
+  /** Population stability index contributions over a PRE-BINNED
+    * feature — the industry-standard "did this feature's distribution
+    * shift" gate (scorecard monitoring; the usual rules of thumb
+    * PSI < 0.1 stable / > 0.25 shifted transfer after dividing by
+    * ln 2, since this variant is log2-based for exactness):
+    *
+    *   PSI = Σ_b (p_A(b) − p_B(b)) · (log2 p_A(b) − log2 p_B(b))
+    *
+    * Per-bin summands are this operator's output rows (every one is
+    * ≥ 0, so the report ranks which bins MOVED — the actionable part
+    * KS's single max-statistic doesn't give); Σ `contrib_q40` is the
+    * corpus-level index. Same exactness contract as
+    * [[tokenKlContributions]]: add-one-smoothed Q20 fixed-point
+    * probabilities over the union bin set, integer square-and-shift
+    * log2, exact Q40 integer products — order-independent,
+    * engine-replayable (q114), no IEEE transcendentals.
+    *
+    * Binning is the CALLER's (integer buckets, quantile ids,
+    * categorical values) because the binning rule is part of the
+    * monitored contract — an operator that re-derives bins from data
+    * would silently move the goalposts between runs. Scale shape: one
+    * count aggregate per side (shuffle carries DISTINCT bins), a
+    * full-outer join of two bin-sized tables, map-only native-codegen
+    * arithmetic, ONE bounded (N, V) scalar collect for the up-front
+    * fixed-point range guard.
+    */
+  def psiContributions(
+      a: DataFrame, b: DataFrame, binCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(when(col(binCol).isNull,
+          raise_error(lit(s"psiContributions: NULL $binCol — bin " +
+            "explicitly, a silent drop would shift the distribution")))
+          .otherwise(col(binCol)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+
+    val joined = counts(a, "n_a")
+      .join(counts(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint(true)
+
+    val scalars = joined.agg(
+      sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"),
+      count(lit(1)).as("v")).head
+    val (na, nb, v) =
+      (scalars.getLong(0), scalars.getLong(1), scalars.getLong(2))
+    require(na > 0 && nb > 0,
+      s"psiContributions: empty side (N_a=$na, N_b=$nb) — PSI undefined")
+    require(na < (Long.MaxValue / Scale) - 1 && nb < (Long.MaxValue / Scale) - 1,
+      s"psiContributions: side too large for Q20 fixed point " +
+        s"(N_a=$na, N_b=$nb >= 2^43) — pre-aggregate or sample first")
+
+    joined
+      .withColumn("__sa",
+        greatest(expr(s"((n_a + 1L) * ${Scale}L) div ${na + v}L"), lit(1L)))
+      .withColumn("__sb",
+        greatest(expr(s"((n_b + 1L) * ${Scale}L) div ${nb + v}L"), lit(1L)))
+      .withColumn("__la", graft.functions.ILog2Q20.ilog2Q20(col("__sa")))
+      .withColumn("__lb", graft.functions.ILog2Q20.ilog2Q20(col("__sb")))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        ((col("__sa") - col("__sb")) * (col("__la") - col("__lb")))
+          .as("contrib_q40"))
+  }
 }

@@ -131,4 +131,16 @@ class ComponentsSpec extends SparkSpec {
       stars shouldBe fast
     }
   }
+
+  test("sizeHistogram: sizes, cluster counts and doc totals") {
+    // clusters: {1,2,3} size 3, {4,5} size 2, {6} and {7} singletons
+    val labeled = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L).toDF("id", "component")
+    val hist = Components.sizeHistogram(labeled, "component")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    hist shouldBe Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L)))
+    // dedup accounting reads straight off the report
+    hist.values.map(_._2).sum shouldBe 7L              // corpus size
+    hist.map { case (s, (c, _)) => (s - 1) * c }.sum shouldBe 3L // removable
+  }
 }

@@ -72,4 +72,54 @@ class DriftSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     out shouldBe Map("x" -> 1L, "y" -> 1L)
   }
+
+  // ---- psiContributions ----
+
+  private def bins(vs: Long*) = vs.toDF("bin")
+
+  test("psi: identical distributions give zero contributions") {
+    val a = bins(1L, 1L, 2L, 3L)
+    Drift.psiContributions(a, a, "bin")
+      .select(sum($"contrib_q40")).head().getLong(0) shouldBe 0L
+  }
+
+  test("psi: every contribution is non-negative and shifted bins rank highest") {
+    val a = bins((Seq.fill(90)(1L) ++ Seq.fill(10)(2L)): _*)
+    val b = bins((Seq.fill(10)(1L) ++ Seq.fill(90)(2L)): _*)
+    val rows = Drift.psiContributions(a, b, "bin")
+      .orderBy($"contrib_q40".desc).collect()
+    all(rows.map(_.getLong(3))) should be >= 0L
+    // both bins moved by the same mass; union-only bins absent
+    rows.map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    rows.head.getLong(3) should be > 0L
+  }
+
+  test("psi: contribution matches the hand Q20 arithmetic") {
+    // A = [1,1,1], B = [1,2]: union bins {1,2}, na=3, nb=2, v=2
+    // sa(1) = (3+1)*2^20 div 5, sb(1) = (1+1)*2^20 div 4, etc.
+    val a = bins(1L, 1L, 1L)
+    val b = bins(1L, 2L)
+    val out = Drift.psiContributions(a, b, "bin")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val q = 1L << 20
+    def l(s: Long) = Dsir.ilog2Q20(s)
+    val sa1 = (4 * q) / 5; val sb1 = (2 * q) / 4
+    val sa2 = math.max(q / 5, 1); val sb2 = (2 * q) / 4
+    out(1L) shouldBe (sa1 - sb1) * (l(sa1) - l(sb1))
+    out(2L) shouldBe (sa2 - sb2) * (l(sa2) - l(sb2))
+  }
+
+  test("psi: an empty side fails loudly") {
+    intercept[IllegalArgumentException] {
+      Drift.psiContributions(bins(1L), bins(), "bin")
+    }.getMessage should include("empty side")
+  }
+
+  test("psi: NULL bins raise rather than silently dropping mass") {
+    val a = Seq(Option(1L), None).toDF("bin")
+    val e = intercept[Exception] {
+      Drift.psiContributions(a, bins(1L), "bin").collect()
+    }
+    e.getMessage should include("NULL")
+  }
 }
