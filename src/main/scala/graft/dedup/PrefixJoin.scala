@@ -45,12 +45,19 @@ object PrefixJoin {
       idCol: String,
       tokens: Column,
       tNum: Int,
-      tDen: Int): DataFrame = {
+      tDen: Int,
+      materialize: Boolean = true): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: got $tNum/$tDen")
-    val sets = docs
+    // the distinct-token sets feed FOUR plan branches (df counts, the
+    // rank window, and both verify-join sides) and the prefix table
+    // two — materialize each once (the tokenize-once contract shared
+    // with Decontaminate/Relevance/NgramLm; `materialize = false`
+    // stays fully lazy/fault-tolerant and recomputes per branch)
+    val sets0 = docs
       .select(col(idCol).as("id"), array_distinct(tokens).as("toks"))
       .filter(size(col("toks")) > 0)
+    val sets = if (materialize) sets0.localCheckpoint(true) else sets0
     val posts = sets.select(
       col("id"), size(col("toks")).cast("long").as("sz"),
       explode(col("toks")).as("tok"))
@@ -60,10 +67,11 @@ object PrefixJoin {
         row_number().over(
           Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
     // minOverlap(r) = ⌈(p/q)·|r|⌉ exactly; prefix = |r| − minOverlap + 1.
-    val prefix = ranked
+    val prefix0 = ranked
       .filter(col("rk") <=
         col("sz") - expr(s"($tNum * sz + $tDen - 1) div $tDen") + 1)
       .select(col("id"), col("sz"), col("tok"))
+    val prefix = if (materialize) prefix0.localCheckpoint(true) else prefix0
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
