@@ -5156,7 +5156,67 @@ object Queries {
         SELECT CAST(size AS BIGINT) AS size,
           CAST(COUNT(*) AS BIGINT) AS n_clusters,
           CAST(SUM(size) AS BIGINT) AS n_docs
-        FROM sizes GROUP BY size ORDER BY size"""))
+        FROM sizes GROUP BY size ORDER BY size""")),
+
+    // Count-Min sketch (sketch/CountMin): point-frequency estimates
+    // from a fixed depth×width cell table over the KR+affine
+    // engine-replayable hash family (params inlined as VALUES, the
+    // q108 protocol). Output pairs every estimate with the exact count
+    // so the never-underestimates contract is visible in the data;
+    // ASCII docs as in q49/q108 for the byte-fold replay.
+    GraftQuery(
+      "q117_count_min",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+          .select(explode(split(
+            graft.text.TextStats.normalize(col("text")), " ")).as("token"))
+          .filter(col("token") =!= "")
+        // width 16 << vocab so cells genuinely collide and the
+        // min-over-rows estimate differs from the exact counts
+        val sk = graft.sketch.CountMin.sketch(
+          toks, "token", depth = 4, width = 16, seed = 42L)
+        val est = graft.sketch.CountMin.estimate(
+          sk, toks, "token", depth = 4, width = 16, seed = 42L)
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        est.join(exact, est("value") === exact("token"))
+          .select(col("value"), col("est"), col("n_exact"))
+          .orderBy(col("value"))
+      },
+      Some {
+        val params = graft.dedup.Dedup.hashParams(4, 42L)
+        val values = params.zipWithIndex
+          .map { case ((a, b), j) => s"($j, ${a}, ${b})" }.mkString(", ")
+        s"""
+        WITH p(j, a, b) AS (VALUES $values),
+        d AS (SELECT text FROM documents
+              WHERE NOT regexp_matches(text, '[^ -~]')),
+        tok AS (SELECT unnest(list_filter(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+          x -> x <> '')) AS token FROM d),
+        tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM tok GROUP BY 1),
+        kr AS (SELECT token, n,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(token) + 1),
+              i -> CAST(ord(substr(token, i, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 257 + ch) % 2147483647) AS h
+          FROM tc),
+        cells AS (SELECT p.j AS row_, ((h * p.a + p.b) % 2147483647) % 16
+            AS cell, n
+          FROM kr CROSS JOIN p),
+        sk AS (SELECT row_, cell, CAST(SUM(n) AS BIGINT) AS c
+               FROM cells GROUP BY 1, 2),
+        qc AS (SELECT kr.token, kr.n, p.j AS row_,
+            ((kr.h * p.a + p.b) % 2147483647) % 16 AS cell
+          FROM kr CROSS JOIN p)
+        SELECT qc.token AS value,
+          CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est,
+          CAST(MIN(qc.n) AS BIGINT) AS n_exact
+        FROM qc LEFT JOIN sk ON qc.row_ = sk.row_ AND qc.cell = sk.cell
+        GROUP BY qc.token
+        ORDER BY value"""
+      })
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
