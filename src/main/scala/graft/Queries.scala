@@ -5216,7 +5216,58 @@ object Queries {
         FROM qc LEFT JOIN sk ON qc.row_ = sk.row_ AND qc.cell = sk.cell
         GROUP BY qc.token
         ORDER BY value"""
-      })
+      }),
+
+    // Audio perceptual-hash dedup (multimodal/AudioHash): synthesized
+    // ANALYTIC-waveform WAVs round-trip the real javax.sound codec,
+    // hash to the exact-integer 64-window energy profile, and group by
+    // hash — q115's protocol for the audio modality: the oracle
+    // re-derives the hash from the sample FORMULA.
+    GraftQuery(
+      "q118_audio_hash_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 20).cast("int").as("pattern"))
+        val withWav = graft.multimodal.AudioHash.withSyntheticWav(
+          docs, "pattern", "audio")
+        val hashed = graft.multimodal.AudioHash.withAudioHash(
+          withWav, "audio", "ahash")
+        graft.multimodal.ImageHash.duplicateGroups(hashed, "doc_id", "ahash")
+          .select(col("doc_id"),
+            shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+            col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+            col("canonical_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, (i * 64) // 640 AS w,
+            abs(((i * ((doc_id % 20) + 3)) % 199 - 99) * 300) AS av
+          FROM documents, (SELECT unnest(range(0, 640)) AS i)),
+        e AS (SELECT doc_id, w, CAST(SUM(av) AS BIGINT) AS ew
+              FROM g GROUP BY 1, 2),
+        means AS (SELECT doc_id, CAST(SUM(ew) // 64 AS BIGINT) AS mean
+                  FROM e GROUP BY 1),
+        bits AS (
+          SELECT e.doc_id, w AS k,
+            CASE WHEN ew > mean THEN 1 ELSE 0 END AS bit
+          FROM e JOIN means ON e.doc_id = means.doc_id),
+        hashes AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN k >= 32
+              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS ahash_hi,
+            CAST(SUM(CASE WHEN k < 32
+              THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS ahash_lo
+          FROM bits GROUP BY 1),
+        canon AS (
+          SELECT ahash_hi, ahash_lo, MIN(doc_id) AS canonical_id
+          FROM hashes GROUP BY 1, 2)
+        SELECT h.doc_id, h.ahash_hi, h.ahash_lo, c.canonical_id
+        FROM hashes h JOIN canon c
+          ON h.ahash_hi = c.ahash_hi AND h.ahash_lo = c.ahash_lo
+        ORDER BY h.doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
