@@ -5267,7 +5267,64 @@ object Queries {
         SELECT h.doc_id, h.ahash_hi, h.ahash_lo, c.canonical_id
         FROM hashes h JOIN canon c
           ON h.ahash_hi = c.ahash_hi AND h.ahash_lo = c.ahash_lo
-        ORDER BY h.doc_id"""))
+        ORDER BY h.doc_id""")),
+
+    // Moments sketch (sketch/Moments): per-event-type exact-integer
+    // power sums of the quantized value column, built as TWO batch
+    // sketches (even/odd user_id — the shards-arrive-separately
+    // shape) merged and finished — so the oracle's whole-corpus
+    // replay is itself the proof that merge ≡ concatenation. Big
+    // integers ride as strings (exact digits on both engines); the
+    // only IEEE results are the two single divides of finish.
+    GraftQuery(
+      "q119_moments_sketch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = graft.sketch.Moments.sketch(
+          ev.filter(col("user_id") % 2 === 0), "event_type", "value",
+          decimals = 1)
+        val b = graft.sketch.Moments.sketch(
+          ev.filter(col("user_id") % 2 =!= 0), "event_type", "value",
+          decimals = 1)
+        graft.sketch.Moments.finish(graft.sketch.Moments.mergeSketches(a, b))
+          .select(col("group"), col("n"),
+            col("q_absmax").cast("long").as("q_absmax"),
+            col("s1").cast("string").as("s1"),
+            col("s2").cast("string").as("s2"),
+            col("s3").cast("string").as("s3"),
+            col("s4").cast("string").as("s4"),
+            col("m3_n3").cast("string").as("m3_n3"),
+            col("m4_n4").cast("string").as("m4_n4"),
+            col("mean_q"), col("var_q2"))
+          .orderBy(col("group"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT event_type,
+            CAST(floor(value * 10.0) AS BIGINT) AS q
+          FROM events),
+        sums AS (
+          SELECT event_type AS grp,
+            CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(MAX(abs(q)) AS BIGINT) AS q_absmax,
+            CAST(SUM(q) AS HUGEINT) AS s1,
+            CAST(SUM(q * q) AS HUGEINT) AS s2,
+            CAST(SUM(CAST(q AS HUGEINT) * q * q) AS HUGEINT) AS s3,
+            CAST(SUM(CAST(q AS HUGEINT) * q * q * q) AS HUGEINT) AS s4
+          FROM q GROUP BY 1)
+        SELECT grp AS "group", CAST(n AS BIGINT) AS n, q_absmax,
+          CAST(s1 AS VARCHAR) AS s1, CAST(s2 AS VARCHAR) AS s2,
+          CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+          CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            AS VARCHAR) AS m3_n3,
+          CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+            + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+            AS VARCHAR) AS m4_n4,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+          CAST(n * s2 - s1 * s1 AS DOUBLE) /
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_q2
+        FROM sums
+        ORDER BY "group""""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
