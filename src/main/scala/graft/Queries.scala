@@ -5324,7 +5324,242 @@ object Queries {
           CAST(n * s2 - s1 * s1 AS DOUBLE) /
             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_q2
         FROM sums
-        ORDER BY "group""""))
+        ORDER BY "group"""")),
+
+    // Link-graph authority (graph/PageRank): damped power iteration in
+    // exact integer fixed-point over a deterministic host graph derived
+    // from documents (source → 'src'||((doc_id·37 + n_chars) mod 20) —
+    // the synthesized-branch protocol of q89/q111/q115). Three
+    // iterations, unrolled in the oracle because SQL recursion cannot
+    // aggregate over its own recursive term; every step is an integral
+    // div, so ranks replay bit-exactly.
+    GraftQuery(
+      "q120_domain_authority",
+      (s, dir) => {
+        val e = t(s, dir, "documents")
+          .select(col("source").as("src"),
+            concat(lit("src"),
+              pmod(col("doc_id") * 37 + col("n_chars"), lit(20))
+                .cast("string")).as("dst"))
+        graft.graph.PageRank.ranks(e, "src", "dst", iterations = 3)
+          .withColumnRenamed("rank", "rank_q")
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT source AS src,
+            'src' || CAST((doc_id * 37 + n_chars) % 20 AS VARCHAR) AS dst
+          FROM documents),
+        v AS (SELECT src AS vx FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT vx, CAST(1000000000 AS BIGINT) AS r FROM v),
+        i1 AS (SELECT e.dst AS vx, SUM(r0.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r0 ON r0.vx = e.src
+               GROUP BY 1),
+        r1 AS (SELECT v.vx, 150000000 + COALESCE(i1.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i1 USING (vx)),
+        i2 AS (SELECT e.dst AS vx, SUM(r1.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r1 ON r1.vx = e.src
+               GROUP BY 1),
+        r2 AS (SELECT v.vx, 150000000 + COALESCE(i2.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i2 USING (vx)),
+        i3 AS (SELECT e.dst AS vx, SUM(r2.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r2 ON r2.vx = e.src
+               GROUP BY 1),
+        r3 AS (SELECT v.vx, 150000000 + COALESCE(i3.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i3 USING (vx))
+        SELECT vx AS vertex, CAST(r AS BIGINT) AS rank_q
+        FROM r3 ORDER BY vertex""")),
+
+    // Reciprocal-rank fusion (eval/Fusion): two per-language top-10
+    // retrieval lists over documents — a length prior (n_chars desc)
+    // and a hash pseudo-relevance ((doc_id·37 + n_chars) mod 101 asc),
+    // both via GroupLimit's map-side-capped WindowGroupLimit shape —
+    // fused into exact integer Q20 scores; n_lists doubles as the
+    // agreement signal.
+    GraftQuery(
+      "q121_rrf_fusion",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val byLength = graft.operators.GroupLimit.topKPerGroup(
+          docs, Seq("lang"),
+          Seq(desc("n_chars"), asc("doc_id")), 10, rankCol = "r")
+        val byHash = graft.operators.GroupLimit.topKPerGroup(
+          docs.withColumn("h", pmod(col("doc_id") * 37 + col("n_chars"),
+            lit(101))),
+          Seq("lang"), Seq(asc("h"), asc("doc_id")), 10, rankCol = "r")
+        graft.eval.Fusion.rrfFuse(
+          Seq(byLength, byHash), "lang", "doc_id", "r")
+          .orderBy(col("query"), col("item"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT)
+            AS r
+          FROM documents QUALIFY r <= 10),
+        b AS (
+          SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang
+              ORDER BY (doc_id * 37 + n_chars) % 101, doc_id) AS BIGINT)
+            AS r
+          FROM documents QUALIFY r <= 10),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        SELECT lang AS query, doc_id AS item,
+          CAST(SUM(1048576 // (60 + r)) AS BIGINT) AS rrf_q,
+          CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY 1, 2
+        ORDER BY query, item""")),
+
+    // Point-in-time-correct trailing features (§2.5 windows, RANGE
+    // frame): per-user count/sum/max over the preceding hour AT each
+    // event — the leakage-free feature-engineering shape (only past
+    // rows enter the frame; a future-peeking frame is the classic
+    // train-serve skew bug). RANGE (by time value), not ROWS: ties in
+    // ts contribute identically however the shuffle orders them.
+    GraftQuery(
+      "q122_trailing_features",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-hourUs, 0L)
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(30,2)")).over(w)
+              .cast("double").as("sum_1h"),
+            max(col("value")).over(w).as("max_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+            AS sum_1h,
+          MAX(value) OVER w AS max_1h
+        FROM events
+        WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // Chat-template assembly with loss masks (text/ChatTemplate):
+    // documents become 5-turn alternating conversations (doc_id div 5
+    // / mod 5 — the synthesized-branch protocol); the oracle replays
+    // the render, the cumulative char offsets, and the assistant-only
+    // half-open spans byte-exactly. Spans ride as "s-e;s-e" strings
+    // (the joined-string form the driver's row sort requires).
+    GraftQuery(
+      "q123_chat_template",
+      (s, dir) => {
+        val convs = t(s, dir, "documents")
+          .select(expr("doc_id div 5").as("conv"),
+            (col("doc_id") % 5).as("turn"),
+            when(col("doc_id") % 2 === 0, "user")
+              .otherwise("assistant").as("role"),
+            col("text"))
+        graft.text.ChatTemplate.render(
+          convs, "conv", "turn", "role", "text")
+          .orderBy(col("conv"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id // 5 AS conv, doc_id % 5 AS turn,
+            CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+              AS role,
+            text
+          FROM documents),
+        r AS (
+          SELECT conv, turn, role, text,
+            '<|' || role || '|>' || text || chr(10) AS rendered,
+            length(role) + 4 AS tag_len
+          FROM t),
+        o AS (
+          SELECT conv, turn, role, rendered, text,
+            COALESCE(SUM(length(rendered)) OVER (
+              PARTITION BY conv ORDER BY turn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + tag_len AS s
+          FROM r)
+        SELECT conv, CAST(COUNT(*) AS BIGINT) AS n_turns,
+          string_agg(rendered, '' ORDER BY turn) AS text,
+          CAST(SUM(length(rendered)) AS BIGINT) AS total_chars,
+          COALESCE(string_agg(CASE WHEN role = 'assistant'
+            THEN s || '-' || (s + length(text)) END, ';' ORDER BY turn),
+            '') AS loss_spans
+        FROM o GROUP BY conv ORDER BY conv""")),
+
+    // Deterministic negative sampling (operators/NegativeSampling):
+    // the hash-ring strategy — documents on a circle in KR-hash order
+    // (denseIds positions), k global per-rank rotations, one
+    // position equi-join; same-label false negatives flagged, not
+    // dropped. Rotation hashes inline as VALUES (q117's protocol);
+    // the ring hash replays via the list_reduce byte fold.
+    GraftQuery(
+      "q124_negative_sampling",
+      (s, dir) =>
+        graft.operators.NegativeSampling.ringNegatives(
+          t(s, dir, "documents"), "doc_id", "lang", k = 3)
+          .orderBy(col("anchor_id"), col("neg_rank")),
+      Some {
+        val hs = (1 to 3).map(j =>
+          s"($j, ${graft.functions.KrHash.hash(s"neg#$j".getBytes("UTF-8"))})")
+          .mkString(", ")
+        s"""
+        WITH rot(j, h) AS (VALUES $hs),
+        keyed AS (
+          SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                range(1, len('neg' || CAST(doc_id AS VARCHAR)) + 1),
+                i -> CAST(ord(substr(
+                  'neg' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+              (acc, ch) -> (acc * 257 + ch) % 2147483647) AS h
+          FROM documents),
+        ring AS (
+          SELECT doc_id, lang, h,
+            ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS pos
+          FROM keyed),
+        nn AS (SELECT COUNT(*) AS n FROM ring),
+        anchors AS (
+          SELECT r.doc_id AS anchor_id, r.lang AS alab, rot.j AS neg_rank,
+            (r.pos + 1 + (rot.h % (nn.n - 1))) % nn.n AS neg_pos
+          FROM ring r CROSS JOIN rot CROSS JOIN nn)
+        SELECT anchor_id, neg_rank, b.doc_id AS neg_id,
+          (alab = b.lang) AS same_label
+        FROM anchors JOIN ring b ON anchors.neg_pos = b.pos
+        ORDER BY anchor_id, neg_rank"""
+      }),
+
+    // Per-group percentile normalization (sketch/Quantiles
+    // .withGroupPercentile): every source's lengths onto a common
+    // [0,1] rank scale, then ONE global threshold — the per-dump
+    // thresholding trick. The engine computes it on the (source,
+    // value) histogram (window bounded by distinct values, not rows —
+    // a 100 TB source never sorts in one task); the oracle replays
+    // with the engine-native PERCENT_RANK() window, pinning that the
+    // scale-safe plan computes the standard function.
+    GraftQuery(
+      "q125_quality_percentile",
+      (s, dir) =>
+        graft.sketch.Quantiles.withGroupPercentile(
+          t(s, dir, "documents").select(
+            col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars")
+          .withColumn("keep", col("pct") >= 0.4)
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, source, n_chars,
+          PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars)
+            AS pct,
+          (PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars)
+            >= 0.4) AS keep
+        FROM documents
+        ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

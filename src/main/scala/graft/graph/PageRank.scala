@@ -1,0 +1,97 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — fixed-iteration PageRank in exact
+  * integer fixed-point. The crawl-prioritization member of the graph
+  * family: [[graft.dedup.Components]] answers "which documents are the
+  * SAME" (undirected closure), this answers "which domains MATTER"
+  * (directed endorsement) — the signal Common Crawl publishes as its
+  * harmonic-centrality/PageRank host ranking and that corpus curation
+  * uses to weight or gate sources before quality filtering ever reads
+  * a byte (see Brin & Page 1998; the damped power-iteration form).
+  *
+  * Exactness: ranks are integers in `scale` units (default 10⁹ per
+  * vertex). One iteration is
+  * `r'(v) = ⌊15·scale/100⌋ + ⌊85·(Σ_{u→v} ⌊r(u)/outdeg(u)⌋)/100⌋`
+  * — every step an integral div on exact integers, so the result is
+  * deterministic under any partitioning/order (integer addition
+  * commutes) and SQL-replayable by unrolling the fixed iteration
+  * count (q120). Truncation loses < 1 unit per edge per round —
+  * irrelevant at scale 10⁹ — and dangling mass (vertices with no
+  * outlinks) is dropped, the standard simplification when ranking
+  * hosts rather than computing a true stationary distribution.
+  *
+  * Overflow contract: total mass never exceeds `|V|·scale` (each
+  * round's total is `≤ 0.15·|V|·scale + 0.85·`previous), and the
+  * damping step multiplies an in-sum by 85 before dividing, so exact
+  * long arithmetic needs `85·|V|·scale < 2⁶³`; the constructor
+  * fail-louds past `|V|·scale ≤ 10¹⁷` using the vertex count it
+  * already needs for initialization. At the default scale that admits
+  * 10⁸ vertices — hosts, not pages; lower `scale` for page graphs.
+  *
+  * Scale shape (per round): one |E| equi-join (rank lookup by edge
+  * source) + one map-side-combinable `groupBy(dst).sum` — the same
+  * shuffle profile as [[graft.dedup.Components]]' label propagation.
+  * The degree-annotated edge table is materialized ONCE
+  * (`localCheckpoint`, the [[graft.dedup.Components]] hygiene — each
+  * round's join would otherwise re-derive it from the raw edge table),
+  * and each round's ranks are checkpointed so lineage stays constant
+  * across iterations instead of doubling. Exactly one scalar (the
+  * vertex count) is collected to the driver.
+  */
+object PageRank {
+
+  /** `(vertex, rank)` after `iterations` damped rounds over the
+    * DISTINCT directed edges of `(srcCol, dstCol)` — `rank` in
+    * `scale` units, so `scale` ≙ 1.0 of initial per-vertex mass.
+    * Self-loops are legal (a host linking itself endorses itself);
+    * NULL endpoints raise — a silent drop would re-route mass.
+    */
+  def ranks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(scale >= 100L, s"need scale >= 100 (damping divides by 100), got $scale")
+    val guard = (c: String) => when(col(c).isNull,
+      raise_error(lit(s"PageRank.ranks: NULL $c — drop explicitly, " +
+        "a silent skip would re-route rank mass")))
+      .otherwise(col(c))
+    val e = edges
+      .select(guard(srcCol).as("src"), guard(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint(true)
+
+    val nVertices = vertices.count()
+    require(nVertices == 0 || scale <= 100000000000000000L / nVertices,
+      s"PageRank.ranks: |V|·scale = ${nVertices} · ${scale} exceeds the exact " +
+        "long range — lower scale for graphs this large")
+
+    val base = lit(scale * 15L / 100L)
+    var r = vertices.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      // `div` (integral) rather than `/` (IEEE): ranks exceed 2⁵³ on
+      // big graphs, where a double round-trip would silently round
+      val inSum = r
+        .join(edgesDeg, r("vertex") === edgesDeg("src"))
+        .select(col("dst").as("vertex"),
+          expr("rank div outdeg").as("contrib"))
+        .groupBy(col("vertex"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      r = vertices
+        .join(inSum, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (base + expr("coalesce(in_sum, 0L) * 85 div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}

@@ -77,4 +77,64 @@ object Quantiles {
         col("__v"))).as("value"))
     if (groupCols.nonEmpty) out else out.drop("__all")
   }
+
+  /** Append `pctCol` = the row's per-group `percent_rank` of
+    * `valueCol` — rank-based score normalization across groups whose
+    * raw score scales are incomparable (the per-dump/per-source
+    * thresholding trick: "keep every source's top 40%" needs each
+    * source's scores on a COMMON [0, 1] scale first; a global
+    * threshold on raw scores silently over-prunes whole sources).
+    *
+    * Same value ⇒ same percentile (ties share the rank of their first
+    * position — the SQL `percent_rank` definition `(rank − 1)/(n − 1)`
+    * with no tie-break, exactly `cum_before/(n − 1)`: an integer ratio
+    * with ONE IEEE divide, so q125 replays it against the engine's
+    * own `PERCENT_RANK()` window). Single-row groups get 0.0, the SQL
+    * convention. NULL values raise — a NULL is not a rank.
+    *
+    * Scale shape — the reason this exists instead of
+    * `percent_rank().over(Window.partitionBy(group))`: the built-in
+    * window sorts EVERY ROW of a group in one task (a 100 TB source
+    * in one partition), while this computes ranks on the
+    * [[grouped]]-style `(group, value)` histogram — the window
+    * partition is bounded by the group's DISTINCT-value count (the
+    * histogram contract above) — and restores per-row percentiles
+    * with one `(group, value)` equi-join.
+    */
+  def withGroupPercentile(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pctCol: String = "pct"): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupPercentile needs group columns")
+    require(!df.columns.contains(pctCol),
+      s"column $pctCol already exists on the input")
+    val v = when(col(valueCol).isNull,
+      raise_error(lit(s"withGroupPercentile: NULL $valueCol — drop " +
+        "explicitly, a NULL is not a rank")))
+      .otherwise(col(valueCol))
+    val hist = df
+      .select((groupCols.map(col) :+ v.as("__v")): _*)
+      .groupBy((groupCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cumBefore = byGroup.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rename the histogram's key columns before joining back: ranks
+    // derives from df, and same-name keys trip the ambiguous-self-join
+    // detector
+    val ranks = hist
+      .withColumn("__before", coalesce(sum(col("__c")).over(cumBefore), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(byGroup))
+      .withColumn(pctCol,
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise(col("__before").cast("double") /
+            (col("__n") - 1L).cast("double")))
+      .select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__g$i")
+      } :+ col("__v") :+ col(pctCol)): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => df(c) === ranks(s"__g$i") }
+      .reduce(_ && _) && df(valueCol) === ranks("__v")
+    df.join(ranks, cond)
+      .select(df.columns.map(df(_)) :+ ranks(pctCol): _*)
+  }
 }

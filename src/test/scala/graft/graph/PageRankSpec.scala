@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def edges(es: (String, String)*) = es.toDF("src", "dst")
+
+  /** Local replay of the exact integer iteration. */
+  private def local(
+      es: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000000L): Map[String, Long] = {
+    val e = es.distinct
+    val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = vs.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map(x => r(x._1) / outdeg(x._1)).sum
+      }
+      r = vs.map(v =>
+        v -> (scale * 15L / 100L + in.getOrElse(v, 0L) * 85L / 100L)).toMap
+    }
+    r
+  }
+
+  test("matches the exact integer iteration on a hand graph") {
+    val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "d" -> "c")
+    val got = PageRank.ranks(edges(es: _*), "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe local(es, 5)
+    // the hub c outranks the dangling-ish d
+    got("c") should be > got("d")
+  }
+
+  test("dangling vertices keep base rank; their mass is dropped") {
+    // b has no outlinks: it receives but never sends
+    val es = Seq("a" -> "b")
+    val got = PageRank.ranks(edges(es: _*), "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe local(es, 3)
+    got("a") shouldBe 150000000L // base only after round 1
+  }
+
+  test("duplicate edge rows count once") {
+    val once = PageRank.ranks(
+      edges("a" -> "b", "b" -> "a"), "src", "dst", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dup = PageRank.ranks(
+      edges("a" -> "b", "a" -> "b", "b" -> "a"), "src", "dst", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dup shouldBe once
+  }
+
+  test("self-loops are legal and deterministic") {
+    val es = Seq("a" -> "a", "a" -> "b", "b" -> "a")
+    PageRank.ranks(edges(es: _*), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      local(es, 3)
+  }
+
+  test("result is partitioning- and order-independent") {
+    val es = (1 to 200).map(i => s"v${i % 23}" -> s"v${(i * 7) % 23}")
+    val base = PageRank.ranks(edges(es: _*), "src", "dst", 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shuffled = PageRank.ranks(
+      edges(scala.util.Random.shuffle(es): _*).repartition(13),
+      "src", "dst", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    shuffled shouldBe base
+  }
+
+  test("NULL endpoints raise instead of silently dropping") {
+    val df = Seq((Some("a"), Some("b")), (Some("a"), None))
+      .toDF("src", "dst")
+    val ex = intercept[Exception] {
+      PageRank.ranks(df, "src", "dst", 1).collect()
+    }
+    ex.getMessage should include("NULL dst")
+  }
+
+  test("overflow guard fail-louds on |V|·scale past the long budget") {
+    val es = (1 to 300).map(i => s"v$i" -> s"v${i + 1}")
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.ranks(edges(es: _*), "src", "dst", 1,
+        scale = 1000000000000000L) // 301 · 10^15 > 10^17
+    }
+    ex.getMessage should include("exceeds the exact long range")
+  }
+}

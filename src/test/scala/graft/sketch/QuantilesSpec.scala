@@ -1,5 +1,7 @@
 package graft.sketch
 
+import org.apache.spark.sql.functions.percent_rank
+
 import graft.SparkSpec
 
 class QuantilesSpec extends SparkSpec {
@@ -87,5 +89,37 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.grouped(df, Seq("g"), "v", Seq(1.1))
     an[IllegalArgumentException] should be thrownBy
       Quantiles.grouped(df, Seq("g"), "v", Seq(0.5, 0.5))
+  }
+
+  test("group percentile matches percent_rank, ties share the rank") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 60).map(i => (s"g${i % 3}", (i * 7 % 11).toLong, i))
+    val df = rows.toDF("g", "v", "id")
+    val got = Quantiles.withGroupPercentile(df, Seq("g"), "v")
+    // reference: the built-in percent_rank window (small data only)
+    val ref = df.withColumn("pct",
+      percent_rank().over(Window.partitionBy("g").orderBy("v")))
+    got.collect().map(r => (r.getString(0), r.getInt(2)) -> r.getDouble(3))
+      .toMap shouldBe
+      ref.collect().map(r => (r.getString(0), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+  }
+
+  test("single-row group gets percentile 0.0") {
+    val df = Seq(("a", 5L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val got = Quantiles.withGroupPercentile(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got(("a", 5L)) shouldBe 0.0
+    got(("b", 1L)) shouldBe 0.0
+    got(("b", 2L)) shouldBe 1.0
+  }
+
+  test("group percentile raises on NULL values") {
+    val df = Seq(("g", Some(1L)), ("g", None)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Quantiles.withGroupPercentile(df, Seq("g"), "v").collect()
+    }
+    ex.getMessage should include("NULL v")
   }
 }
