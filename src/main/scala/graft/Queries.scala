@@ -5559,7 +5559,161 @@ object Queries {
           (PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars)
             >= 0.4) AS keep
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Stride-scheduled epoch order (operators/Interleave): sources
+    // weighted 1/2/3 by source index mod 3; the oracle replays the
+    // per-source KR-hash ranks with a partitioned ROW_NUMBER (the
+    // engine computes them scale-safely as global-enumeration minus
+    // per-source offsets — same function, q125's proof shape), the
+    // exact integer virtual times off inlined strides, and the final
+    // total order.
+    GraftQuery(
+      "q126_interleave_order",
+      (s, dir) => {
+        val weights = (0 until 20).map(i => s"src$i" -> (1L + i % 3)).toMap
+        graft.operators.Interleave.stridedOrder(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", weights)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val weights = (0 until 20).map(i => s"src$i" -> (1L + i % 3))
+        val totalW = weights.map(_._2).sum
+        val values = weights.map { case (s, w) =>
+          s"('$s', ${totalW * (1L << 20) / w})"
+        }.mkString(", ")
+        s"""
+        WITH w(source, stride) AS (VALUES $values),
+        h AS (
+          SELECT doc_id, source,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                range(1, len('mix' || CAST(doc_id AS VARCHAR)) + 1),
+                i -> CAST(ord(substr(
+                  'mix' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+              (acc, ch) -> (acc * 257 + ch) % 2147483647) AS hh
+          FROM documents),
+        r AS (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+              - 1 AS src_rank
+          FROM h),
+        v AS (
+          SELECT r.doc_id, r.source, r.src_rank,
+            (r.src_rank + 1) * w.stride AS vtime
+          FROM r JOIN w USING (source))
+        SELECT doc_id, source, src_rank, vtime,
+          ROW_NUMBER() OVER (ORDER BY vtime, source, src_rank) - 1
+            AS position
+        FROM v ORDER BY doc_id"""
+      }),
+
+    // Length-bucketed batching (operators/Batching): documents routed
+    // to caller-owned n_chars buckets, KR-hash shuffled within the
+    // bucket, batches of 16 formed by exact integer div/mod off the
+    // scale-safe rank (global enumeration minus per-bucket offsets —
+    // the oracle replays with a partitioned ROW_NUMBER, q125/q126's
+    // same-function-different-plan proof shape).
+    GraftQuery(
+      "q127_length_batches",
+      (s, dir) =>
+        graft.operators.Batching.lengthBucketedBatches(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars",
+          boundaries = Seq(200L, 400L, 700L, 100000L), batchSize = 16)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+            CASE WHEN n_chars <= 200 THEN 200
+                 WHEN n_chars <= 400 THEN 400
+                 WHEN n_chars <= 700 THEN 700
+                 ELSE 100000 END AS bucket_bound,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                range(1, len('batch' || CAST(doc_id AS VARCHAR)) + 1),
+                i -> CAST(ord(substr(
+                  'batch' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+              (acc, ch) -> (acc * 257 + ch) % 2147483647) AS hh
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars, bucket_bound,
+            ROW_NUMBER() OVER (PARTITION BY bucket_bound
+              ORDER BY hh, doc_id) - 1 AS rk
+          FROM h)
+        SELECT doc_id, n_chars, CAST(bucket_bound AS BIGINT)
+            AS bucket_bound,
+          rk // 16 AS batch_idx, rk % 16 AS pos_in_batch
+        FROM r ORDER BY doc_id""")),
+
+    // Stream-static enrichment (streaming.enrichedWindowedCounts):
+    // the events stream broadcast-joined to the customer dimension
+    // (user_id = c_custkey → market segment) and rolled up per
+    // watermarked hour window — the q112 protocol (AvailableNow file
+    // stream, append mode, max-event-time cutoff replay), now with
+    // the per-micro-batch dimension broadcast in the plan.
+    GraftQuery(
+      "q128_streaming_enriched",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q128_src_")
+        val staged = srcDir.resolve("events.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/events.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val typed = expr("ts div 1000") // nanos -> micros
+        val stream = (src.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src.withColumn("ts", timestamp_micros(typed))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            src.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => src
+        }).withColumn("value_dec", col("value").cast("decimal(30,2)"))
+          .withColumnRenamed("user_id", "c_custkey")
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val windows = graft.streaming.Streaming.enrichedWindowedCounts(
+          stream, dim, "ts", "c_custkey", "c_mktsegment", "value_dec",
+          windowLength = "1 hour", watermark = "0 seconds")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q128_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q128_ckpt_").toString
+        windows.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        s.read.parquet(out)
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("c_mktsegment"), col("n"),
+            col("total_value").cast("double").as("total_value"))
+          .orderBy(col("window_start_us"), col("c_mktsegment"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT ts, c_mktsegment, CAST(value AS DECIMAL(30,2)) AS v
+          FROM events JOIN customer ON events.user_id = customer.c_custkey),
+        agg AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+            c_mktsegment, COUNT(*) AS n,
+            CAST(SUM(v) AS DOUBLE) AS total_value
+          FROM e GROUP BY 1, 2)
+        SELECT ws AS window_start_us, c_mktsegment, n, total_value
+        FROM agg
+        WHERE ws + 3600000000 <=
+          (SELECT MAX(epoch_us(ts)) FROM events)
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

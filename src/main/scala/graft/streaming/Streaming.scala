@@ -36,6 +36,38 @@ object Streaming {
       .select(col("win.start").as("window_start"), col(typeCol),
         col("n"), col("total_value"))
 
+  /** Stream-static dimension enrichment + windowed rollup — the
+    * standard ingest-time shape: a fact stream joined to a SMALL,
+    * slowly-changing dimension (user → segment, host → authority
+    * tier) and aggregated per (window, dimension value). The join is
+    * explicitly `broadcast`: a stream-static equi-join must not
+    * shuffle the static side into the stream's stateful exchange —
+    * Spark re-broadcasts the dimension per micro-batch, which is also
+    * the semantic (dimension updates picked up at batch boundaries).
+    *
+    * INNER join by contract: an unmatched fact row carries no
+    * dimension value and would pollute the rollup with a NULL group —
+    * filter or left-join upstream if unmatched facts must survive.
+    * State is bounded exactly as [[windowedEventCounts]] (windows in
+    * flight × dimension cardinality).
+    */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      segmentCol: String,
+      valueCol: String,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .join(broadcast(dim.select(col(keyCol), col(segmentCol))), Seq(keyCol))
+      .groupBy(window(col(tsCol), windowLength).as("win"), col(segmentCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+      .select(col("win.start").as("window_start"), col(segmentCol),
+        col("n"), col("total_value"))
+
   /** Watermarked session aggregation — the streaming twin of
     * [[graft.operators.Sessionize.sessionStats]], on Spark's native
     * `session_window` (incremental merging session state per key; no

@@ -43,6 +43,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the dimension and rolls up per segment") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "gold"), (3L, "silver"))
+      .toDF("user_id", "segment")
+    val out = Streaming.enrichedWindowedCounts(
+      input.toDF.toDF("ts", "user_id", "value"), dim,
+      "ts", "user_id", "segment", "value", windowLength = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("enriched").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), 1L, 1.0), (ts(2), 2L, 2.0), (ts(3), 3L, 5.0),
+        (ts(4), 99L, 100.0)) // no dimension row: dropped by contract
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, segment, n, total_value FROM enriched")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).sorted
+      rows.toSeq shouldBe Seq(
+        ("2024-01-01 10:00:00.0", "gold", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "silver", 1L, 5.0))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup drops in-watermark duplicates, keeps distinct texts") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
