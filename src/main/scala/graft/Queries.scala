@@ -5713,7 +5713,66 @@ object Queries {
         FROM agg
         WHERE ws + 3600000000 <=
           (SELECT MAX(epoch_us(ts)) FROM events)
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Exact-integer outlier gate (sketch/Moments.flagOutliers): the
+    // per-type 3σ rule with zero floating point — (q·n − Σq)² >
+    // 9·(n·Σq² − (Σq)²) cross-multiplied so μ and σ never
+    // materialize; flags replay bit-exactly with HUGEINT arithmetic.
+    GraftQuery(
+      "q129_outlier_gate",
+      (s, dir) =>
+        graft.sketch.Moments.flagOutliers(
+          t(s, dir, "events").select(
+            col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", decimals = 0, k = 3)
+          .select(col("event_id"), col("event_type"), col("q"),
+            col("is_outlier"))
+          .orderBy(col("event_id")),
+      Some("""
+        WITH q AS (
+          SELECT event_id, event_type,
+            CAST(floor(value) AS BIGINT) AS q
+          FROM events),
+        st AS (
+          SELECT event_type,
+            CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(q) AS HUGEINT) AS s1,
+            CAST(SUM(q * q) AS HUGEINT) AS s2
+          FROM q GROUP BY 1)
+        SELECT q.event_id, q.event_type, q.q,
+          ((q.q * st.n - st.s1) * (q.q * st.n - st.s1)
+            > 9 * (st.n * st.s2 - st.s1 * st.s1)) AS is_outlier
+        FROM q JOIN st USING (event_type)
+        ORDER BY q.event_id""")),
+
+    // Half-life decayed activity (sketch/Decay): per-event-type
+    // recency-weighted counts — a row aged d days contributes
+    // 2^20 >> d, exact integers end to end; the corpus max timestamp
+    // rides in BNLJ-free on the Scalars constant-key broadcast join.
+    GraftQuery(
+      "q130_halflife_activity",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val mx = ev.agg(max(col("us")).as("max_us"))
+        val aged = graft.core.Scalars.withScalars(ev, mx)
+          .withColumn("age", expr("(max_us - us) div 86400000000"))
+        graft.sketch.Decay.halfLifeCounts(aged, "event_type", "age",
+          shift = 20)
+          .orderBy(col("group"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) AS us FROM events),
+        m AS (SELECT MAX(us) AS mx FROM e),
+        a AS (SELECT event_type, (mx - us) // 86400000000 AS age
+              FROM e, m)
+        SELECT event_type AS "group",
+          CAST(SUM(CASE WHEN age >= 63 THEN 0
+            ELSE 1048576 >> age END) AS BIGINT) AS score_q
+        FROM a GROUP BY 1
+        ORDER BY "group""""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

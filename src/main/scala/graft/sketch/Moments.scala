@@ -131,4 +131,48 @@ object Moments {
           (col("n").cast("double") * col("n").cast("double")))
       .drop("var_num")
   }
+
+  /** Flag per-group k-sigma outliers with ZERO floating point: the
+    * gate `(q − μ)² > k²σ²` cross-multiplies to
+    * `(q·n − Σq)² > k²·(n·Σq² − (Σq)²)` — exact integers end to end
+    * (μ = Σq/n and σ² = (n·Σq² − (Σq)²)/n² never materialize), so
+    * the flag is bit-replayable (q129) with no epsilon anywhere.
+    * The anomaly gate a curation pipeline puts on numeric columns
+    * (lengths, scores, latencies) per group.
+    *
+    * Output: input columns + `q` (the quantized value) +
+    * `is_outlier`. Same overflow contract style as [[finish]]:
+    * fail-louds when `max(4, k²)·(n·max|q|)²` could leave exact
+    * decimal(38,0) range. Scale shape: one [[sketch]] aggregate +
+    * one equi-join of the |groups|-sized stats table back onto the
+    * rows (broadcast-sized by construction).
+    */
+  def flagOutliers(
+      df: DataFrame, groupCol: String, valueCol: String,
+      decimals: Int = 0, k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val scale = math.pow(10.0, decimals)
+    val stats = sketch(df, groupCol, valueCol, decimals)
+      .select(col("group").as("__grp"), col("n").as("__n"),
+        col("q_absmax").as("__b"), col("s1").as("__s1"),
+        col("s2").as("__s2"))
+    val kk = math.max(4L, k.toLong * k.toLong)
+    val guardOk = log(10.0, greatest(col("__n").cast("double"), lit(1.0))) +
+      log(10.0, greatest(col("__b").cast("double"), lit(1.0))) <=
+      lit((37.0 - math.log10(kk.toDouble)) / 2.0)
+    val q = floor(col(valueCol).cast("double") * lit(scale))
+      .cast("long").cast("decimal(38,0)")
+    val n = col("__n").cast("decimal(38,0)")
+    val lhs = (q * n - col("__s1")) * (q * n - col("__s1"))
+    val rhs = lit(new java.math.BigDecimal(k.toLong * k.toLong)) *
+      (n * col("__s2") - col("__s1") * col("__s1"))
+    df.join(stats, col(groupCol) === col("__grp"))
+      .withColumn("q", q.cast("long"))
+      .withColumn("is_outlier",
+        when(!guardOk, raise_error(concat(
+          lit("Moments.flagOutliers: k²·(n·max|q|)² may exceed exact "),
+          lit("decimal(38,0) range for group "), col("__grp").cast("string"))))
+          .otherwise(lhs > rhs))
+      .drop("__grp", "__n", "__b", "__s1", "__s2")
+  }
 }

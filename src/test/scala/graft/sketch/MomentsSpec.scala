@@ -79,6 +79,35 @@ class MomentsSpec extends SparkSpec {
     ex.getMessage should include("NULL v")
   }
 
+  test("outlier gate matches the brute-force sigma rule") {
+    // group of 20 near-identical values + one far point
+    val data = (1 to 20).map(i => "g" -> (10.0 + (i % 3))) :+ ("g" -> 500.0)
+    val got = Moments.flagOutliers(vals(data: _*), "g", "v", k = 3)
+      .collect().map(r => r.getAs[Long]("q") -> r.getAs[Boolean]("is_outlier"))
+    got.count(_._1 == 500L) shouldBe 1
+    got.filter(_._1 == 500L).head._2 shouldBe true
+    all(got.filter(_._1 != 500L).map(_._2)) shouldBe false
+    // cross-check every flag against the IEEE z-score rule (no
+    // boundary-ambiguous points in this construction)
+    val xs = data.map(_._2)
+    val mean = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
+    got.foreach { case (q, flag) =>
+      flag shouldBe math.abs(q - mean) > 3 * sd
+    }
+  }
+
+  test("outlier gate is per-group") {
+    val data = vals("a" -> 1.0, "a" -> 1.0, "a" -> 1.0, "a" -> 100.0,
+      "b" -> 100.0, "b" -> 100.0, "b" -> 100.0, "b" -> 100.0)
+    val got = Moments.flagOutliers(data, "g", "v", k = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("q")) ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    got(("a", 100L)) shouldBe true
+    got(("b", 100L)) shouldBe false // 100 is b's normal
+  }
+
   test("finish fail-louds past the overflow ceiling") {
     // max|q| = 10^9 with n = 10: the sketch sums still fit
     // (Σq⁴ = 10³⁷ < 10³⁸) but the n³·Σq⁴-scale finish terms would
