@@ -5772,7 +5772,33 @@ object Queries {
           CAST(SUM(CASE WHEN age >= 63 THEN 0
             ELSE 1048576 >> age END) AS BIGINT) AS score_q
         FROM a GROUP BY 1
-        ORDER BY "group""""))
+        ORDER BY "group"""")),
+
+    // Salted skew join (operators/SkewJoin): events with a synthesized
+    // hot key (80% of rows collapse onto custkey 0) dimension-joined
+    // to customer through 16 salt sub-keys; the oracle replays the
+    // PLAIN join — salted ≡ plain is the whole correctness contract.
+    GraftQuery(
+      "q131_salted_join",
+      (s, dir) => {
+        val left = t(s, dir, "events")
+          .select(col("event_id"),
+            when(col("user_id") < 120, 0L).otherwise(col("user_id"))
+              .as("key"))
+        val right = t(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_mktsegment"))
+        graft.operators.SkewJoin.saltedJoin(
+          left, right, "key", "event_id", nSalts = 16)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id,
+          CASE WHEN e.user_id < 120 THEN 0 ELSE e.user_id END AS key,
+          c.c_mktsegment
+        FROM events e JOIN customer c
+          ON (CASE WHEN e.user_id < 120 THEN 0 ELSE e.user_id END)
+            = c.c_custkey
+        ORDER BY e.event_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -49,21 +49,22 @@ object ChatTemplate {
         "a silent skip would shift every span after it")))
       .otherwise(col(c))
     val wTurn = Window.partitionBy(col("conv")).orderBy(col("turn"))
-    val wDup = Window.partitionBy(col("conv"), col("turn"))
     val turns = df.select(
         col(convCol).as("conv"),
         guard(turnCol).cast("long").as("turn"),
         guard(roleCol).as("role"),
         guard(textCol).as("text"))
-      .withColumn("__dup", count(lit(1)).over(wDup))
+      // duplicate detection rides the SAME (conv)-partitioned window
+      // as the offset cumsum (lag of the sorted turns), not a second
+      // (conv, turn)-keyed exchange
       .withColumn("turn",
-        when(col("__dup") > 1, raise_error(concat(
-          lit("ChatTemplate.render: duplicate turn index "),
-          col("turn").cast("string"), lit(" in conversation "),
-          col("conv").cast("string"),
-          lit(" — render order would be shuffle-dependent"))))
+        when(lag(col("turn"), 1).over(wTurn) === col("turn"),
+          raise_error(concat(
+            lit("ChatTemplate.render: duplicate turn index "),
+            col("turn").cast("string"), lit(" in conversation "),
+            col("conv").cast("string"),
+            lit(" — render order would be shuffle-dependent"))))
           .otherwise(col("turn")))
-      .drop("__dup")
       // rendered turn: <|role|>text\n ; span covers text only
       .withColumn("rendered",
         concat(lit("<|"), col("role"), lit("|>"), col("text"), lit("\n")))
