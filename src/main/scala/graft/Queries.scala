@@ -5798,7 +5798,94 @@ object Queries {
         FROM events e JOIN customer c
           ON (CASE WHEN e.user_id < 120 THEN 0 ELSE e.user_id END)
             = c.c_custkey
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // Token-weighted quantiles (sketch/Quantiles.groupedWeighted):
+    // per-language doc-length quantiles ranked by CHAR MASS, not rows
+    // — "half the corpus characters sit in docs this long or shorter"
+    // (q54's replay shape with summed weights in the histogram).
+    GraftQuery(
+      "q132_weighted_quantiles",
+      (s, dir) =>
+        graft.sketch.Quantiles.groupedWeighted(
+          t(s, dir, "documents"), Seq("lang"), "n_chars", "n_chars",
+          Seq(0.25, 0.5, 0.9))
+          .orderBy(col("lang"), col("q")),
+      Some("""
+        WITH h AS (
+          SELECT lang, n_chars AS v, CAST(SUM(n_chars) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2 HAVING SUM(n_chars) > 0),
+        w AS (
+          SELECT lang, v, c,
+            CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+              AS cum,
+            CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM h),
+        e AS (
+          SELECT lang, v, cum, n,
+            unnest([0.25e0, 0.5e0, 0.9e0]) AS q
+          FROM w)
+        SELECT lang, q,
+          MIN(CASE WHEN cum >= ceil(q * n) THEN v END) AS value
+        FROM e GROUP BY lang, q
+        ORDER BY lang, q""")),
+
+    // Robust outlier gate (sketch/Quantiles.medianMad): per-type
+    // median + MAD over the integer-floored value, gate
+    // |q − median| > 3·mad — every quantity an exact data element,
+    // so the flags replay with zero epsilon. The robust complement
+    // of q129: masking outliers inflate σ but not the MAD.
+    GraftQuery(
+      "q133_robust_gate",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value")).cast("long").as("q"))
+        val stats = graft.sketch.Quantiles.medianMad(
+          ev, Seq("event_type"), "q")
+        ev.join(stats, "event_type")
+          .select(col("event_id"), col("event_type"), col("q"),
+            col("median"), col("mad"),
+            (abs(col("q") - col("median")) > lit(3L) * col("mad"))
+              .as("is_outlier"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT event_id, event_type,
+            CAST(floor(value) AS BIGINT) AS q
+          FROM events),
+        h AS (SELECT event_type, q AS v, COUNT(*) AS c
+              FROM q GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, v,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cum,
+            CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM h),
+        med AS (
+          SELECT event_type,
+            MIN(CASE WHEN cum >= ceil(0.5e0 * n) THEN v END) AS median
+          FROM w GROUP BY 1),
+        dev AS (
+          SELECT q.event_type, abs(q.q - med.median) AS d
+          FROM q JOIN med USING (event_type)),
+        dh AS (SELECT event_type, d AS v, COUNT(*) AS c
+               FROM dev GROUP BY 1, 2),
+        dw AS (
+          SELECT event_type, v,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cum,
+            CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM dh),
+        mad AS (
+          SELECT event_type,
+            MIN(CASE WHEN cum >= ceil(0.5e0 * n) THEN v END) AS mad
+          FROM dw GROUP BY 1)
+        SELECT q.event_id, q.event_type, q.q, med.median, mad.mad,
+          (abs(q.q - med.median) > 3 * mad.mad) AS is_outlier
+        FROM q JOIN med USING (event_type) JOIN mad USING (event_type)
+        ORDER BY q.event_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

@@ -78,6 +78,96 @@ object Quantiles {
     if (groupCols.nonEmpty) out else out.drop("__all")
   }
 
+  /** One row per (group, q): `(groupCols…, q, value)` with ranks by
+    * WEIGHT mass instead of row count — `Q(q)` = the smallest value
+    * whose cumulative weight reaches `ceil(q · W)`. The token-weighted
+    * form of [[grouped]]: "the median document BY TOKENS" (half the
+    * corpus TOKENS sit in docs this long or shorter) is the capacity-
+    * planning number, and it differs from the row-median whenever
+    * length and count disagree — which is always, in a web corpus.
+    * Integer weights only (token/char/byte counts are integers;
+    * fractional mass would reopen the IEEE-accumulation hole the
+    * histogram design closes); NULL/negative weights raise,
+    * zero-weight rows carry no mass and cannot be selected.
+    *
+    * Same scale shape as [[grouped]]: the shuffle carries distinct
+    * values (with summed weights), never rows.
+    */
+  def groupedWeighted(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile fraction")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    require(qs.distinct.size == qs.size, s"duplicate fractions in $qs")
+    require(!groupCols.contains("q") && !groupCols.contains("value"),
+      "group columns may not be named 'q' or 'value' (output columns)")
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("__all")
+    val base0 =
+      if (groupCols.nonEmpty) df else df.withColumn("__all", lit(0))
+    val w = when(col(weightCol).isNull || col(weightCol) < 0L,
+      raise_error(lit(s"groupedWeighted: NULL or negative $weightCol — " +
+        "drop explicitly, a silent skip would shift every rank")))
+      .otherwise(col(weightCol).cast("long"))
+    val base = base0
+      .filter(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(valueCol).as("__v") :+ w.as("__w")): _*)
+    val hist = base
+      .groupBy((keys :+ "__v").map(col): _*)
+      .agg(sum(col("__w")).as("__c"))
+      .filter(col("__c") > 0L)
+    val byGroup = Window.partitionBy(keys.map(col): _*)
+    val cumW = byGroup.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(byGroup))
+    val out = withCum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .groupBy((keys.map(col) :+ col("q")): _*)
+      .agg(min(when(col("__cum") >= ceil(col("q") * col("__n")),
+        col("__v"))).as("value"))
+    if (groupCols.nonEmpty) out else out.drop("__all")
+  }
+
+  /** Per-group robust center and scale: `(groupCols…, median, mad)` —
+    * the discrete-lower median of [[grouped]] and the median absolute
+    * deviation around it, both exact data elements. The robust
+    * complement of [[Moments.flagOutliers]]'s σ gate: outliers
+    * INFLATE σ and mask themselves (one 10⁶-length document can push
+    * 3σ past every other anomaly), while the median and MAD ignore
+    * half the tail by construction — the curation-grade gate is
+    * `|v − median| > k·mad`, every quantity an integer when the
+    * value column is (so the q133 flags replay bit-exactly with no
+    * epsilon anywhere).
+    *
+    * Two [[grouped]] passes (values, then absolute deviations) + two
+    * |groups|-sized join-backs — the shuffle never carries rows, only
+    * distinct values.
+    */
+  def medianMad(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "medianMad needs group columns")
+    val med = grouped(df, groupCols, valueCol, Seq(0.5))
+      .select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__g$i")
+      } :+ col("value").as("median")): _*)
+    val medCond = (other: DataFrame) => groupCols.zipWithIndex
+      .map { case (c, i) => other(c) === med(s"__g$i") }.reduce(_ && _)
+    val withDev = df.join(med, medCond(df))
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+    val mad = grouped(withDev, groupCols, "__dev", Seq(0.5))
+      .select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__m$i")
+      } :+ col("value").as("mad")): _*)
+    med.join(mad,
+        groupCols.indices.map(i => med(s"__g$i") === mad(s"__m$i"))
+          .reduce(_ && _))
+      .select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(s"__g$i").as(c)
+      } :+ col("median") :+ col("mad")): _*)
+  }
+
   /** Append `pctCol` = the row's per-group `percent_rank` of
     * `valueCol` — rank-based score normalization across groups whose
     * raw score scales are incomparable (the per-dump/per-source

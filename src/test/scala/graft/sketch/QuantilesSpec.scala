@@ -115,6 +115,59 @@ class QuantilesSpec extends SparkSpec {
     got(("b", 2L)) shouldBe 1.0
   }
 
+  test("weighted quantiles rank by mass, not rows") {
+    // 10 docs of length 1 (1 token each) + 1 doc of length 100
+    // (100 tokens): row-median is 1, token-median is 100
+    val df = ((1 to 10).map(i => ("g", 1L, 1L)) :+ (("g", 100L, 100L)))
+      .toDF("g", "v", "w")
+    Quantiles.grouped(df, Seq("g"), "v", Seq(0.5))
+      .head().getLong(2) shouldBe 1L
+    Quantiles.groupedWeighted(df, Seq("g"), "v", "w", Seq(0.5))
+      .head().getLong(2) shouldBe 100L
+  }
+
+  test("weighted quantiles match brute-force mass expansion") {
+    val rows = (1 to 40).map(i => ("g", (i * 13 % 7).toLong, (i % 4).toLong))
+    val df = rows.toDF("g", "v", "w")
+    val expanded = rows.flatMap { case (_, v, w) =>
+      Seq.fill(w.toInt)(v)
+    }.sorted
+    val got = Quantiles.groupedWeighted(
+      df, Seq("g"), "v", "w", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val rank = math.ceil(q * expanded.size).toInt
+      got(q) shouldBe expanded(rank - 1)
+    }
+  }
+
+  test("weighted quantiles raise on NULL or negative weights") {
+    val df = Seq(("g", 1L, Some(2L)), ("g", 2L, None)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      Quantiles.groupedWeighted(df, Seq("g"), "v", "w", Seq(0.5)).collect()
+    }
+    ex.getMessage should include("NULL or negative w")
+  }
+
+  test("median and MAD match brute force; MAD survives the outlier sigma misses") {
+    // 17 values near 10 plus THREE outliers masking each other: they
+    // inflate sigma enough that none is 3 sigma from the mean
+    val xs = (1 to 17).map(i => 10L + (i % 3)) ++ Seq(1000L, 1000L, 1000L)
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val r = Quantiles.medianMad(df, Seq("g"), "v").head()
+    val sorted = xs.sorted
+    val med = sorted(math.ceil(0.5 * xs.size).toInt - 1)
+    val mad = xs.map(x => math.abs(x - med)).sorted
+      .apply(math.ceil(0.5 * xs.size).toInt - 1)
+    r.getLong(1) shouldBe med
+    r.getLong(2) shouldBe mad
+    // the robust gate flags the outliers; 3σ does NOT (σ inflated)
+    val mean = xs.sum.toDouble / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
+    (math.abs(1000L - med) > 3 * mad) shouldBe true
+    (math.abs(1000.0 - mean) > 3 * sd) shouldBe false
+  }
+
   test("group percentile raises on NULL values") {
     val df = Seq(("g", Some(1L)), ("g", None)).toDF("g", "v")
     val ex = intercept[Exception] {
