@@ -5885,7 +5885,61 @@ object Queries {
         SELECT q.event_id, q.event_type, q.q, med.median, mad.mad,
           (abs(q.q - med.median) > 3 * mad.mad) AS is_outlier
         FROM q JOIN med USING (event_type) JOIN mad USING (event_type)
-        ORDER BY q.event_id"""))
+        ORDER BY q.event_id""")),
+
+    // Image Hamming near-dup (the promised seam, closed): q115's
+    // real-codec synthetic PNGs hashed, then banded through the
+    // GENERIC 64-bit-fingerprint machinery
+    // (Dedup.simhashNearDuplicatesFromFingerprints — pigeonhole-
+    // complete for maxDistance 3 < chunks 4, so banded ≡ exact), and
+    // the oracle replays the EXACT quadratic Hamming enumeration off
+    // the pixel-formula hashes: bit_count(xor) over (hi, lo) halves.
+    GraftQuery(
+      "q134_image_near_dup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), (col("doc_id") % 25).cast("int").as("pattern"))
+        val hashed = graft.multimodal.ImageHash.withImageHash(
+          graft.multimodal.ImageHash.withSyntheticPng(docs, "pattern", "img"),
+          "img", "ahash")
+        graft.dedup.Dedup.simhashNearDuplicatesFromFingerprints(
+          hashed.select(col("doc_id"), col("ahash")), "doc_id", "ahash",
+          maxDistance = 3, chunks = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, j * 8 + i AS k,
+            299 * ((28 * i + 13 * (doc_id % 25)) % 256)
+            + 587 * ((44 * j + 29 * (doc_id % 25)) % 256)
+            + 114 * ((4 * i + 4 * j + (doc_id % 25)) % 256) AS gv
+          FROM documents,
+            (SELECT unnest(range(0, 8)) AS i),
+            (SELECT unnest(range(0, 8)) AS j)
+          WHERE doc_id % 5 = 0),
+        means AS (
+          SELECT doc_id, CAST(SUM(gv) // 64 AS BIGINT) AS mean
+          FROM g GROUP BY 1),
+        bits AS (
+          SELECT g.doc_id, k,
+            CASE WHEN gv > mean THEN 1 ELSE 0 END AS bit
+          FROM g JOIN means ON g.doc_id = means.doc_id),
+        hashes AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN k >= 32
+              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS hi,
+            CAST(SUM(CASE WHEN k < 32
+              THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS lo
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS INTEGER) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        ORDER BY id_a, id_b"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
