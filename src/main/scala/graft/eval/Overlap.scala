@@ -48,13 +48,26 @@ object Overlap {
       idCols: Seq[String],
       candTokens: Column,
       refTokens: Column,
-      ns: Seq[Int]): DataFrame = {
+      ns: Seq[Int],
+      materialize: Boolean = true): DataFrame = {
     require(idCols.nonEmpty, "ngramPrecision needs at least one id column")
     require(ns.nonEmpty, "ngramPrecision needs at least one n")
+    // the token columns are typically DERIVED (the redaction/stripping
+    // pipeline whose rewrite is being measured) and every n re-scans
+    // them twice (candidate + reference explode) — materialize = true
+    // persists the projected token table so the upstream pipeline runs
+    // ONCE for all ns; false stays lazy/fault-tolerant (the
+    // Decontaminate/Relevance materialize contract)
+    val projected0 = df.select(
+      (idCols.map(col) :+ candTokens.as("__cand") :+
+        refTokens.as("__ref")): _*)
+    val projected =
+      if (materialize && ns.size > 1) projected0.localCheckpoint(true)
+      else projected0
     val perN = ns.map { n =>
-      val grams = df.select(
-        (idCols.map(col) :+ ngrams(candTokens, n).as("__cg") :+
-          ngrams(refTokens, n).as("__rg")): _*)
+      val grams = projected.select(
+        (idCols.map(col) :+ ngrams(col("__cand"), n).as("__cg") :+
+          ngrams(col("__ref"), n).as("__rg")): _*)
       val both = grams
         .select((idCols.map(col) :+ explode(col("__cg")).as("__g") :+
           lit(1L).as("__c") :+ lit(0L).as("__r")): _*)
