@@ -157,11 +157,18 @@ object ImageHash {
     * only (hash, id) pairs ride the shuffle.
     */
   def duplicateGroups(
-      df: DataFrame, idCol: String, hashCol: String): DataFrame = {
-    val canon = df.groupBy(col(hashCol))
+      df: DataFrame, idCol: String, hashCol: String,
+      materialize: Boolean = true): DataFrame = {
+    // the hash column is typically a real codec decode (ImageIO /
+    // javax.sound) and this plan reads it twice (canonical aggregate +
+    // join-back); materialize = true persists the 16-byte (id, hash)
+    // projection so the decode runs ONCE — the payload column is
+    // dropped BEFORE the checkpoint, so no image bytes are pinned
+    val keyed0 = df.select(col(idCol), col(hashCol))
+    val keyed = if (materialize) keyed0.localCheckpoint(true) else keyed0
+    val canon = keyed.groupBy(col(hashCol))
       .agg(min(col(idCol)).as("canonical_id"))
-    df.select(col(idCol), col(hashCol))
-      .join(canon, Seq(hashCol))
+    keyed.join(canon, Seq(hashCol))
       .select(col(idCol), col(hashCol), col("canonical_id"))
   }
 }
