@@ -5939,7 +5939,81 @@ object Queries {
             AS INTEGER) AS hamming
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // Streaming moments sketch (streaming.windowedMoments): per-hour
+    // per-type exact power sums over the live stream — the q112
+    // protocol (AvailableNow, append mode, max-event-time cutoff
+    // replay); big integers ride as strings (q119's protocol). The
+    // sketch family's live-monitor evidence: the emitted windows are
+    // the same mergeable form the batch Moments sketch produces.
+    GraftQuery(
+      "q135_streaming_moments",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q135_src_")
+        val staged = srcDir.resolve("events.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/events.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val typed = expr("ts div 1000") // nanos -> micros
+        val stream = src.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src.withColumn("ts", timestamp_micros(typed))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            src.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => src
+        }
+        val windows = graft.streaming.Streaming.windowedMoments(
+          stream, "ts", "event_type", "value", decimals = 0,
+          windowLength = "1 hour", watermark = "0 seconds")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q135_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q135_ckpt_").toString
+        windows.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        s.read.parquet(out)
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("n"),
+            col("q_absmax").cast("long").as("q_absmax"),
+            col("s1").cast("string").as("s1"),
+            col("s2").cast("string").as("s2"),
+            col("s3").cast("string").as("s3"),
+            col("s4").cast("string").as("s4"))
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+            event_type, CAST(floor(value) AS BIGINT) AS q
+          FROM events),
+        agg AS (
+          SELECT ws, event_type, COUNT(*) AS n,
+            CAST(MAX(abs(q)) AS BIGINT) AS q_absmax,
+            CAST(SUM(q) AS HUGEINT) AS s1,
+            CAST(SUM(q * q) AS HUGEINT) AS s2,
+            CAST(SUM(CAST(q AS HUGEINT) * q * q) AS HUGEINT) AS s3,
+            CAST(SUM(CAST(q AS HUGEINT) * q * q * q) AS HUGEINT) AS s4
+          FROM e GROUP BY 1, 2)
+        SELECT ws AS window_start_us, event_type, n, q_absmax,
+          CAST(s1 AS VARCHAR) AS s1, CAST(s2 AS VARCHAR) AS s2,
+          CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4
+        FROM agg
+        WHERE ws + 3600000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by

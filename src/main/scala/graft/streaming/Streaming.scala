@@ -36,6 +36,49 @@ object Streaming {
       .select(col("win.start").as("window_start"), col(typeCol),
         col("n"), col("total_value"))
 
+  /** Watermarked windowed moments sketch — the streaming form of
+    * [[graft.sketch.Moments.sketch]]: per (window, group) exact
+    * integer power sums of the quantized value, the live
+    * numeric-distribution monitor ("did the value distribution of
+    * this hour's ingest drift"). Power sums are algebraic aggregates,
+    * so the state store holds five integers per open (window, group)
+    * — bounded exactly like [[windowedEventCounts]] — and emitted
+    * windows merge downstream with batch sketches by element-wise sum
+    * (the mergeable-form argument of [[graft.sketch.Moments]]).
+    * Quantization mirrors `Moments.sketch` (`⌊x · 10^decimals⌋`);
+    * finish with `Moments.finish` after any merging.
+    */
+  def windowedMoments(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valueCol: String,
+      decimals: Int = 0,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(decimals >= 0 && decimals <= 9,
+      s"decimals must be in [0, 9], got $decimals")
+    val scale = math.pow(10.0, decimals)
+    val q = when(col(valueCol).isNull,
+      raise_error(lit(s"windowedMoments: NULL $valueCol — drop " +
+        "explicitly, a silent skip would bias every moment")))
+      .otherwise(floor(col(valueCol).cast("double") * lit(scale))
+        .cast("long")).cast("decimal(38,0)")
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__q", q)
+      .groupBy(window(col(tsCol), windowLength).as("win"), col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(abs(col("__q"))).as("q_absmax"),
+        sum(col("__q")).as("s1"),
+        sum(col("__q") * col("__q")).as("s2"),
+        sum(col("__q") * col("__q") * col("__q")).as("s3"),
+        sum(col("__q") * col("__q") * col("__q") * col("__q")).as("s4"))
+      .select(col("win.start").as("window_start"), col(groupCol),
+        col("n"), col("q_absmax"), col("s1"), col("s2"), col("s3"),
+        col("s4"))
+  }
+
   /** Stream-static dimension enrichment + windowed rollup — the
     * standard ingest-time shape: a fact stream joined to a SMALL,
     * slowly-changing dimension (user → segment, host → authority

@@ -43,6 +43,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed moments match the batch sketch per window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = Streaming.windowedMoments(
+      input.toDF.toDF("ts", "g", "v"), "ts", "g", "v",
+      decimals = 1, windowLength = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("win_moments").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), "a", 1.5), (ts(2), "a", 2.25), (ts(3), "a", -0.5),
+        (ts(11), "a", 4.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, g, n, q_absmax, s1, s2, s3, s4 FROM win_moments")
+        .collect()
+      rows.length shouldBe 2
+      val first = rows.find(_.getTimestamp(0).toString.contains("10:00")).get
+      // q = floor(v·10): 15, 22, -5 → s1 = 32, s2 = 225+484+25 = 734
+      first.getLong(2) shouldBe 3L
+      first.getDecimal(4).longValueExact() shouldBe 32L
+      first.getDecimal(5).longValueExact() shouldBe 734L
+      // the emitted window merges with a batch sketch of the same rows
+      val batch = graft.sketch.Moments.sketch(
+        Seq(("a", 1.5), ("a", 2.25), ("a", -0.5)).toDF("g", "v"),
+        "g", "v", decimals = 1).head()
+      first.getDecimal(4).longValueExact() shouldBe
+        batch.getAs[java.math.BigDecimal]("s1").longValueExact()
+      first.getDecimal(7).longValueExact() shouldBe
+        batch.getAs[java.math.BigDecimal]("s4").longValueExact()
+    } finally query.stop()
+  }
+
   test("stream-static enrichment joins the dimension and rolls up per segment") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
