@@ -6013,7 +6013,128 @@ object Queries {
           CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4
         FROM agg
         WHERE ws + 3600000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Retrieval metrics (eval/RetrievalMetrics): MRR + NDCG@10 of the
+    // per-language length-prior ranking against a data-derived gold
+    // set (n_chars % 5 = 0). Position discounts are the Q20 integer
+    // log (Dsir.ilog2Q20) precomputed driver-side and inlined as
+    // VALUES on both sides — no log evaluates at row scope anywhere.
+    GraftQuery(
+      "q136_retrieval_metrics",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rk = graft.operators.GroupLimit.topKPerGroup(
+          docs, Seq("lang"),
+          Seq(desc("n_chars"), asc("doc_id")), 10, rankCol = "r")
+        val g = docs.filter(col("n_chars") % 5 === 0)
+          .select(col("lang"), col("doc_id"))
+        graft.eval.RetrievalMetrics.mrrNdcg(
+          rk, g, "lang", "doc_id", "r", k = 10)
+          .orderBy(col("query"))
+      },
+      Some {
+        val inv = (1 to 10).map(graft.eval.RetrievalMetrics.invDiscountQ20)
+        val prefix = inv.scanLeft(0L)(_ + _).drop(1)
+        val invVals = inv.zipWithIndex
+          .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+        val preVals = prefix.zipWithIndex
+          .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+        s"""
+        WITH inv(i, v) AS (VALUES $invVals),
+        pre(i, v) AS (VALUES $preVals),
+        rk AS (
+          SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT)
+            AS r
+          FROM documents QUALIFY r <= 10),
+        g AS (SELECT lang, doc_id FROM documents WHERE n_chars % 5 = 0),
+        nr AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rel
+               FROM g GROUP BY 1),
+        h AS (
+          SELECT rk.lang, rk.r, (g.doc_id IS NOT NULL) AS rel
+          FROM rk LEFT JOIN g
+            ON rk.lang = g.lang AND rk.doc_id = g.doc_id),
+        pq AS (
+          SELECT lang,
+            MIN(CASE WHEN rel THEN r END) AS first_rel_rank,
+            CAST(SUM(CASE WHEN rel
+              THEN (SELECT v FROM inv WHERE i = r) ELSE 0 END)
+              AS BIGINT) AS dcg_q
+          FROM h GROUP BY 1)
+        SELECT pq.lang AS query, COALESCE(nr.n_rel, 0) AS n_rel,
+          pq.first_rel_rank,
+          COALESCE(1048576 // pq.first_rel_rank, 0) AS mrr_q,
+          pq.dcg_q,
+          CASE WHEN COALESCE(nr.n_rel, 0) > 0
+            THEN (SELECT v FROM pre WHERE i = LEAST(nr.n_rel, 10)) END
+            AS idcg_q,
+          CASE WHEN COALESCE(nr.n_rel, 0) > 0
+            THEN CAST(pq.dcg_q AS DOUBLE) /
+              CAST((SELECT v FROM pre WHERE i = LEAST(nr.n_rel, 10))
+                AS DOUBLE) END AS ndcg
+        FROM pq LEFT JOIN nr ON pq.lang = nr.lang
+        ORDER BY query"""
+      }),
+
+    // Cohort retention (operators/Cohorts.retention): users bucketed
+    // by first-activity DAY, distinct-user counts per (cohort, day
+    // offset) — the retention triangle off two map-side-combinable
+    // aggregates; period derivation is the caller's integral div.
+    GraftQuery(
+      "q137_cohort_retention",
+      (s, dir) =>
+        graft.operators.Cohorts.retention(
+          t(s, dir, "events")
+            .select(col("user_id"),
+              expr("unix_micros(ts) div 86400000000").as("day")),
+          "user_id", "day")
+          .orderBy(col("cohort"), col("offset")),
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT user_id AS u,
+            epoch_us(ts) // 86400000000 AS period
+          FROM events),
+        c AS (SELECT u, MIN(period) AS cohort FROM e GROUP BY 1)
+        SELECT c.cohort, e.period - c.cohort AS "offset",
+          CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM e JOIN c ON e.u = c.u
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Ordered funnel (operators/Cohorts.orderedFunnel): view → click
+    // → purchase with STRICT first-qualifying-timestamp ordering —
+    // each stage anchors at the user's min event time strictly after
+    // the previous anchor, so pre-view clicks (bot traffic) never
+    // count as conversions.
+    GraftQuery(
+      "q138_ordered_funnel",
+      (s, dir) =>
+        graft.operators.Cohorts.orderedFunnel(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us")),
+          "user_id", "event_type", "us",
+          Seq("view", "click", "purchase"))
+          .orderBy(col("stage_idx")),
+      Some("""
+        WITH e AS (
+          SELECT user_id AS u, event_type AS stage, epoch_us(ts) AS t
+          FROM events),
+        a1 AS (SELECT u, MIN(t) AS anchor FROM e
+               WHERE stage = 'view' GROUP BY 1),
+        a2 AS (SELECT e.u, MIN(e.t) AS anchor FROM e
+               JOIN a1 ON e.u = a1.u
+               WHERE e.stage = 'click' AND e.t > a1.anchor GROUP BY 1),
+        a3 AS (SELECT e.u, MIN(e.t) AS anchor FROM e
+               JOIN a2 ON e.u = a2.u
+               WHERE e.stage = 'purchase' AND e.t > a2.anchor GROUP BY 1)
+        SELECT 0 AS stage_idx, 'view' AS stage,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM a1) AS n_users
+        UNION ALL SELECT 1, 'click',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM a2)
+        UNION ALL SELECT 2, 'purchase',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM a3)
+        ORDER BY stage_idx"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
