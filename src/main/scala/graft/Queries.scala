@@ -5774,7 +5774,8 @@ object Queries {
         FROM a GROUP BY 1
         ORDER BY "group"""")),
 
-    // Salted skew join (operators/SkewJoin): events with a synthesized
+    // Salted skew join (operators/Skew.saltedJoinDeterministic):
+    // events with a synthesized
     // hot key (80% of rows collapse onto custkey 0) dimension-joined
     // to customer through 16 salt sub-keys; the oracle replays the
     // PLAIN join — salted ≡ plain is the whole correctness contract.
@@ -5787,7 +5788,7 @@ object Queries {
               .as("key"))
         val right = t(s, dir, "customer")
           .select(col("c_custkey").as("key"), col("c_mktsegment"))
-        graft.operators.SkewJoin.saltedJoin(
+        graft.operators.Skew.saltedJoinDeterministic(
           left, right, "key", "event_id", nSalts = 16)
           .orderBy(col("event_id"))
       },

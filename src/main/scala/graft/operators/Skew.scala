@@ -40,6 +40,30 @@ object Skew {
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** [[saltedJoin]] with DETERMINISTIC salts: the big side's salt is
+    * `pmod(xxhash64(entropyCol), nSalts)` instead of `rand()`. Same
+    * correctness argument (every big row meets exactly the one small
+    * replica carrying its salt, so salted ≡ plain join row-for-row —
+    * the q131 oracle pins exactly that), but the salt is a pure
+    * function of the row: task RETRIES re-derive the same salt
+    * (`rand()` re-rolls per attempt — harmless for the join result,
+    * but it reshuffles partition contents under retry, which
+    * non-idempotent downstream sinks observe), and runs are
+    * bit-reproducible end to end. `entropyCol` — a row id / event id;
+    * low cardinality degrades balance, never correctness. Inner-only:
+    * outer variants would need per-salt-miss reconciliation upstream.
+    */
+  def saltedJoinDeterministic(
+      big: DataFrame, small: DataFrame, keyCol: String,
+      entropyCol: String, nSalts: Int = 16): DataFrame = {
+    require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col(entropyCol)), lit(nSalts.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)))
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Two-phase aggregation: `aggs` must be algebraic (sum/count/min/max
     * compose; avg must be decomposed by the caller into sum+count).
     * Phase 1 groups by (keys, salt) — derived from `saltSource`, e.g. a

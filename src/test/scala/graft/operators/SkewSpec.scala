@@ -48,4 +48,32 @@ class SkewSpec extends SparkSpec {
     got("hot") shouldBe ((1000.0, 2.0))
     got("cold") shouldBe ((12.0, 7.0))
   }
+
+  test("deterministic salted join equals the plain join under skew") {
+    val left = (1L to 1000L).map(i =>
+      (i, if (i <= 900) "hot" else s"k${i % 17}")).toDF("id", "key")
+    val right = (Seq("hot") ++ (0 until 17).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"dim$i") }.toDF("key", "attr")
+    val plain = left.join(right, Seq("key"))
+      .select("key", "id", "attr").collect().toSet
+    val salted = Skew.saltedJoinDeterministic(left, right, "key", "id", 8)
+      .select("key", "id", "attr").collect().toSet
+    salted shouldBe plain
+    salted.size shouldBe 1000
+  }
+
+  test("deterministic salt spreads the hot key and repeats across runs") {
+    val left = (1L to 400L).map(i => (i, "hot")).toDF("id", "key")
+    val counts = left
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(8L)))
+      .groupBy("salt").count().collect().map(_.getLong(1))
+    counts.length shouldBe 8
+    counts.max.toDouble / counts.min should be < 3.0
+    val right = Seq(("hot", "x")).toDF("key", "attr")
+    val a = Skew.saltedJoinDeterministic(left, right, "key", "id", 8)
+      .collect().toSet
+    val b = Skew.saltedJoinDeterministic(left, right, "key", "id", 8)
+      .collect().toSet
+    a shouldBe b
+  }
 }
