@@ -6135,7 +6135,42 @@ object Queries {
           (SELECT CAST(COUNT(*) AS BIGINT) FROM a2)
         UNION ALL SELECT 2, 'purchase',
           (SELECT CAST(COUNT(*) AS BIGINT) FROM a3)
-        ORDER BY stage_idx"""))
+        ORDER BY stage_idx""")),
+
+    // Compacted dedup index (dedup/DedupIndex.compact): q99's
+    // base+segment build COMPACTED back into one base (derived-table
+    // merge — the corpus text is never re-read), then q62/q99's exact
+    // query and oracle run against it VERBATIM — green means the
+    // full LSM lifecycle (build → append → compact) is invisible in
+    // results.
+    GraftQuery(
+      "q139_dedup_index_compact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val idx = dedupCompactIndexFor(s, dir, docs.filter(col("doc_id") < 400))
+        graft.dedup.DedupIndex.dedupAgainst(
+          docs.filter(col("doc_id") >= 400), idx, "doc_id", "text",
+          threshold = 0.9)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents
+        ),
+        corpus AS (SELECT * FROM d WHERE doc_id < 400),
+        batch AS (SELECT * FROM d WHERE doc_id >= 400)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)
+          AND NOT EXISTS (
+            SELECT 1 FROM corpus c
+            WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
+        ORDER BY 1"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
@@ -6269,6 +6304,30 @@ object Queries {
           shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
       graft.dedup.DedupIndex.appendSegment(
         s, path, corpus.filter(col("doc_id") >= 300), "doc_id", "text")
+      graft.dedup.DedupIndex.read(s, path)
+    })
+
+  /** q139's compacted twin of [[dedupSegIndexFor]]: the same
+    * base+segment build, then [[graft.dedup.DedupIndex.compact]]
+    * merges the segment into the base — green against q62's oracle
+    * proves compaction is invisible in results.
+    */
+  private val dedupCompactIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.dedup.DedupIndex.Index]()
+
+  private def dedupCompactIndexFor(
+      s: SparkSession, dir: String,
+      corpus: => DataFrame): graft.dedup.DedupIndex.Index =
+    dedupCompactIndexCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dedup_cmp_index_").toString
+      graft.dedup.DedupIndex.write(
+        corpus.filter(col("doc_id") < 300), "doc_id", "text", path,
+        graft.dedup.DedupIndex.Params(
+          shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+      graft.dedup.DedupIndex.appendSegment(
+        s, path, corpus.filter(col("doc_id") >= 300), "doc_id", "text")
+      graft.dedup.DedupIndex.compact(s, path)
       graft.dedup.DedupIndex.read(s, path)
     })
 

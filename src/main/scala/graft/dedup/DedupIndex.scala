@@ -170,6 +170,53 @@ object DedupIndex {
     writeTables(batch, idCol, textCol, f"$path/segments/seg$next%04d", params)
   }
 
+  /** Compact accumulated segments back into the base tables — the
+    * third phase of the LSM lifecycle (build → append → compact),
+    * closing the cost [[read]]'s union leaves behind: every query
+    * unions one parquet scan PER SEGMENT, so a year of daily appends
+    * is 365 scans per dedup call. Compaction merges the DERIVED
+    * tables — exact fingerprints union-distinct, shingle sets union,
+    * bucket member lists explode + re-collect under the global cap —
+    * so its cost is derived-table-sized: the corpus TEXT is never
+    * re-read, re-shingled, or re-signed (contrast a [[write]] over
+    * the unioned raw corpus, which re-derives everything).
+    *
+    * Cap semantics: per-segment caps already dropped their overflow,
+    * so compaction re-caps what the segments STORED — identical to a
+    * monolithic rebuild whenever no per-segment cap ever bound
+    * (pinned in DedupIndexSpec), and never worse than the segmented
+    * index it replaces. The swap is write-to-temp-then-rename;
+    * `meta` is untouched (same hash family by construction).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val params = readParams(spark, path)
+    if (segmentDirs(spark, path).isEmpty) return // nothing to merge
+    val idx = read(spark, path)
+    val tmp = s"$path/compact_tmp"
+    val mergedBuckets = idx.buckets
+      .select(col("band"), col("bucket"),
+        explode(col("ids")).as("corpus_id"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.CappedCollectList
+        .cappedCollectList(col("corpus_id"), bufferCap(params.maxBucketSize))
+        .as("ids"))
+      .filter(col("ids").isNotNull)
+    idx.sets.write.mode("overwrite").parquet(s"$tmp/sets")
+    mergedBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
+    idx.exact.distinct().write.mode("overwrite").parquet(s"$tmp/exact")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("sets", "buckets", "exact")) {
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$sub"), dst),
+        s"compact: rename of $sub into place failed — index at $path " +
+          "left with compact_tmp for manual recovery")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   private def readParams(spark: SparkSession, path: String): Params = {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"malformed dedup index meta at $path/meta: ${m.length} rows")

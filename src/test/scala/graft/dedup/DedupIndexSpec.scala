@@ -157,4 +157,48 @@ class DedupIndexSpec extends SparkSpec {
         twice, "doc_id", "text", threshold = 0.9).count() shouldBe 0L
     }
   }
+
+  test("compact merges segments into the base and preserves answers") {
+    val rng = new Random(23)
+    val partA = (0L until 15L).map(i => (i, mkDoc(rng)))
+    val partB = (50L until 65L).map(i => (i, mkDoc(rng)))
+    val batch = (100L until 120L).map { i =>
+      rng.nextInt(3) match {
+        case 0 => (i, (partA ++ partB)(rng.nextInt(30))._2)
+        case 1 => (i, (partA ++ partB)(rng.nextInt(30))._2 + " omega")
+        case _ => (i, mkDoc(rng))
+      }
+    }.toDF("doc_id", "text")
+
+    val path = Files.createTempDirectory("dedup_index_cmp_").toString
+    DedupIndex.write(partA.toDF("doc_id", "text"), "doc_id", "text",
+      path, params)
+    DedupIndex.appendSegment(spark, path,
+      partB.toDF("doc_id", "text"), "doc_id", "text")
+    def survivors(ix: DedupIndex.Index) =
+      DedupIndex.dedupAgainst(batch, ix, "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = survivors(DedupIndex.read(spark, path))
+
+    DedupIndex.compact(spark, path)
+    // segments are gone, one base remains, answers unchanged
+    new java.io.File(s"$path/segments").exists() shouldBe false
+    new java.io.File(s"$path/compact_tmp").exists() shouldBe false
+    survivors(DedupIndex.read(spark, path)) shouldBe before
+    // compact equals the monolithic rebuild when caps never bound
+    val rebuilt = DedupIndex.build(
+      (partA ++ partB).toDF("doc_id", "text"), "doc_id", "text", params)
+    survivors(DedupIndex.read(spark, path)) shouldBe survivors(rebuilt)
+    // idempotent: compacting a segment-free index is a no-op
+    DedupIndex.compact(spark, path)
+    survivors(DedupIndex.read(spark, path)) shouldBe before
+    // the compacted index still accepts new segments
+    DedupIndex.appendSegment(spark, path,
+      Seq((400L, "omega omega kappa")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    DedupIndex.dedupAgainst(
+      Seq((500L, "omega omega kappa")).toDF("doc_id", "text"),
+      DedupIndex.read(spark, path), "doc_id", "text",
+      threshold = 0.9).count() shouldBe 0L
+  }
 }
