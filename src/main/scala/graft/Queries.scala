@@ -6170,7 +6170,81 @@ object Queries {
             SELECT 1 FROM corpus c
             WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
                     / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // Positional inverted index (text/InvertedIndex.postings): one row
+    // per (token, doc) with exact corpus-wide df, per-doc tf, and the
+    // sorted position list as CSV. ONE shuffle total — an explicit
+    // repartition(token) whose partitioning satisfies both the
+    // (token, doc) group-by and the per-token df/cap window, so
+    // Catalyst adds no second exchange. Posting lists are capped at the
+    // 12 lowest doc ids per token while df stays exact over all docs
+    // (the stop-word row stays bounded at any corpus size).
+    GraftQuery(
+      "q140_inverted_index",
+      (s, dir) =>
+        graft.text.InvertedIndex.postings(
+          t(s, dir, "documents"), "doc_id", "text",
+          minDf = 5, maxDocs = 12)
+          .orderBy(col("token"), col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '') AS l
+          FROM documents),
+        toks AS (
+          SELECT doc_id, l[CAST(i AS BIGINT)] AS token,
+                 CAST(i AS BIGINT) AS pos
+          FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)),
+        g AS (
+          SELECT token, doc_id, COUNT(*) AS tf,
+                 string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+                   AS positions
+          FROM toks GROUP BY token, doc_id),
+        w AS (
+          SELECT token, doc_id, tf, positions,
+                 COUNT(*) OVER (PARTITION BY token) AS df,
+                 ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM g)
+        SELECT token, doc_id, df, tf, positions
+        FROM w WHERE df >= 5 AND rn <= 12
+        ORDER BY token, doc_id""")),
+
+    // Phrase search (text/InvertedIndex.phraseSearch): documents
+    // containing "value table part" as consecutive tokens. The token
+    // stream is filtered to the phrase's 3 terms BEFORE any join
+    // (selective isin over the map-only posexplode), then 2 equi-joins
+    // on (doc, pos + offset) — no window, no cartesian path, each join
+    // side already tiny at any corpus size.
+    GraftQuery(
+      "q141_phrase_search",
+      (s, dir) =>
+        graft.text.InvertedIndex.phraseSearch(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("value", "table", "part"))
+          .select(col("doc_id"), col("n_matches"),
+            col("first_pos").cast("long").as("first_pos"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '') AS l
+          FROM documents),
+        toks AS (
+          SELECT doc_id, l[CAST(i AS BIGINT)] AS token,
+                 CAST(i AS BIGINT) AS pos
+          FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)),
+        m0 AS (SELECT doc_id, pos FROM toks WHERE token = 'value'),
+        m1 AS (SELECT doc_id, pos FROM toks WHERE token = 'table'),
+        m2 AS (SELECT doc_id, pos FROM toks WHERE token = 'part'),
+        mm AS (
+          SELECT m0.doc_id, m0.pos FROM m0
+          JOIN m1 ON m1.doc_id = m0.doc_id AND m1.pos = m0.pos + 1
+          JOIN m2 ON m2.doc_id = m0.doc_id AND m2.pos = m0.pos + 2)
+        SELECT doc_id, COUNT(*) AS n_matches, MIN(pos) AS first_pos
+        FROM mm GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
