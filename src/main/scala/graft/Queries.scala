@@ -6244,8 +6244,100 @@ object Queries {
           JOIN m1 ON m1.doc_id = m0.doc_id AND m1.pos = m0.pos + 1
           JOIN m2 ON m2.doc_id = m0.doc_id AND m2.pos = m0.pos + 2)
         SELECT doc_id, COUNT(*) AS n_matches, MIN(pos) AS first_pos
-        FROM mm GROUP BY doc_id ORDER BY doc_id"""))
+        FROM mm GROUP BY doc_id ORDER BY doc_id""")),
+
+    // BPE merge learning (text/Bpe.learnMerges): 6 merge steps over the
+    // corpus word-frequency table — the "train a tokenizer" step of an
+    // LLM pipeline. The corpus-sized work is ONE token-count pass; each
+    // step then runs on the vocabulary-sized table (pair explode +
+    // argmax with count-desc/lexicographic tie-break + literal
+    // replace). The oracle replays all 6 steps as unrolled CTE stages —
+    // the merge choices themselves are checked, not just the final
+    // segmentation.
+    GraftQuery(
+      "q142_bpe_merges",
+      (s, dir) => {
+        val words = graft.text.Bpe.wordFrequencies(
+          t(s, dir, "documents"), "doc_id", "text")
+        val merges = graft.text.Bpe.learnMerges(words, BpeSteps)
+        import s.implicits._
+        merges.map(m => (m.step, m.left, m.right, m.merged, m.pairCount))
+          .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+          .orderBy(col("step"))
+      },
+      Some(bpeOracle(BpeSteps,
+        """SELECT step, l AS left_sym, r AS right_sym, merged, pair_count
+           FROM BEST ORDER BY step"""))),
+
+    // BPE segmentation (text/Bpe.applyMerges): the 6 learned merges
+    // applied back to the full vocabulary — every word's final subword
+    // split. Oracle = the unrolled replay's final rep table, so the
+    // greedy-leftmost replace semantics (back-to-back merges included)
+    // are pinned end-to-end, per word.
+    GraftQuery(
+      "q143_bpe_segments",
+      (s, dir) => {
+        val words = graft.text.Bpe.wordFrequencies(
+          t(s, dir, "documents"), "doc_id", "text")
+        val merges = graft.text.Bpe.learnMerges(words, BpeSteps)
+        graft.text.Bpe.applyMerges(words, "word", merges)
+          .select(col("word"), col("freq"), col("segments"))
+          .orderBy(col("word"))
+      },
+      Some(bpeOracle(BpeSteps,
+        """SELECT word, freq, rtrim(rep) AS segments
+           FROM FINAL ORDER BY word""")))
   )
+
+  /** Merge steps for q142/q143 — enough to exercise multi-character
+    * merge chains on the ~31-word corpus vocabulary while keeping the
+    * oracle's unrolled replay cheap.
+    */
+  // `final val` + literal = compile-time constant: `all` is initialized
+  // ABOVE this declaration, so a runtime val would still be 0 there
+  private final val BpeSteps = 6
+
+  /** DuckDB replay of [[graft.text.Bpe.learnMerges]]: `steps` unrolled
+    * stages (pair explode → deterministic argmax → literal replace),
+    * then `select` with `BEST` bound to the union of per-step argmax
+    * rows and `FINAL` to the last rep table. Generated, not
+    * hand-written, so the step count stays a single constant.
+    * concat() instead of the SQL pipe-concat operator throughout —
+    * oracle strings pass through stripMargin, which would eat a
+    * line-leading pipe.
+    */
+  private def bpeOracle(steps: Int, select: String): String = {
+    val base = """
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS word
+          FROM documents),
+        w AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+        r0 AS (SELECT word, freq,
+                 regexp_replace(word, '(.)', '\1 ', 'g') AS rep FROM w)"""
+    val stages = (1 to steps).map { i =>
+      s""",
+        p$i AS (
+          SELECT s[CAST(j AS BIGINT)] AS l, s[CAST(j + 1 AS BIGINT)] AS r,
+                 CAST(SUM(freq) AS BIGINT) AS pair_count
+          FROM (SELECT freq, s, unnest(range(1, len(s))) AS j
+                FROM (SELECT freq, list_filter(string_split(rep, ' '),
+                        x -> x <> '') AS s FROM r${i - 1}))
+          GROUP BY 1, 2),
+        b$i AS (SELECT $i AS step, l, r, concat(l, r) AS merged, pair_count
+                FROM p$i ORDER BY pair_count DESC, l, r LIMIT 1),
+        r$i AS (SELECT word, freq,
+                  replace(rep, concat(b.l, ' ', b.r, ' '),
+                    concat(b.l, b.r, ' ')) AS rep
+                FROM r${i - 1}, b$i b)"""
+    }.mkString
+    val best = (1 to steps)
+      .map(i => s"SELECT * FROM b$i")
+      .mkString("(", " UNION ALL ", ") best_all")
+    base + stages + "\n        " +
+      select.replace("BEST", best).replace("FINAL", s"r$steps")
+  }
 
   /** Per-process cache of the q66 prepared on-disk IVF index, keyed by
     * data dir — same pattern as [[dedupIndexFor]]: written once to a
