@@ -6286,7 +6286,96 @@ object Queries {
       },
       Some(bpeOracle(BpeSteps,
         """SELECT word, freq, rtrim(rep) AS segments
-           FROM FINAL ORDER BY word""")))
+           FROM FINAL ORDER BY word"""))),
+
+    // Streaming windowed HLL distinct sketch
+    // (streaming/Streaming.windowedDistinctSketch): distinct users per
+    // (hour, event_type) estimated live — registers stream through the
+    // q135 AvailableNow file-source→parquet-sink loop, then the BATCH
+    // Hll.estimate finishes the read-back registers (the
+    // stream-then-merge deployment shape). Oracle replays q101's
+    // md5-register HLL per hour window with q135's append-mode
+    // emission rule (only windows the final watermark closed).
+    GraftQuery(
+      "q144_streaming_hll",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q144_src_")
+        val staged = srcDir.resolve("events.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/events.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/events.parquet").schema)
+          .parquet(srcDir.toString)
+        val typed = expr("ts div 1000") // nanos -> micros
+        val stream = src.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src.withColumn("ts", timestamp_micros(typed))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            src.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => src
+        }
+        val regs = graft.streaming.Streaming.windowedDistinctSketch(
+          stream, "ts", "event_type", col("user_id").cast("string"),
+          p = 8, windowLength = "1 hour", watermark = "0 seconds")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q144_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q144_ckpt_").toString
+        regs.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        graft.sketch.Hll.estimate(
+          s.read.parquet(out), Seq("window_start", "event_type"), p = 8)
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("v_zero"), col("s_scaled"),
+            col("est_distinct"))
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+            event_type, CAST(user_id AS VARCHAR) AS u
+          FROM events),
+        h AS (
+          SELECT ws, event_type,
+            ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv
+          FROM e),
+        b AS (
+          SELECT ws, event_type, hv >> 52 AS bucket,
+            hv & ((CAST(1 AS BIGINT) << 52) - 1) AS rest
+          FROM h),
+        r AS (
+          SELECT ws, event_type, bucket,
+            MAX(CASE WHEN rest = 0 THEN 53
+                     ELSE 53 - length(bin(rest)) END) AS rho
+          FROM b GROUP BY ws, event_type, bucket),
+        agg AS (
+          SELECT ws, event_type, COUNT(*) AS nb,
+            CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS sp
+          FROM r GROUP BY ws, event_type)
+        SELECT ws AS window_start_us, event_type,
+          CAST(256 - nb AS BIGINT) AS v_zero,
+          CAST(sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+            AS s_scaled,
+          CAST(0.7213 AS DOUBLE)
+            / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+            * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+            * CAST(9007199254740992 AS DOUBLE)
+            / CAST(sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+            AS est_distinct
+        FROM agg
+        WHERE ws + 3600000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+        ORDER BY 1, 2"""))
   )
 
   /** Merge steps for q142/q143 — enough to exercise multi-character

@@ -79,6 +79,33 @@ object Streaming {
         col("s4"))
   }
 
+  /** Watermarked windowed HLL distinct sketch — the streaming form of
+    * [[graft.sketch.Hll.sketch]]: per (window, group, bucket) max-rank
+    * registers, the live cardinality monitor ("how many distinct users
+    * did this hour's ingest see"). `max` is an algebraic aggregate, so
+    * the state store holds at most `2^p` integers per open (window,
+    * group) — bounded like [[windowedEventCounts]] — and emitted
+    * windows merge downstream with batch sketches via
+    * [[graft.sketch.Hll.merge]] (max is idempotent; re-merging an
+    * already-merged day is safe). Finish with
+    * [[graft.sketch.Hll.estimate]] after any merging.
+    */
+  def windowedDistinctSketch(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      value: Column,
+      p: Int = 8,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val windowed = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__win", window(col(tsCol), windowLength))
+    graft.sketch.Hll.sketch(windowed, Seq("__win", groupCol), value, p)
+      .select(col("__win.start").as("window_start"), col(groupCol),
+        col("bucket"), col("rho"))
+  }
+
   /** Stream-static dimension enrichment + windowed rollup — the
     * standard ingest-time shape: a fact stream joined to a SMALL,
     * slowly-changing dimension (user → segment, host → authority

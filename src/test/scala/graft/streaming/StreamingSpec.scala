@@ -43,6 +43,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed HLL registers match the batch sketch per closed window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = Streaming.windowedDistinctSketch(
+      input.toDF.toDF("ts", "g", "u"), "ts", "g", col("u"),
+      p = 8, windowLength = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("win_hll").outputMode("update").start()
+    try {
+      input.addData(
+        (ts(1), "a", "u1"), (ts(2), "a", "u2"), (ts(3), "a", "u1"),
+        (ts(4), "b", "u1"), (ts(11), "a", "u3"))
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT window_start, g, bucket, rho FROM win_hll")
+      // batch twin over the same rows, windowed the same way
+      val batch = Seq(
+        (ts(1), "a", "u1"), (ts(2), "a", "u2"), (ts(3), "a", "u1"),
+        (ts(4), "b", "u1"), (ts(11), "a", "u3"))
+        .toDF("ts", "g", "u")
+        .withColumn("window_start",
+          window(col("ts"), "10 minutes").getField("start"))
+      val expected = graft.sketch.Hll.sketch(
+        batch, Seq("window_start", "g"), col("u"), p = 8)
+      streamed.exceptAll(expected).count() shouldBe 0L
+      expected.exceptAll(streamed).count() shouldBe 0L
+      // registers finish to the same estimate as the batch one-shot
+      val est = graft.sketch.Hll.estimate(
+        streamed.filter(col("g") === "a" &&
+          col("window_start") === Timestamp.valueOf("2024-01-01 10:00:00")),
+        Seq("g"), p = 8)
+        .select("est_distinct").as[Double].head()
+      est should be > 0.0
+    } finally query.stop()
+  }
+
   test("windowed moments match the batch sketch per window") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
