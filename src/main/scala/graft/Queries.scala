@@ -6375,6 +6375,80 @@ object Queries {
             AS est_distinct
         FROM agg
         WHERE ws + 3600000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+        ORDER BY 1, 2""")),
+
+    // SCD2 history build (operators/Scd.scd2): each user's event_type
+    // change stream collapsed into validity intervals with
+    // valid_from/valid_to/is_current — the warehouse-standard versioned
+    // dimension the as-of join (q19/q20) then probes. Both window
+    // passes share one hashpartitioning(user_id) exchange
+    // (ScdSpec pins the single-exchange plan). Total order per key is
+    // (ts, event_id) — event_id is the tie-break.
+    GraftQuery(
+      "q145_scd2",
+      (s, dir) =>
+        graft.operators.Scd.scd2(
+          t(s, dir, "events").filter(col("user_id") < 200)
+            .withColumn("us", unix_micros(col("ts"))),
+          Seq("user_id"), "us", "event_type", Seq("event_id"))
+          .select(col("user_id"), col("status"),
+            col("valid_from").as("valid_from_us"),
+            col("valid_to").as("valid_to_us"), col("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us")),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+          FROM events WHERE user_id < 200),
+        c AS (
+          SELECT *, lag(event_type) OVER w AS prev
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        ch AS (
+          SELECT user_id, us, event_id, event_type FROM c
+          WHERE prev IS NULL OR prev <> event_type),
+        v AS (
+          SELECT user_id, event_type AS status, us AS valid_from_us,
+            lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS valid_to_us
+          FROM ch)
+        SELECT user_id, status, valid_from_us, valid_to_us,
+          valid_to_us IS NULL AS is_current
+        FROM v ORDER BY user_id, valid_from_us""")),
+
+    // CUBE rollup (§2.4 completeness): all four grouping combinations
+    // of (event_type, day) in ONE pass — Catalyst's Expand feeds a
+    // single hash aggregate, vs four scans for four GROUP BYs.
+    // Subtotal rows are labeled 'ALL' via grouping() on BOTH engines
+    // (a raw NULL group label would collide with genuinely-null data
+    // and render engine-differently through pandas).
+    GraftQuery(
+      "q146_cube_rollup",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+          .cube(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+            grouping(col("event_type")).as("__g_et"),
+            grouping(col("day")).as("__g_day"))
+          .select(
+            when(col("__g_et") === 1, lit("ALL"))
+              .otherwise(col("event_type")).as("event_type"),
+            when(col("__g_day") === 1, lit(-1L))
+              .otherwise(col("day")).as("day"),
+            col("n"), col("total_value"))
+          .orderBy(col("event_type"), col("day")),
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+          FROM events)
+        SELECT
+          CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+               ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(day) = 1 THEN -1 ELSE day END AS day,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        FROM e GROUP BY CUBE(event_type, day)
         ORDER BY 1, 2"""))
   )
 
