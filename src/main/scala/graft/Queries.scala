@@ -6449,7 +6449,62 @@ object Queries {
           COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
         FROM e GROUP BY CUBE(event_type, day)
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // One-pass column profiler (operators/Profile.profile): the
+    // data-quality summary an ingest gate runs on every drop — per
+    // column: rows, nulls, EXACT distinct, type-directed min/max — all
+    // in one aggregate over one scan (Expand×HashAggregate for the
+    // multi-distinct). Long format: one row per column, so downstream
+    // assertions are plain filters and successive drops diff row-wise.
+    GraftQuery(
+      "q147_profile",
+      (s, dir) =>
+        graft.operators.Profile.profile(t(s, dir, "events"))
+          .orderBy(col("column_name")),
+      Some("""
+        WITH p AS (
+          SELECT 'event_id' AS column_name, 'bigint' AS dtype,
+            COUNT(*) AS n_rows,
+            COUNT(*) - COUNT(event_id) AS n_nulls,
+            COUNT(DISTINCT event_id) AS n_distinct,
+            CAST(MIN(event_id) AS DOUBLE) AS min_num,
+            CAST(MAX(event_id) AS DOUBLE) AS max_num,
+            '' AS min_str, '' AS max_str
+          FROM events
+          UNION ALL
+          SELECT 'ts', 'timestamp', COUNT(*), COUNT(*) - COUNT(ts),
+            COUNT(DISTINCT ts),
+            CAST(MIN(epoch_us(ts)) AS DOUBLE),
+            CAST(MAX(epoch_us(ts)) AS DOUBLE), '', ''
+          FROM events
+          UNION ALL
+          SELECT 'user_id', 'bigint', COUNT(*), COUNT(*) - COUNT(user_id),
+            COUNT(DISTINCT user_id),
+            CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+            '', ''
+          FROM events
+          UNION ALL
+          SELECT 'event_type', 'string', COUNT(*),
+            COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+            NULL, NULL,
+            COALESCE(MIN(event_type), ''), COALESCE(MAX(event_type), '')
+          FROM events
+          UNION ALL
+          SELECT 'value', 'double', COUNT(*), COUNT(*) - COUNT(value),
+            COUNT(DISTINCT value),
+            CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE), '', ''
+          FROM events
+          UNION ALL
+          SELECT 'props', 'string', COUNT(*), COUNT(*) - COUNT(props),
+            COUNT(DISTINCT props),
+            NULL, NULL,
+            COALESCE(MIN(props), ''), COALESCE(MAX(props), '')
+          FROM events)
+        SELECT column_name, dtype, n_rows, n_nulls, n_distinct,
+          CAST(min_num AS DOUBLE) AS min_num,
+          CAST(max_num AS DOUBLE) AS max_num, min_str, max_str
+        FROM p ORDER BY column_name"""))
   )
 
   /** Merge steps for q142/q143 — enough to exercise multi-character
