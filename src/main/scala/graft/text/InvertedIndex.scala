@@ -85,6 +85,37 @@ object InvertedIndex {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val toks = tokenRows(docs, idCol, textCol)
       .filter(col("token").isin(phrase.map(lit): _*))
+    chainPhrase(toks, idCol, phrase)
+  }
+
+  /** [[phraseSearch]] served FROM a [[postings]] index instead of the
+    * corpus — the query-many side of the build-once structure (the
+    * postings must cover the phrase's terms uncapped: `minDf = 1`,
+    * unlimited `maxDocs`, or a capped index silently misses documents
+    * beyond each term's cap). Positions come from parsing the stored
+    * CSV — the corpus text is never re-read or re-tokenized.
+    * Result is pinned row-identical to the direct path (q148 runs
+    * against q141's oracle verbatim).
+    */
+  def phraseSearchFromPostings(
+      postings: DataFrame,
+      idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = postings
+      .filter(col("token").isin(phrase.map(lit): _*))
+      .select(col("token"), col(idCol),
+        explode(transform(split(col("positions"), ","),
+          p => p.cast("int"))).as("pos"))
+    chainPhrase(toks, idCol, phrase)
+  }
+
+  /** Shared phrase matcher over `(token, id, pos)` rows already
+    * filtered to the phrase's terms: k−1 equi-joins on
+    * `(id, pos + offset)`, then per-doc match stats.
+    */
+  private def chainPhrase(
+      toks: DataFrame, idCol: String, phrase: Seq[String]): DataFrame = {
     val first = toks.filter(col("token") === phrase.head)
       .select(col(idCol), col("pos").as("start"))
     val matches = phrase.zipWithIndex.tail.foldLeft(first) {

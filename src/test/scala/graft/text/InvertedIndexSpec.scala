@@ -78,6 +78,18 @@ class InvertedIndexSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("phraseSearchFromPostings is row-identical to the direct path") {
+    val posts = InvertedIndex.postings(docs, "doc_id", "text")
+    for (phrase <- Seq(Seq("on", "the"), Seq("cat", "cat"), Seq("mat"),
+        Seq("log", "cat"))) {
+      val direct = InvertedIndex.phraseSearch(docs, "doc_id", "text", phrase)
+      val served = InvertedIndex.phraseSearchFromPostings(
+        posts, "doc_id", phrase)
+      served.exceptAll(direct).count() shouldBe 0L
+      direct.exceptAll(served).count() shouldBe 0L
+    }
+  }
+
   test("postings plans exactly one exchange") {
     val plan = InvertedIndex.postings(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
