@@ -6505,7 +6505,36 @@ object Queries {
           .select(col("doc_id"), col("n_matches"),
             col("first_pos").cast("long").as("first_pos"))
           .orderBy(col("doc_id")),
-      Some(phraseOracleSql))
+      Some(phraseOracleSql)),
+
+    // Event-sequence pattern matching (operators/Patterns.matchPattern,
+    // MATCH_RECOGNIZE-lite): each user's ordered history folded to a
+    // symbol string (view→v, click→c, purchase→p; signup/error
+    // dropped), then non-overlapping `vc*p` matches counted — the
+    // regex-general form of q138's structural funnel. One groupBy; the
+    // shuffle carries one char + order columns per event. The regex
+    // subset is RE2-safe, so DuckDB replays match-for-match.
+    GraftQuery(
+      "q149_event_pattern",
+      (s, dir) =>
+        graft.operators.Patterns.matchPattern(
+          t(s, dir, "events"), Seq("user_id"), "ts", "event_type",
+          Map("view" -> "v", "click" -> "c", "purchase" -> "p"),
+          pattern = "vc*p", tieCols = Seq("event_id"))
+          .orderBy(col("user_id")),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+            CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                 WHEN 'purchase' THEN 'p' END AS sym
+          FROM events),
+        s AS (
+          SELECT user_id,
+            string_agg(sym, '' ORDER BY us, event_id) AS seq
+          FROM e WHERE sym IS NOT NULL GROUP BY user_id)
+        SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS seq_len,
+          CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+        FROM s ORDER BY user_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
