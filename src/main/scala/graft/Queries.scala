@@ -6534,7 +6534,83 @@ object Queries {
           FROM e WHERE sym IS NOT NULL GROUP BY user_id)
         SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS seq_len,
           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
-        FROM s ORDER BY user_id"""))
+        FROM s ORDER BY user_id""")),
+
+    // Stream-stream interval join (streaming/Streaming
+    // .streamIntervalJoin): click→view attribution — every click
+    // within 30 minutes after a matching view, both sides live
+    // streams. The event-time range condition in the join is what
+    // bounds state (left rows evictable once the right watermark
+    // passes view_ts + 30min). The single staged file makes
+    // AvailableNow one micro-batch, so no row can be late-dropped and
+    // the oracle is the plain batch interval join.
+    GraftQuery(
+      "q150_stream_interval_join",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files.createTempDirectory("graft_q150_src_")
+        val staged = srcDir.resolve("events.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/events.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        def stream(): DataFrame = {
+          val src = s.readStream
+            .schema(s.read.parquet(s"$dir/events.parquet").schema)
+            .parquet(srcDir.toString)
+          val typed = expr("ts div 1000") // nanos -> micros
+          src.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              src.withColumn("ts", timestamp_micros(typed))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              src.withColumn("ts", col("ts").cast("timestamp"))
+            case _ => src
+          }
+        }
+        val views = stream()
+          .filter(col("event_type") === "view" && col("user_id") < 100)
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+        val clicks = stream()
+          .filter(col("event_type") === "click" && col("user_id") < 100)
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val joined = graft.streaming.Streaming.streamIntervalJoin(
+          views, clicks, Seq("user_id"), "view_ts", "click_ts",
+          lowerBound = "0 seconds", upperBound = "30 minutes",
+          watermark = "0 seconds")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q150_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q150_ckpt_").toString
+        joined.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        s.read.parquet(out)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            unix_micros(col("view_ts")).as("view_us"),
+            unix_micros(col("click_ts")).as("click_us"))
+          .orderBy(col("user_id"), col("view_id"), col("click_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, epoch_us(ts) AS vus, event_id AS view_id
+          FROM events WHERE event_type = 'view' AND user_id < 100),
+        c AS (
+          SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+          FROM events WHERE event_type = 'click' AND user_id < 100)
+        SELECT v.user_id, v.view_id, c.click_id,
+          v.vus AS view_us, c.cus AS click_us
+        FROM v JOIN c ON c.user_id = v.user_id
+          AND c.cus >= v.vus AND c.cus <= v.vus + 1800000000
+        ORDER BY 1, 2, 3"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -106,6 +106,49 @@ object Streaming {
         col("bucket"), col("rho"))
   }
 
+  /** Watermarked stream-STREAM interval join — attribution at ingest
+    * time: every right event that lands within
+    * `[leftTs + lowerBound, leftTs + upperBound]` of a matching left
+    * event (click→view attribution, impression→conversion windows).
+    * Both sides are watermarked and the join condition carries the
+    * explicit event-time range, which is what lets Spark EVICT state:
+    * a buffered left row is droppable once the right watermark passes
+    * `leftTs + upperBound` (and symmetrically), so state is
+    * O(events inside one attribution window per key), not O(stream).
+    * Without the range condition a stream-stream inner join must
+    * buffer both streams forever — the operator exists to make the
+    * bounded form the only reachable one.
+    *
+    * Contract: `left` and `right` must share ONLY `keyCols` (rename
+    * payload columns upstream — the output is `left.* ++ right.*`
+    * minus the duplicate keys); bounds are SQL interval strings
+    * (`"0 seconds"`, `"30 minutes"`). Inner join by contract, like
+    * [[enrichedWindowedCounts]].
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      lowerBound: String,
+      upperBound: String,
+      watermark: String): DataFrame = {
+    require(keyCols.nonEmpty, "streamIntervalJoin needs join keys")
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet) -- keyCols.toSet
+    require(overlap.isEmpty,
+      s"left and right must share only the join keys; both have $overlap")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val keyCond = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val range =
+      col(rightTsCol) >= col(leftTsCol) + expr(s"INTERVAL $lowerBound") &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $upperBound")
+    l.join(r, keyCond && range)
+      .drop(r(keyCols.head), keyCols.tail.map(r(_)): _*)
+  }
+
   /** Stream-static dimension enrichment + windowed rollup — the
     * standard ingest-time shape: a fact stream joined to a SMALL,
     * slowly-changing dimension (user → segment, host → authority

@@ -79,6 +79,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches within the bound, evicts beyond") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Timestamp, String, Long)]
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val joined = Streaming.streamIntervalJoin(
+      views.toDF.toDF("view_ts", "k", "view_id"),
+      clicks.toDF.toDF("click_ts", "k", "click_id"),
+      Seq("k"), "view_ts", "click_ts",
+      lowerBound = "0 seconds", upperBound = "5 minutes",
+      watermark = "0 seconds")
+    val query = joined.writeStream
+      .format("memory").queryName("sij").outputMode("append").start()
+    try {
+      views.addData((ts(0), "a", 1L), (ts(20), "a", 2L), (ts(0), "b", 3L))
+      clicks.addData(
+        (ts(3), "a", 10L),  // within 5 min of view 1
+        (ts(9), "a", 11L),  // outside every view's window
+        (ts(23), "a", 12L), // within view 2
+        (ts(3), "c", 13L))  // key never matches
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT view_id, click_id FROM sij")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      rows.toSeq shouldBe Seq((1L, 10L), (2L, 12L))
+    } finally query.stop()
+  }
+
+  test("interval join refuses overlapping non-key columns") {
+    implicit val sc = spark.sqlContext
+    val a = MemoryStream[(Timestamp, String, Long)]
+    an[IllegalArgumentException] should be thrownBy
+      Streaming.streamIntervalJoin(
+        a.toDF.toDF("ts", "k", "x"), a.toDF.toDF("ts", "k", "x"),
+        Seq("k"), "ts", "ts", "0 seconds", "5 minutes", "0 seconds")
+  }
+
   test("windowed moments match the batch sketch per window") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
