@@ -31,6 +31,25 @@ object Queries {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(30,2)")).cast("double")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Streaming queries size
+    * their STATE partitioning with this: a stateful operator plants one
+    * state store per shuffle partition per store (a stream-stream join
+    * runs four), and the per-store open/commit cost is pure overhead
+    * when state is small — partitions should track state size, not the
+    * session's batch shuffle width (measured: q150 7.3 s → 3.3 s going
+    * 32 → 8 on attribution-window state). Each query starts from a
+    * fresh checkpoint, so the choice is free per run; at real scale the
+    * same knob turns the other way. Queries run sequentially under
+    * Verify/Bench, so the temporary session mutation cannot race.
+    */
+  private def withShufflePartitions[T](
+      s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Recursively delete a temp tree (streaming staging/checkpoint dirs
     * — repeated bench/verify runs would otherwise accumulate in /tmp).
     */
@@ -1604,14 +1623,18 @@ object Queries {
           .createTempDirectory("graft_q46_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q46_ckpt_").toString
-        sessions.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          sessions.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         // staging + state are done with; the sink must outlive this call
         // (the returned frame reads it lazily)
         deleteTree(srcDir)
@@ -2128,14 +2151,18 @@ object Queries {
           .createTempDirectory("graft_q55_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q55_ckpt_").toString
-        deduped.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          deduped.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         // staging + state are done with; the sink must outlive this call
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
@@ -2582,14 +2609,18 @@ object Queries {
           .createTempDirectory("graft_q65_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q65_ckpt_").toString
-        pairs.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          pairs.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out)
@@ -4915,14 +4946,18 @@ object Queries {
           .createTempDirectory("graft_q112_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q112_ckpt_").toString
-        windows.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          windows.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out)
@@ -5684,14 +5719,18 @@ object Queries {
           .createTempDirectory("graft_q128_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q128_ckpt_").toString
-        windows.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          windows.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out)
@@ -5976,14 +6015,18 @@ object Queries {
           .createTempDirectory("graft_q135_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q135_ckpt_").toString
-        windows.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          windows.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out)
@@ -6306,14 +6349,18 @@ object Queries {
           .createTempDirectory("graft_q144_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q144_ckpt_").toString
-        regs.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the small in-flight state, not
+        // the session's batch shuffle width (see withShufflePartitions)
+        withShufflePartitions(s, 8) {
+          regs.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
         graft.sketch.Hll.estimate(
@@ -6583,14 +6630,19 @@ object Queries {
           .createTempDirectory("graft_q150_out_").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft_q150_ckpt_").toString
-        joined.writeStream
-          .format("parquet")
-          .option("path", out)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        // state partitioning sized to the (tiny) attribution-window
+        // state, not the session's batch shuffle width — a
+        // stream-stream join plants FOUR state stores per partition
+        withShufflePartitions(s, 8) {
+          joined.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
         deleteTree(srcDir)
         deleteTree(java.nio.file.Paths.get(ckpt))
         s.read.parquet(out)
