@@ -6662,7 +6662,64 @@ object Queries {
           v.vus AS view_us, c.cus AS click_us
         FROM v JOIN c ON c.user_id = v.user_id
           AND c.cus >= v.vus AND c.cus <= v.vus + 1800000000
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // Changelog upsert (operators/Cdc.applyChangelog): incremental
+    // snapshot maintenance — MERGE INTO as a batch operator. The
+    // changelog is synthesized deterministically from `orders` over the
+    // `customer` snapshot: every 4th order is a change to its customer
+    // (seq = o_orderkey, last-writer-wins), %17 orders are deletes,
+    // %13 orders insert a brand-new key (custkey + 1e6). The oracle
+    // replays the winner window + full-outer merge. Payload values
+    // pass through untouched (no arithmetic), so doubles are bit-exact.
+    GraftQuery(
+      "q151_changelog_upsert",
+      (s, dir) => {
+        val snap = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val k = when(col("o_orderkey") % 13 === 0,
+          col("o_custkey") + 1000000L).otherwise(col("o_custkey"))
+        val changes = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(
+            k.as("c_custkey"),
+            col("o_orderkey").as("seq"),
+            when(col("o_orderkey") % 17 === 0, lit("D"))
+              .when(col("o_orderkey") % 13 === 0, lit("I"))
+              .otherwise(lit("U")).as("op"),
+            concat(lit("cust-"), k.cast("string")).as("c_name"),
+            col("o_totalprice").as("c_acctbal"))
+        graft.operators.Cdc.applyChangelog(
+          snap, changes, Seq("c_custkey"), "seq", "op")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH snap AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer),
+        ch AS (
+          SELECT
+            CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                 ELSE o_custkey END AS k,
+            o_orderkey AS seq,
+            CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                 WHEN o_orderkey % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+            'cust-' || CAST(CASE WHEN o_orderkey % 13 = 0
+                 THEN o_custkey + 1000000
+                 ELSE o_custkey END AS VARCHAR) AS c_name,
+            o_totalprice AS c_acctbal
+          FROM orders WHERE o_orderkey % 4 = 0),
+        w AS (
+          SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+            AS rn FROM ch),
+        win AS (SELECT k, op, c_name, c_acctbal FROM w WHERE rn = 1)
+        SELECT COALESCE(s.c_custkey, win.k) AS c_custkey,
+          CASE WHEN win.op IS NOT NULL THEN win.c_name
+               ELSE s.c_name END AS c_name,
+          CASE WHEN win.op IS NOT NULL THEN win.c_acctbal
+               ELSE s.c_acctbal END AS c_acctbal
+        FROM snap s FULL OUTER JOIN win ON s.c_custkey = win.k
+        WHERE win.op IS NULL OR win.op <> 'D'
+        ORDER BY c_custkey"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
