@@ -6719,7 +6719,38 @@ object Queries {
                ELSE s.c_acctbal END AS c_acctbal
         FROM snap s FULL OUTER JOIN win ON s.c_custkey = win.k
         WHERE win.op IS NULL OR win.op <> 'D'
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // Schema-evolution union (types/Evolve.unionByNameWidened): two
+    // synthetic generations of lineitem — an old one with int keys /
+    // float discounts and no l_returnflag, a new one with the wide
+    // types plus the extra column — read as ONE table under the
+    // reconciled schema (int→long, float→double, missing→NULL). The
+    // oracle replays the per-generation casts and the union; the
+    // float→double round-trip is IEEE-exact in both engines.
+    GraftQuery(
+      "q152_schema_evolution_union",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val old = li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").cast("int").as("l_orderkey"),
+            col("l_linenumber"),
+            col("l_discount").cast("float").as("l_discount"))
+        val neu = li.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_discount"), col("l_returnflag"))
+        graft.types.Evolve.unionByNameWidened(Seq(old, neu))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_linenumber,
+          CAST(CAST(l_discount AS REAL) AS DOUBLE) AS l_discount,
+          NULL AS l_returnflag
+        FROM lineitem WHERE l_orderkey % 2 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_discount, l_returnflag
+        FROM lineitem WHERE l_orderkey % 2 = 1
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
