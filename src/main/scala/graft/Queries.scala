@@ -6750,7 +6750,32 @@ object Queries {
         UNION ALL
         SELECT l_orderkey, l_linenumber, l_discount, l_returnflag
         FROM lineitem WHERE l_orderkey % 2 = 1
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // k-anonymity suppression (operators/Anonymize.suppressBelowK):
+    // the row-level privacy gate beside PII redaction (q41) — customers
+    // whose (nation, market segment) quasi-identifier tuple is shared
+    // by fewer than k=12 customers are suppressed. Exact group counts
+    // (a sketch undercounting a group would LEAK rows), one aggregate +
+    // one join-back against the |QI-domain|-sized qualifying table.
+    GraftQuery(
+      "q153_k_anonymity",
+      (s, dir) =>
+        graft.operators.Anonymize.suppressBelowK(
+          t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"),
+              col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), 12L)
+          .orderBy(col("c_custkey")),
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+          FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 12)
+        SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+        FROM customer c
+        JOIN g ON c.c_nationkey = g.c_nationkey
+          AND c.c_mktsegment = g.c_mktsegment
+        ORDER BY c.c_custkey"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
