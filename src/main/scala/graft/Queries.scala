@@ -6776,6 +6776,39 @@ object Queries {
         JOIN g ON c.c_nationkey = g.c_nationkey
           AND c.c_mktsegment = g.c_mktsegment
         ORDER BY c.c_custkey"""))
+  ,
+
+    // Head-coverage cut (operators/Coverage.headCoverage): "which
+    // (lang, source) slices hold 80% of the corpus character mass" —
+    // the head/tail curation analysis. Integer rational target
+    // (ceil(80·total/100)), rank = dense id in (mass desc, lang,
+    // source) order, cumulative mass via the Packing-style two-level
+    // rank-bucket scan. The oracle replays with plain window cumsums
+    // (its table is group-sized; the engine path never global-windows).
+    GraftQuery(
+      "q154_head_coverage",
+      (s, dir) =>
+        graft.operators.Coverage.headCoverage(
+          t(s, dir, "documents").select(col("lang"), col("source"),
+            col("n_chars")),
+          Seq("lang", "source"), "n_chars", 80L, 100L)
+          .orderBy(col("rank")),
+      Some("""
+        WITH g AS (
+          SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS mass
+          FROM documents GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number()
+            OVER (ORDER BY mass DESC, lang, source) - 1 AS rank
+          FROM g),
+        c AS (
+          SELECT *,
+            CAST(SUM(mass) OVER (ORDER BY rank) AS BIGINT) AS cum_mass,
+            CAST(SUM(mass) OVER () AS BIGINT) AS total
+          FROM r)
+        SELECT lang, source, mass, rank, cum_mass,
+          (cum_mass - mass) < ((80 * total + 99) // 100) AS in_head
+        FROM c ORDER BY rank"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
