@@ -6808,7 +6808,89 @@ object Queries {
           FROM r)
         SELECT lang, source, mass, rank, cum_mass,
           (cum_mass - mass) < ((80 * total + 99) // 100) AS in_head
-        FROM c ORDER BY rank"""))
+        FROM c ORDER BY rank""")),
+
+    // Streaming changelog → maintained snapshot
+    // (streaming/Streaming.changelogSnapshotSink over
+    // operators/Cdc.mergeVersioned): q151's changelog REPLAYED AS A
+    // STREAM — staged as 4 parquet files consumed one per micro-batch
+    // (maxFilesPerTrigger=1), so change seqs interleave arbitrarily
+    // across batch boundaries. The versioned merge (strict per-key seq
+    // comparison + delete tombstones) makes the final state identical
+    // to the one-shot batch apply, so the oracle IS q151's oracle:
+    // batch/stream equivalence checked end to end through a real
+    // file-stream → foreachBatch → parquet-state loop.
+    GraftQuery(
+      "q155_streaming_changelog",
+      (s, dir) => {
+        val k = when(col("o_orderkey") % 13 === 0,
+          col("o_custkey") + 1000000L).otherwise(col("o_custkey"))
+        val changes = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(
+            k.as("c_custkey"),
+            col("o_orderkey").as("seq"),
+            when(col("o_orderkey") % 17 === 0, lit("D"))
+              .when(col("o_orderkey") % 13 === 0, lit("I"))
+              .otherwise(lit("U")).as("op"),
+            concat(lit("cust-"), k.cast("string")).as("c_name"),
+            col("o_totalprice").as("c_acctbal"))
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_q155_src_").toString
+        changes.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft_q155_state_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q155_ckpt_").toString
+        val stream = s.readStream
+          .schema(changes.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val initial = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        withShufflePartitions(s, 8) {
+          graft.streaming.Streaming.changelogSnapshotSink(
+            stream, Seq("c_custkey"), "seq", "op",
+            statePath, ckpt, Some(initial))
+            .awaitTermination()
+        }
+        val out = graft.operators.Cdc.currentView(
+          s.read.parquet(s"$statePath/state"))
+          .orderBy(col("c_custkey"))
+          // the state path is deleted below: materialize first
+          .localCheckpoint(true)
+        deleteTree(java.nio.file.Paths.get(srcDir))
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        deleteTree(java.nio.file.Paths.get(statePath))
+        out
+      },
+      Some("""
+        WITH snap AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer),
+        ch AS (
+          SELECT
+            CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                 ELSE o_custkey END AS k,
+            o_orderkey AS seq,
+            CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                 WHEN o_orderkey % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+            'cust-' || CAST(CASE WHEN o_orderkey % 13 = 0
+                 THEN o_custkey + 1000000
+                 ELSE o_custkey END AS VARCHAR) AS c_name,
+            o_totalprice AS c_acctbal
+          FROM orders WHERE o_orderkey % 4 = 0),
+        w AS (
+          SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+            AS rn FROM ch),
+        win AS (SELECT k, op, c_name, c_acctbal FROM w WHERE rn = 1)
+        SELECT COALESCE(s.c_custkey, win.k) AS c_custkey,
+          CASE WHEN win.op IS NOT NULL THEN win.c_name
+               ELSE s.c_name END AS c_name,
+          CASE WHEN win.op IS NOT NULL THEN win.c_acctbal
+               ELSE s.c_acctbal END AS c_acctbal
+        FROM snap s FULL OUTER JOIN win ON s.c_custkey = win.k
+        WHERE win.op IS NULL OR win.op <> 'D'
+        ORDER BY c_custkey"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -71,14 +71,46 @@ object Cdc {
       s"changelog columns ${got.toSeq.sorted.mkString(",")} != expected " +
         expected.toSeq.sorted.mkString(","))
 
+    // rename the changelog side instead of alias-resolving: a snapshot
+    // that itself derives from `changes` (replay/idempotence pipelines)
+    // would otherwise hit Spark's ambiguous-self-join detection
+    val c = prefixed(winnersOf(changes, keyCols, seqCol, opCol, tieCols)
+      .drop(seqCol).drop(tieCols: _*))
+    val joinCond = keyCols.map(k => col(k) <=> col(CP + k)).reduce(_ && _)
+    val changed = col(CP + opCol).isNotNull // key present in changelog
+    snapshot.join(c, joinCond, "full_outer")
+      .filter(!changed || col(CP + opCol) =!= "D")
+      .select(
+        keyCols.map(k => coalesce(col(k), col(CP + k)).as(k)) ++
+          payload.map(p =>
+            when(changed, col(CP + p)).otherwise(col(p)).as(p)): _*)
+  }
+
+  /** Rename prefix separating the changelog side of the merge joins. */
+  private val CP = "__c_"
+
+  private def prefixed(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, CP + c))
+
+  /** One winning change per key in `(seqCol, tieCols…)` order, with the
+    * seq/tie columns retained. Collapse via the [[GroupLimit]] k=2 form
+    * (map-side bounded heap; the runner-up proves the winner
+    * unambiguous), tie probe on the SAME partitioning. Guards ride the
+    * op VALUE (the one changelog column every downstream expression
+    * reads) — a guard in a dropped column would be pruned away and
+    * never evaluate.
+    */
+  private def winnersOf(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      tieCols: Seq[String]): DataFrame = {
     val ord = col(seqCol).desc +: tieCols.map(col(_).desc)
     val seqStruct = struct(col(seqCol) +: tieCols.map(col): _*)
     val top2 = GroupLimit.topKPerGroup(changes, keyCols, ord, 2, "__rn")
     val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
-    // Guards ride the op VALUE (the one changelog column every
-    // downstream expression reads) — a guard in a dropped column would
-    // be pruned away and never evaluate.
-    val winners = top2
+    top2
       .withColumn("__next", lead(seqStruct, 1).over(w2))
       .filter(col("__rn") === 1)
       .withColumn(opCol, when(col("__next") <=> seqStruct,
@@ -89,17 +121,79 @@ object Cdc {
             raise_error(concat(lit("unknown changelog op "),
               coalesce(col(opCol), lit("NULL")))))
             .otherwise(col(opCol))))
-      .drop("__rn", "__next", seqCol)
-      .drop(tieCols: _*)
+      .drop("__rn", "__next")
+  }
 
-    val s = snapshot.as("s")
-    val c = winners.as("c")
-    val joinCond = keyCols.map(k => s(k) <=> c(k)).reduce(_ && _)
-    val changed = c(opCol).isNotNull // key present in changelog
-    s.join(c, joinCond, "full_outer")
-      .filter(!changed || c(opCol) =!= "D")
+  // ---- versioned state (the cross-batch form) -----------------------
+  //
+  // [[applyChangelog]] assumes it sees the WHOLE changelog at once. A
+  // change STREAM arrives in micro-batches whose boundaries are an
+  // accident of file listing order — change seq 9 can land a batch
+  // before seq 5. The versioned form keeps two bookkeeping columns in
+  // the stored snapshot so batches merge MONOTONELY:
+  //   - `__seq`: the seq of the change that produced the row — a
+  //     stale change (seq <= stored) is ignored, whatever batch it
+  //     rides in;
+  //   - `__deleted`: deletes leave a TOMBSTONE instead of removing the
+  //     row — without it, an out-of-order update older than the delete
+  //     would resurrect the key. (Tombstone retention/purge beyond a
+  //     seq horizon is a compaction policy, owned by the caller.)
+  // Batch merge order therefore cannot change the result: per key the
+  // surviving row is always the globally-greatest seq. Replaying a
+  // batch is a no-op (seq comparison is strict), which is exactly the
+  // idempotence foreachBatch's at-least-once contract needs.
+
+  /** Bookkeeping columns of a versioned state table. */
+  val SeqCol = "__seq"
+  val DeletedCol = "__deleted"
+
+  /** Bootstrap a versioned state from a plain snapshot. `seq` must sit
+    * below every changelog seq (default -1 for non-negative seqs).
+    */
+  def initState(snapshot: DataFrame, seq: Long = -1L): DataFrame =
+    snapshot.withColumn(SeqCol, lit(seq)).withColumn(DeletedCol, lit(false))
+
+  /** The user-facing snapshot of a versioned state: live rows, no
+    * bookkeeping columns.
+    */
+  def currentView(state: DataFrame): DataFrame =
+    state.filter(!col(DeletedCol)).drop(SeqCol, DeletedCol)
+
+  /** Merge one changelog batch into a versioned state. Within the
+    * batch, last-writer-wins with the [[applyChangelog]] guards
+    * (ambiguous seq raises, unknown op raises); across batches the
+    * strict `seq > __seq` rule makes merging commutative over batch
+    * boundaries and idempotent under replays. `seqCol` must be
+    * globally unique per key across the whole stream (tie columns
+    * cannot disambiguate across batches — they are refused here).
+    */
+  def mergeVersioned(
+      state: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeVersioned needs at least one key column")
+    val payload = state.columns
+      .filterNot(keyCols.contains).filterNot(Seq(SeqCol, DeletedCol).contains)
+      .toSeq
+    val expected = (keyCols ++ payload ++ Seq(seqCol, opCol)).toSet
+    require(changes.columns.toSet == expected,
+      s"changelog columns ${changes.columns.sorted.mkString(",")} != " +
+        s"expected ${expected.toSeq.sorted.mkString(",")}")
+
+    val c = prefixed(winnersOf(changes, keyCols, seqCol, opCol, Nil))
+    val joinCond = keyCols.map(k => col(k) <=> col(CP + k)).reduce(_ && _)
+    val take = col(CP + opCol).isNotNull &&
+      (col(SeqCol).isNull || col(CP + seqCol) > col(SeqCol))
+    state.join(c, joinCond, "full_outer")
       .select(
-        keyCols.map(k => coalesce(s(k), c(k)).as(k)) ++
-          payload.map(p => when(changed, c(p)).otherwise(s(p)).as(p)): _*)
+        keyCols.map(k => coalesce(col(k), col(CP + k)).as(k)) ++
+          payload.map(p => when(take, col(CP + p)).otherwise(col(p)).as(p)) ++
+          Seq(
+            when(take, col(CP + seqCol)).otherwise(col(SeqCol)).as(SeqCol),
+            when(take, col(CP + opCol) === "D")
+              .otherwise(coalesce(col(DeletedCol), lit(false)))
+              .as(DeletedCol)): _*)
   }
 }

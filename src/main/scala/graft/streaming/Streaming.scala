@@ -347,6 +347,87 @@ object Streaming {
       }
   }
 
+  /** Streaming changelog → maintained snapshot: every micro-batch of a
+    * keyed I/U/D change stream merges into a versioned parquet state at
+    * `statePath/state` via [[graft.operators.Cdc.mergeVersioned]] — the
+    * streaming deployment of the batch changelog-upsert operator, i.e.
+    * a continuously-maintained MERGE INTO target.
+    *
+    * Correctness under streaming's failure model comes from the merge
+    * algebra, not from ordering assumptions: `mergeVersioned` is
+    * commutative over batch boundaries (strict per-key seq comparison;
+    * deletes tombstone) and idempotent under replays — so foreachBatch's
+    * at-least-once re-execution and arbitrary file-listing order both
+    * land on the same final state. The state swap is
+    * write-to-temp-then-rename (the [[graft.dedup.DedupIndex.compact]]
+    * pattern): a crash during the tmp write leaves the previous state
+    * intact (the replayed batch overwrites the partial tmp); a crash
+    * inside the delete→rename window leaves a fully-written tmp that
+    * startup recovery renames back into place.
+    *
+    * Scale shape: per batch, one bounded-heap collapse of the batch's
+    * changes + one full-outer join against the state — the state reads
+    * and writes once per micro-batch, so batch interval should amortize
+    * it (at 100 TB the state is a bucketed table and only the delta
+    * shuffles; the swap is a metadata rename either way). Read the
+    * result with `Cdc.currentView(spark.read.parquet(statePath/state))`.
+    */
+  def changelogSnapshotSink(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      statePath: String,
+      checkpointPath: String,
+      initial: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val spark = changes.sparkSession
+    val store = s"$statePath/state"
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(store))) {
+      // Crash-window recovery: the swap below deletes `state` only
+      // AFTER `state_tmp_<id>` is fully written — if we died between
+      // the delete and the rename, the newest tmp IS the post-batch
+      // state. Restore it instead of re-bootstrapping, which would
+      // silently lose every batch merged before the crash.
+      val tmps = Option(fs.globStatus(new Path(s"$statePath/state_tmp_*")))
+        .getOrElse(Array.empty)
+      if (tmps.nonEmpty) {
+        val newest = tmps.maxBy(
+          _.getPath.getName.stripPrefix("state_tmp_").toLong)
+        require(fs.rename(newest.getPath, new Path(store)),
+          s"changelogSnapshotSink: recovery rename of ${newest.getPath} " +
+            "failed")
+      } else {
+        val boot = initial.getOrElse {
+          // empty snapshot with the changelog's payload schema
+          val payloadCols = changes.columns
+            .filterNot(Seq(seqCol, opCol).contains).toSeq
+          changes.select(payloadCols.map(col): _*).filter(lit(false))
+        }
+        graft.operators.Cdc.initState(boot)
+          .write.mode("errorifexists").parquet(store)
+      }
+    }
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val state = spark.read.parquet(store)
+        val next = graft.operators.Cdc.mergeVersioned(
+          state, batch, keyCols, seqCol, opCol)
+        val tmp = s"$statePath/state_tmp_$batchId"
+        next.write.mode("overwrite").parquet(tmp)
+        fs.delete(new Path(store), true)
+        require(fs.rename(new Path(tmp), new Path(store)),
+          s"changelogSnapshotSink: rename of batch $batchId state " +
+            s"failed — previous state removed, $tmp left for recovery")
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   final case class VocabCount(value: String, count: Long)
 
   /** Streaming vocabulary: running value counts maintained with
