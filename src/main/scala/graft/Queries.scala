@@ -6890,7 +6890,58 @@ object Queries {
                ELSE s.c_acctbal END AS c_acctbal
         FROM snap s FULL OUTER JOIN win ON s.c_custkey = win.k
         WHERE win.op IS NULL OR win.op <> 'D'
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // The hashing trick (operators/FeatureHash): vocabulary-free
+    // categorical featurization — per customer a hashed segment bucket
+    // (dim 256), a hashed segment×nation CROSS bucket (dim 2^20, unit
+    // separator keeping conjunctions unambiguous), and Weinberger's ±1
+    // sign off bit 30. All on the replayable Karp-Rabin squared hash
+    // ([[Splits]] contract), which is what lets DuckDB replay every
+    // bucket exactly — xxhash64 would be a black box to the oracle.
+    GraftQuery(
+      "q156_feature_hashing",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+          .withColumn("f_seg", graft.operators.FeatureHash.hashFeature(
+            col("c_mktsegment"), 256, salt = "v1"))
+          .withColumn("f_cross", graft.operators.FeatureHash.hashCross(
+            Seq(col("c_mktsegment"), col("c_nationkey")), 1 << 20,
+            salt = "v1"))
+          .withColumn("f_sign", graft.operators.FeatureHash.hashSign(
+            col("c_mktsegment"), salt = "v1"))
+          .select(col("c_custkey"), col("f_seg"), col("f_cross"),
+            col("f_sign"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        WITH k AS (
+          SELECT c_custkey,
+            c_mktsegment || ':v1' AS k1,
+            c_mktsegment || chr(31) || CAST(c_nationkey AS VARCHAR) ||
+              ':v1' AS k2
+          FROM customer),
+        h AS (
+          SELECT c_custkey,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k1) + 1),
+                i -> CAST(ord(substr(k1, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS h1,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k2) + 1),
+                i -> CAST(ord(substr(k2, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS h2
+          FROM k),
+        q AS (
+          SELECT c_custkey,
+            (h1 * h1) % 2147483647 AS q1,
+            (h2 * h2) % 2147483647 AS q2
+          FROM h)
+        SELECT c_custkey,
+          q1 % 256 AS f_seg,
+          q2 % 1048576 AS f_cross,
+          CASE WHEN (q1 // 1073741824) % 2 = 0 THEN 1 ELSE -1 END AS f_sign
+        FROM q ORDER BY c_custkey"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -76,11 +76,19 @@ object Splits {
     */
   def bucketOf(key: Column, salt: String, buckets: Int): Column = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    squaredHash(key, salt) % buckets
+  }
+
+  /** `kr_hash(key[:salt])² mod p` — the salt-mixed 31-bit value both
+    * [[bucketOf]] and [[FeatureHash]] reduce; exposed package-private so
+    * every replayable-hash consumer shares one definition.
+    */
+  private[operators] def squaredHash(key: Column, salt: String): Column = {
     val keyed =
       if (salt.isEmpty) key.cast("string")
       else concat(key.cast("string"), lit(":" + salt))
     val h = graft.functions.KrHash.krHash(keyed)
-    (h * h) % KrPrime % buckets
+    (h * h) % KrPrime
   }
 
   private val KrPrime = (1L << 31) - 1
