@@ -6941,7 +6941,40 @@ object Queries {
           q1 % 256 AS f_seg,
           q2 % 1048576 AS f_cross,
           CASE WHEN (q1 // 1073741824) % 2 = 0 THEN 1 ELSE -1 END AS f_sign
-        FROM q ORDER BY c_custkey"""))
+        FROM q ORDER BY c_custkey""")),
+
+    // Leave-one-out target encoding (operators/TargetEncode): each
+    // event's type encoded as the smoothed mean `value` of its type
+    // EXCLUDING the row's own target (prior weight k=20 toward the
+    // global mean) — the leakage-safe form of the Micci-Barreca
+    // encoder. Exact: cent-scale integer sums, denominators cleared so
+    // ONE IEEE divide produces the double; the oracle replays the
+    // same rational formula.
+    GraftQuery(
+      "q157_target_encoding",
+      (s, dir) =>
+        graft.operators.TargetEncode.withLooEncoding(
+          t(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", k = 20L)
+          .select(col("event_id"), col("event_type"), col("enc"))
+          .orderBy(col("event_id")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type,
+            CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS y
+          FROM events),
+        c AS (
+          SELECT event_type, CAST(SUM(y) AS BIGINT) AS sc,
+            COUNT(*) AS nc
+          FROM e GROUP BY 1),
+        g AS (
+          SELECT CAST(SUM(y) AS BIGINT) AS sg, COUNT(*) AS ng FROM e)
+        SELECT e.event_id, e.event_type,
+          CAST((c.sc - e.y) * g.ng + 20 * g.sg AS DOUBLE) /
+            CAST(g.ng * (c.nc - 1 + 20) * 100 AS DOUBLE) AS enc
+        FROM e JOIN c USING (event_type) CROSS JOIN g
+        ORDER BY e.event_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
