@@ -6974,7 +6974,55 @@ object Queries {
           CAST((c.sc - e.y) * g.ng + 20 * g.sg AS DOUBLE) /
             CAST(g.ng * (c.nc - 1 + 20) * 100 AS DOUBLE) AS enc
         FROM e JOIN c USING (event_type) CROSS JOIN g
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // Per-group OLS trend (sketch/Trend): "is this event type's value
+    // drifting over ingest days" — the bivariate member of the sketch
+    // family. Built as two half-corpus sketches MERGED (the mergeable
+    // co-moment contract exercised end to end), then one closed-form
+    // fit: exact decimal(38,0) co-moment sums, a single IEEE divide
+    // per coefficient. Oracle replays the quantization (q119's floor
+    // convention), the sums, and the cleared-denominator rationals.
+    GraftQuery(
+      "q158_trend_lines",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+        val a = graft.sketch.Trend.sketch(
+          ev.filter(col("day") % 2 === 0), "event_type", "day", "value",
+          xDecimals = 0, yDecimals = 2)
+        val b = graft.sketch.Trend.sketch(
+          ev.filter(col("day") % 2 =!= 0), "event_type", "day", "value",
+          xDecimals = 0, yDecimals = 2)
+        graft.sketch.Trend.fitLines(
+          graft.sketch.Trend.mergeSketches(a, b))
+          .select(col("group").as("event_type"), col("n"),
+            col("slope_q"), col("intercept_q"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            epoch_us(ts) // 86400000000 AS x,
+            CAST(floor(value * 100.0) AS BIGINT) AS y
+          FROM events),
+        s AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(x) AS HUGEINT) AS sx,
+            CAST(SUM(y) AS HUGEINT) AS sy,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM e GROUP BY 1)
+        SELECT event_type, n,
+          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_q,
+          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(sy * sxx - sx * sxy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept_q
+        FROM s ORDER BY event_type"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
