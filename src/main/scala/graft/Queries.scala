@@ -7022,7 +7022,58 @@ object Queries {
           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
             ELSE CAST(sy * sxx - sx * sxy AS DOUBLE) /
               CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept_q
-        FROM s ORDER BY event_type"""))
+        FROM s ORDER BY event_type""")),
+
+    // Confusable-skeleton dedup keys (text/Confusables.skeleton):
+    // every 5th document gets a SPOOFED copy (Latin a/o swapped for
+    // Cyrillic а/о, a zero-width space appended) — byte-exact dedup
+    // (q08's md5 keys) sees a brand-new document; skeleton keys fold
+    // the homoglyphs and strip the invisible, so the spoof collapses
+    // back onto its original. Output: per doc, duplicate-group sizes
+    // under raw vs skeleton keys. The oracle interpolates the SAME
+    // From/To table as chr() concats, so the fold replays exactly.
+    GraftQuery(
+      "q159_confusable_skeleton",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val spoof = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(translate(col("text"), "ao", "\u0430\u043E"),
+              lit("\u200B")).as("text"))
+        val keyed = docs.unionByName(spoof)
+          .select(col("doc_id"),
+            md5(col("text").cast("binary")).as("rk"),
+            md5(graft.text.Confusables.skeleton(col("text"))
+              .cast("binary")).as("sk"))
+        val rc = keyed.groupBy(col("rk")).agg(count(lit(1)).as("n_raw"))
+        val sc = keyed.groupBy(col("sk")).agg(count(lit(1)).as("n_skel"))
+        keyed.join(rc, "rk").join(sc, "sk")
+          .select(col("doc_id"), col("n_raw"), col("n_skel"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val fromSql = graft.text.Confusables.From
+          .map(c => s"chr(${c.toInt})").mkString(" || ")
+        val toSql = "'" + graft.text.Confusables.To + "'"
+        s"""
+        WITH sp AS (
+          SELECT doc_id + 1000000 AS doc_id,
+            translate(text, 'ao', chr(1072) || chr(1086)) || chr(8203)
+              AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        c AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM sp),
+        k AS (
+          SELECT doc_id, md5(text) AS rk,
+            md5(lower(translate(text, $fromSql, $toSql))) AS sk
+          FROM c),
+        r AS (SELECT rk, COUNT(*) AS n_raw FROM k GROUP BY 1),
+        s2 AS (SELECT sk, COUNT(*) AS n_skel FROM k GROUP BY 1)
+        SELECT k.doc_id, r.n_raw, s2.n_skel
+        FROM k JOIN r USING (rk) JOIN s2 USING (sk)
+        ORDER BY doc_id"""
+      })
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
