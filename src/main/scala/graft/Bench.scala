@@ -27,8 +27,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // oracle queries + the bench-only uncapped scale-path queries
-    val benchQueries = Queries.all ++ Queries.benchOnly
+    // oracle queries + the bench-only uncapped scale-path queries;
+    // SPARK_GRAFT_ONLY=q01_...,q02_... restricts to a comma-separated
+    // subset (local iteration / per-query scaling probes — the driver
+    // never sets it, so round benches always run everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = (Queries.all ++ Queries.benchOnly)
+      .filter(q => only.forall(_.contains(q.name)))
+    require(benchQueries.nonEmpty, "SPARK_GRAFT_ONLY matched no queries")
     val qmap = benchQueries.map(q => q.name -> q.run).toMap
 
     def runOnce(name: String): Either[String, Double] =
