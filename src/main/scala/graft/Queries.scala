@@ -7073,6 +7073,58 @@ object Queries {
         SELECT k.doc_id, r.n_raw, s2.n_skel
         FROM k JOIN r USING (rk) JOIN s2 USING (sk)
         ORDER BY doc_id"""
+      }),
+
+    // Consistent pseudonymization (text/Pseudonymize): emails injected
+    // deterministically (doc_id mod 50 / mod 7 identities shared
+    // across docs) are replaced by value-derived `<EMAIL-n>` tokens —
+    // same address, same token, zero coordination — vs q41's flat
+    // masks which destroy referential structure. Per-match computed
+    // replacements via split + transform + zip_with column algebra
+    // (no UDF); DuckDB replays with regexp_split_to_array +
+    // list_transform over the same Karp-Rabin fold.
+    GraftQuery(
+      "q160_pseudonymize",
+      (s, dir) => {
+        val raw = concat(col("text"),
+          lit(" contact user"), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit("@mail.example.org also user"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("@mail.example.org"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.text.Pseudonymize.pseudonymize(
+              raw, graft.text.Redact.EmailPattern, "EMAIL",
+              space = 1000000L, salt = "v1").as("text_pseudo"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val pat = graft.text.Redact.EmailPattern
+        s"""
+        WITH d AS (
+          SELECT doc_id, text || ' contact user' ||
+            CAST(doc_id % 50 AS VARCHAR) || '@mail.example.org also user' ||
+            CAST(doc_id % 7 AS VARCHAR) || '@mail.example.org' AS raw
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            regexp_split_to_array(raw, '$pat') AS segs,
+            list_transform(regexp_extract_all(raw, '$pat'),
+              m -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, len(m || ':v1') + 1),
+                  i -> CAST(ord(substr(m || ':v1', i, 1)) AS BIGINT))),
+                (a, b) -> (a * 257 + b) % 2147483647)) AS hs
+          FROM d),
+        q AS (
+          SELECT doc_id, segs, list_transform(hs,
+            h -> '<EMAIL-' ||
+              CAST((h * h) % 2147483647 % 1000000 AS VARCHAR) || '>') AS ps
+          FROM p)
+        SELECT doc_id,
+          array_to_string(
+            list_transform(range(1, len(ps) + 1), i -> segs[i] || ps[i]),
+            '') || segs[len(segs)] AS text_pseudo
+        FROM q ORDER BY doc_id"""
       })
   )
 

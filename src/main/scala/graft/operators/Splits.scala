@@ -80,10 +80,10 @@ object Splits {
   }
 
   /** `kr_hash(key[:salt])² mod p` — the salt-mixed 31-bit value both
-    * [[bucketOf]] and [[FeatureHash]] reduce; exposed package-private so
+    * [[bucketOf]] and [[FeatureHash]] reduce; exposed private[graft] so
     * every replayable-hash consumer shares one definition.
     */
-  private[operators] def squaredHash(key: Column, salt: String): Column = {
+  private[graft] def squaredHash(key: Column, salt: String): Column = {
     val keyed =
       if (salt.isEmpty) key.cast("string")
       else concat(key.cast("string"), lit(":" + salt))
