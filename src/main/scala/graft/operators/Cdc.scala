@@ -159,6 +159,19 @@ object Cdc {
   def currentView(state: DataFrame): DataFrame =
     state.filter(!col(DeletedCol)).drop(SeqCol, DeletedCol)
 
+  /** Tombstone GC — drop delete markers whose seq is at or below
+    * `horizonSeq`, the caller's promise that no change with a smaller
+    * seq can still arrive (source retention window, watermark, or a
+    * checkpointed low-water mark). Purging EARLIER would let an
+    * out-of-order update older than the delete resurrect its key —
+    * which is the exact failure [[mergeVersioned]]'s tombstones exist
+    * to prevent — so the horizon is an explicit argument, never a
+    * default. Map-only filter; run it at compaction cadence, not per
+    * batch.
+    */
+  def purgeTombstones(state: DataFrame, horizonSeq: Long): DataFrame =
+    state.filter(!col(DeletedCol) || col(SeqCol) > horizonSeq)
+
   /** Merge one changelog batch into a versioned state. Within the
     * batch, last-writer-wins with the [[applyChangelog]] guards
     * (ambiguous seq raises, unknown op raises); across batches the

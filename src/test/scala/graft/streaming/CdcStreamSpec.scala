@@ -82,6 +82,20 @@ class CdcStreamSpec extends SparkSpec {
       ("k3", 30L))
   }
 
+  test("tombstone purge honors the horizon exactly") {
+    val del = Seq(("k1", 8L, "D", 0L), ("k2", 25L, "D", 0L))
+      .toDF("k", "seq", "op", "v")
+    val s = Cdc.mergeVersioned(state0, del, Seq("k"), "seq", "op")
+    // horizon 10: k1's tombstone (seq 8) is purgeable, k2's (25) is not
+    val purged = Cdc.purgeTombstones(s, horizonSeq = 10L)
+    purged.filter($"k" === "k1").count() shouldBe 0L
+    purged.filter($"k" === "k2").count() shouldBe 1L
+    // and the surviving tombstone still blocks a stale resurrection
+    val stale = Seq(("k2", 20L, "U", 999L)).toDF("k", "seq", "op", "v")
+    Cdc.currentView(Cdc.mergeVersioned(purged, stale, Seq("k"), "seq", "op"))
+      .filter($"k" === "k2").count() shouldBe 0L
+  }
+
   test("startup recovery restores a fully-written tmp after a crash swap") {
     implicit val sc = spark.sqlContext
     val statePath = Files.createTempDirectory("cdc_rec_").toString
