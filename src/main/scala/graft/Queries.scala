@@ -7125,7 +7125,50 @@ object Queries {
             list_transform(range(1, len(ps) + 1), i -> segs[i] || ps[i]),
             '') || segs[len(segs)] AS text_pseudo
         FROM q ORDER BY doc_id"""
-      })
+      }),
+
+    // Per-vertex triangle counting (graph/Triangles.perVertex): the
+    // cohesion/link-farm signal beside PageRank's authority (q120) —
+    // counted with the degree-ordered wedge join (orient low→high in
+    // (degree, id); every out-degree is O(√m), so wedge work is
+    // O(m^1.5) instead of the Σd² hub blowup). Graph synthesized
+    // deterministically from orders. The oracle counts canonically
+    // (a<b<c edge-triple joins) — algorithm-independent ground truth,
+    // which is exactly what makes it a real check of the oriented form.
+    GraftQuery(
+      "q161_triangle_counts",
+      (s, dir) => {
+        val raw = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(pmod(col("o_custkey"), lit(500)).as("u"),
+            pmod(col("o_custkey") * 7 + col("o_orderkey"), lit(500))
+              .as("v"))
+        graft.graph.Triangles.perVertex(raw, "u", "v")
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT o_custkey % 500 AS u,
+            (o_custkey * 7 + o_orderkey) % 500 AS v
+          FROM orders WHERE o_orderkey % 3 = 0),
+        e AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM raw WHERE u <> v),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pv AS (
+          SELECT x AS vertex FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri),
+        cnt AS (
+          SELECT vertex, COUNT(*) AS triangles FROM pv GROUP BY 1),
+        verts AS (SELECT a AS vertex FROM e UNION SELECT b FROM e)
+        SELECT verts.vertex, COALESCE(cnt.triangles, 0) AS triangles
+        FROM verts LEFT JOIN cnt USING (vertex)
+        ORDER BY vertex"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
