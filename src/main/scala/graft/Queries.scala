@@ -7168,7 +7168,80 @@ object Queries {
         verts AS (SELECT a AS vertex FROM e UNION SELECT b FROM e)
         SELECT verts.vertex, COALESCE(cnt.triangles, 0) AS triangles
         FROM verts LEFT JOIN cnt USING (vertex)
-        ORDER BY vertex"""))
+        ORDER BY vertex""")),
+
+    // Fightin' Words (text/FightinWords.logOdds): Dirichlet-smoothed
+    // per-token log-odds between the English and non-English corpus
+    // slices (Monroe et al. 2008) — "which words distinguish A from
+    // B", with a variance estimate per token. Deltas in Q20 base-2
+    // fixed point via the native ilog2_q20 expression; the oracle
+    // replays all four logs per token through the 20-round recursive
+    // CTE (the q48/q49 protocol) and the variance as one divide.
+    GraftQuery(
+      "q162_fightin_words",
+      (s, dir) =>
+        graft.text.FightinWords.logOdds(
+          t(s, dir, "documents").select(col("lang"), col("text")),
+          "text", col("lang") === "en")
+          .orderBy(col("token")),
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT lang = 'en' AS ina,
+            list_filter(
+              string_split(regexp_replace(lower(trim(text)),
+                '\s+', ' ', 'g'), ' '),
+              x -> x <> '') AS toks
+          FROM documents),
+        tk AS (SELECT ina, unnest(toks) AS token FROM d),
+        c AS (
+          SELECT token,
+            CAST(SUM(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN ina THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+          FROM tk GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+            CAST(SUM(n_b) AS BIGINT) AS tb, COUNT(*) AS v
+          FROM c),
+        vals AS (
+          SELECT token, 'a1' AS which,
+            GREATEST((n_a + 1) * 1048576, 1) AS s FROM c
+          UNION ALL SELECT token, 'a2',
+            GREATEST((tot.ta + tot.v - c.n_a - 1) * 1048576, 1)
+            FROM c CROSS JOIN tot
+          UNION ALL SELECT token, 'b1',
+            GREATEST((n_b + 1) * 1048576, 1) FROM c
+          UNION ALL SELECT token, 'b2',
+            GREATEST((tot.tb + tot.v - c.n_b - 1) * 1048576, 1)
+            FROM c CROSS JOIN tot),
+        norm AS (
+          SELECT token, which, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM vals),
+        iter(token, which, bl, i, m, frac) AS (
+          SELECT token, which, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT token, which, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (
+          SELECT token, which, (bl - 21) * 1048576 + frac AS l
+          FROM iter WHERE i = 20),
+        piv AS (
+          SELECT token,
+            MAX(CASE WHEN which = 'a1' THEN l END) AS la1,
+            MAX(CASE WHEN which = 'a2' THEN l END) AS la2,
+            MAX(CASE WHEN which = 'b1' THEN l END) AS lb1,
+            MAX(CASE WHEN which = 'b2' THEN l END) AS lb2
+          FROM ltab GROUP BY 1)
+        SELECT c.token, c.n_a, c.n_b,
+          piv.la1 - piv.la2 - piv.lb1 + piv.lb2 AS delta_q20,
+          CAST(c.n_a + c.n_b + 2 AS DOUBLE) /
+            CAST((c.n_a + 1) * (c.n_b + 1) AS DOUBLE) AS var_est
+        FROM c JOIN piv USING (token)
+        ORDER BY c.token"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
