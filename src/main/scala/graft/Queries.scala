@@ -7241,7 +7241,85 @@ object Queries {
           CAST(c.n_a + c.n_b + 2 AS DOUBLE) /
             CAST((c.n_a + 1) * (c.n_b + 1) AS DOUBLE) AS var_est
         FROM c JOIN piv USING (token)
-        ORDER BY c.token"""))
+        ORDER BY c.token""")),
+
+    // Phonetic entity resolution (text/Phonetic): every 7th part name
+    // gets a typo'd duplicate record (3rd character deleted); records
+    // block on (soundex of the first two words, length bucket). This
+    // corpus is DEGENERATE for ER — ~64 distinct two-word names over
+    // 20k records — so no key can make blocks small and the cap is the
+    // load-bearing bound: 64 lowest ids per block (the LSH
+    // maxBucketSize contract; uncapped, the in-block quadratic went
+    // superlinear at x10 rows), then
+    // verify with levenshtein <= 2 INSIDE blocks only. The soundex is
+    // built from engine-portable primitives (conformance to Spark's
+    // native soundex pinned in PhoneticSpec), so the oracle replays
+    // the identical translate/collapse chain, cap included.
+    GraftQuery(
+      "q163_phonetic_er",
+      (s, dir) => {
+        val base = t(s, dir, "part").select(col("p_partkey").as("id"),
+          col("p_name").as("name"))
+        val typo = base.filter(pmod(col("id"), lit(7)) === 0)
+          .select((col("id") + 1000000L).as("id"),
+            concat(substring(col("name"), 1, 2),
+              substring(col("name"), 4, 1000000)).as("name"))
+        graft.text.Phonetic.matchPairs(
+          base.unionByName(typo), "id", "name", maxDistance = 2,
+          maxBlockSize = 64)
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val tr = "'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000'"
+        def collapse(e: String): String = (1 to 6).foldLeft(e) {
+          (acc, d) => s"regexp_replace($acc, '$d+', '$d', 'g')"
+        }
+        s"""
+        WITH base AS (
+          SELECT p_partkey AS id, p_name AS name FROM part
+          UNION ALL
+          SELECT p_partkey + 1000000,
+            substr(p_name, 1, 2) || substr(p_name, 4)
+          FROM part WHERE p_partkey % 7 = 0),
+        wd AS (
+          SELECT id, name, 1 AS wi,
+            upper(regexp_replace(split_part(name, ' ', 1),
+              '[^A-Za-z]', '', 'g')) AS up
+          FROM base
+          UNION ALL
+          SELECT id, name, 2,
+            upper(regexp_replace(split_part(name, ' ', 2),
+              '[^A-Za-z]', '', 'g'))
+          FROM base),
+        sx AS (
+          SELECT id, name, wi, substr(up, 1, 1) AS f,
+            translate(substr(up, 1, 1), $tr) AS fc,
+            translate(up, $tr) AS comb
+          FROM wd),
+        cc AS (
+          SELECT id, name, wi, f, fc, ${collapse("comb")} AS col FROM sx),
+        codes AS (
+          SELECT id, name, wi,
+            f || substr(replace(
+              CASE WHEN fc = '' THEN col ELSE substr(col, 2) END,
+              '0', '') || '000', 1, 3) AS code
+          FROM cc),
+        blk AS (
+          SELECT id, name,
+            string_agg(code, '' ORDER BY wi) || ':' ||
+              CAST(FLOOR(len(name) / 4) AS BIGINT) AS b
+          FROM codes GROUP BY id, name),
+        capped AS (
+          SELECT *, row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+          FROM blk)
+        SELECT a.id AS id_a, b2.id AS id_b,
+          levenshtein(a.name, b2.name) AS dist
+        FROM capped a JOIN capped b2 ON a.b = b2.b AND a.id < b2.id
+        WHERE a.rn <= 64 AND b2.rn <= 64
+          AND levenshtein(a.name, b2.name) <= 2
+        ORDER BY id_a, id_b"""
+      })
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
