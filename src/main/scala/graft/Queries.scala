@@ -7319,7 +7319,44 @@ object Queries {
         WHERE a.rn <= 64 AND b2.rn <= 64
           AND levenshtein(a.name, b2.name) <= 2
         ORDER BY id_a, id_b"""
-      })
+      }),
+
+    // Exact Gram accumulation (sim/Gram.accumulate): the distributed
+    // half of embedding-space PCA — quantized component sums (j = -1)
+    // and upper-triangle product sums (i <= j) over the 64-dim
+    // embedding corpus, ONE map-side-combinable aggregate whose
+    // shuffle carries d² rows total. The d×d finishing (covariance →
+    // Jacobi eigenvectors) is driver-side by the bounded-collect
+    // contract and pinned in GramSpec; the accumulation — the part
+    // that touches the corpus — replays bit-for-bit here.
+    GraftQuery(
+      "q164_gram_accumulate",
+      (s, dir) =>
+        graft.sim.Gram.accumulate(
+          t(s, dir, "embeddings").select(col("embedding")),
+          "embedding", dim = 64, decimals = 3)
+          .orderBy(col("i"), col("j")),
+      Some("""
+        WITH q AS (
+          SELECT list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+          FROM embeddings),
+        idx AS (SELECT unnest(range(1, 65)) AS i),
+        comp AS (
+          SELECT CAST(idx.i - 1 AS INTEGER) AS i, -1 AS j,
+            COUNT(*) AS n, CAST(SUM(q.q[idx.i]) AS BIGINT) AS s
+          FROM q CROSS JOIN idx GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.i AS pi, b.i AS pj FROM idx a, idx b WHERE a.i <= b.i),
+        prod AS (
+          SELECT CAST(p.pi - 1 AS INTEGER) AS i,
+            CAST(p.pj - 1 AS INTEGER) AS j,
+            COUNT(*) AS n,
+            CAST(SUM(q.q[p.pi] * q.q[p.pj]) AS BIGINT) AS s
+          FROM q CROSS JOIN pairs p GROUP BY 1, 2)
+        SELECT i, j, n, s FROM comp
+        UNION ALL SELECT i, j, n, s FROM prod
+        ORDER BY i, j"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

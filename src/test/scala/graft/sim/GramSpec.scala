@@ -1,0 +1,72 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GramSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def vecs = Seq(
+    Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(3.0f, 0.0f),
+    Seq(1.0f, 0.5f), Seq(2.0f, -0.5f)).toDF("v")
+
+  test("accumulation carries exact quantized sums") {
+    val acc = Gram.accumulate(vecs, "v", dim = 2, decimals = 1)
+      .orderBy($"i", $"j").as[(Int, Int, Long, Long)].collect()
+    // q values: (10,0) (20,0) (30,0) (10,5) (20,-5)
+    acc.toSeq shouldBe Seq(
+      (0, -1, 5L, 90L), // sum q0
+      (0, 0, 5L, 1900L), // 100+400+900+100+400
+      (0, 1, 5L, -50L), // 0+0+0+50-100
+      (1, -1, 5L, 0L), // sum q1
+      (1, 1, 5L, 50L)) // 25+25
+  }
+
+  test("principal component of a 2D line is the line direction") {
+    // points along y = x
+    val line = Seq(Seq(1.0f, 1.0f), Seq(2.0f, 2.0f), Seq(3.0f, 3.0f),
+      Seq(4.0f, 4.0f)).toDF("v")
+    val acc = Gram.accumulate(line, "v", dim = 2, decimals = 3)
+    val Seq((ev1, v1), (ev2, _)) =
+      Gram.principalComponents(acc, dim = 2, decimals = 3, k = 2)
+    ev1 should be > 0.9 // variance along the line: 1.25
+    ev2.abs should be < 1e-9 // nothing orthogonal
+    v1(0) shouldBe v1(1) +- 1e-9 // direction (1,1)/sqrt2
+    v1(0) shouldBe (1.0 / math.sqrt(2)) +- 1e-6
+  }
+
+  test("eigenvalues match the hand covariance on a small case") {
+    val acc = Gram.accumulate(vecs, "v", dim = 2, decimals = 3)
+    val pcs = Gram.principalComponents(acc, 2, 3, 2)
+    // mean = (1.8, 0.0); var_x = 0.56, var_y = 0.1, cov_xy = -0.1
+    val tr = pcs.map(_._1).sum
+    tr shouldBe (0.56 + 0.1) +- 1e-6 // trace preserved
+    (pcs(0)._1 * pcs(1)._1) shouldBe (0.56 * 0.1 - 0.1 * 0.1) +- 1e-6
+  }
+
+  test("a ragged or null vector raises") {
+    val bad = Seq(Seq(1.0f, 2.0f), Seq(1.0f)).toDF("v")
+    intercept[Exception] {
+      Gram.accumulate(bad, "v", dim = 2).collect()
+    }.getMessage should include("not 2-dimensional")
+  }
+
+  test("accumulation is partitioning-independent (exact integers)") {
+    val a = Gram.accumulate(vecs.repartition(5), "v", 2, 2)
+      .orderBy($"i", $"j").collect().toSeq
+    val b = Gram.accumulate(vecs.repartition(1), "v", 2, 2)
+      .orderBy($"i", $"j").collect().toSeq
+    a shouldBe b
+  }
+
+  test("accumulations merge by summing (mergeable form)") {
+    val ids = vecs.withColumn("id", monotonically_increasing_id())
+    val h1 = Gram.accumulate(ids.filter($"id" % 2 === 0), "v", 2, 1)
+    val h2 = Gram.accumulate(ids.filter($"id" % 2 =!= 0), "v", 2, 1)
+    val merged = Gram.merge(h1, h2).orderBy($"i", $"j").collect().toSeq
+    val whole = Gram.accumulate(vecs, "v", 2, 1)
+      .orderBy($"i", $"j").collect().toSeq
+    merged shouldBe whole
+  }
+}
