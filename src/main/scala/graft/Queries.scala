@@ -7356,7 +7356,71 @@ object Queries {
           FROM q CROSS JOIN pairs p GROUP BY 1, 2)
         SELECT i, j, n, s FROM comp
         UNION ALL SELECT i, j, n, s FROM prod
-        ORDER BY i, j"""))
+        ORDER BY i, j""")),
+
+    // Wide-model serving composition (FeatureHash → broadcast weight
+    // lookup → integer margin): the CTR-scoring topology end to end —
+    // vocabulary-free hashed features (a type×user-bucket cross and a
+    // type feature), weights joined from a broadcast model table (the
+    // U10 broadcast-artifact shape; stand-in weights derived
+    // deterministically from bucket ids so the oracle can replay
+    // them), signed-bucket margin accumulation in EXACT integers. The
+    // serve path a trained wide model runs per impression, with no
+    // vocabulary state anywhere.
+    GraftQuery(
+      "q165_ctr_margin",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            pmod(col("user_id"), lit(100)).as("ub"), col("value"))
+        val feats = ev
+          .withColumn("cross_b", graft.operators.FeatureHash.hashCross(
+            Seq(col("event_type"), col("ub")), 256, salt = "v1"))
+          .withColumn("feat_b", graft.operators.FeatureHash.hashFeature(
+            col("event_type"), 64, salt = "v1"))
+          .withColumn("sgn", graft.operators.FeatureHash.hashSign(
+            col("event_type"), salt = "v1"))
+        val w256 = broadcast(s.range(256)
+          .select(col("id").as("cross_b"),
+            (col("id") * 37 % 201 - 100).as("w_cross")))
+        val w64 = broadcast(s.range(64)
+          .select(col("id").as("feat_b"),
+            (col("id") * 53 % 161 - 80).as("w_feat")))
+        feats.join(w256, "cross_b").join(w64, "feat_b")
+          .select(col("event_id"),
+            (col("sgn") * col("w_cross") + col("w_feat")).as("margin"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, user_id % 100 AS ub FROM events),
+        k AS (
+          SELECT event_id,
+            event_type || chr(31) || CAST(ub AS VARCHAR) || ':v1' AS kc,
+            event_type || ':v1' AS kf
+          FROM e),
+        h AS (
+          SELECT event_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kc) + 1),
+                i -> CAST(ord(substr(kc, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hc,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(kf) + 1),
+                i -> CAST(ord(substr(kf, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hf
+          FROM k),
+        f AS (
+          SELECT event_id,
+            ((hc * hc) % 2147483647) % 256 AS cross_b,
+            ((hf * hf) % 2147483647) % 64 AS feat_b,
+            CASE WHEN (((hf * hf) % 2147483647) // 1073741824) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+          FROM h)
+        SELECT event_id,
+          sgn * (cross_b * 37 % 201 - 100) + (feat_b * 53 % 161 - 80)
+            AS margin
+        FROM f ORDER BY event_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
