@@ -74,6 +74,44 @@ object Gram {
     a.unionByName(b).groupBy(col("i"), col("j"))
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
 
+  /** Mean vector implied by an [[accumulate]] table, in original
+    * units (the `j = -1` rows divided by n and the quantization
+    * scale).
+    */
+  def meanVector(acc: DataFrame, dim: Int, decimals: Int): Array[Double] = {
+    val scale = math.pow(10.0, decimals)
+    val mean = new Array[Double](dim)
+    acc.filter(col("j") === -1).collect() // bounded: d rows
+      .foreach { r =>
+        mean(r.getAs[Int]("i")) =
+          r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / scale
+      }
+    mean
+  }
+
+  /** Map-only projection of `vecCol` onto `components` (typically
+    * [[principalComponents]] output) after centering on `means`:
+    * appends `outCol` as a k-dim double array. The dimension-reduction
+    * step before a cheaper ANN layout — pure column algebra
+    * (`zip_with` + `aggregate` folds over literal component arrays),
+    * no UDF, no shuffle.
+    */
+  def projectTo(
+      df: DataFrame, vecCol: String, outCol: String,
+      components: Seq[Array[Double]], means: Array[Double]): DataFrame = {
+    require(components.nonEmpty, "projectTo needs at least one component")
+    val meanArr = array(means.toSeq.map(lit): _*)
+    val centered = zip_with(col(vecCol), meanArr,
+      (x, m) => x.cast("double") - m)
+    val proj = array(components.map { comp =>
+      aggregate(
+        zip_with(centered, array(comp.toSeq.map(lit): _*),
+          (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
+
   /** Driver-side finish: top-`k` principal components of the
     * covariance implied by an [[accumulate]] table. Returns
     * `(eigenvalue, eigenvector)` pairs, eigenvalues descending, in

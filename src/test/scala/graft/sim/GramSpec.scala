@@ -60,6 +60,45 @@ class GramSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("PCA projection preserves neighborhoods on low-rank data") {
+    // 200 vectors in 16 dims with a 4-dim signal subspace + small noise:
+    // the top-4 PCs recover the subspace, so 4-dim distances rank
+    // neighbors nearly as the 16-dim ones do — the "project before the
+    // cheaper ANN layout" claim, measured.
+    val rnd = new scala.util.Random(7)
+    val basis = Array.fill(4, 16)(rnd.nextGaussian())
+    val data = (0 until 200).map { _ =>
+      val coef = Array.fill(4)(rnd.nextGaussian() * 3)
+      (0 until 16).map { d =>
+        (0 until 4).map(s => coef(s) * basis(s)(d)).sum.toFloat +
+          (rnd.nextGaussian() * 0.01).toFloat
+      }
+    }
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val acc = Gram.accumulate(df, "v", dim = 16, decimals = 4)
+    val pcs = Gram.principalComponents(acc, 16, 4, k = 4)
+    val means = Gram.meanVector(acc, 16, 4)
+    // signal variance dominates: top-4 eigenvalues >> 5th
+    val all = Gram.principalComponents(acc, 16, 4, k = 5)
+    all(3)._1 / all(4)._1 should be > 100.0
+
+    val proj = Gram.projectTo(df, "v", "p", pcs.map(_._2), means)
+      .select($"id", $"p").as[(Long, Seq[Double])].collect()
+      .toMap.map { case (k2, v) => k2 -> v.toArray }
+    def dist(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val full = data.map(_.map(_.toDouble).toArray)
+    val recalls = (0 until 10).map { qi =>
+      def top5(d: Int => Double) =
+        (0 until 200).filter(_ != qi).sortBy(d).take(5).toSet
+      val tFull = top5(j => dist(full(qi), full(j)))
+      val tProj = top5(j => dist(proj(qi.toLong), proj(j.toLong)))
+      tFull.intersect(tProj).size / 5.0
+    }
+    (recalls.sum / recalls.size) should be > 0.9
+  }
+
   test("accumulations merge by summing (mergeable form)") {
     val ids = vecs.withColumn("id", monotonically_increasing_id())
     val h1 = Gram.accumulate(ids.filter($"id" % 2 === 0), "v", 2, 1)
