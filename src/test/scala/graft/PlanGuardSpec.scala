@@ -29,6 +29,31 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  /** Global (no-partition) windows funnel every row through ONE task —
+    * the scale-killer Enumerate/Packing/Coverage exist to avoid. The
+    * two allowed sites run over tables bounded by construction, not by
+    * data size:
+    *   - q83: the funnel report table (one row per STAGE);
+    *   - q102: the count-CLASS table (distinct count values — O(√N)
+    *     classes for N tokens, a few thousand at a trillion tokens;
+    *     the bound is the point of the class rewrite, see
+    *     `vocab/Coverage`).
+    */
+  private val boundedGlobalWindows = Set("q83_funnel", "q102_vocab_coverage")
+
+  test("no oracle query plans an unbounded global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Queries.all.foreach { q =>
+      val plan = q.run(spark, sfDir).queryExecution.optimizedPlan
+      val globals = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      withClue(s"${q.name}: ") {
+        if (!boundedGlobalWindows(q.name)) globals shouldBe empty
+      }
+    }
+  }
+
   test("no oracle SQL line was mutilated by stripMargin (lone leading pipe)") {
     // Queries.oracleSql applies .stripMargin: an author writing a
     // continuation line that STARTS with the || concat operator loses
