@@ -7420,7 +7420,67 @@ object Queries {
         SELECT event_id,
           sgn * (cross_b * 37 % 201 - 100) + (feat_b * 53 % 161 - 80)
             AS margin
-        FROM f ORDER BY event_id"""))
+        FROM f ORDER BY event_id""")),
+
+    // Date-partitioned sketch store (sketch/SketchStore): the daily
+    // moments sketches written once as day partitions, then a 3-day
+    // range served by reading ONLY those partitions (partition filter,
+    // pinned in SketchStoreSpec) and merging the power sums — the
+    // write-once/serve-many contract (q62/q148) applied to statistics.
+    // The oracle replays the SAME day-range question directly against
+    // the events table (q119's exact-moments formulas), proving the
+    // store path loses nothing.
+    GraftQuery(
+      "q166_sketch_store",
+      (s, dir) => {
+        val path = sketchStoreFor(s, dir)
+        val minDay = t(s, dir, "events")
+          .agg(min(expr("unix_micros(ts) div 86400000000")))
+          .head.getLong(0) // bounded: one scalar
+        graft.sketch.Moments.finish(
+          graft.sketch.SketchStore.readRange(s, path, minDay + 1, minDay + 3))
+          .select(col("group"), col("n"),
+            col("q_absmax").cast("long").as("q_absmax"),
+            col("s1").cast("string").as("s1"),
+            col("s2").cast("string").as("s2"),
+            col("s3").cast("string").as("s3"),
+            col("s4").cast("string").as("s4"),
+            col("m3_n3").cast("string").as("m3_n3"),
+            col("m4_n4").cast("string").as("m4_n4"),
+            col("mean_q"), col("var_q2"))
+          .orderBy(col("group"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(epoch_us(ts) // 86400000000) AS d0 FROM events),
+        q AS (
+          SELECT event_type,
+            CAST(floor(value * 10.0) AS BIGINT) AS q
+          FROM events, b
+          WHERE epoch_us(ts) // 86400000000
+            BETWEEN b.d0 + 1 AND b.d0 + 3),
+        sums AS (
+          SELECT event_type AS grp,
+            CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(MAX(abs(q)) AS BIGINT) AS q_absmax,
+            CAST(SUM(q) AS HUGEINT) AS s1,
+            CAST(SUM(q * q) AS HUGEINT) AS s2,
+            CAST(SUM(CAST(q AS HUGEINT) * q * q) AS HUGEINT) AS s3,
+            CAST(SUM(CAST(q AS HUGEINT) * q * q * q) AS HUGEINT) AS s4
+          FROM q GROUP BY 1)
+        SELECT grp AS "group", CAST(n AS BIGINT) AS n, q_absmax,
+          CAST(s1 AS VARCHAR) AS s1, CAST(s2 AS VARCHAR) AS s2,
+          CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+          CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            AS VARCHAR) AS m3_n3,
+          CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+            + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+            AS VARCHAR) AS m4_n4,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+          CAST(n * s2 - s1 * s1 AS DOUBLE) /
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_q2
+        FROM sums
+        ORDER BY "group""""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -7431,6 +7491,25 @@ object Queries {
     */
   private val postingsIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-process cache of the q166 day-partitioned sketch store, keyed
+    * by data dir — the [[postingsIndexFor]] pattern: built once
+    * (decimals = 1, matching q119's quantization), served from disk so
+    * the query really exercises partition pruning.
+    */
+  private val sketchStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sketchStoreFor(s: SparkSession, dir: String): String =
+    sketchStoreCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_sketch_store_").toString
+      graft.sketch.SketchStore.writeDaily(
+        Tables.load(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value")),
+        "ts", "event_type", "value", p, decimals = 1)
+      p
+    })
 
   private def postingsIndexFor(s: SparkSession, dir: String): DataFrame = {
     val path = postingsIndexCache.computeIfAbsent(dir, { _ =>
