@@ -58,6 +58,27 @@ class StagesSpec extends SparkSpec {
     model.transform(serve).select($"enc").as[Double].head() shouldBe 3.0
   }
 
+  test("HashVectorizer feeds a real MLlib LogisticRegression that learns") {
+    // y depends only on catA: a linear model over hashed features must
+    // separate it (the end-to-end proof the interop exists for)
+    val rnd = new scala.util.Random(3)
+    val train = (1 to 400).map { i =>
+      val a = s"a${rnd.nextInt(10)}"
+      val b = s"b${rnd.nextInt(10)}"
+      (i.toLong, a, b, if (a.drop(1).toInt < 5) 1.0 else 0.0)
+    }.toDF("id", "catA", "catB", "label")
+    val pipe = new org.apache.spark.ml.Pipeline().setStages(Array(
+      new Stages.HashVectorizer()
+        .setInputCols(Seq("catA", "catB")).setDim(1 << 12).setSalt("v1"),
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(20)))
+    val model = pipe.fit(train)
+    val acc = model.transform(train)
+      .select(avg(when($"prediction" === $"label", 1.0).otherwise(0.0)))
+      .as[Double].head()
+    acc should be > 0.95
+  }
+
   test("transformSchema reports the appended columns") {
     val s = new Stages.HashFeaturizer().setInputCols(Seq("cat"))
       .setOutputCol("h").transformSchema(rows.schema)
