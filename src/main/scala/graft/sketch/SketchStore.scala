@@ -93,4 +93,38 @@ object SketchStore {
         sum(col("s1")).as("s1"), sum(col("s2")).as("s2"),
         sum(col("s3")).as("s3"), sum(col("s4")).as("s4"))
   }
+
+  // ---- HLL distinct-count variant --------------------------------------
+  //
+  // Same day-partition layout, [[Hll]] registers as the stored form:
+  // registers merge by MAX (associative, commutative, IDEMPOTENT), so a
+  // day re-written with overlapping data cannot even double-count.
+  // "Distinct users per source over any date range" then reads
+  // `days × groups × 2^p` register rows and never the events.
+
+  /** Bootstrap the distinct-count store: per-day HLL registers for
+    * `value` within each (day, `groupCol`).
+    */
+  def writeDailyDistinct(
+      df: DataFrame, tsCol: String, groupCol: String, value:
+      org.apache.spark.sql.Column, path: String, p: Int = 12): Unit = {
+    val withDay = df
+      .withColumn("__day", expr(s"unix_micros($tsCol) div ${DayUs}L"))
+    Hll.sketch(withDay, Seq("__day", groupCol), value, p)
+      .withColumnRenamed("__day", "day")
+      .withColumnRenamed(groupCol, "grp")
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+  }
+
+  /** Merged per-group registers over `[fromDay, toDay]` (partition
+    * pruned), ready for [[Hll.estimate]] keyed by `grp`.
+    */
+  def readRangeDistinct(
+      spark: SparkSession, path: String, fromDay: Long, toDay: Long): DataFrame = {
+    require(fromDay <= toDay, s"empty range [$fromDay, $toDay]")
+    spark.read.parquet(path)
+      .filter(col("day") >= fromDay && col("day") <= toDay)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
 }

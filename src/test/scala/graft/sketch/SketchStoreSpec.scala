@@ -62,6 +62,37 @@ class SketchStoreSpec extends SparkSpec {
     }.getMessage should include("outside day")
   }
 
+  test("distinct-count store: range estimate equals the direct sketch") {
+    val path = Files.createTempDirectory("skstore_hll_").toString
+    val users = Seq(
+      (ts(0, 1), "a", 10L), (ts(0, 2), "a", 11L), (ts(1, 1), "a", 10L),
+      (ts(1, 2), "a", 12L), (ts(2, 1), "a", 99L)).toDF("t", "g", "u")
+    SketchStore.writeDailyDistinct(users, "t", "g", $"u".cast("string"), path, p = 6)
+    val viaStore = Hll.estimate(
+      SketchStore.readRangeDistinct(spark, path, 0L, 1L)
+        .withColumnRenamed("grp", "g"),
+      Seq("g"), p = 6).collect().toSeq
+    val direct = Hll.estimate(
+      Hll.sketch(users.filter(expr("unix_micros(t) div 86400000000") <= 1),
+        Seq("g"), $"u".cast("string"), p = 6),
+      Seq("g"), p = 6).collect().toSeq
+    viaStore shouldBe direct
+  }
+
+  test("idempotent merge: overlapping day rewrites cannot double-count") {
+    val path = Files.createTempDirectory("skstore_hll2_").toString
+    val users = Seq((ts(0, 1), "a", 10L), (ts(0, 2), "a", 11L))
+      .toDF("t", "g", "u")
+    SketchStore.writeDailyDistinct(users, "t", "g", $"u".cast("string"), path, p = 6)
+    // write the SAME day again (retry): registers max-merge to identity
+    SketchStore.writeDailyDistinct(users, "t", "g", $"u".cast("string"), path, p = 6)
+    val regs = SketchStore.readRangeDistinct(spark, path, 0L, 0L)
+    val direct = Hll.sketch(users, Seq("g"), $"u".cast("string"), p = 6)
+      .withColumnRenamed("g", "grp")
+    regs.orderBy($"bucket").collect().toSeq shouldBe
+      direct.orderBy($"bucket").collect().toSeq
+  }
+
   test("finish works directly on a range read") {
     val path = Files.createTempDirectory("skstore_").toString
     SketchStore.writeDaily(events, "t", "g", "v", path)
