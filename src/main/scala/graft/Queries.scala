@@ -7480,7 +7480,49 @@ object Queries {
           CAST(n * s2 - s1 * s1 AS DOUBLE) /
             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_q2
         FROM sums
-        ORDER BY "group""""))
+        ORDER BY "group"""")),
+
+    // Time-grid resampling with forward fill (operators/Resample):
+    // irregular events → a shared hourly lattice per event type, each
+    // instant carrying the latest value at or before it (leading gaps
+    // NULL). Events pre-aggregate to one row per (type, instant) so
+    // the as-of tie rule is engine-independent. DuckDB replays with
+    // its native ASOF LEFT JOIN — the rare case where the oracle has
+    // the operator built in and graft's composed form must match it.
+    GraftQuery(
+      "q167_resample_ffill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+            col("value"))
+          .groupBy(col("event_type"), col("us"))
+          .agg(max(col("value")).as("v"))
+          .withColumn("t", timestamp_micros(col("us")))
+          .select(col("event_type"), col("t"), col("v"))
+        graft.operators.Resample.forwardFillGrid(
+          ev, "event_type", "t", stepUs = 3600000000L)
+          .orderBy(col("event_type"), col("t"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS k, epoch_us(ts) AS us,
+            MAX(value) AS v
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+        g0 AS (
+          SELECT (lo // 3600000000) * 3600000000 AS t0,
+            ((hi // 3600000000) +
+              CASE WHEN hi % 3600000000 = 0 THEN 0 ELSE 1 END)
+              * 3600000000 AS t1
+          FROM b),
+        keys AS (SELECT DISTINCT k FROM e),
+        grid AS (
+          SELECT k, unnest(range(t0, t1 + 1, 3600000000)) AS t
+          FROM keys CROSS JOIN g0)
+        SELECT g.k AS event_type, g.t, e.v
+        FROM grid g ASOF LEFT JOIN e
+          ON g.k = e.k AND g.t >= e.us
+        ORDER BY event_type, t"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
