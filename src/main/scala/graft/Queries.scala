@@ -7522,7 +7522,45 @@ object Queries {
         SELECT g.k AS event_type, g.t, e.v
         FROM grid g ASOF LEFT JOIN e
           ON g.k = e.k AND g.t >= e.us
-        ORDER BY event_type, t"""))
+        ORDER BY event_type, t""")),
+
+    // Pivot to wide (§2.4 completeness, the reshaping partner of q146's
+    // CUBE): daily value totals, one column per event type. Pivot
+    // values are EXPLICIT — with an inferred value set Spark runs a
+    // values-discovery job over the corpus first AND the column set
+    // becomes data-dependent (a schema that changes when a new type
+    // appears breaks every downstream consumer); explicit values make
+    // it one aggregate pass with a stable schema. Decimal-exact sums;
+    // the oracle replays as conditional aggregation (the engine-neutral
+    // form of PIVOT).
+    GraftQuery(
+      "q168_pivot_wide",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("event_type"), col("value"))
+          .groupBy(col("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(dsum(col("value")))
+          .orderBy(col("day")),
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+            CAST(value AS DECIMAL(30,2)) AS v
+          FROM events)
+        SELECT day,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN v END)
+            AS DOUBLE) AS click,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN v END)
+            AS DOUBLE) AS error,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN v END)
+            AS DOUBLE) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN v END)
+            AS DOUBLE) AS signup,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN v END)
+            AS DOUBLE) AS view
+        FROM e GROUP BY day ORDER BY day"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
