@@ -7560,7 +7560,40 @@ object Queries {
             AS DOUBLE) AS signup,
           CAST(SUM(CASE WHEN event_type = 'view' THEN v END)
             AS DOUBLE) AS view
-        FROM e GROUP BY day ORDER BY day"""))
+        FROM e GROUP BY day ORDER BY day""")),
+
+    // Unpivot / melt (§2.4 completeness, q168's inverse): the wide
+    // daily table back to long (day, event_type, total) — the
+    // normalize-before-union step when wide exports from different
+    // sources must stack. Spark's native `unpivot` (an Expand node:
+    // map-only, one pass, no shuffle); NULL cells drop by unpivot
+    // semantics, which is also what keeps round-tripping q168 exact.
+    GraftQuery(
+      "q169_unpivot_long",
+      (s, dir) => {
+        val wide = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("event_type"), col("value"))
+          .groupBy(col("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(dsum(col("value")))
+        wide.unpivot(
+          Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "total")
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+            CAST(value AS DECIMAL(30,2)) AS v
+          FROM events)
+        SELECT day, event_type,
+          CAST(SUM(v) AS DOUBLE) AS total
+        FROM e GROUP BY day, event_type
+        ORDER BY day, event_type"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
