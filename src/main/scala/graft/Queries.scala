@@ -7593,7 +7593,46 @@ object Queries {
         SELECT day, event_type,
           CAST(SUM(v) AS DOUBLE) AS total
         FROM e GROUP BY day, event_type
-        ORDER BY day, event_type"""))
+        ORDER BY day, event_type""")),
+
+    // GROUPING SETS (§2.4 completeness, the general form q146's CUBE
+    // specializes): exactly the two rollups a dashboard wants —
+    // per-type and per-day — in ONE Expand-fed aggregate pass, without
+    // CUBE's unwanted (type, day) and grand-total sets. Same 'ALL'/-1
+    // labeling protocol as q146 via grouping().
+    GraftQuery(
+      "q170_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+          .createOrReplaceTempView("__q170e")
+        s.sql("""
+          SELECT
+            CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+                 ELSE event_type END AS event_type,
+            CASE WHEN grouping(day) = 1 THEN -1L ELSE day END AS day,
+            count(1) AS n,
+            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+              AS total_value
+          FROM __q170e
+          GROUP BY GROUPING SETS ((event_type), (day))
+          ORDER BY event_type, day""")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+          FROM events)
+        SELECT
+          CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+               ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(day) = 1 THEN -1 ELSE day END AS day,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+            AS total_value
+        FROM e GROUP BY GROUPING SETS ((event_type), (day))
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
