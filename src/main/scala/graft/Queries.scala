@@ -7632,7 +7632,89 @@ object Queries {
           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
             AS total_value
         FROM e GROUP BY GROUPING SETS ((event_type), (day))
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Substring dedup against a PREPARED index
+    // (dedup/SubstringDedup.writeFingerprintIndex/matchesAgainstIndex):
+    // the Lee et al. machinery made incremental — the corpus
+    // (doc_id < 300) is winnowed, df-capped and written ONCE; the
+    // batch (doc_id >= 300) probes it without the corpus text ever
+    // being re-read (q62's doc-level index lesson at substring
+    // granularity). The oracle replays q45's full winnowing chain per
+    // side with PER-SIDE caps and joins batch x corpus.
+    GraftQuery(
+      "q171_substring_index",
+      (s, dir) => {
+        val path = substrIndexFor(s, dir)
+        val batch = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+          .filter(col("doc_id") >= 300)
+        graft.dedup.SubstringDedup.matchesAgainstIndex(
+          s, path, batch, "doc_id", "text")
+          .orderBy(col("batch_id"), col("corpus_id"), col("pos_b"),
+            col("pos_c"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id < 300 THEN 0 ELSE 1 END AS side,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        h AS (
+          SELECT doc_id, side, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, side, t,
+            unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, side, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id, side, t,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, side, t, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, side, t, hash, p FROM (
+            SELECT doc_id, side, t, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp AS (
+          SELECT doc_id, side, hash, p,
+            substr(t, CAST(p AS INTEGER), 16) AS snippet
+          FROM sel
+          UNION ALL
+          SELECT doc_id, side, hash, p, substr(t, CAST(p AS INTEGER), 16)
+          FROM shortd
+        ),
+        rare AS (
+          SELECT side, hash FROM fp GROUP BY side, hash
+          HAVING COUNT(DISTINCT doc_id) <= 50
+        ),
+        fpc AS (SELECT fp.* FROM fp JOIN rare USING (side, hash))
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               CAST(b.p - 1 AS INTEGER) AS pos_b,
+               CAST(c.p - 1 AS INTEGER) AS pos_c,
+               b.snippet
+        FROM fpc b JOIN fpc c
+          ON b.hash = c.hash AND b.snippet = c.snippet
+          AND b.side = 1 AND c.side = 0
+        ORDER BY batch_id, corpus_id, pos_b, pos_c"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -7643,6 +7725,25 @@ object Queries {
     */
   private val postingsIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-process cache of the q171 substring fingerprint index, keyed
+    * by data dir — corpus = ASCII docs with doc_id < 300, the q45
+    * parameters (k = 16, window = 16, maxDocFreq = 50).
+    */
+  private val substrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def substrIndexFor(s: SparkSession, dir: String): String =
+    substrIndexCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_substr_index_").toString
+      graft.dedup.SubstringDedup.writeFingerprintIndex(
+        Tables.load(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+          .filter(col("doc_id") < 300),
+        "doc_id", "text", p, k = 16, window = 16, maxDocFreq = 50L)
+      p
+    })
 
   /** Per-process cache of the q166 day-partitioned sketch store, keyed
     * by data dir — the [[postingsIndexFor]] pattern: built once

@@ -191,4 +191,80 @@ object SubstringDedup {
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
   }
+
+  // ---- prepared index (the incremental form) ---------------------------
+  //
+  // The self-join form re-fingerprints the whole corpus every run. The
+  // incremental deployment — "does today's batch share spans with the
+  // standing corpus" — builds the corpus's capped fingerprint table
+  // ONCE on disk and lets each batch equi-join it: the substring-level
+  // analogue of [[DedupIndex]] (round 8's doc-level lesson applied to
+  // the Lee et al. machinery). Per batch, corpus-side cost is a parquet
+  // scan of (16 + k)-byte rows; the corpus TEXT is never re-read,
+  // re-normalized, or re-winnowed.
+
+  /** Build the on-disk index at `path`: the corpus's winnowing
+    * fingerprints with the `maxDocFreq` hot-hash cap applied at WRITE
+    * time (boilerplate hashes never even reach disk), plus a 1-row
+    * `meta` pinning (k, window, maxDocFreq) so queries cannot drift
+    * from the build.
+    */
+  def writeFingerprintIndex(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      k: Int = 16, window: Int = 16, maxDocFreq: Long = 1000L): Unit = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val fp = fingerprints(corpus, idCol, textCol, k, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rare = fp.groupBy(col("hash"))
+        .agg(countDistinct(col(idCol)).as("__df"))
+        .filter(col("__df") <= maxDocFreq)
+        .select("hash")
+      fp.join(rare, Seq("hash"))
+        .select(col(idCol).as("corpus_id"), col("hash"), col("pos"),
+          col("snippet"))
+        .write.mode("overwrite").parquet(s"$path/fingerprints")
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((k, window, maxDocFreq)).toDF("k", "window", "maxDocFreq")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally fp.unpersist()
+  }
+
+  /** Verified batch×corpus substring matches served from the index:
+    * `(batch_id, corpus_id, pos_b, pos_c, snippet)`. Batch-side hot
+    * hashes are capped with the SAME `maxDocFreq` (symmetric contract:
+    * a boilerplate line novel to the batch must not blow up either),
+    * and snippet equality makes every row exact, as in
+    * [[substringMatches]].
+    */
+  def matchesAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1,
+      s"malformed substring index meta at $path/meta: ${m.length} rows")
+    val (k, window, cap) = (m.head.getAs[Int]("k"),
+      m.head.getAs[Int]("window"), m.head.getAs[Long]("maxDocFreq"))
+    val fp = fingerprints(batch, idCol, textCol, k, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fp.groupBy(col("hash"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= cap)
+      .select("hash")
+    val capped = fp.join(rare, Seq("hash"))
+      .select(col(idCol).as("batch_id"), col("hash"),
+        col("pos").as("pos_b"), col("snippet"))
+    val idx = spark.read.parquet(s"$path/fingerprints")
+      .select(col("corpus_id"), col("hash"),
+        col("pos").as("pos_c"), col("snippet").as("__sc"))
+    val out = capped.join(idx,
+      capped("hash") === idx("hash") &&
+        capped("snippet") === idx("__sc"))
+      .select(col("batch_id"), col("corpus_id"), col("pos_b"),
+        col("pos_c"), col("snippet"))
+      .localCheckpoint(true) // match-sized; releases the fp cache now
+    fp.unpersist()
+    out
+  }
 }

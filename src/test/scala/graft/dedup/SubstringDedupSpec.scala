@@ -262,4 +262,67 @@ class SubstringDedupSpec extends SparkSpec {
       got(1) shouldBe empty
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("index path equals the direct batch-x-corpus fingerprint join") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus document content here now"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "prefix text then the quick brown fox jumps over the lazy dog tonight suffix"),
+      (11L, "nothing shared with anything at all in this one truly"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_").toString
+    SubstringDedup.writeFingerprintIndex(
+      corpus, "id", "text", path, k = 8, window = 8, maxDocFreq = 10L)
+    val viaIndex = SubstringDedup.matchesAgainstIndex(
+      spark, path, batch, "id", "text")
+      .select($"batch_id", $"corpus_id", $"pos_b", $"pos_c", $"snippet")
+      .collect().toSet
+    // direct form: fingerprints of each side, capped per side, joined
+    val cfp = SubstringDedup.fingerprints(corpus, "id", "text", 8, 8)
+    val bfp = SubstringDedup.fingerprints(batch, "id", "text", 8, 8)
+    val direct = bfp.select($"id".as("batch_id"), $"hash",
+        $"pos".as("pos_b"), $"snippet")
+      .join(cfp.select($"id".as("corpus_id"), $"hash",
+        $"pos".as("pos_c"), $"snippet".as("__sc")),
+        Seq("hash"))
+      .filter($"snippet" === $"__sc")
+      .select($"batch_id", $"corpus_id", $"pos_b", $"pos_c", $"snippet")
+      .collect().toSet
+    viaIndex shouldBe direct
+    viaIndex.map(_.getLong(0)) shouldBe Set(10L) // doc 11 matches nothing
+    viaIndex.map(_.getLong(1)) shouldBe Set(1L) // only the shared span doc
+  }
+
+  test("the index caps hot corpus hashes at write time") {
+    // the same boilerplate line in 3 corpus docs; cap at 2 drops it
+    val boiler = "this exact boilerplate sentence repeats everywhere"
+    val corpus = (1L to 3L).map(i => (i, s"$boiler unique$i")).toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_cap_").toString
+    SubstringDedup.writeFingerprintIndex(
+      corpus, "id", "text", path, k = 8, window = 8, maxDocFreq = 2L)
+    val batch = Seq((9L, boiler)).toDF("id", "text")
+    SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
+      .count() shouldBe 0L // boilerplate hashes never reached the index
+  }
+
+  test("queries cannot drift from the build (meta pins parameters)") {
+    val corpus = Seq((1L, "abcdefghijklmnopqrstuvwxyz and then some more"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_meta_").toString
+    SubstringDedup.writeFingerprintIndex(
+      corpus, "id", "text", path, k = 12, window = 6)
+    // a batch probed through the index uses the STORED k/window: the
+    // emitted snippets are k=12 bytes even though the caller never
+    // restates the parameters
+    val got = SubstringDedup.matchesAgainstIndex(
+      spark, path, Seq((2L, "abcdefghijklmnopqrstuvwxyz tail")).toDF("id", "text"),
+      "id", "text")
+      .select(org.apache.spark.sql.functions.length($"snippet")).distinct().as[Int].collect()
+    got.toSeq shouldBe Seq(12)
+  }
 }
