@@ -231,6 +231,84 @@ object SubstringDedup {
     } finally fp.unpersist()
   }
 
+  /** Grow the index without rebuilding: the new documents' capped
+    * fingerprints land in a fresh `segments/<n>` directory (the
+    * [[DedupIndex.appendSegment]] LSM shape). The df cap applies
+    * WITHIN the segment only — a hash rare in every segment but hot
+    * across them exceeds the global cap until [[compactFingerprintIndex]]
+    * re-caps, the same documented trade as the doc-level index.
+    */
+  def appendToFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val (k, window, cap) = readMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val next = if (!fs.exists(segBase)) 0
+      else fs.listStatus(segBase).map(_.getPath.getName.toInt).foldLeft(-1)(_ max _) + 1
+    val fp = fingerprints(newDocs, idCol, textCol, k, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rare = fp.groupBy(col("hash"))
+        .agg(countDistinct(col(idCol)).as("__df"))
+        .filter(col("__df") <= cap).select("hash")
+      fp.join(rare, Seq("hash"))
+        .select(col(idCol).as("corpus_id"), col("hash"), col("pos"),
+          col("snippet"))
+        .write.mode("errorifexists")
+        .parquet(s"$path/segments/$next/fingerprints")
+    } finally fp.unpersist()
+  }
+
+  /** Merge segments into the base at DERIVED-table cost: the stored
+    * fingerprints union and re-cap GLOBALLY on document frequency —
+    * the corpus text is never re-read. Write-to-temp-then-rename; meta
+    * untouched.
+    */
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (_, _, cap) = readMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments"))) return
+    val all = storedFingerprints(spark, path)
+    val rare = all.groupBy(col("hash"))
+      .agg(countDistinct(col("corpus_id")).as("__df"))
+      .filter(col("__df") <= cap).select("hash")
+    all.join(rare, Seq("hash"))
+      .select(col("corpus_id"), col("hash"), col("pos"), col("snippet"))
+      .write.mode("overwrite").parquet(s"$path/compact_tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/fingerprints")
+    fs.delete(dst, true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/compact_tmp"), dst),
+      s"compactFingerprintIndex: rename into place failed — index at " +
+        s"$path left with compact_tmp for manual recovery")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+  }
+
+  private def readMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Long) = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1,
+      s"malformed substring index meta at $path/meta: ${m.length} rows")
+    (m.head.getAs[Int]("k"), m.head.getAs[Int]("window"),
+      m.head.getAs[Long]("maxDocFreq"))
+  }
+
+  private def storedFingerprints(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$path/fingerprints")
+    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    if (!fs.exists(segBase)) base
+    else fs.listStatus(segBase).map(_.getPath.toString)
+      .foldLeft(base)((acc, seg) =>
+        acc.unionByName(spark.read.parquet(s"$seg/fingerprints")))
+  }
+
   /** Verified batch×corpus substring matches served from the index:
     * `(batch_id, corpus_id, pos_b, pos_c, snippet)`. Batch-side hot
     * hashes are capped with the SAME `maxDocFreq` (symmetric contract:
@@ -241,11 +319,7 @@ object SubstringDedup {
   def matchesAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val m = spark.read.parquet(s"$path/meta").collect()
-    require(m.length == 1,
-      s"malformed substring index meta at $path/meta: ${m.length} rows")
-    val (k, window, cap) = (m.head.getAs[Int]("k"),
-      m.head.getAs[Int]("window"), m.head.getAs[Long]("maxDocFreq"))
+    val (k, window, cap) = readMeta(spark, path)
     val fp = fingerprints(batch, idCol, textCol, k, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fp.groupBy(col("hash"))
@@ -255,7 +329,7 @@ object SubstringDedup {
     val capped = fp.join(rare, Seq("hash"))
       .select(col(idCol).as("batch_id"), col("hash"),
         col("pos").as("pos_b"), col("snippet"))
-    val idx = spark.read.parquet(s"$path/fingerprints")
+    val idx = storedFingerprints(spark, path)
       .select(col("corpus_id"), col("hash"),
         col("pos").as("pos_c"), col("snippet").as("__sc"))
     val out = capped.join(idx,

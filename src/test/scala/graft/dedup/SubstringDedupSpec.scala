@@ -325,4 +325,50 @@ class SubstringDedupSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.length($"snippet")).distinct().as[Int].collect()
     got.toSeq shouldBe Seq(12)
   }
+
+  test("append + compact: segment growth serves and compaction re-caps") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_lsm_").toString
+    SubstringDedup.writeFingerprintIndex(
+      corpus, "id", "text", path, k = 8, window = 8, maxDocFreq = 10L)
+    // grow: a second corpus generation sharing a span with the batch
+    val gen2 = Seq((2L, "an entirely new second generation document text"))
+      .toDF("id", "text")
+    SubstringDedup.appendToFingerprintIndex(spark, path, gen2, "id", "text")
+    val batch = Seq((9L, "prefix new second generation document suffix"))
+      .toDF("id", "text")
+    val beforeCompact = SubstringDedup.matchesAgainstIndex(
+      spark, path, batch, "id", "text")
+    beforeCompact.select($"corpus_id").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(2L) // the segment serves
+    // compaction is invisible in results
+    SubstringDedup.compactFingerprintIndex(spark, path)
+    val afterCompact = SubstringDedup.matchesAgainstIndex(
+      spark, path, batch, "id", "text")
+    afterCompact.collect().toSet shouldBe beforeCompact.collect().toSet
+    // and the segments directory is gone (single base again)
+    new java.io.File(s"$path/segments").exists() shouldBe false
+  }
+
+  test("compaction enforces the GLOBAL df cap across segments") {
+    val boiler = "shared boilerplate sentence across generations"
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_recap_").toString
+    // cap 2: each generation holds 2 docs with the boilerplate -> each
+    // segment passes its per-segment cap, but globally df = 4 > 2
+    SubstringDedup.writeFingerprintIndex(
+      Seq((1L, s"$boiler one"), (2L, s"$boiler two")).toDF("id", "text"),
+      "id", "text", path, k = 8, window = 8, maxDocFreq = 2L)
+    SubstringDedup.appendToFingerprintIndex(spark, path,
+      Seq((3L, s"$boiler three"), (4L, s"$boiler four")).toDF("id", "text"),
+      "id", "text")
+    val batch = Seq((9L, boiler)).toDF("id", "text")
+    SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
+      .count() should be > 0L // pre-compact: per-segment caps both passed
+    SubstringDedup.compactFingerprintIndex(spark, path)
+    SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
+      .count() shouldBe 0L // global re-cap dropped the hot hashes
+  }
 }
