@@ -232,6 +232,53 @@ object Similarity {
       .parquet(s"$path/assigned")
   }
 
+  /** Surgical deletion from an on-disk IVF index — the
+    * retention/GDPR-erasure half of index maintenance
+    * ([[appendToIvfIndex]] grows, this shrinks): only the CELL
+    * PARTITIONS containing a deleted id are read (partition pruning)
+    * and rewritten (dynamic partition overwrite); a corpus-scale index
+    * loses a handful of vectors at the cost of a handful of cells, not
+    * a rebuild. A cell whose every vector is deleted needs its
+    * directory removed explicitly — dynamic overwrite only replaces
+    * partitions PRESENT in the output, so an emptied cell would
+    * otherwise survive as a stale partition serving deleted vectors.
+    *
+    * `ids` is a DataFrame (one column, the id values) so deletion sets
+    * scale past driver memory; the only collect is the affected-cell
+    * list, bounded by nCells.
+    */
+  def removeFromIvfIndex(
+      spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val del = ids.select(ids.columns.head).toDF(idCol)
+    val affected = assigned.join(del, Seq(idCol), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // bounded: <= nCells
+    if (affected.isEmpty) return
+    val survivors = assigned
+      .filter(col("cell").isin(affected.toSeq: _*)) // partition-pruned read
+      .join(del, Seq(idCol), "left_anti")
+    val emptied = affected.toSet --
+      survivors.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: <= nCells
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/assigned")
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c"), true)
+    }
+  }
+
   /** Probe the `nProbe` cells nearest to each query and run exact top-k
     * inside them. Returns the same (query_id, vec_id, score) shape as
     * [[bruteForceTopK]]; recall vs brute force is traded for a

@@ -330,4 +330,61 @@ class SimilaritySpec extends SparkSpec {
     Similarity.cosine(Seq(2f, 0f), Seq(5f, 0f)) shouldBe 1.0
     Similarity.cosine(Seq(0f, 0f), Seq(1f, 1f)) shouldBe 0.0 // zero-vector guard
   }
+
+  test("removeFromIvfIndex deletes surgically: only affected cells rewrite") {
+    val data = corpus(120, 8, seed = 23)
+    val df = data.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(df, "vec_id", "embedding", nCells = 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString + "/idx"
+    Similarity.writeIvfIndex(index, dir)
+    val before = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+      .assigned.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+
+    // delete 3 vectors from one cell + snapshot an untouched cell's files
+    val victimCell = before.values.groupBy(identity).maxBy(_._2.size)._1
+    val victims = before.filter(_._2 == victimCell).keys.take(3).toSeq
+    val untouched = before.values.toSet.find(_ != victimCell).get
+    def files(c: Int) = new java.io.File(s"$dir/assigned/cell=$c")
+      .listFiles().map(_.getName).toSet
+    val untouchedBefore = files(untouched)
+
+    Similarity.removeFromIvfIndex(spark, dir,
+      victims.toDF("vec_id"), "vec_id")
+    val after = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+      .assigned.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    after.keySet shouldBe before.keySet -- victims
+    after.view.filterKeys(after.keySet).foreach { case (id, c) =>
+      c shouldBe before(id) // survivors stay in their cells
+    }
+    files(untouched) shouldBe untouchedBefore // untouched partition files identical
+  }
+
+  test("deleting a whole cell removes its partition, not just its rows") {
+    val data = corpus(60, 8, seed = 29)
+    val df = data.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(df, "vec_id", "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del2").toString + "/idx"
+    Similarity.writeIvfIndex(index, dir)
+    val byCell = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+      .assigned.select($"vec_id", $"cell").as[(Long, Int)].collect()
+      .groupBy(_._2)
+    val (cell, members) = byCell.minBy(_._2.length)
+    Similarity.removeFromIvfIndex(spark, dir,
+      members.map(_._1).toSeq.toDF("vec_id"), "vec_id")
+    new java.io.File(s"$dir/assigned/cell=$cell").exists() shouldBe false
+    Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+      .assigned.filter($"cell" === cell).count() shouldBe 0L
+  }
+
+  test("deleting absent ids is a no-op") {
+    val data = corpus(30, 8, seed = 31)
+    val df = data.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(df, "vec_id", "embedding", nCells = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del3").toString + "/idx"
+    Similarity.writeIvfIndex(index, dir)
+    Similarity.removeFromIvfIndex(spark, dir,
+      Seq(999999L).toDF("vec_id"), "vec_id")
+    Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+      .assigned.count() shouldBe 30L
+  }
 }
