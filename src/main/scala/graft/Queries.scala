@@ -7714,7 +7714,50 @@ object Queries {
         FROM fpc b JOIN fpc c
           ON b.hash = c.hash AND b.snippet = c.snippet
           AND b.side = 1 AND c.side = 0
-        ORDER BY batch_id, corpus_id, pos_b, pos_c"""))
+        ORDER BY batch_id, corpus_id, pos_b, pos_c""")),
+
+    // IVF index with surgical deletion served end to end
+    // (sim/Similarity.removeFromIvfIndex): the on-disk index loses
+    // every vec_id divisible by 9 — only the affected cell partitions
+    // rewrite, emptied cells' directories drop — and the exhaustive
+    // probe (nProbe = nCells) over the post-delete index must equal
+    // brute-force cosine top-k over the SURVIVING vectors: deletion
+    // correctness as an equality, including "no stale partition keeps
+    // serving deleted vectors". Oracle replays q26/q66's exact cosine
+    // over embeddings filtered to the survivors.
+    GraftQuery(
+      "q172_ivf_delete",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfDeletedIndexFor(s, dir, emb)
+        val queries = emb
+          .filter(col("vec_id") >= 1 && col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfTopK(index, queries, k = 10, nProbe = 16)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 9 <> 0),
+        q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id >= 1 AND vec_id < 5),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q CROSS JOIN e)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -7935,6 +7978,36 @@ object Queries {
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_index_").toString
       graft.sim.Similarity.writeIvfIndex(built, path)
+      graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
+
+  /** q172's deletion twin of [[ivfIndexFor]]: same centroids and
+    * layout, then every vec_id divisible by 9 is surgically removed
+    * (`removeFromIvfIndex` rewrites only affected cell partitions).
+    * Cached post-delete, so Bench's timed runs measure serving, and
+    * repeated deletes of absent ids are no-ops by contract.
+    */
+  private val ivfDelIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  private def ivfDeletedIndexFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.Similarity.IvfIndex =
+    ivfDelIndexCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb, "vec_id", "embedding", centroids)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_del_index_").toString
+      graft.sim.Similarity.writeIvfIndex(built, path)
+      graft.sim.Similarity.removeFromIvfIndex(s, path,
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")),
+        "vec_id")
       graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
     })
 
