@@ -7757,7 +7757,427 @@ object Queries {
             ORDER BY score DESC, vec_id) AS rn
           FROM s)
         WHERE rn <= 10
-        ORDER BY query_id, score DESC, vec_id"""))
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // MMR diversified selection (sim/Select.mmrDiversify): re-rank a
+    // per-query candidate list trading relevance against redundancy —
+    // top-k by cosine alone returns near-duplicates of one strong
+    // match; MMR is the standard diversifier for retrieval-mined
+    // training data. Plan: bounded two-stage top-k heaps → candidate
+    // ids broadcast back onto the corpus scan (no corpus shuffle) →
+    // one exchange on query_id into an O(candidateK²·dim) per-group
+    // greedy. DuckDB replays the greedy exactly: selection rounds
+    // unrolled as CTEs (the q44 Lloyd-round pattern), each an
+    // `ORDER BY score DESC, vec_id LIMIT 1` argmax — the engine's
+    // strict-first-maximum tie-break — with identical IEEE double
+    // arithmetic (sequential fold dot products, `0.7e0` literals).
+    GraftQuery(
+      "q173_mmr_diversify",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Select.mmrDiversify(
+          emb, "vec_id", "embedding", queries,
+          candidateK = 12, selectK = 4, lambda = 0.7)
+          .orderBy(col("query_id"), col("sel_rank"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        s AS (SELECT query_id, vec_id, cv,
+                list_reduce(list_transform(cv, (x,i) -> x * qv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(cv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))) AS rel
+              FROM c, q),
+        cand AS (SELECT query_id, vec_id, cv, rel FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, vec_id) AS rn
+          FROM s) WHERE rn <= 12),
+        pr AS (SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+                 list_reduce(list_transform(a.cv, (x,k) -> x * b.cv[k]), (u,w) -> u + w)
+                 / (sqrt(list_reduce(list_transform(a.cv, x -> x * x), (u,w) -> u + w))
+                    * sqrt(list_reduce(list_transform(b.cv, x -> x * x), (u,w) -> u + w))) AS sim
+               FROM cand a JOIN cand b
+                 ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        p1 AS (SELECT query_id, vec_id, rel, 0.7e0 * rel AS mmr FROM (
+          SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY 0.7e0 * rel DESC, vec_id) AS rn
+          FROM cand) WHERE rn = 1),
+        g2 AS (SELECT c2.query_id, c2.vec_id, c2.rel,
+                 0.7e0 * c2.rel - (1e0 - 0.7e0) * MAX(pr.sim) AS mmr
+               FROM cand c2
+               JOIN p1 ON p1.query_id = c2.query_id AND c2.vec_id <> p1.vec_id
+               JOIN pr ON pr.query_id = c2.query_id AND pr.i = c2.vec_id
+                 AND pr.j = p1.vec_id
+               GROUP BY c2.query_id, c2.vec_id, c2.rel),
+        p2 AS (SELECT query_id, vec_id, rel, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM g2) WHERE rn = 1),
+        sel2 AS (SELECT query_id, vec_id FROM p1
+                 UNION ALL SELECT query_id, vec_id FROM p2),
+        g3 AS (SELECT c2.query_id, c2.vec_id, c2.rel,
+                 0.7e0 * c2.rel - (1e0 - 0.7e0) * MAX(pr.sim) AS mmr
+               FROM cand c2
+               JOIN pr ON pr.query_id = c2.query_id AND pr.i = c2.vec_id
+               JOIN sel2 sl ON sl.query_id = pr.query_id AND sl.vec_id = pr.j
+               WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                 WHERE x.query_id = c2.query_id AND x.vec_id = c2.vec_id)
+               GROUP BY c2.query_id, c2.vec_id, c2.rel),
+        p3 AS (SELECT query_id, vec_id, rel, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM g3) WHERE rn = 1),
+        sel3 AS (SELECT query_id, vec_id FROM sel2
+                 UNION ALL SELECT query_id, vec_id FROM p3),
+        g4 AS (SELECT c2.query_id, c2.vec_id, c2.rel,
+                 0.7e0 * c2.rel - (1e0 - 0.7e0) * MAX(pr.sim) AS mmr
+               FROM cand c2
+               JOIN pr ON pr.query_id = c2.query_id AND pr.i = c2.vec_id
+               JOIN sel3 sl ON sl.query_id = pr.query_id AND sl.vec_id = pr.j
+               WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                 WHERE x.query_id = c2.query_id AND x.vec_id = c2.vec_id)
+               GROUP BY c2.query_id, c2.vec_id, c2.rel),
+        p4 AS (SELECT query_id, vec_id, rel, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM g4) WHERE rn = 1),
+        outp AS (
+          SELECT query_id, 1 AS sr, vec_id, rel, mmr FROM p1
+          UNION ALL SELECT query_id, 2, vec_id, rel, mmr FROM p2
+          UNION ALL SELECT query_id, 3, vec_id, rel, mmr FROM p3
+          UNION ALL SELECT query_id, 4, vec_id, rel, mmr FROM p4)
+        SELECT query_id, CAST(sr AS INTEGER) AS sel_rank, vec_id, rel, mmr
+        FROM outp ORDER BY query_id, sel_rank""")),
+
+    // Greedy k-center coreset (sim/Select.kCenterPerGroup): Gonzalez
+    // farthest-point representatives inside each bounded group — the
+    // "train on a representative subset of each cluster" picker. One
+    // shuffle on the group key, O(groupSize²·dim) greedy per group
+    // with enforced bounded-group contract. DuckDB unrolls the three
+    // selection rounds with the q44 squared-L2 fold; the seed is the
+    // group's smallest id (radius 0 by convention), each pick the
+    // argmax of the min-distance to the selected set.
+    GraftQuery(
+      "q174_kcenter_coreset",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .withColumn("grp", expr("vec_id DIV 50"))
+        graft.sim.Select.kCenterPerGroup(
+          emb, "grp", "vec_id", "embedding", k = 3)
+          .orderBy(col("grp"), col("sel_rank"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, vec_id // 50 AS grp,
+                     CAST(embedding AS DOUBLE[]) AS x
+                   FROM embeddings WHERE vec_id < 300),
+        pd AS (SELECT a.grp, a.vec_id AS i, b.vec_id AS j,
+                 list_reduce(list_prepend(0.0e0,
+                   list_transform(a.x, (e, k) -> (e - b.x[k]) * (e - b.x[k]))),
+                   (u, w) -> u + w) AS d
+               FROM v a JOIN v b ON a.grp = b.grp AND a.vec_id <> b.vec_id),
+        c1 AS (SELECT grp, MIN(vec_id) AS id FROM v GROUP BY grp),
+        g2 AS (SELECT pd.grp, pd.i AS id, pd.d
+               FROM pd JOIN c1 ON c1.grp = pd.grp AND pd.j = c1.id),
+        c2 AS (SELECT grp, id, d FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+            ORDER BY d DESC, id) AS rn FROM g2) WHERE rn = 1),
+        s2 AS (SELECT grp, id FROM c1 UNION ALL SELECT grp, id FROM c2),
+        g3 AS (SELECT pd.grp, pd.i AS id, MIN(pd.d) AS d
+               FROM pd JOIN s2 ON s2.grp = pd.grp AND pd.j = s2.id
+               WHERE NOT EXISTS (SELECT 1 FROM s2 x
+                 WHERE x.grp = pd.grp AND x.id = pd.i)
+               GROUP BY pd.grp, pd.i),
+        c3 AS (SELECT grp, id, d FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+            ORDER BY d DESC, id) AS rn FROM g3) WHERE rn = 1),
+        outp AS (
+          SELECT grp, 1 AS sr, id, 0.0e0 AS radius FROM c1
+          UNION ALL SELECT grp, 2, id, d FROM c2
+          UNION ALL SELECT grp, 3, id, d FROM c3)
+        SELECT CAST(grp AS BIGINT) AS grp, CAST(sr AS INTEGER) AS sel_rank,
+          id, radius
+        FROM outp ORDER BY grp, sel_rank""")),
+
+    // Blocklist screening (text/Blocklist over the native Aho-Corasick
+    // functions/MultiPatternCount): every pattern counted in ONE
+    // O(len + matches) automaton scan per document, independent of the
+    // pattern-list size — at 100 TB with a thousand-term blocklist,
+    // one corpus pass instead of a thousand. Patterns deliberately
+    // overlap ('able' inside 'table', 'an' inside 'scan') to pin the
+    // suffix/output-link semantics; counts are occurrences at every
+    // start position, which DuckDB replays position-by-position over
+    // the ASCII corpus.
+    GraftQuery(
+      "q175_blocklist_scan",
+      (s, dir) =>
+        graft.text.Blocklist.patternHits(
+          t(s, dir, "documents").filter(!col("text").rlike("[^ -~]")),
+          "doc_id", "text",
+          Seq("table", "able", "an", "scan", "value table"))
+          .orderBy(col("doc_id"), col("pattern")),
+      Some("""
+        WITH p AS (SELECT unnest(['table','able','an','scan','value table']) AS pattern),
+        d AS (SELECT doc_id, text FROM documents
+              WHERE NOT regexp_matches(text, '[^ -~]')),
+        hits AS (
+          SELECT d.doc_id, p.pattern,
+            len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+              i -> substr(d.text, i, len(p.pattern)) = p.pattern)) AS n_hits
+          FROM d, p)
+        SELECT doc_id, pattern, CAST(n_hits AS INTEGER) AS n_hits
+        FROM hits WHERE n_hits > 0
+        ORDER BY doc_id, pattern""")),
+
+    // Rendezvous (highest-random-weight) sharding
+    // (operators/Sharding.rendezvousShard): `argmax_s hash(key⊕s)`
+    // instead of `hash(key) mod S` — growing S→S+1 moves only
+    // ~1/(S+1) of keys, all onto the NEW shard, vs a near-total
+    // reshuffle under mod. The query emits both the S=8 and S=9
+    // assignments; every `moved` row has `shard_b = 8` (the HRW
+    // invariant, machine-checked in ShardingSpec, visible here).
+    // Map-only, O(S) per row; hash is the replayable squared
+    // Karp-Rabin (q52's), so DuckDB replays the whole argmax.
+    GraftQuery(
+      "q176_rendezvous_shards",
+      (s, dir) => {
+        val sh = graft.operators.Sharding
+        t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("shard_a", sh.rendezvousShard(col("doc_id"), 8))
+          .withColumn("shard_b", sh.rendezvousShard(col("doc_id"), 9))
+          .withColumn("moved", col("shard_a") =!= col("shard_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id FROM documents),
+        ks AS (SELECT doc_id, s,
+                 CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR) AS k
+               FROM d, (SELECT unnest(range(0, 9)) AS s)),
+        h AS (SELECT doc_id, s,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(k) + 1),
+                    i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS hh
+              FROM ks),
+        pk AS (SELECT doc_id, s,
+                 ((hh * hh) % 2147483647) * 4096 + (4095 - s) AS packed
+               FROM h),
+        m8 AS (SELECT doc_id, 4095 - (MAX(packed) % 4096) AS sa
+               FROM pk WHERE s < 8 GROUP BY doc_id),
+        m9 AS (SELECT doc_id, 4095 - (MAX(packed) % 4096) AS sb
+               FROM pk GROUP BY doc_id)
+        SELECT d.doc_id, CAST(sa AS INTEGER) AS shard_a,
+          CAST(sb AS INTEGER) AS shard_b, sa <> sb AS moved
+        FROM d JOIN m8 USING (doc_id) JOIN m9 USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Best-of-cluster dedup (dedup/Components.keepBest): when
+    // near-duplicates collide, keep the HIGHEST-QUALITY member (here:
+    // longest text; ties → smallest id), not the arbitrary smallest-id
+    // canonical — the curation-correct survivor rule. Same pair
+    // generation as q43; the winner pick is a rank-1 window on the
+    // cluster label (executed as a bounded-heap/max_by aggregate by
+    // the engine's Top1WindowToAggregate / Spark's
+    // InferWindowGroupLimit). DuckDB replays q43's recursive closure
+    // plus the same argmax.
+    GraftQuery(
+      "q177_best_of_cluster",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+          .withColumn("score", length(col("text")).cast("bigint"))
+        val pairs = graft.dedup.Dedup.nearDuplicates(
+          docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+        graft.dedup.Components.keepBest(
+          docs.select(col("doc_id"), col("score")), "doc_id", "score", pairs)
+          .orderBy(col("component"))
+      },
+      Some("""
+        WITH RECURSIVE tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3),
+        e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM t a, t b
+          WHERE a.doc_id <> b.doc_id
+            AND len(a.gs) > 0 AND len(b.gs) > 0
+            AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.85
+        ),
+        reach AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+          WHERE e2.v <> r.u
+        ),
+        comp AS (SELECT u AS id, least(u, MIN(v)) AS component
+                 FROM reach GROUP BY u),
+        lab AS (SELECT d.doc_id,
+                  COALESCE(c.component, d.doc_id) AS component,
+                  length(d.text) AS score
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+                WHERE d.doc_id < 500)
+        SELECT component, doc_id, CAST(score AS BIGINT) AS score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+            ORDER BY score DESC, doc_id) AS rn
+          FROM lab) WHERE rn = 1
+        ORDER BY component""")),
+
+    // MMR served from the on-disk IVF index
+    // (sim/Select.mmrFromCandidates ∘ Similarity.ivfTopK): the 100 TB
+    // serving shape end-to-end — candidates come from the
+    // partition-pruned prepared index (~nProbe/nCells of the corpus
+    // scanned, q66's layout), then the bounded per-query greedy
+    // diversifies them. The oracle replays BOTH stages: q66's
+    // deterministic IVF (16 sample centroids, nProbe=4) to produce the
+    // candidate set, then q173's unrolled greedy over it.
+    GraftQuery(
+      "q178_mmr_ivf_serving",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfIndexFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        val cand = graft.sim.Similarity.ivfTopK(
+          index, queries, k = 12, nProbe = 4)
+        graft.sim.Select.mmrFromCandidates(
+          emb, "vec_id", "embedding", cand, selectK = 4, lambda = 0.7)
+          .orderBy(col("query_id"), col("sel_rank"))
+      },
+      Some("""
+        WITH ce AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, ce.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * ce.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(ce.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, ce.cell) AS rn
+            FROM e, ce) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, ce.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * ce.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(ce.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, ce.cell) AS rn
+            FROM q, ce) WHERE rn <= 4),
+        sc AS (
+          SELECT q.query_id, e.vec_id, e.v,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS rel
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id),
+        cand AS (SELECT query_id, vec_id, v AS cv, rel FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, vec_id) AS rn
+          FROM sc) WHERE rn <= 12),
+        pr AS (SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+                 list_reduce(list_transform(a.cv, (x,k) -> x * b.cv[k]), (u,w) -> u + w)
+                 / (sqrt(list_reduce(list_transform(a.cv, x -> x * x), (u,w) -> u + w))
+                    * sqrt(list_reduce(list_transform(b.cv, x -> x * x), (u,w) -> u + w))) AS sim
+               FROM cand a JOIN cand b
+                 ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        p1 AS (SELECT query_id, vec_id, rel, 0.7e0 * rel AS mmr FROM (
+          SELECT query_id, vec_id, rel, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY 0.7e0 * rel DESC, vec_id) AS rn
+          FROM cand) WHERE rn = 1),
+        g2 AS (SELECT c2.query_id, c2.vec_id, c2.rel,
+                 0.7e0 * c2.rel - (1e0 - 0.7e0) * MAX(pr.sim) AS mmr
+               FROM cand c2
+               JOIN p1 ON p1.query_id = c2.query_id AND c2.vec_id <> p1.vec_id
+               JOIN pr ON pr.query_id = c2.query_id AND pr.i = c2.vec_id
+                 AND pr.j = p1.vec_id
+               GROUP BY c2.query_id, c2.vec_id, c2.rel),
+        p2 AS (SELECT query_id, vec_id, rel, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM g2) WHERE rn = 1),
+        sel2 AS (SELECT query_id, vec_id FROM p1
+                 UNION ALL SELECT query_id, vec_id FROM p2),
+        g3 AS (SELECT c2.query_id, c2.vec_id, c2.rel,
+                 0.7e0 * c2.rel - (1e0 - 0.7e0) * MAX(pr.sim) AS mmr
+               FROM cand c2
+               JOIN pr ON pr.query_id = c2.query_id AND pr.i = c2.vec_id
+               JOIN sel2 sl ON sl.query_id = pr.query_id AND sl.vec_id = pr.j
+               WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                 WHERE x.query_id = c2.query_id AND x.vec_id = c2.vec_id)
+               GROUP BY c2.query_id, c2.vec_id, c2.rel),
+        p3 AS (SELECT query_id, vec_id, rel, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM g3) WHERE rn = 1),
+        sel3 AS (SELECT query_id, vec_id FROM sel2
+                 UNION ALL SELECT query_id, vec_id FROM p3),
+        g4 AS (SELECT c2.query_id, c2.vec_id, c2.rel,
+                 0.7e0 * c2.rel - (1e0 - 0.7e0) * MAX(pr.sim) AS mmr
+               FROM cand c2
+               JOIN pr ON pr.query_id = c2.query_id AND pr.i = c2.vec_id
+               JOIN sel3 sl ON sl.query_id = pr.query_id AND sl.vec_id = pr.j
+               WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                 WHERE x.query_id = c2.query_id AND x.vec_id = c2.vec_id)
+               GROUP BY c2.query_id, c2.vec_id, c2.rel),
+        p4 AS (SELECT query_id, vec_id, rel, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM g4) WHERE rn = 1),
+        outp AS (
+          SELECT query_id, 1 AS sr, vec_id, rel, mmr FROM p1
+          UNION ALL SELECT query_id, 2, vec_id, rel, mmr FROM p2
+          UNION ALL SELECT query_id, 3, vec_id, rel, mmr FROM p3
+          UNION ALL SELECT query_id, 4, vec_id, rel, mmr FROM p4)
+        SELECT query_id, CAST(sr AS INTEGER) AS sel_rank, vec_id, rel, mmr
+        FROM outp ORDER BY query_id, sel_rank""")),
+
+    // Capacity-weighted rendezvous sharding
+    // (operators/Sharding.rendezvousShardWeighted): shard s competes
+    // with weights(s) virtual nodes, so key shares track capacity
+    // (weights 1:2:3:2 here), with per-weight-step minimal movement
+    // (raising one shard's weight only PULLS keys into it —
+    // machine-checked in ShardingSpec). Map-only O(Σweights)/row; the
+    // full virtual-node argmax replays from the q52 KR fold.
+    GraftQuery(
+      "q179_weighted_shards",
+      (s, dir) =>
+        t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("shard", graft.operators.Sharding
+            .rendezvousShardWeighted(col("doc_id"), Seq(1, 2, 3, 2)))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH vn(s, v) AS (VALUES (0,0),(1,0),(1,1),(2,0),(2,1),(2,2),(3,0),(3,1)),
+        ks AS (SELECT doc_id, s,
+                 CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR) ||
+                   ':' || CAST(v AS VARCHAR) AS k
+               FROM documents, vn),
+        h AS (SELECT doc_id, s,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(k) + 1),
+                    i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS hh
+              FROM ks),
+        pk AS (SELECT doc_id,
+                 ((hh * hh) % 2147483647) * 4096 + (4095 - s) AS packed
+               FROM h)
+        SELECT doc_id,
+          CAST(4095 - (MAX(packed) % 4096) AS INTEGER) AS shard
+        FROM pk GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -248,6 +248,41 @@ object Components {
     df.join(dropped, df(idCol) === dropped("id"), "left_anti")
   }
 
+  /** `df` reduced to the BEST row per duplicate cluster: like
+    * [[keepCanonical]], but the survivor is the member with the
+    * highest `scoreCol` (ties → smallest id) instead of the smallest
+    * id — the curation-correct form: when near-duplicates collide,
+    * keep the longest / highest-quality / most-recent variant, not an
+    * arbitrary one. Rows in no pair survive unchanged.
+    *
+    * Output: `(component, <idCol>, <scoreCol>)` — one row per cluster
+    * (singletons are their own cluster).
+    *
+    * Plan shape: the component join touches only paired ids (the
+    * component table is O(duplicate ids)); the winner pick is a
+    * rank-1 window on the cluster label, which the engine's
+    * `Top1WindowToAggregate` rule (or Spark's own
+    * `InferWindowGroupLimit`) executes as a bounded-heap / max_by
+    * aggregate — no per-cluster sort materialization.
+    */
+  def keepBest(
+      df: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val labeled = df
+      .join(comp, df(idCol) === comp("id"), "left")
+      .select(
+        coalesce(col("component"), df(idCol)).as("component"),
+        df(idCol), df(scoreCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** `(size, n_clusters, n_docs)` histogram over a cluster-labeled
     * table — the dedup ops dashboard: how many duplicate clusters of
     * each size exist, and how much of the corpus they hold (singletons

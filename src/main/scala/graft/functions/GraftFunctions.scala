@@ -55,7 +55,18 @@ object GraftFunctions {
     ("winnowing_fingerprint_keys", classOf[WinnowingFingerprintKeys],
       exprs => WinnowingFingerprintKeys(exprs(0),
         intLit(exprs(1), "winnowing_fingerprint_keys", "k"),
-        intLit(exprs(2), "winnowing_fingerprint_keys", "window"))))
+        intLit(exprs(2), "winnowing_fingerprint_keys", "window"))),
+    ("multi_pattern_count", classOf[MultiPatternCount],
+      exprs => MultiPatternCount(exprs(0),
+        exprs.drop(1).map(e =>
+          stringLit(e, "multi_pattern_count", "pattern")).toIndexedSeq)))
+
+  private def stringLit(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, _, builder) =>

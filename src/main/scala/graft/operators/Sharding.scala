@@ -80,4 +80,79 @@ object Sharding {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     shardManifest(df, keyCol, nShards, salt)
   }
+
+  /** Maximum shard count [[rendezvousShard]] supports — scores are
+    * packed as `score · 4096 + (4095 − shard)` in a 64-bit long
+    * (score < 2³¹ ⇒ packed < 2⁴³), so the argmax is a single
+    * `array_max` with ties going to the SMALLEST shard id.
+    */
+  val MaxRendezvousShards = 4096
+
+  /** Rendezvous (highest-random-weight) shard id in `[0, nShards)`:
+    * `argmax_s hash(key ⊕ s)` instead of `hash(key) mod nShards`.
+    * The property mod-sharding lacks: when `nShards` grows to
+    * `nShards+1`, a key either keeps its shard or moves to the NEW
+    * shard — expected movement is `1/(nShards+1)` of the corpus,
+    * versus ≈`(nShards−1)/nShards` (nearly everything) under mod.
+    * That is the difference between an incremental re-shard touching
+    * one new shard's worth of data and a full corpus rewrite when a
+    * 100 TB sharded store needs more shards. (Weighted rendezvous and
+    * consistent-hash rings solve the same problem; plain HRW is the
+    * simplest replayable form.)
+    *
+    * Per-shard scores reuse [[Splits.squaredHash]] over
+    * `key + "#" + s` — the engine's cross-engine-replayable hash (the
+    * q176 oracle replays the whole argmax in DuckDB) — and the salt
+    * contract matches [[Splits]]: distinct salts give independent
+    * placements. Map-only, O(nShards) per row: the right tool for
+    * shard counts in the tens-to-hundreds (reader/writer fan-out),
+    * not for million-bucket hashing (use [[shardOf]] there, where
+    * minimal movement matters less than constant-time assignment).
+    */
+  def rendezvousShard(key: Column, nShards: Int, salt: String = ""): Column = {
+    require(nShards >= 1 && nShards <= MaxRendezvousShards,
+      s"nShards must be in [1, $MaxRendezvousShards], got $nShards")
+    val packed = (0 until nShards).map { s =>
+      Splits.squaredHash(concat(key.cast("string"), lit("#" + s)), salt) *
+        MaxRendezvousShards + lit(MaxRendezvousShards - 1 - s)
+    }
+    (lit(MaxRendezvousShards - 1) -
+      array_max(array(packed: _*)) % MaxRendezvousShards).cast("int")
+  }
+
+  /** `df` plus a rendezvous `shard` column. */
+  def withRendezvousShard(
+      df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame =
+    df.withColumn("shard", rendezvousShard(col(keyCol), nShards, salt))
+
+  /** Capacity-weighted rendezvous shard: shard `s` competes with
+    * `weights(s)` VIRTUAL nodes (`key + "#" + s + ":" + v`), so its
+    * expected key share is `weights(s) / Σweights` — heterogeneous
+    * shard capacity (a reader with 2× the disks takes 2× the keys)
+    * with the same minimal-movement story PER WEIGHT STEP: raising one
+    * shard's weight by 1 only PULLS keys into that shard (the new
+    * virtual node either wins a key or changes nothing), and removing
+    * a virtual node only redistributes that node's keys. Map-only,
+    * O(Σweights) per row; same replayable packed-argmax as
+    * [[rendezvousShard]].
+    */
+  def rendezvousShardWeighted(
+      key: Column, weights: Seq[Int], salt: String = ""): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_ >= 1), s"weights must be >= 1, got $weights")
+    require(weights.sum <= MaxRendezvousShards,
+      s"sum of weights must be <= $MaxRendezvousShards, got ${weights.sum}")
+    require(weights.length <= MaxRendezvousShards,
+      s"need at most $MaxRendezvousShards shards, got ${weights.length}")
+    val packed = for {
+      s <- weights.indices
+      v <- 0 until weights(s)
+    } yield
+      Splits.squaredHash(
+        concat(key.cast("string"), lit("#" + s + ":" + v)), salt) *
+        MaxRendezvousShards + lit(MaxRendezvousShards - 1 - s)
+    (lit(MaxRendezvousShards - 1) -
+      array_max(array(packed: _*)) % MaxRendezvousShards).cast("int")
+  }
 }

@@ -143,4 +143,30 @@ class ComponentsSpec extends SparkSpec {
     hist.values.map(_._2).sum shouldBe 7L              // corpus size
     hist.map { case (s, (c, _)) => (s - 1) * c }.sum shouldBe 3L // removable
   }
+
+  test("keepBest keeps the highest-score member per cluster (ties -> min id)") {
+    // clusters: {1,2,3} (chain), {5,6}; 9 is a singleton
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 5L -> 6L).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // tie at 30 -> id 2 wins
+      (5L, 7L), (6L, 4L),
+      (9L, 1L)).toDF("doc_id", "score")
+    val got = Components.keepBest(docs, "doc_id", "score", pairs)
+      .orderBy("component")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((1L, 2L, 30L), (5L, 5L, 7L), (9L, 9L, 1L))
+  }
+
+  test("keepBest equals keepCanonical when score is the negated id") {
+    val rng = new scala.util.Random(17)
+    val edges = Seq.fill(40)((rng.nextLong(30), rng.nextLong(30)))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val docs = (0L until 30L).map(i => (i, -i)).toDF("doc_id", "score")
+    val best = Components.keepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val canonical = Components.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    best.toSeq shouldBe canonical.toSeq
+  }
 }

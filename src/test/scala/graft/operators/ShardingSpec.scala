@@ -65,4 +65,72 @@ class ShardingSpec extends SparkSpec {
         (r.getAs[Long]("n_rows"), r.getAs[Long]("key_checksum"))).toMap
     recomputed shouldBe manifest
   }
+
+  test("rendezvous: growing nShards only moves keys to the NEW shard") {
+    val n = 2000L
+    def assign(s: Int) = Sharding.withRendezvousShard(df(n), "id", s)
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (4 to 8).foreach { s =>
+      val before = assign(s)
+      val after = assign(s + 1)
+      val moved = before.keys.filter(k => before(k) != after(k)).toSeq
+      // the HRW invariant: every moved key lands on the new shard
+      moved.foreach { k => after(k) shouldBe s }
+      // expected movement 1/(s+1); allow a generous band around it
+      val frac = moved.size.toDouble / n
+      frac should be > 0.3 / (s + 1)
+      frac should be < 3.0 / (s + 1)
+    }
+    // contrast: mod-sharding moves (nearly) everything on the same step
+    val mb = Sharding.withShard(df(n), "id", 8)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ma = Sharding.withShard(df(n), "id", 9)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val modMoved = mb.keys.count(k => mb(k) != ma(k)).toDouble / n
+    modMoved should be > 0.5
+  }
+
+  test("rendezvous assignment is stable, in-range and salt-dependent") {
+    val base = Sharding.withRendezvousShard(df(400L), "id", 10)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rerun = Sharding.withRendezvousShard(
+      df(400L).repartition(5, col("text")).orderBy(desc("id")), "id", 10)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rerun shouldBe base
+    base.values.foreach { s => s should (be >= 0 and be < 10) }
+    // all shards populated at 400 keys / 10 shards
+    base.values.toSet.size shouldBe 10
+    val salted = Sharding.withRendezvousShard(df(400L), "id", 10, salt = "v2")
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val same = base.count { case (k, v) => salted(k) == v }
+    same.toDouble / base.size should be < 0.5
+  }
+
+  test("weighted rendezvous: shares track weights; weight bumps only PULL") {
+    val n = 3000L
+    def assign(ws: Seq[Int]) = df(n)
+      .withColumn("shard",
+        Sharding.rendezvousShardWeighted(col("id"), ws))
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ws = Seq(1, 2, 3, 2)
+    val a = assign(ws)
+    val total = ws.sum.toDouble
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    ws.indices.foreach { s =>
+      val share = counts.getOrElse(s, 0).toDouble / n
+      val want = ws(s) / total
+      share should be (want +- 0.35 * want) // ±35% band at n=3000
+    }
+    // bump shard 1's weight: every moved key moves TO shard 1
+    val b = assign(Seq(1, 3, 3, 2))
+    val moved = a.keys.filter(k => a(k) != b(k)).toSeq
+    moved should not be empty
+    moved.foreach { k => b(k) shouldBe 1 }
+    // uniform weights degenerate to the unweighted assignment's
+    // distribution properties (not the same hash inputs, so only
+    // sanity-check the range)
+    assign(Seq(1, 1, 1)).values.foreach { s => s should (be >= 0 and be < 3) }
+  }
 }
