@@ -8177,7 +8177,98 @@ object Queries {
         SELECT doc_id,
           CAST(4095 - (MAX(packed) % 4096) AS INTEGER) AS shard
         FROM pk GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Tolerant CSV ingestion (sources/CsvCorpus — q92's JSONL contract
+    // for the OTHER vendor interchange format): explicit schema, text
+    // scan + from_csv expression (PERMISSIVE + corrupt-record column;
+    // no SPARK-21610 caching requirement), corrupt rows counted via
+    // one aggregate and attached as a 1-row broadcast scalar. The
+    // staged corpus mistypes n_chars ('xx') on every 89th doc; the
+    // oracle replays the validity predicate directly.
+    GraftQuery(
+      "q180_csv_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        val line = concat(
+          col("doc_id").cast("string"), lit(","), col("source"), lit(","),
+          when(pmod(col("doc_id"), lit(89)) === 0, lit("xx"))
+            .otherwise(col("n_chars").cast("string")))
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_q180_src_").toString
+        docs.select(line.as("value")).write.mode("overwrite").text(srcDir)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        graft.sources.CsvCorpus.readCsvWithAudit(s, srcDir, schema)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, source, n_chars
+          FROM documents WHERE doc_id < 500 AND doc_id % 89 <> 0),
+        c AS (
+          SELECT count(*) AS n_corrupt FROM documents
+          WHERE doc_id < 500 AND doc_id % 89 = 0)
+        SELECT v.doc_id, v.source, v.n_chars, c.n_corrupt
+        FROM v, c ORDER BY v.doc_id""")),
+
+    // Streaming blocklist screening: q175's Aho-Corasick hit table
+    // produced by Structured Streaming (AvailableNow file stream →
+    // stateless map/explode → parquet sink, read back) — the
+    // continuous-ingest form of watchlist monitoring. Stateless, so
+    // no watermark/state store; the oracle is the batch semantics
+    // (q175's), which the stream must reproduce exactly.
+    GraftQuery(
+      "q181_streaming_blocklist",
+      (s, dir) => {
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_q181_src_")
+        val staged = srcDir.resolve("documents.parquet")
+        val orig = java.nio.file.Paths.get(s"$dir/documents.parquet")
+        try java.nio.file.Files.createLink(staged, orig)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(orig, staged)
+        }
+        val src = s.readStream
+          .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+          .parquet(srcDir.toString)
+        val hits = graft.text.Blocklist.patternHits(
+          src.filter(!col("text").rlike("[^ -~]")),
+          "doc_id", "text",
+          Seq("table", "able", "an", "scan", "value table"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q181_out_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_q181_ckpt_").toString
+        withShufflePartitions(s, 8) {
+          hits.writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        deleteTree(srcDir)
+        deleteTree(java.nio.file.Paths.get(ckpt))
+        s.read.parquet(out).orderBy(col("doc_id"), col("pattern"))
+      },
+      Some("""
+        WITH p AS (SELECT unnest(['table','able','an','scan','value table']) AS pattern),
+        d AS (SELECT doc_id, text FROM documents
+              WHERE NOT regexp_matches(text, '[^ -~]')),
+        hits AS (
+          SELECT d.doc_id, p.pattern,
+            len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+              i -> substr(d.text, i, len(p.pattern)) = p.pattern)) AS n_hits
+          FROM d, p)
+        SELECT doc_id, pattern, CAST(n_hits AS INTEGER) AS n_hits
+        FROM hits WHERE n_hits > 0
+        ORDER BY doc_id, pattern"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
