@@ -8268,7 +8268,49 @@ object Queries {
           FROM d, p)
         SELECT doc_id, pattern, CAST(n_hits AS INTEGER) AS n_hits
         FROM hits WHERE n_hits > 0
-        ORDER BY doc_id, pattern"""))
+        ORDER BY doc_id, pattern""")),
+
+    // Johnson-Lindenstrauss random projection
+    // (sim/RandomProjection.project): data-independent dim reduction —
+    // the no-fit-pass complement to the PCA path (q164/q165's Gram
+    // accumulation), for when even one training pass over 100 TB is
+    // too much. The ±1 sign matrix regenerates entry-by-entry from the
+    // replayable squared KR hash, so DuckDB rebuilds the identical
+    // matrix from (dim, k, salt) alone and replays the sequential
+    // projection folds bit-exactly. Map-only, no shuffle.
+    GraftQuery(
+      "q182_random_projection",
+      (s, dir) =>
+        graft.sim.RandomProjection.project(
+          t(s, dir, "embeddings"), "embedding",
+          dim = 64, k = 8, salt = "jl1")
+          .select(col("vec_id"),
+            posexplode(col("proj")).as(Seq("j", "y")))
+          .orderBy(col("vec_id"), col("j")),
+      Some("""
+        WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+        jdx AS (SELECT unnest(range(0, 8)) AS j),
+        ks AS (SELECT i, j,
+                 CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':jl1' AS k
+               FROM idx, jdx),
+        h AS (SELECT i, j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(k) + 1),
+                    p -> CAST(ord(substr(k, p, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS hh
+              FROM ks),
+        m AS (SELECT j,
+                list(CASE WHEN ((hh * hh) % 2147483647) % 2 = 0
+                     THEN 1e0 ELSE -1e0 END ORDER BY i) AS sl
+              FROM h GROUP BY j),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        y AS (SELECT vec_id, j,
+                list_reduce(list_prepend(0.0e0,
+                  list_transform(x, (e, i) -> e * sl[i])),
+                  (a, b) -> a + b) AS y
+              FROM v, m)
+        SELECT vec_id, CAST(j AS INTEGER) AS j, y
+        FROM y ORDER BY vec_id, j"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
