@@ -8310,7 +8310,192 @@ object Queries {
                   (a, b) -> a + b) AS y
               FROM v, m)
         SELECT vec_id, CAST(j AS INTEGER) AS j, y
-        FROM y ORDER BY vec_id, j"""))
+        FROM y ORDER BY vec_id, j""")),
+
+    // Late-interaction MaxSim scoring (sim/LateInteraction): query and
+    // document are BAGS of token embeddings; score = Σ_i max_j
+    // cos(q_i, d_j) — the ColBERT shape, preserving term-level matches
+    // that pooled-vector cosine (q12) washes out. Here the pseudo-token
+    // matrices derive deterministically from the flat 64-dim vectors
+    // (4 contiguous sub-vectors — the PQ subspace trick), so DuckDB
+    // replays everything: sliced lists, per-token sequential-fold
+    // cosines, an order-free MAX per query token, and the final sum in
+    // fixed token order with explicit parenthesization. Plan: broadcast
+    // queries, ONE map-only corpus scan into bounded per-partition
+    // top-k heaps (the q12 two-stage profile) — no shuffle carries
+    // vectors; serving composes with the IVF index via
+    // maxSimFromCandidates (LateInteractionSpec pins ≡ on full
+    // candidates).
+    GraftQuery(
+      "q183_maxsim_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 2)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0),
+            graft.sim.LateInteraction.subVectors(4)(r.getSeq[Float](1))))
+          .toSeq
+        graft.sim.LateInteraction.maxSimTopK(
+          emb, "vec_id", "embedding", queries, nSub = 4, k = 8)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        esub AS (
+          SELECT vec_id, 1 AS ti, v[1:16] AS sv FROM e
+          UNION ALL SELECT vec_id, 2, v[17:32] FROM e
+          UNION ALL SELECT vec_id, 3, v[33:48] FROM e
+          UNION ALL SELECT vec_id, 4, v[49:64] FROM e),
+        qsub AS (SELECT vec_id AS query_id, ti AS qi, sv AS qv
+                 FROM esub WHERE vec_id < 2),
+        cs AS (
+          SELECT q.query_id, d.vec_id, q.qi,
+            list_reduce(list_transform(d.sv, (x,i) -> x * q.qv[i]),
+                        (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(d.sv, x -> x * x),
+                                  (a,b) -> a + b))) AS c
+          FROM qsub q CROSS JOIN esub d),
+        m AS (
+          SELECT query_id, vec_id,
+            ((MAX(CASE WHEN qi = 1 THEN c END)
+              + MAX(CASE WHEN qi = 2 THEN c END))
+             + MAX(CASE WHEN qi = 3 THEN c END))
+            + MAX(CASE WHEN qi = 4 THEN c END) AS score
+          FROM cs GROUP BY query_id, vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn FROM m)
+        WHERE rn <= 8
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // ε-differentially-private count release (operators/DpCounts): the
+    // geometric mechanism (Ghosh et al. 2009) over per-event-type
+    // counts — sensitivity-1 counting query plus two-sided geometric
+    // noise X−Y with α = 2^-s (ε = s·ln 2, s = 2 here). The noise is
+    // pseudo-random from the replayable SQUARED KR hash of (tag‖salt‖
+    // key) — squaring (q182's protocol) because the linear KR fold
+    // would leave the two draws' low bits anti-correlated — so the
+    // release is bit-reproducible across engines and retries: DuckDB
+    // regenerates the hash fold, takes trailing zeros via
+    // bit_count((h² & -h²) − 1) — no IEEE log2, whose Math.log-ratio
+    // form is inexact on exact powers of two — and replays noise and
+    // release exactly. One map-side-combinable
+    // groupBy + map-only integer arithmetic on the key-domain-sized
+    // count table; zero UDFs.
+    GraftQuery(
+      "q184_dp_counts",
+      (s, dir) =>
+        graft.operators.DpCounts.audit(
+          t(s, dir, "events"), Seq("event_type"),
+          salt = "r9", epsilonLog2Units = 2)
+          .orderBy(col("event_type")),
+      Some("""
+        WITH c AS (SELECT event_type, COUNT(*) AS n
+                   FROM events GROUP BY event_type),
+        ks AS (SELECT event_type, n,
+                 'a:r9:' || event_type AS ka,
+                 'b:r9:' || event_type AS kb FROM c),
+        h AS (SELECT event_type, n,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(ka) + 1),
+                    p -> CAST(ord(substr(ka, p, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS ha,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(kb) + 1),
+                    p -> CAST(ord(substr(kb, p, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS hb
+              FROM ks),
+        h2 AS (SELECT event_type, n,
+                 (ha * ha) % 2147483647 AS sa,
+                 (hb * hb) % 2147483647 AS sb FROM h),
+        d AS (SELECT event_type, n,
+                (CASE WHEN sa = 0 THEN 31
+                      ELSE least(bit_count((sa & (-sa)) - 1), 31) END) // 2
+                - (CASE WHEN sb = 0 THEN 31
+                        ELSE least(bit_count((sb & (-sb)) - 1), 31) END) // 2
+                AS noise
+              FROM h2)
+        SELECT event_type, n, CAST(noise AS BIGINT) AS noise,
+               CAST(n + noise AS BIGINT) AS noisy_n
+        FROM d ORDER BY event_type""")),
+
+    // Product quantization + asymmetric distance (sim/ProductQuantize):
+    // the memory leg of billion-scale ANN (Jégou et al. 2011) — 64-dim
+    // float vectors compress to 4 code ids against per-subspace
+    // codebooks (the q66 deterministic lowest-id centroid protocol),
+    // and queries rank the COMPRESSED corpus by ADC: per subspace a
+    // lookup-table distance to the assigned centroid, summed in
+    // subspace order. encode is map-only whole-stage codegen (native
+    // L2DistancesFold + array_position first-minimum argmin); adcTopK
+    // is ONE scan of the codes table with the per-query LUTs joined in
+    // via the constant-key broadcast-hash-join trick (no BNLJ), then
+    // the q12 bounded top-k. DuckDB replays codebooks, assignment
+    // (seeded 0.0 sequential L2 folds, lowest-code tie-break), LUTs,
+    // and the fixed-parenthesization ADC sum bit-for-bit.
+    GraftQuery(
+      "q185_pq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = pqCodebooksFor(s, dir, emb)
+        val enc = graft.sim.ProductQuantize.encode(
+          emb, "vec_id", "embedding", cb)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.ProductQuantize.adcTopK(enc, "vec_id", queries, cb, k = 10)
+          .orderBy(col("query_id"), col("adist"), col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cbrows AS (SELECT v, rn - 1 AS code FROM (
+          SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+          WHERE rn <= 16),
+        cb AS (
+          SELECT code, 0 AS s, v[1:16] AS cv FROM cbrows
+          UNION ALL SELECT code, 1, v[17:32] FROM cbrows
+          UNION ALL SELECT code, 2, v[33:48] FROM cbrows
+          UNION ALL SELECT code, 3, v[49:64] FROM cbrows),
+        esub AS (
+          SELECT vec_id, 0 AS s, v[1:16] AS sv FROM e
+          UNION ALL SELECT vec_id, 1, v[17:32] FROM e
+          UNION ALL SELECT vec_id, 2, v[33:48] FROM e
+          UNION ALL SELECT vec_id, 3, v[49:64] FROM e),
+        assign AS (
+          SELECT vec_id, s, code FROM (
+            SELECT d.vec_id, d.s, c.code,
+              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY
+                list_reduce(list_prepend(0.0e0,
+                  list_transform(d.sv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                  (a,b) -> a + b), c.code) AS rn
+            FROM esub d JOIN cb c ON d.s = c.s) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, s, sv AS qv
+              FROM esub WHERE vec_id < 3),
+        lut AS (
+          SELECT q.query_id, q.s, c.code,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(q.qv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+              (a,b) -> a + b) AS d2
+          FROM q JOIN cb c ON q.s = c.s),
+        sc AS (
+          SELECT a.vec_id, l.query_id,
+            ((MAX(CASE WHEN a.s = 0 THEN l.d2 END)
+              + MAX(CASE WHEN a.s = 1 THEN l.d2 END))
+             + MAX(CASE WHEN a.s = 2 THEN l.d2 END))
+            + MAX(CASE WHEN a.s = 3 THEN l.d2 END) AS adist
+          FROM assign a JOIN lut l ON l.s = a.s AND l.code = a.code
+          GROUP BY a.vec_id, l.query_id)
+        SELECT query_id, vec_id, adist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adist, vec_id) AS rn FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, adist, vec_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -8740,6 +8925,21 @@ object Queries {
         graft.dedup.DedupIndex.Params(
           shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
       graft.dedup.DedupIndex.read(s, path)
+    })
+
+  /** Per-process cache of q185's PQ codebooks, keyed by data dir —
+    * deterministic lowest-id sampling, so caching only skips the tiny
+    * 16-row collect on repeat runs.
+    */
+  private val pqCodebooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.ProductQuantize.Codebooks]()
+
+  private def pqCodebooksFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.ProductQuantize.Codebooks =
+    pqCodebooksCache.computeIfAbsent(dir, { _ =>
+      graft.sim.ProductQuantize.codebooksFromRows(
+        emb, "vec_id", "embedding", nSub = 4, nCodes = 16)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
