@@ -8495,6 +8495,99 @@ object Queries {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adist, vec_id) AS rn FROM sc)
         WHERE rn <= 10
+        ORDER BY query_id, adist, vec_id""")),
+
+    // IVF-PQ served end to end (sim/ProductQuantize.ivfAdcTopK over an
+    // on-disk writeIvfPq/readIvfPq index): the canonical billion-scale
+    // ANN composition — q66's cosine cells prune the scan to
+    // nProbe/nCells cell DIRECTORIES (real partition pruning on the
+    // cell-partitioned codes parquet, ~64× smaller than the vector
+    // layout), then q185's ADC ranks only the surviving code lists
+    // (per-query LUTs broadcast on a cell hash join). Oracle = q66's
+    // probe/assignment replay composed with q185's codebook/LUT/ADC
+    // replay — approximate search as an equality, down to the probe
+    // and argmin tie-breaks.
+    GraftQuery(
+      "q186_ivfpq_serving",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfPqIndexFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.ProductQuantize.ivfAdcTopK(index, queries, k = 10, nProbe = 4)
+          .orderBy(col("query_id"), col("adist"), col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
+              FROM e WHERE vec_id < 16),
+        acell AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        qfull AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM qfull q, c) WHERE rn <= 4),
+        cbrows AS (SELECT v, rn - 1 AS code FROM (
+          SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+          WHERE rn <= 16),
+        cb AS (
+          SELECT code, 0 AS s, v[1:16] AS cv FROM cbrows
+          UNION ALL SELECT code, 1, v[17:32] FROM cbrows
+          UNION ALL SELECT code, 2, v[33:48] FROM cbrows
+          UNION ALL SELECT code, 3, v[49:64] FROM cbrows),
+        esub AS (
+          SELECT vec_id, 0 AS s, v[1:16] AS sv FROM e
+          UNION ALL SELECT vec_id, 1, v[17:32] FROM e
+          UNION ALL SELECT vec_id, 2, v[33:48] FROM e
+          UNION ALL SELECT vec_id, 3, v[49:64] FROM e),
+        assign AS (
+          SELECT vec_id, s, code FROM (
+            SELECT d.vec_id, d.s, c.code,
+              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY
+                list_reduce(list_prepend(0.0e0,
+                  list_transform(d.sv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+                  (a,b) -> a + b), c.code) AS rn
+            FROM esub d JOIN cb c ON d.s = c.s) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, s, sv AS qv
+              FROM esub WHERE vec_id < 3),
+        lut AS (
+          SELECT q.query_id, q.s, c.code,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(q.qv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+              (a,b) -> a + b) AS d2
+          FROM q JOIN cb c ON q.s = c.s),
+        sc AS (
+          SELECT a.vec_id, l.query_id,
+            ((MAX(CASE WHEN a.s = 0 THEN l.d2 END)
+              + MAX(CASE WHEN a.s = 1 THEN l.d2 END))
+             + MAX(CASE WHEN a.s = 2 THEN l.d2 END))
+            + MAX(CASE WHEN a.s = 3 THEN l.d2 END) AS adist
+          FROM assign a
+          JOIN lut l ON l.s = a.s AND l.code = a.code
+          JOIN acell ac ON ac.vec_id = a.vec_id
+          JOIN probes p ON p.query_id = l.query_id AND p.cell = ac.cell
+          GROUP BY a.vec_id, l.query_id)
+        SELECT query_id, vec_id, adist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adist, vec_id) AS rn FROM sc)
+        WHERE rn <= 10
         ORDER BY query_id, adist, vec_id"""))
   )
 
@@ -8940,6 +9033,33 @@ object Queries {
     pqCodebooksCache.computeIfAbsent(dir, { _ =>
       graft.sim.ProductQuantize.codebooksFromRows(
         emb, "vec_id", "embedding", nSub = 4, nCodes = 16)
+    })
+
+  /** Per-process cache of q186's on-disk IVF-PQ index, keyed by data
+    * dir — q66's deterministic centroids (vec_id < 16, cell = vec_id)
+    * + q185's codebooks, written cell-partitioned and read back so the
+    * probe really partition-prunes.
+    */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.ProductQuantize.IvfPq]()
+
+  private def ivfPqIndexFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.ProductQuantize.IvfPq =
+    ivfPqCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb, "vec_id", "embedding", centroids)
+      val cb = pqCodebooksFor(s, dir, emb)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index_").toString
+      graft.sim.ProductQuantize.writeIvfPq(built, cb, path)
+      graft.sim.ProductQuantize.readIvfPq(s, path, "vec_id")
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

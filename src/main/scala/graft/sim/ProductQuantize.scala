@@ -81,15 +81,10 @@ object ProductQuantize {
       })
   }
 
-  /** PQ-encode the corpus: `(idCol, codes array<int>)` with
-    * `codes[s]` the 0-based first-minimum-L2 centroid of subspace `s`.
-    * Map-only whole-stage codegen; the vectors never shuffle.
+  /** The `codes array<int>` column: `codes[s]` = 0-based first-minimum
+    * L2 centroid of subspace `s`. Whole-stage codegen end to end.
     */
-  def encode(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      cb: Codebooks): DataFrame = {
+  private def codesColumn(vecCol: String, cb: Codebooks): Column = {
     val v = col(vecCol).cast("array<double>")
     val codeCols = (0 until cb.nSub).map { s =>
       val sub = slice(v, s * cb.subDim + 1, cb.subDim)
@@ -97,7 +92,44 @@ object ProductQuantize {
         sub, cb.codes(s).map(_.toArray))
       (array_position(d, array_min(d)) - 1).cast("int")
     }
-    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
+  }
+
+  /** PQ-encode the corpus: `(idCol, codes array<int>)`. Map-only
+    * whole-stage codegen; the vectors never shuffle.
+    */
+  def encode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame =
+    corpus.select(col(idCol), codesColumn(vecCol, cb).as("codes"))
+
+  /** `d²(q_s, centroid)` — identical arithmetic to L2DistancesFold's
+    * fold (seeded 0.0, dimension order).
+    */
+  private def d2f(q: Array[Float], c: IndexedSeq[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < c.length) {
+      val diff = q(j).toDouble - c(j)
+      acc += diff * diff
+      j += 1
+    }
+    acc
+  }
+
+  /** Per-query LUT: `lut(s)(c)` = d² from the query's subspace-`s`
+    * slice to centroid `c` of codebook `s`.
+    */
+  private def lutsFor(
+      qv: Array[Float], cb: Codebooks): IndexedSeq[IndexedSeq[Double]] = {
+    val dim = cb.nSub * cb.subDim
+    require(qv.length == dim, s"query dim ${qv.length}, expected $dim")
+    (0 until cb.nSub).map { s =>
+      val qs = qv.slice(s * cb.subDim, (s + 1) * cb.subDim)
+      cb.codes(s).map(c => d2f(qs, c))
+    }
   }
 
   /** ADC top-k over an encoded corpus: per query, the `k` ids with the
@@ -113,29 +145,7 @@ object ProductQuantize {
       cb: Codebooks,
       k: Int): DataFrame = {
     require(queries.nonEmpty, "adcTopK needs at least one query")
-    val dim = cb.nSub * cb.subDim
-
-    // per-query LUT: lut(s)(c) = d2(q_s, centroid c) — identical
-    // arithmetic to L2DistancesFold's fold (seeded 0.0, dim order)
-    def d2(q: Array[Float], c: IndexedSeq[Double]): Double = {
-      var acc = 0.0
-      var j = 0
-      while (j < c.length) {
-        val diff = q(j).toDouble - c(j)
-        acc += diff * diff
-        j += 1
-      }
-      acc
-    }
-
-    val perQuery = queries.map { case (qid, qv) =>
-      require(qv.length == dim, s"query dim ${qv.length}, expected $dim")
-      val luts = (0 until cb.nSub).map { s =>
-        val qs = qv.slice(s * cb.subDim, (s + 1) * cb.subDim)
-        cb.codes(s).map(c => d2(qs, c))
-      }
-      (qid, luts)
-    }
+    val perQuery = queries.map { case (qid, qv) => (qid, lutsFor(qv, cb)) }
 
     // ONE scan of the codes table: the Q flattened LUTs join in with
     // the constant-key broadcast-HASH-join trick (core/Scalars — a
@@ -156,6 +166,119 @@ object ProductQuantize {
     val scored = joined.select(
       col("query_id"),
       col(idCol).cast("long").as("vec_id"),
+      terms.reduceLeft(_ + _).as("adist"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  // ---- IVF-PQ: the composed billion-scale layout ----
+
+  /** An on-disk IVF-PQ index: per-cell PQ code lists + centroids +
+    * codebooks. `cells` is `(idCol, codes, cell)`, read back from a
+    * cell-partitioned parquet so a probe's cell filter is real
+    * partition pruning.
+    */
+  final case class IvfPq(
+      cells: DataFrame,
+      centroids: Seq[(Int, Array[Float])],
+      cb: Codebooks,
+      idCol: String)
+
+  /** Write the IVF-PQ index: the assigned corpus of `index` is
+    * PQ-encoded (map-only codegen) and written partitioned by cell —
+    * the [[Similarity.writeIvfIndex]] layout with codes instead of
+    * vectors, so each cell directory is ~64× smaller and an ADC probe
+    * of `nProbe` of `nCells` cells reads only those directories.
+    * Centroids and codebooks are stored alongside (nCells +
+    * nSub·nCodes rows).
+    */
+  def writeIvfPq(
+      index: Similarity.IvfIndex, cb: Codebooks, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned
+      .select(col(index.idCol), codesColumn(index.vecCol, cb).as("codes"),
+        col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    index.centroids.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for (s <- 0 until cb.nSub; c <- 0 until cb.nCodes)
+      yield (s, c, cb.codes(s)(c)))
+      .toDF("s", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Read an IVF-PQ index written by [[writeIvfPq]]. The returned
+    * `cells` DataFrame is partition-pruned by any `cell` filter
+    * [[ivfAdcTopK]] applies.
+    */
+  def readIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String): IvfPq = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toIndexedSeq))
+      .toMap
+    val nSub = cbRows.keys.map(_._1).max + 1
+    val nCodes = cbRows.keys.map(_._2).max + 1
+    val cb = Codebooks(nSub, cbRows.head._2.length,
+      IndexedSeq.tabulate(nSub)(s => IndexedSeq.tabulate(nCodes)(c => cbRows((s, c)))))
+    IvfPq(cells, centroids, cb, idCol)
+  }
+
+  /** IVF-PQ serving: per query, pick the `nProbe` nearest-cosine cells
+    * ([[Similarity.ivfTopK]]'s probe rule — lowest cell id on ties),
+    * then ADC-rank ONLY those cells' code lists. The cell filter is a
+    * literal `isin` over the union of probed cells (partition pruning
+    * at the scan — the 100 TB read-path win), the per-query (cell,
+    * LUT) pairs broadcast in on a cell equi-join (hash, not BNLJ), and
+    * the bounded top-k window finishes. With `nProbe = nCells` this is
+    * exactly [[adcTopK]] over the whole corpus (pinned in
+    * ProductQuantizeSpec).
+    */
+  def ivfAdcTopK(
+      index: IvfPq,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(queries.nonEmpty, "ivfAdcTopK needs at least one query")
+    val cb = index.cb
+    val perQuery = queries.map { case (qid, qv) =>
+      val probes = index.centroids
+        .sortBy { case (c, cv) => (-Similarity.cosine(qv, cv), c) }
+        .take(nProbe).map(_._1)
+      (qid, probes, lutsFor(qv, cb).flatten.toSeq)
+    }
+
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val probedCells = perQuery.flatMap(_._2).distinct
+    val qcell = perQuery
+      .flatMap { case (qid, probes, lut) => probes.map(c => (qid, c, lut)) }
+      .toDF("query_id", "cell", "lut")
+
+    val nCodes = cb.nCodes
+    val joined = index.cells
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(qcell), Seq("cell"))
+    val terms = (0 until cb.nSub).map { s =>
+      element_at(col("lut"), lit(s * nCodes) + col("codes").getItem(s) + 1)
+    }
+    val scored = joined.select(
+      col("query_id"),
+      col(index.idCol).cast("long").as("vec_id"),
       terms.reduceLeft(_ + _).as("adist"))
 
     import org.apache.spark.sql.expressions.Window

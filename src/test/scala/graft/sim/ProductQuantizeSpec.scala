@@ -123,6 +123,52 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(recall >= 0.6, s"ADC recall@10 too low: $recall")
   }
 
+  test("IVF-PQ round-trips and exhaustive probing equals full ADC") {
+    val data = corpus(160, 16, seed = 31)
+    val df = data.toDF("vec_id", "embedding")
+    val cb = ProductQuantize.codebooksFromRows(df, "vec_id", "embedding", 4, 12)
+    val centroids = data.take(8).map { case (id, v) =>
+      (id.toInt, v.map(_.toFloat).toArray)
+    }
+    val ivf = Similarity.buildIvfWithCentroids(df, "vec_id", "embedding", centroids)
+    val path = java.nio.file.Files.createTempDirectory("pq_ivf_").toString
+    ProductQuantize.writeIvfPq(ivf, cb, path)
+    val loaded = ProductQuantize.readIvfPq(spark, path, "vec_id")
+
+    assert(loaded.cb === cb)
+    assert(loaded.centroids.map(_._1) === centroids.map(_._1))
+    loaded.centroids.zip(centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq)
+    }
+
+    val queries = data.take(3).map { case (id, v) => (id, v.toArray) }
+    val exhaustive = ProductQuantize.ivfAdcTopK(loaded, queries, k = 7,
+      nProbe = centroids.length)
+      .orderBy(col("query_id"), col("adist"), col("vec_id")).collect().toSeq
+    val full = ProductQuantize.adcTopK(
+      ProductQuantize.encode(df, "vec_id", "embedding", cb),
+      "vec_id", queries, cb, k = 7)
+      .orderBy(col("query_id"), col("adist"), col("vec_id")).collect().toSeq
+    assert(exhaustive === full)
+
+    // pruned probe: results come only from the probed cells, and the
+    // cell filter reaches the scan as partition pruning
+    val pruned = ProductQuantize.ivfAdcTopK(loaded, queries, k = 7, nProbe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val cellOf = loaded.cells.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probesOf = queries.map { case (qid, qv) =>
+      qid -> loaded.centroids
+        .sortBy { case (c, cv) => (-Similarity.cosine(qv, cv), c) }
+        .take(2).map(_._1).toSet
+    }.toMap
+    pruned.collect().foreach { r =>
+      assert(probesOf(r.getLong(0)).contains(cellOf(r.getLong(1))))
+    }
+  }
+
   test("adcTopK plans a broadcast hash join, not a nested loop") {
     val data = corpus(50, 16, seed = 1)
     val df = data.toDF("vec_id", "embedding")
