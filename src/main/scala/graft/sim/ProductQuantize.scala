@@ -150,16 +150,19 @@ object ProductQuantize {
     // ONE scan of the codes table: the Q flattened LUTs join in with
     // the constant-key broadcast-HASH-join trick (core/Scalars — a
     // plain crossJoin of a tiny side plans a BroadcastNestedLoopJoin,
-    // which the engine bans), then element_at lookups sum left-assoc
-    // in subspace order — all codegen
+    // which the engine bans, and a `lit` key constant-folds back into
+    // one — the key must derive from each side's own columns), then
+    // element_at lookups sum left-assoc in subspace order — all codegen
     val spark = encoded.sparkSession
     import spark.implicits._
     val qdf = perQuery
       .map { case (qid, luts) => (qid, luts.flatten.toSeq) }
       .toDF("query_id", "lut")
     val nCodes = cb.nCodes
-    val joined = encoded.withColumn("__k", lit(1))
-      .join(broadcast(qdf.withColumn("__k", lit(1))), "__k")
+    val joined = encoded
+      .withColumn("__k", pmod(hash(col(idCol)), lit(1)))
+      .join(broadcast(qdf.withColumn(
+        "__k", pmod(hash(col("query_id")), lit(1)))), "__k")
     val terms = (0 until cb.nSub).map { s =>
       element_at(col("lut"), lit(s * nCodes) + col("codes").getItem(s) + 1)
     }
