@@ -8588,7 +8588,124 @@ object Queries {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adist, vec_id) AS rn FROM sc)
         WHERE rn <= 10
-        ORDER BY query_id, adist, vec_id"""))
+        ORDER BY query_id, adist, vec_id""")),
+
+    // Distributed connected components forced down the large-star/
+    // small-star path (Kiveris et al.): a 100-long chain per century
+    // block is the adversarial diameter case — min-label propagation
+    // would need 100 rounds; maxIter=1 + maxDriverEdges=0 makes the
+    // O(log n) alternating-star algorithm the ONLY path that can
+    // produce this answer (q43 covers the propagation/union-find
+    // paths; ComponentsSpec pins three-way equivalence). The oracle
+    // replays the known chain structure: component = block start.
+    GraftQuery(
+      "q187_cc_large_star",
+      (s, dir) => {
+        val pairs = t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 399 &&
+            pmod(col("doc_id"), lit(100)) =!= 99)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+        graft.dedup.Components
+          .connectedComponents(pairs, "id_a", "id_b",
+            maxIter = 1, maxDriverEdges = 0)
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH e AS (SELECT doc_id FROM documents
+                   WHERE doc_id < 399 AND doc_id % 100 <> 99),
+        n AS (SELECT doc_id AS id FROM e
+              UNION SELECT doc_id + 1 FROM e)
+        SELECT id, (id // 100) * 100 AS component
+        FROM n ORDER BY id""")),
+
+    // Quota sampling to a declared target composition (operators/
+    // Quota): exact-integer largest-remainder apportionment of
+    // totalN=2000 over lang weights en:2 fr:6 zh:1, capped at each
+    // stratum's availability (fr and zh are short at some SFs — the
+    // cap binds data-dependently and the oracle replays LEAST(req,
+    // avail) implicitly via the rank filter), rows picked by the
+    // replayable salted-hash rank. The whole pipeline — apportionment
+    // window math, Karp-Rabin bucket, per-stratum rank — re-derives
+    // in SQL, so target-composition sampling is an equality check.
+    GraftQuery(
+      "q188_quota_sample",
+      (s, dir) =>
+        graft.operators.Quota.quotaSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+          "lang", "doc_id",
+          Seq("en" -> 2L, "fr" -> 6L, "zh" -> 1L), totalN = 2000L,
+          salt = "v1")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t(stratum, w) AS (VALUES ('en', 2), ('fr', 6), ('zh', 1)),
+        tw AS (SELECT SUM(w) AS ww FROM t),
+        b AS (SELECT stratum, (2000 * w) // ww AS base,
+                (2000 * w) % ww AS rem
+              FROM t, tw),
+        x AS (SELECT SUM(base) AS sb FROM b),
+        r AS (SELECT stratum, base, rem,
+                row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+              FROM b),
+        req AS (SELECT r.stratum,
+                  base + CASE WHEN rk <= 2000 - x.sb THEN 1 ELSE 0 END AS req
+                FROM r, x),
+        s AS (SELECT doc_id, lang, source,
+                CAST(doc_id AS VARCHAR) || ':v1' AS k
+              FROM documents JOIN req ON lang = stratum),
+        h AS (SELECT doc_id, lang, source,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(k) + 1),
+                    i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS hh
+              FROM s),
+        rn AS (SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ((hh * hh) % 2147483647) % 1048576, doc_id) AS rn
+               FROM h)
+        SELECT rn.doc_id, rn.lang, rn.source
+        FROM rn JOIN req ON rn.lang = req.stratum
+        WHERE rn.rn <= req.req
+        ORDER BY rn.doc_id""")),
+
+    // The quota ALLOCATION audit (Quota.allocationReport): available /
+    // requested / allocated per target stratum — the datasheet row a
+    // curation run publishes, and the place a shortfall (requested >
+    // available) surfaces instead of being silently redistributed.
+    // Same apportionment replay as q188; 'es' is deliberately absent
+    // from the targets (never appears) and the weights exercise a
+    // remainder tie broken lexicographically.
+    GraftQuery(
+      "q189_quota_report",
+      (s, dir) =>
+        graft.operators.Quota.allocationReport(
+          t(s, dir, "documents"), "lang",
+          Seq("en" -> 3L, "de" -> 1L, "fr" -> 1L, "zh" -> 1L),
+          totalN = 1000L)
+          .orderBy(col("stratum")),
+      Some("""
+        WITH t(stratum, w) AS
+          (VALUES ('en', 3), ('de', 1), ('fr', 1), ('zh', 1)),
+        tw AS (SELECT SUM(w) AS ww FROM t),
+        b AS (SELECT stratum, (1000 * w) // ww AS base,
+                (1000 * w) % ww AS rem
+              FROM t, tw),
+        x AS (SELECT SUM(base) AS sb FROM b),
+        r AS (SELECT stratum, base, rem,
+                row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+              FROM b),
+        req AS (SELECT r.stratum,
+                  base + CASE WHEN rk <= 1000 - x.sb THEN 1 ELSE 0 END
+                    AS requested
+                FROM r, x),
+        avail AS (SELECT lang, COUNT(*) AS available
+                  FROM documents GROUP BY lang)
+        SELECT req.stratum,
+          COALESCE(avail.available, 0) AS available,
+          req.requested,
+          LEAST(req.requested, COALESCE(avail.available, 0)) AS allocated
+        FROM req LEFT JOIN avail ON avail.lang = req.stratum
+        ORDER BY req.stratum"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
