@@ -8705,7 +8705,164 @@ object Queries {
           req.requested,
           LEAST(req.requested, COALESCE(avail.available, 0)) AS allocated
         FROM req LEFT JOIN avail ON avail.lang = req.stratum
-        ORDER BY req.stratum"""))
+        ORDER BY req.stratum""")),
+
+    // Declarative data-quality gate (operators/Checks): the
+    // write-audit-publish contract table. Row-level checks (complete /
+    // satisfies / row-count) share ONE scan-aggregate; unique adds a
+    // distinct-key agg; referential integrity one anti-join count.
+    // low_discount is deliberately violated by the data so the audit
+    // proves it REPORTS failures (violations/total), not just passes.
+    GraftQuery(
+      "q190_quality_gate",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        graft.operators.Checks.runChecks(li, Seq(
+          graft.operators.Checks.Complete("l_returnflag"),
+          graft.operators.Checks.Satisfies("qty_range",
+            col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          graft.operators.Checks.Satisfies("low_discount",
+            col("l_discount") <= 0.05),
+          graft.operators.Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+          graft.operators.Checks.RowCountBetween(1L, 100000000L),
+          graft.operators.Checks.ReferencedIn("l_orderkey",
+            t(s, dir, "orders"), "o_orderkey")))
+          .orderBy(col("check"))
+      },
+      Some("""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+        c AS (
+          SELECT 'complete(l_returnflag)' AS chk,
+            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS violations
+          FROM lineitem
+          UNION ALL
+          SELECT 'satisfies(qty_range)',
+            CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+              THEN 0 ELSE 1 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'satisfies(low_discount)',
+            CAST(SUM(CASE WHEN l_discount <= 0.05e0 THEN 0 ELSE 1 END)
+              AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'unique(l_orderkey,l_linenumber)',
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) -
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+          UNION ALL
+          SELECT 'row_count_between(1,100000000)',
+            (SELECT CAST(CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
+              WHEN COUNT(*) > 100000000 THEN COUNT(*) - 100000000
+              ELSE 0 END AS BIGINT) FROM lineitem)
+          UNION ALL
+          SELECT 'referenced_in(l_orderkey)',
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        SELECT chk AS "check", violations, n.total,
+          violations = 0 AS passed
+        FROM c, n ORDER BY chk""")),
+
+    // Join pre-flight audit, summary form (operators/JoinAudit): exact
+    // inner-join output forecast + key-overlap profile for
+    // lineitem⋈orders, computed on the per-key COUNT tables (distinct-
+    // keys-sized) — the "is this join safe / is this even the right
+    // key" gate run before paying the row-level shuffle.
+    GraftQuery(
+      "q191_join_audit",
+      (s, dir) =>
+        graft.operators.JoinAudit.summary(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey"),
+      Some("""
+        WITH cl AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS lr
+                    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        cr AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS rr
+               FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        j AS (SELECT cl.lr, cr.rr
+              FROM cl FULL OUTER JOIN cr ON cl.key = cr.key)
+        SELECT
+          (SELECT CAST(COALESCE(SUM(lr), 0) AS BIGINT) FROM j) AS left_rows,
+          (SELECT CAST(COALESCE(SUM(rr), 0) AS BIGINT) FROM j) AS right_rows,
+          (SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) FROM lineitem) AS left_null_keys,
+          (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders) AS right_null_keys,
+          (SELECT CAST(COUNT(lr) AS BIGINT) FROM j) AS left_keys,
+          (SELECT CAST(COUNT(rr) AS BIGINT) FROM j) AS right_keys,
+          (SELECT CAST(COALESCE(SUM(CASE WHEN lr IS NOT NULL
+            AND rr IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j)
+            AS matched_keys,
+          (SELECT CAST(COALESCE(SUM(CASE WHEN rr IS NULL THEN 1 ELSE 0 END),
+            0) AS BIGINT) FROM j) AS left_only_keys,
+          (SELECT CAST(COALESCE(SUM(CASE WHEN lr IS NULL THEN 1 ELSE 0 END),
+            0) AS BIGINT) FROM j) AS right_only_keys,
+          (SELECT CAST(COALESCE(SUM(lr * rr), 0) AS BIGINT) FROM j)
+            AS out_rows,
+          (SELECT CAST(COALESCE(MAX(lr * rr), 0) AS BIGINT) FROM j)
+            AS max_key_out""")),
+
+    // Join audit, hot-key form: the top-10 keys by output contribution
+    // (the salting / separate-handling targets), via a global bounded
+    // top-k over the per-key count join — ties to the smaller key so
+    // the selection is a total order the oracle replays exactly.
+    GraftQuery(
+      "q192_join_hot_keys",
+      (s, dir) =>
+        graft.operators.JoinAudit.hotKeys(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", k = 10)
+          .orderBy(col("out_rows").desc, col("key")),
+      Some("""
+        WITH cl AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT)
+                      AS left_rows
+                    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        cr AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT)
+                 AS right_rows
+               FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        j AS (SELECT cl.key, left_rows, right_rows,
+                left_rows * right_rows AS out_rows
+              FROM cl JOIN cr ON cl.key = cr.key)
+        SELECT key, left_rows, right_rows, out_rows FROM (
+          SELECT *, row_number() OVER (ORDER BY out_rows DESC, key) AS rn
+          FROM j)
+        WHERE rn <= 10
+        ORDER BY out_rows DESC, key""")),
+
+    // Small-file compaction planning (operators/Compaction): a
+    // deterministic manifest is synthesized by rolling documents into
+    // ~25-doc "files" (path = zero-padded block id, bytes = Σ n_chars),
+    // then ordered cumulative packing assigns each file the group of
+    // its first byte — group = floor(exclusive-prefix-bytes / target),
+    // computed through the Enumerate + Packing two-level distributed
+    // prefix scan (no global single-partition window) and replayed in
+    // SQL as a plain window cumsum.
+    GraftQuery(
+      "q193_compaction_plan",
+      (s, dir) => {
+        val manifest = t(s, dir, "documents")
+          .groupBy(concat(lit("f"),
+            lpad(expr("doc_id div 25").cast("string"), 4, "0")).as("path"))
+          .agg(sum(col("n_chars")).as("bytes"))
+        graft.operators.Compaction
+          .planCompaction(manifest, "path", "bytes", targetBytes = 120000L)
+          .orderBy(col("path"))
+      },
+      Some("""
+        WITH m AS (SELECT 'f' || lpad(CAST(doc_id // 25 AS VARCHAR), 4, '0')
+                     AS path,
+                   CAST(SUM(n_chars) AS BIGINT) AS bytes
+                   FROM documents GROUP BY 1),
+        p AS (SELECT path, bytes,
+                COALESCE(SUM(bytes) OVER (ORDER BY path
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS pre
+              FROM m)
+        SELECT path, bytes,
+          CASE WHEN bytes = 0 THEN -1 ELSE pre // 120000 END AS "group"
+        FROM p ORDER BY path"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
