@@ -8862,7 +8862,84 @@ object Queries {
               FROM m)
         SELECT path, bytes,
           CASE WHEN bytes = 0 THEN -1 ELSE pre // 120000 END AS "group"
-        FROM p ORDER BY path"""))
+        FROM p ORDER BY path""")),
+
+    // Sentence-boundary-aware chunking (Chunking.chunkBySentences over
+    // the native one-pass SentenceChunks expression): chunks pack
+    // consecutive sentences greedily to ≤200 chars and never split
+    // mid-sentence — q58's fixed-stride form cuts claims in half, this
+    // one cannot. Sentence punctuation is synthesized deterministically
+    // (replace ' value ' → '. ', same left-to-right non-overlapping
+    // semantics in both engines); docs end unterminated, exercising the
+    // trailing-fragment rule. The oracle re-derives boundary positions
+    // by character scan (no regex dialects), then replays the greedy
+    // packing as a recursive chunk walk with correlated aggregates —
+    // the q56 recursion pattern.
+    GraftQuery(
+      "q194_sentence_chunks",
+      (s, dir) =>
+        graft.text.Chunking.chunkBySentences(
+          t(s, dir, "documents").filter(col("doc_id") < 300)
+            .select(col("doc_id"),
+              expr("replace(text, ' value ', '. ')").as("text")),
+          "doc_id", "text", maxChars = 200)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, replace(text, ' value ', '. ') AS text
+              FROM documents WHERE doc_id < 300),
+        dl AS (SELECT doc_id, text, length(text) AS n FROM d),
+        pos AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
+                FROM dl),
+        ends AS (
+          SELECT doc_id, i AS e FROM pos
+          WHERE substring(text, i, 1) IN ('.', '!', '?')
+            AND (i = n OR substring(text, i + 1, 1) = ' ')
+          UNION
+          SELECT doc_id, n FROM dl WHERE n > 0),
+        sent0 AS (
+          SELECT doc_id, e,
+            COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+              AS st
+          FROM ends),
+        sent AS (
+          SELECT s0.doc_id, s0.st, s0.e,
+            s0.st + (length(substring(dl.text, s0.st, s0.e - s0.st + 1))
+              - length(ltrim(substring(dl.text, s0.st, s0.e - s0.st + 1),
+                  ' '))) AS eff
+          FROM sent0 s0 JOIN dl ON dl.doc_id = s0.doc_id
+          WHERE ltrim(substring(dl.text, s0.st, s0.e - s0.st + 1), ' ')
+            <> ''),
+        w(doc_id, k, cs, pe) AS (
+          SELECT f.doc_id, 0, f.cs,
+            COALESCE(
+              (SELECT MAX(s.e) FROM sent s
+               WHERE s.doc_id = f.doc_id AND s.e >= f.cs
+                 AND s.e - f.cs + 1 <= 200),
+              (SELECT MIN(s.e) FROM sent s
+               WHERE s.doc_id = f.doc_id AND s.e >= f.cs))
+          FROM (SELECT doc_id, MIN(eff) AS cs FROM sent GROUP BY doc_id) f
+          UNION ALL
+          SELECT w.doc_id, w.k + 1, nx.cs, nx.pe
+          FROM w, LATERAL (
+            SELECT q.cs,
+              COALESCE(
+                (SELECT MAX(s.e) FROM sent s
+                 WHERE s.doc_id = w.doc_id AND s.e >= q.cs
+                   AND s.e - q.cs + 1 <= 200),
+                (SELECT MIN(s.e) FROM sent s
+                 WHERE s.doc_id = w.doc_id AND s.e >= q.cs)) AS pe
+            FROM (SELECT (SELECT MIN(s2.eff) FROM sent s2
+                          WHERE s2.doc_id = w.doc_id
+                            AND s2.eff > w.pe) AS cs) q
+            WHERE q.cs IS NOT NULL) nx)
+        SELECT w.doc_id,
+          CAST(w.k AS BIGINT) AS chunk_id,
+          CAST(w.cs - 1 AS BIGINT) AS chunk_start,
+          CAST(w.pe - w.cs + 1 AS BIGINT) AS chunk_len,
+          substring(dl.text, w.cs, w.pe - w.cs + 1) AS chunk_text
+        FROM w JOIN dl ON dl.doc_id = w.doc_id
+        ORDER BY w.doc_id, chunk_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -42,4 +42,31 @@ object Chunking {
         substr(col(textCol), col("chunk_id") * step + 1L, lit(chunkSize))
           .as("chunk_text"))
   }
+
+  /** Sentence-boundary-aware chunking: one row per chunk `(idCol,
+    * chunk_id, chunk_start, chunk_len, chunk_text)` where chunks pack
+    * consecutive sentences greedily up to `maxChars` and NEVER split
+    * mid-sentence — the retrieval-quality form of [[chunk]] (no
+    * embedding sees half a claim). Spans come from the one-pass native
+    * [[graft.functions.SentenceChunks]] expression (boundary = `.!?`
+    * followed by space or end-of-text; oversized single sentences form
+    * their own chunk, visible as `chunk_len > maxChars`); the text is
+    * sliced once here. Map-only; empty and all-space documents yield
+    * no chunks.
+    */
+  def chunkBySentences(
+      df: DataFrame, idCol: String, textCol: String,
+      maxChars: Int): DataFrame =
+    df.select(
+        col(idCol), col(textCol),
+        posexplode(graft.functions.SentenceChunks
+          .sentenceChunks(col(textCol), maxChars))
+          .as(Seq("chunk_id", "__s")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("__s.start").cast("long").as("chunk_start"),
+        col("__s.len").cast("long").as("chunk_len"),
+        substr(col(textCol), col("__s.start").cast("long") + 1L,
+          col("__s.len").cast("long")).as("chunk_text"))
 }
