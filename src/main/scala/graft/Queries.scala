@@ -8939,7 +8939,66 @@ object Queries {
           CAST(w.pe - w.cs + 1 AS BIGINT) AS chunk_len,
           substring(dl.text, w.cs, w.pe - w.cs + 1) AS chunk_text
         FROM w JOIN dl ON dl.doc_id = w.doc_id
-        ORDER BY w.doc_id, chunk_id"""))
+        ORDER BY w.doc_id, chunk_id""")),
+
+    // Compaction EXECUTED end to end (Compaction.compactParquet): the
+    // q67/q16 staged-filesystem pattern — documents staged as one
+    // parquet file per 25-doc block (zero-padded Hive dirs keep path
+    // order = block order), manifest bytes derived from DATA (Σ
+    // n_chars per block — physical parquet sizes are not
+    // engine-replayable), planned, rewritten (one shuffle by group,
+    // one output file per group), and read BACK from the compacted
+    // layout. The oracle replays block sums → window-cumsum groups →
+    // per-group rollups, so the whole rewrite — plan, movement, row
+    // preservation — is an equality check.
+    GraftQuery(
+      "q195_compaction_rewrite",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q195_").toString
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            concat(lit("b"), lpad(expr("doc_id div 25").cast("string"),
+              4, "0")).as("block"))
+        docs.repartition(col("block"))
+          .write.partitionBy("block").mode("overwrite")
+          .parquet(s"$base/in")
+        val listing = graft.operators.Compaction
+          .parquetManifest(s, s"$base/in")
+          .select(col("path"),
+            regexp_extract(col("path"), "block=(b\\d+)", 1).as("block"))
+        val sizes = docs.groupBy(col("block"))
+          .agg(sum(col("n_chars")).as("bytes"))
+        val manifest = listing.join(broadcast(sizes), Seq("block"))
+          .select(col("path"), col("bytes"))
+        val plan = graft.operators.Compaction
+          .planCompaction(manifest, "path", "bytes", targetBytes = 120000L)
+        val receipt = graft.operators.Compaction
+          .compactParquet(plan, "path", s"$base/out")
+        val back = s.read.parquet(s"$base/out")
+          .groupBy(col("group").cast("long").as("group"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_doc"))
+        receipt.select(col("group"), col("n_files_in"))
+          .join(back, Seq("group"))
+          .orderBy(col("group"))
+      },
+      Some("""
+        WITH blk AS (
+          SELECT doc_id // 25 AS b,
+            CAST(SUM(n_chars) AS BIGINT) AS bytes,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(doc_id) AS BIGINT) AS sd
+          FROM documents GROUP BY 1),
+        p AS (
+          SELECT b, bytes, n, sd,
+            COALESCE(SUM(bytes) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM blk)
+        SELECT pre // 120000 AS "group",
+          CAST(COUNT(*) AS BIGINT) AS n_files_in,
+          CAST(SUM(n) AS BIGINT) AS n_rows,
+          CAST(SUM(sd) AS BIGINT) AS sum_doc
+        FROM p GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -68,4 +68,70 @@ object Compaction {
     plan.groupBy(col("group"))
       .agg(count(lit(1)).as("n_files"),
         sum(col(bytesCol)).as("total_bytes"))
+
+  /** Scheme-free absolute path — `input_file_name()` reports
+    * `file:///a/b` while filesystem listings say `/a/b`; both normalize
+    * here so plan paths and scan-tagged rows join exactly.
+    */
+  private def normalizePath(p: org.apache.spark.sql.Column) =
+    regexp_replace(p, "^[a-zA-Z0-9.+-]+:/+", "/")
+
+  /** Manifest of a directory's parquet part files as `(path, bytes)`,
+    * paths normalized scheme-free. Driver-side filesystem listing —
+    * #files-sized, the same bounded contract as the TFRecord manifest.
+    */
+  def parquetManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toUri.getPath // scheme-free
+      if (f.isFile && p.endsWith(".parquet") &&
+          !p.split('/').last.startsWith("_") &&
+          !p.split('/').last.startsWith("."))
+        out += ((p, f.getLen))
+    }
+    out.toSeq.toDF("path", "bytes")
+  }
+
+  /** Execute a [[planCompaction]] result over parquet files: every
+    * planned file's rows move (ONE shuffle, hash-partitioned by group —
+    * a group's rows land wholly in one task) to their group's writer,
+    * which emits exactly one file per group under
+    * `outDir/group=N/`. The delete-only group (−1) is not read or
+    * rewritten — its files are the caller's delete list. Returns the
+    * rewrite receipt `(group, n_files_in, n_rows)` (from the plan and
+    * the data that MOVED, so a receipt/readback mismatch means a file
+    * changed under the rewrite). The plan's path list is collected to
+    * drive the scan — #files-sized by the manifest contract.
+    *
+    * Hive-partition column types: the read-back `group` directory key
+    * is whatever the reader infers; the receipt keeps the plan's long.
+    */
+  def compactParquet(
+      plan: DataFrame, pathCol: String, outDir: String): DataFrame = {
+    val spark = plan.sparkSession
+    val planned = plan.filter(col("group") >= 0L)
+      .select(normalizePath(col(pathCol)).as("__path"), col("group"))
+    val paths = planned.select(col("__path")).collect().map(_.getString(0))
+    require(paths.nonEmpty, "compactParquet: plan has no rewritable groups")
+    val data = spark.read.parquet(paths.toIndexedSeq: _*)
+      .withColumn("__path", normalizePath(input_file_name()))
+    data.join(broadcast(planned), Seq("__path"))
+      .drop("__path")
+      .repartition(col("group"))
+      .write.partitionBy("group").mode("overwrite").parquet(outDir)
+    val receipt = plan.filter(col("group") >= 0L)
+      .groupBy(col("group")).agg(count(lit(1)).as("n_files_in"))
+    val rows = spark.read.parquet(outDir)
+      .groupBy(col("group").cast("long").as("group"))
+      .agg(count(lit(1)).as("n_rows"))
+    receipt.join(rows, Seq("group"), "left")
+      .select(col("group"), col("n_files_in"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
 }

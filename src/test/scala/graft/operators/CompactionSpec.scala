@@ -55,6 +55,54 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("compactParquet rewrites groups to one file each, preserving rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val src = s"$base/in"
+    // 6 small files: one per block, written individually so file
+    // boundaries are exactly the blocks
+    val data = (0L until 60L).map(i => (i, s"payload$i")).toDF("id", "payload")
+    (0 until 6).foreach { b =>
+      data.filter(col("id") >= b * 10 && col("id") < (b + 1) * 10)
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/block$b")
+    }
+    val manifest = Compaction.parquetManifest(spark, src)
+    manifest.count() shouldBe 6L
+    // replayable synthetic sizes: 100 bytes per block file
+    val sized = manifest.withColumn("bytes", lit(100L))
+    val plan = Compaction.planCompaction(sized, "path", "bytes", 250L)
+    // groups: prefix 0,100,...,500 → 0,0,0,1,1,2
+    val out = s"$base/out"
+    val receipt = Compaction.compactParquet(plan, "path", out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    receipt shouldBe Map(0L -> ((3L, 30L)), 1L -> ((2L, 20L)), 2L -> ((1L, 10L)))
+    // one physical file per group
+    val outManifest = Compaction.parquetManifest(spark, out).collect()
+      .map(_.getString(0))
+    outManifest.length shouldBe 3
+    // content preserved exactly
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 60L
+    back.select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet shouldBe data.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  test("delete-only group is never read or rewritten") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact0_").toString
+    val src = s"$base/in"
+    Seq((1L, "a")).toDF("id", "p").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/f0")
+    Seq((2L, "b")).toDF("id", "p").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/f1")
+    val manifest = Compaction.parquetManifest(spark, src)
+      .withColumn("bytes",
+        when(col("path").contains("f0"), 0L).otherwise(10L))
+    val plan = Compaction.planCompaction(manifest, "path", "bytes", 100L)
+    val receipt = Compaction.compactParquet(plan, "path", s"$base/out")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    receipt shouldBe Map(0L -> 1L) // only f1's row; f0 is the delete list
+    spark.read.parquet(s"$base/out").count() shouldBe 1L
+  }
+
   test("null or negative bytes raise") {
     val bad = Seq(("f0", Some(10L)), ("f1", None)).toDF("path", "bytes")
     val ex = intercept[Exception] {
