@@ -8998,7 +8998,83 @@ object Queries {
           CAST(COUNT(*) AS BIGINT) AS n_files_in,
           CAST(SUM(n) AS BIGINT) AS n_rows,
           CAST(SUM(sd) AS BIGINT) AS sum_doc
-        FROM p GROUP BY 1 ORDER BY 1"""))
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // Zone-map scan-pruning audit (operators/ZoneMap): measures, from
+    // min/max statistics alone, how many zones/rows a workload of
+    // range predicates must scan under a LINEAR layout (zones by
+    // n_chars value ranges) vs a Z-ORDER layout (zones by q96's Morton
+    // value) — the layout decision quantified rather than guessed.
+    // Query 2 (a b-only range) is the payoff: linear zones all span
+    // the full b domain (no pruning), z-order zones keep b bounded.
+    // Everything is integer box arithmetic on #zones-sized tables;
+    // the oracle replays zvalue, zone stats and the overlap test.
+    GraftQuery(
+      "q196_zonemap_audit",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents").select(
+          col("n_chars").cast("long").as("a"),
+          pmod(col("doc_id"), lit(256)).cast("long").as("b"))
+        val linear = base.withColumn("zone", expr("a div 32"))
+        val zord = graft.operators.ZOrder.withZValue(base, "a", "b", bits = 10)
+          .withColumn("zone", expr("zvalue div 4096"))
+        val wl = Seq(
+          (1L, Some(100L), Some(199L), None: Option[Long], None: Option[Long]),
+          (2L, None: Option[Long], None: Option[Long], Some(0L), Some(15L)),
+          (3L, Some(100L), Some(199L), Some(0L), Some(15L)))
+          .toDF("query_id", "a_lo", "a_hi", "b_lo", "b_hi")
+        val lin = graft.operators.ZoneMap.scanAudit(
+          graft.operators.ZoneMap.zoneStats(linear, "zone", "a", "b"), wl)
+          .withColumn("layout", lit("linear"))
+        val z = graft.operators.ZoneMap.scanAudit(
+          graft.operators.ZoneMap.zoneStats(zord, "zone", "a", "b"), wl)
+          .withColumn("layout", lit("zorder"))
+        lin.unionByName(z)
+          .select(col("layout"), col("query_id"), col("zones_scanned"),
+            col("zones_total"), col("rows_scanned"), col("rows_total"))
+          .orderBy(col("layout"), col("query_id"))
+      },
+      Some("""
+        WITH base AS (SELECT CAST(n_chars AS BIGINT) AS a,
+                        doc_id % 256 AS b
+                      FROM documents),
+        lin AS (SELECT a // 32 AS zone, a, b FROM base),
+        zo AS (SELECT
+                 CAST(list_sum(list_transform(range(0, 10), i ->
+                   (((a >> i) & 1) << (2 * i)) +
+                   (((b >> i) & 1) << (2 * i + 1)))) AS BIGINT) // 4096
+                   AS zone,
+                 a, b
+               FROM base),
+        slin AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(a) AS a_min, MAX(a) AS a_max,
+                   MIN(b) AS b_min, MAX(b) AS b_max
+                 FROM lin GROUP BY 1),
+        szo AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  MIN(a) AS a_min, MAX(a) AS a_max,
+                  MIN(b) AS b_min, MAX(b) AS b_max
+                FROM zo GROUP BY 1),
+        stats AS (SELECT 'linear' AS layout, * FROM slin
+                  UNION ALL SELECT 'zorder', * FROM szo),
+        wl(query_id, a_lo, a_hi, b_lo, b_hi) AS (VALUES
+          (CAST(1 AS BIGINT), 100, 199, NULL, NULL),
+          (CAST(2 AS BIGINT), NULL, NULL, 0, 15),
+          (CAST(3 AS BIGINT), 100, 199, 0, 15)),
+        x AS (SELECT s.*, w.*,
+                CASE WHEN (w.a_lo IS NULL OR s.a_max >= w.a_lo)
+                      AND (w.a_hi IS NULL OR s.a_min <= w.a_hi)
+                      AND (w.b_lo IS NULL OR s.b_max >= w.b_lo)
+                      AND (w.b_hi IS NULL OR s.b_min <= w.b_hi)
+                  THEN 1 ELSE 0 END AS sc
+              FROM stats s, wl w)
+        SELECT layout, query_id,
+          CAST(SUM(sc) AS BIGINT) AS zones_scanned,
+          CAST(COUNT(*) AS BIGINT) AS zones_total,
+          CAST(SUM(sc * n_rows) AS BIGINT) AS rows_scanned,
+          CAST(SUM(n_rows) AS BIGINT) AS rows_total
+        FROM x GROUP BY layout, query_id
+        ORDER BY layout, query_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

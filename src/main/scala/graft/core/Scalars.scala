@@ -28,4 +28,17 @@ object Scalars {
       .join(broadcast(scalars.withColumn("__one", zeroKey(scalars))),
         Seq("__one"))
       .drop("__one")
+
+  /** The full product `rows × small` through the same zero-key
+    * broadcast HASH join — for pairing every row with every entry of a
+    * SMALL broadcastable table (a query workload, a rule list) when
+    * the pairing condition is a non-equi predicate the caller filters
+    * afterwards. Output is |rows|·|small|; the caller owns keeping
+    * `small` genuinely small (it rides the broadcast).
+    */
+  def withEach(rows: DataFrame, small: DataFrame): DataFrame =
+    rows.withColumn("__one", zeroKey(rows))
+      .join(broadcast(small.withColumn("__one", zeroKey(small))),
+        Seq("__one"))
+      .drop("__one")
 }
