@@ -9072,7 +9072,71 @@ object Queries {
           CAST(SUM(sc * n_rows) AS BIGINT) AS rows_scanned,
           CAST(SUM(n_rows) AS BIGINT) AS rows_total
         FROM x GROUP BY layout, query_id
-        ORDER BY layout, query_id"""))
+        ORDER BY layout, query_id""")),
+
+    // Continuous ingest gate (Streaming.qualityAuditSink): q190's
+    // declarative Checks applied per MICRO-BATCH — staged 50-doc
+    // block files (fixed doc_id < 500 probe) arrive one per batch (maxFilesPerTrigger=1),
+    // each batch's audit rows land in the sink partitioned by a
+    // CONTENT-derived key (min block), so the result is independent of
+    // file-listing order and idempotent under foreachBatch replays
+    // (dynamic partition overwrite; QualityAuditSinkSpec pins the
+    // re-run). Oracle = the batch semantics per block.
+    GraftQuery(
+      "q197_streaming_quality_audit",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val staged = stagedCoarseBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q197_").toString
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        val gate = graft.streaming.Streaming.qualityAuditSink(
+          stream,
+          Seq(
+            graft.operators.Checks.Complete("n_chars"),
+            graft.operators.Checks.Satisfies("chars_pos",
+              col("n_chars") > 0),
+            graft.operators.Checks.Unique(Seq("doc_id")),
+            graft.operators.Checks.RowCountBetween(1, 50)),
+          b => b.agg(min(col("block")).as("batch_block")),
+          s"$base/audit", s"$base/ckpt")
+        gate.awaitTermination()
+        s.read.parquet(s"$base/audit")
+          .select(col("batch_block"), col("check"), col("violations"),
+            col("total"), col("passed"))
+          .orderBy(col("batch_block"), col("check"))
+      },
+      Some("""
+        WITH blk AS (
+          SELECT 'b' || lpad(CAST(doc_id // 50 AS VARCHAR), 4, '0')
+              AS batch_block,
+            CAST(COUNT(*) AS BIGINT) AS total,
+            CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_complete,
+            CAST(SUM(CASE WHEN n_chars > 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_pos,
+            CAST(COUNT(*) AS BIGINT)
+              - CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS v_uni
+          FROM documents WHERE doc_id < 500 GROUP BY 1),
+        u AS (
+          SELECT batch_block, 'complete(n_chars)' AS chk,
+            v_complete AS violations, total FROM blk
+          UNION ALL
+          SELECT batch_block, 'satisfies(chars_pos)', v_pos, total
+          FROM blk
+          UNION ALL
+          SELECT batch_block, 'unique(doc_id)', v_uni, total FROM blk
+          UNION ALL
+          SELECT batch_block, 'row_count_between(1,50)',
+            CAST(CASE WHEN total < 1 THEN 1 - total
+              WHEN total > 50 THEN total - 50 ELSE 0 END AS BIGINT),
+            total
+          FROM blk)
+        SELECT batch_block, chk AS "check", violations, total,
+          violations = 0 AS passed
+        FROM u ORDER BY batch_block, chk"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -9097,6 +9161,31 @@ object Queries {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           concat(lit("b"), lpad(expr("doc_id div 25").cast("string"),
+            4, "0")).as("block"))
+        .repartition(col("block"))
+        .write.partitionBy("block").mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Per-process cache of q197's block staging: 50-doc blocks over a
+    * FIXED doc_id < 500 probe window — one file per block = one
+    * micro-batch per block, 10 batches at every SF. Uncapped 25-doc
+    * blocks meant 200 micro-batches at sf0.1: the bench measured
+    * foreachBatch/commit machinery 20× over (77 s); the gate's
+    * correctness is batch-count-independent, so the probe pins the
+    * batch count and the bench prices ~10 commits (~7 s).
+    */
+  private val stagedCoarseBlocksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedCoarseBlocksFor(s: SparkSession, dir: String): String =
+    stagedCoarseBlocksCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q197_in_").toString
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"),
+          concat(lit("b"), lpad(expr("doc_id div 50").cast("string"),
             4, "0")).as("block"))
         .repartition(col("block"))
         .write.partitionBy("block").mode("overwrite").parquet(p)

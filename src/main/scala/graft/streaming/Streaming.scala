@@ -428,6 +428,49 @@ object Streaming {
       .start()
   }
 
+  /** Continuous ingest gate: every micro-batch runs the declarative
+    * [[graft.operators.Checks]] contract and lands its audit rows —
+    * tagged with a CONTENT-derived batch key — in a parquet sink,
+    * partitioned by that key. The batch form gates a scheduled
+    * publish; this is the same contract applied at ingest time, so a
+    * poisoned upstream batch is visible (with per-check violation
+    * counts) the moment it arrives, not at the next nightly audit.
+    *
+    * `batchKey` maps a batch to its ONE-ROW key frame (e.g.
+    * `b => b.agg(min("block").as("batch_block"))`) — keying by content
+    * rather than `batchId` makes the audit independent of file-listing
+    * order AND makes the sink idempotent: the write overwrites only
+    * the batch's own key partitions (dynamic partition overwrite), so
+    * foreachBatch's at-least-once replays land on the same rows
+    * instead of appending duplicates.
+    *
+    * Scale shape per batch: [[graft.operators.Checks.runChecks]]'s one
+    * shared scan-aggregate (+ per-Unique/per-ReferencedIn aggregates),
+    * a 1×N zero-key scalar attach, and a #checks-row write.
+    */
+  def qualityAuditSink(
+      stream: DataFrame,
+      checks: Seq[graft.operators.Checks.Check],
+      batchKey: DataFrame => DataFrame,
+      auditPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keyRow = batchKey(batch)
+          val audit = graft.core.Scalars.withScalars(
+            graft.operators.Checks.runChecks(batch, checks), keyRow)
+          audit.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(keyRow.columns.toIndexedSeq: _*)
+            .parquet(auditPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class VocabCount(value: String, count: Long)
 
   /** Streaming vocabulary: running value counts maintained with
