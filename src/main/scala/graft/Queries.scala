@@ -9136,7 +9136,231 @@ object Queries {
           FROM blk)
         SELECT batch_block, chk AS "check", violations, total,
           violations = 0 AS passed
-        FROM u ORDER BY batch_block, chk"""))
+        FROM u ORDER BY batch_block, chk""")),
+
+    // Unigram tokenizer scores (text/Unigram.fitScores): corpus-wide
+    // overlap-inclusive Aho-Corasick counts for the candidate set in
+    // ONE scan per doc, then add-one-smoothed Q20 log2 relative
+    // frequencies via the exact integer ilog2 (q48/q49's discipline).
+    // The oracle re-counts by position scan (overlap-inclusive by
+    // construction) and replays ilog2 as the 20-round square-and-shift
+    // recursion. 'zzz' never occurs — the smoothing floor is visible.
+    GraftQuery(
+      "q198_unigram_scores",
+      (s, dir) =>
+        graft.text.Unigram.fitScores(
+          t(s, dir, "documents"), "text",
+          Seq("key ", "agg ", "table ", "value ", "hash ", "row ",
+            "fast ", "key agg ", "row scan ", "scan ", "zzz"))
+          .orderBy(col("token")),
+      Some("""
+        WITH RECURSIVE
+        cands(tok) AS (VALUES ('key '), ('agg '), ('table '), ('value '),
+          ('hash '), ('row '), ('fast '), ('key agg '), ('row scan '),
+          ('scan '), ('zzz')),
+        pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1))
+                  AS i
+                FROM documents),
+        cnt0 AS (SELECT c.tok, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM pos p JOIN cands c
+                   ON substring(p.text, p.i, length(c.tok)) = c.tok
+                 GROUP BY 1),
+        cnt AS (SELECT c.tok, COALESCE(cnt0.cnt, 0) AS cnt
+                FROM cands c LEFT JOIN cnt0 USING (tok)),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt),
+        svals AS (SELECT DISTINCT (cnt + 1) * 1048576 AS s FROM cnt
+                  UNION SELECT (t + 11) * 1048576 FROM tot),
+        norm AS (SELECT s, length(bin(s)) AS bl,
+                   CASE WHEN length(bin(s)) >= 21
+                     THEN s >> (length(bin(s)) - 21)
+                     ELSE s << (21 - length(bin(s))) END AS m
+                 FROM svals),
+        iter(s, bl, i, m, frac) AS (
+          SELECT s, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT s, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (SELECT s, (bl - 21) * 1048576 + frac AS l
+                 FROM iter WHERE i = 20)
+        SELECT cnt.tok AS token, cnt.cnt AS "count",
+          lc.l - lt.l AS score
+        FROM cnt CROSS JOIN tot
+        JOIN ltab lc ON lc.s = (cnt.cnt + 1) * 1048576
+        JOIN ltab lt ON lt.s = (tot.t + 11) * 1048576
+        ORDER BY token""")),
+
+    // Unigram Viterbi segmentation (Unigram.segment over the native
+    // one-pass UnigramSegment DP): the globally best-scoring
+    // tokenization under literal integer scores — multi-word
+    // 'key agg ' (−12) beats 'key '+'agg ' (−17), which greedy
+    // longest-match cannot see past; uncovered chars fall back to
+    // single-char unk (−20). Ties go to the smallest start (longest
+    // last token). The oracle replays the DP as a recursive forward
+    // walk whose state is BOUNDED: only the last-10 window of best
+    // scores rides the recursion row (max vocab token is 9 chars, so
+    // no match reaches further back), and `from` pointers are emitted
+    // as plain rows for the backtrack to join — carrying full
+    // per-position lists instead is O(n²) state and took DuckDB >10
+    // min at this probe size. Fixed 40-doc × 300-char probe.
+    GraftQuery(
+      "q199_unigram_segment",
+      (s, dir) =>
+        graft.text.Unigram.segment(
+          t(s, dir, "documents").filter(col("doc_id") < 40)
+            .select(col("doc_id"),
+              substring(col("text"), 1, 300).as("text")),
+          "doc_id", "text",
+          Seq("key " -> -8L, "agg " -> -9L, "table " -> -10L,
+            "value " -> -10L, "hash " -> -10L, "row " -> -9L,
+            "fast " -> -10L, "key agg " -> -12L, "row scan " -> -15L,
+            "scan " -> -10L),
+          unkScore = -20L)
+          .orderBy(col("doc_id"), col("tok_id")),
+      Some("""
+        WITH RECURSIVE
+        dl AS MATERIALIZED (
+          SELECT doc_id, substring(text, 1, 300) AS text,
+            length(substring(text, 1, 300)) AS n
+          FROM documents WHERE doc_id < 40),
+        vocab(tok, sc) AS (VALUES
+          ('key ', -8), ('agg ', -9), ('table ', -10), ('value ', -10),
+          ('hash ', -10), ('row ', -9), ('fast ', -10), ('key agg ', -12),
+          ('row scan ', -15), ('scan ', -10)),
+        mj AS MATERIALIZED (
+          SELECT m.doc_id, m.j,
+            list({'i0': m.i0, 'sc': m.sc}) AS ms
+          FROM (SELECT p.doc_id, CAST(p.i - 1 AS BIGINT) AS i0,
+                  CAST(p.i - 1 + length(v.tok) AS BIGINT) AS j,
+                  CAST(v.sc AS BIGINT) AS sc
+                FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i
+                      FROM dl) p
+                JOIN vocab v
+                  ON substring(p.text, p.i, length(v.tok)) = v.tok) m
+          GROUP BY 1, 2),
+        w(doc_id, j, win, frm) AS (
+          SELECT doc_id, CAST(0 AS BIGINT),
+            [CAST(-1000000000 AS BIGINT), -1000000000, -1000000000,
+             -1000000000, -1000000000, -1000000000, -1000000000,
+             -1000000000, -1000000000, CAST(0 AS BIGINT)],
+            CAST(0 AS BIGINT)
+          FROM dl
+          UNION ALL
+          SELECT w.doc_id, w.j + 1,
+            list_append(w.win[2:10], nx.b), nx.f
+          FROM w
+          JOIN dl ON dl.doc_id = w.doc_id AND w.j < dl.n
+          LEFT JOIN mj ON mj.doc_id = w.doc_id AND mj.j = w.j + 1
+          , LATERAL (
+            SELECT list_transform(COALESCE(mj.ms, []),
+                     m -> {'i0': m.i0,
+                           'v': w.win[CAST(m.i0 - w.j + 10 AS INTEGER)]
+                             + m.sc}) AS cl,
+                   w.win[10] - 20 AS unkb
+          ) t1
+          , LATERAL (
+            SELECT GREATEST(COALESCE(
+              list_max(list_transform(t1.cl, x -> x.v)), t1.unkb),
+              t1.unkb) AS b
+          ) t2
+          , LATERAL (
+            SELECT t2.b,
+              COALESCE(list_min(list_transform(
+                list_filter(t1.cl, x -> x.v = t2.b), x -> x.i0)), w.j)
+                AS f
+          ) nx),
+        frm AS MATERIALIZED (SELECT doc_id, j, frm FROM w WHERE j > 0),
+        bt(doc_id, p, ord) AS (
+          SELECT doc_id, n, CAST(0 AS BIGINT) FROM dl
+          UNION ALL
+          SELECT b.doc_id, f.frm, b.ord + 1
+          FROM bt b JOIN frm f ON f.doc_id = b.doc_id AND f.j = b.p
+          WHERE b.p > 0),
+        tokc AS (SELECT doc_id, COUNT(*) AS tc FROM bt WHERE p > 0
+                 GROUP BY 1),
+        spans AS (
+          SELECT b.doc_id, tokc.tc - b.ord - 1 AS tok_id,
+            f.frm AS start, b.p - f.frm AS len
+          FROM bt b JOIN frm f ON f.doc_id = b.doc_id AND f.j = b.p
+          JOIN tokc ON tokc.doc_id = b.doc_id
+          WHERE b.p > 0)
+        SELECT s.doc_id, s.tok_id, s.start, s.len,
+          substring(dl.text, CAST(s.start + 1 AS INTEGER),
+            CAST(s.len AS INTEGER)) AS token
+        FROM spans s JOIN dl ON dl.doc_id = s.doc_id
+        ORDER BY s.doc_id, s.tok_id""")),
+
+    // WordPiece segmentation (text/WordPiece over the native
+    // WordPieceTokenize): per-word greedy longest-match with
+    // ##-prefixed continuation pieces and the all-or-nothing unk rule
+    // — 'stream' collapses to ONE [UNK] even though 'st'+'##re' match
+    // (flat maximal munch would keep them), 'order' takes 'ord'+'##er'
+    // (greedy init beats 'or'). Runs on the corpus' DISTINCT words
+    // (Heaps' law: vocabulary-sized work however big the corpus), with
+    // instance counts joined back. The oracle replays the greedy scan
+    // as a recursive longest-prefix walk over the distinct words.
+    GraftQuery(
+      "q200_wordpiece",
+      (s, dir) =>
+        graft.text.WordPiece.segmentDistinctWords(
+          t(s, dir, "documents"), "text",
+          Seq("key", "a", "agg", "the", "row", "hash",
+            "s", "##can", "##low", "##mall", "tab", "##le", "val",
+            "##ue", "b", "##atch", "win", "##dow", "or", "ord",
+            "##der", "##er", "st", "##re", "jo", "##in"))
+          .orderBy(col("word"), col("piece_id")),
+      Some("""
+        WITH RECURSIVE
+        words AS (
+          SELECT wd AS word, CAST(COUNT(*) AS BIGINT) AS n_instances
+          FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS wd
+                FROM documents)
+          WHERE length(wd) > 0 GROUP BY 1),
+        vocab(tok) AS (VALUES
+          ('key'), ('a'), ('agg'), ('the'), ('row'), ('hash'),
+          ('s'), ('##can'), ('##low'), ('##mall'), ('tab'), ('##le'),
+          ('val'), ('##ue'), ('b'), ('##atch'), ('win'), ('##dow'),
+          ('or'), ('ord'), ('##der'), ('##er'), ('st'), ('##re'),
+          ('jo'), ('##in')),
+        seg(word, p, pid, piece) AS (
+          SELECT word, CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+            CAST(NULL AS VARCHAR)
+          FROM words
+          UNION ALL
+          SELECT q.word, q.p + q.l, q.pid + 1,
+            CASE WHEN q.p = 1
+              THEN substring(q.word, 1, CAST(q.l AS INTEGER))
+              ELSE '##' || substring(q.word, CAST(q.p AS INTEGER),
+                CAST(q.l AS INTEGER)) END
+          FROM (
+            SELECT s.word, s.p, s.pid,
+              (SELECT max(CASE WHEN s.p = 1 THEN length(v.tok)
+                               ELSE length(v.tok) - 2 END)
+               FROM vocab v
+               WHERE CASE WHEN s.p = 1
+                 THEN v.tok NOT LIKE '##%'
+                   AND substring(s.word, 1, length(v.tok)) = v.tok
+                 ELSE v.tok LIKE '##%'
+                   AND substring(s.word, CAST(s.p AS INTEGER),
+                     length(v.tok) - 2) = substring(v.tok, 3) END) AS l
+            FROM seg s
+            WHERE s.p <= length(s.word)) q
+          WHERE q.l IS NOT NULL),
+        done AS (SELECT DISTINCT word FROM seg
+                 WHERE p = length(word) + 1),
+        allp AS (
+          SELECT s.word, s.pid AS piece_id, s.piece
+          FROM seg s JOIN done d ON d.word = s.word
+          WHERE s.pid >= 0
+          UNION ALL
+          SELECT w.word, CAST(0 AS BIGINT), '[UNK]'
+          FROM words w
+          WHERE w.word NOT IN (SELECT word FROM done))
+        SELECT a.word, w.n_instances, a.piece_id, a.piece
+        FROM allp a JOIN words w ON w.word = a.word
+        ORDER BY a.word, a.piece_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -95,7 +95,9 @@ class CompactionSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$src/f1")
     val manifest = Compaction.parquetManifest(spark, src)
       .withColumn("bytes",
-        when(col("path").contains("f0"), 0L).otherwise(10L))
+        // match the directory component, not a bare substring — part
+        // file names carry random hex UUIDs that can contain "f0"
+        when(col("path").contains("/f0/"), 0L).otherwise(10L))
     val plan = Compaction.planCompaction(manifest, "path", "bytes", 100L)
     val receipt = Compaction.compactParquet(plan, "path", s"$base/out")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
