@@ -9360,7 +9360,170 @@ object Queries {
           WHERE w.word NOT IN (SELECT word FROM done))
         SELECT a.word, w.n_instances, a.piece_id, a.piece
         FROM allp a JOIN words w ON w.word = a.word
-        ORDER BY a.word, a.piece_id"""))
+        ORDER BY a.word, a.piece_id""")),
+
+    // KMV sketch set algebra (sketch/Kmv): per-source k-minimum-values
+    // sketches over word bigrams, then distinct-count estimates AND all
+    // pairwise Jaccard estimates computed from the sketches ALONE —
+    // the "how much do these corpora overlap" question answered on
+    // k-row tables instead of a corpus×corpus join. Hashes are
+    // KrHash scrambled by the x^5 mod p power permutation (KrHash's
+    // rolling polynomial clusters similar strings; a bottom-k
+    // estimator reads cardinality off an order statistic and needs
+    // uniformity), so sketches, integer-division estimates and the
+    // one-division Jaccard all replay exactly.
+    GraftQuery(
+      "q203_kmv_corpus_overlap",
+      (s, dir) => {
+        val bigrams = t(s, dir, "documents")
+          .select(col("source"),
+            filter(split(col("text"), " "), x => x =!= "").as("__w"))
+          .filter(size(col("__w")) > 1)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(__w) - 2), " +
+              "i -> concat(__w[i], ' ', __w[i + 1]))")).as("bigram"))
+        val sk = graft.sketch.Kmv.sketch(
+          bigrams, Seq("source"), col("bigram"), k = 64)
+        val est = graft.sketch.Kmv.distinctEstimate(sk, Seq("source"), k = 64)
+        graft.sketch.Kmv.pairwiseJaccard(sk, "source", k = 64)
+          .join(est.select(col("source").as("ga"),
+            col("distinct_est").as("est_a")), Seq("ga"))
+          .join(est.select(col("source").as("gb"),
+            col("distinct_est").as("est_b")), Seq("gb"))
+          .select(col("ga"), col("gb"), col("k_used"), col("n_common"),
+            col("n_a"), col("n_b"), col("jaccard_est"),
+            col("est_a"), col("est_b"))
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        bg AS (
+          SELECT DISTINCT source, w[i] || ' ' || w[i + 1] AS bigram
+          FROM (SELECT source, w, unnest(range(1, len(w))) AS i
+                FROM t WHERE len(w) > 1)),
+        hh AS (
+          SELECT source,
+            list_reduce(
+              list_transform(range(1, length(bigram) + 1),
+                j -> CAST(ord(substring(bigram, CAST(j AS INTEGER), 1))
+                  AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS h0
+          FROM bg),
+        dh AS (
+          SELECT DISTINCT source,
+            (((((h0 * h0) % 2147483647) * ((h0 * h0) % 2147483647))
+              % 2147483647) * h0) % 2147483647 AS h
+          FROM hh),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dh)
+          WHERE rn <= 64),
+        est AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+            CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                 ELSE (63 * CAST(2147483647 AS BIGINT)) // MAX(h) END
+                   AS distinct_est
+          FROM sk GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM sk),
+        pairs AS (SELECT a.source AS ga, b.source AS gb
+                  FROM srcs a, srcs b WHERE a.source < b.source),
+        u AS (
+          SELECT p.ga, p.gb, s.h,
+            MAX(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+            MAX(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN sk s ON s.source = p.ga OR s.source = p.gb
+          GROUP BY 1, 2, 3),
+        uk AS (
+          SELECT * FROM (
+            SELECT u.*, row_number()
+              OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM u)
+          WHERE rn <= 64),
+        agg AS (
+          SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS k_used,
+            CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+            CAST(SUM(in_a) AS BIGINT) AS n_a,
+            CAST(SUM(in_b) AS BIGINT) AS n_b
+          FROM uk GROUP BY 1, 2)
+        SELECT agg.ga, agg.gb, agg.k_used, agg.n_common, agg.n_a,
+          agg.n_b,
+          CAST(agg.n_common AS DOUBLE) / CAST(agg.k_used AS DOUBLE)
+            AS jaccard_est,
+          ea.distinct_est AS est_a, eb.distinct_est AS est_b
+        FROM agg
+        JOIN est ea ON ea.source = agg.ga
+        JOIN est eb ON eb.source = agg.gb
+        ORDER BY agg.ga, agg.gb""")),
+
+    // ORC roundtrip through Spark's built-in columnar source: lineitem
+    // staged ONCE per process as a Hive-partitioned ORC layout
+    // (partitionBy l_returnflag), then read back with a partition
+    // filter — the scan must prune to the 'A' directory (OrcScanSpec
+    // pins pushed filters and the pruned partition count) — and
+    // aggregated. The oracle computes the same aggregate from the
+    // original parquet: the roundtrip is lossless iff they hash-match.
+    // Decimal-exact sums with one final cast (the q01 discipline).
+    GraftQuery(
+      "q201_orc_roundtrip",
+      (s, dir) => {
+        val staged = orcStagedFor(s, dir)
+        s.read.orc(staged)
+          .filter(col("l_returnflag") === "A")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_linestatus, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+            AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+            AS sum_price
+        FROM lineitem WHERE l_returnflag = 'A'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Opaque binary ingestion through Spark's binaryFile source — the
+    // multimodal on-ramp: media blobs arrive as FILES, and the
+    // pipeline's first move is (path, length, content) rows with
+    // pathGlobFilter doing the format triage (a staged decoy .json is
+    // filtered out by the SOURCE, not post-hoc). Staged once per
+    // process: one ASCII .txt per 50-doc block (fixed doc_id < 500
+    // probe — file COUNT is the cost knob, as in q197), content
+    // derived from document text so every byte is engine-replayable.
+    // The oracle rebuilds each file's bytes and checks length + md5 +
+    // head — proving the binary content survived ingestion bit-for-bit
+    // (the same check a real image/audio lake runs after transfer).
+    GraftQuery(
+      "q202_binaryfile_ingest",
+      (s, dir) => {
+        val staged = binaryFilesFor(s, dir)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .load(staged)
+          .select(
+            regexp_extract(col("path"), "(b\\d+)\\.txt", 1).as("block"),
+            col("length"),
+            md5(col("content")).as("content_md5"),
+            substring(col("content").cast("string"), 1, 16).as("head"))
+          .orderBy(col("block"))
+      },
+      Some("""
+        WITH blk AS (
+          SELECT doc_id // 50 AS bn,
+            string_agg(text, chr(10) ORDER BY doc_id) AS content
+          FROM documents WHERE doc_id < 500 GROUP BY 1)
+        SELECT 'b' || lpad(CAST(bn AS VARCHAR), 4, '0') AS block,
+          CAST(length(content) AS BIGINT) AS length,
+          md5(content) AS content_md5,
+          substring(content, 1, 16) AS head
+        FROM blk ORDER BY block"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -9414,6 +9577,56 @@ object Queries {
         .repartition(col("block"))
         .write.partitionBy("block").mode("overwrite").parquet(p)
       p
+    })
+
+  /** Per-process cache of q201's ORC staging: lineitem rewritten once
+    * as a Hive-partitioned ORC layout (partitionBy l_returnflag, one
+    * shuffle) — staging is fixture; the query prices the ORC read.
+    */
+  private val orcStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcStagedFor(s: SparkSession, dir: String): String =
+    orcStageCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q201_orc_").toString
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+        .repartition(col("l_returnflag"))
+        .write.partitionBy("l_returnflag").mode("overwrite").orc(p)
+      p
+    })
+
+  /** Per-process cache of q202's binary staging: one ASCII .txt per
+    * 50-doc block (fixed doc_id < 500 probe → 10 files) with content
+    * derived from document text, plus a decoy .json the source-level
+    * pathGlobFilter must exclude. Driver-side writes — 11 bounded
+    * files, the TFRecord-manifest contract.
+    */
+  private val binaryStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def binaryFilesFor(s: SparkSession, dir: String): String =
+    binaryStageCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_q202_bin_")
+      val blocks = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .groupBy(expr("doc_id div 50").as("block"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("content"))
+        .collect()
+      blocks.foreach { r =>
+        val name = f"b${r.getLong(0)}%04d.txt"
+        java.nio.file.Files.write(p.resolve(name),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(p.resolve("manifest.json"),
+        "{\"decoy\": true}".getBytes("UTF-8"))
+      p.toString
     })
 
   private val postingsIndexCache =
