@@ -9523,7 +9523,76 @@ object Queries {
           CAST(length(content) AS BIGINT) AS length,
           md5(content) AS content_md5,
           substring(content, 1, 16) AS head
-        FROM blk ORDER BY block"""))
+        FROM blk ORDER BY block""")),
+
+    // Streaming KMV maintenance (Streaming.kmvSketchSink /
+    // mergedKmvSketch): per-source bigram sketches computed per
+    // MICRO-BATCH (10 staged 50-doc blocks, one per batch), landed
+    // under content-derived keys (replay-idempotent), then MERGED —
+    // and because KMV is union-mergeable with zero loss, the merged
+    // estimates must equal the batch-computed q203-style estimates
+    // exactly. The oracle computes the batch sketch over the same
+    // probe corpus: streaming == batch is the assertion.
+    GraftQuery(
+      "q204_streaming_kmv",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val staged = stagedTextBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q204_").toString
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        val bigrams = stream
+          .select(col("block"), col("source"),
+            filter(split(col("text"), " "), x => x =!= "").as("__w"))
+          .filter(size(col("__w")) > 1)
+          .select(col("block"), col("source"), explode(expr(
+            "transform(sequence(0, size(__w) - 2), " +
+              "i -> concat(__w[i], ' ', __w[i + 1]))")).as("bigram"))
+        graft.streaming.Streaming.kmvSketchSink(
+          bigrams, Seq("source"), col("bigram"), k = 64,
+          b => b.agg(min(col("block")).as("batch_block")),
+          s"$base/sketch", s"$base/ckpt")
+          .awaitTermination()
+        val merged = graft.streaming.Streaming.mergedKmvSketch(
+          s, s"$base/sketch", Seq("source"), k = 64)
+        graft.sketch.Kmv.distinctEstimate(merged, Seq("source"), k = 64)
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents WHERE doc_id < 500),
+        bg AS (
+          SELECT DISTINCT source, w[i] || ' ' || w[i + 1] AS bigram
+          FROM (SELECT source, w, unnest(range(1, len(w))) AS i
+                FROM t WHERE len(w) > 1)),
+        hh AS (
+          SELECT source,
+            list_reduce(
+              list_transform(range(1, length(bigram) + 1),
+                j -> CAST(ord(substring(bigram, CAST(j AS INTEGER), 1))
+                  AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS h0
+          FROM bg),
+        dh AS (
+          SELECT DISTINCT source,
+            (((((h0 * h0) % 2147483647) * ((h0 * h0) % 2147483647))
+              % 2147483647) * h0) % 2147483647 AS h
+          FROM hh),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dh)
+          WHERE rn <= 64)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+          CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+               ELSE (63 * CAST(2147483647 AS BIGINT)) // MAX(h) END
+            AS distinct_est
+        FROM sk GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -9572,6 +9641,29 @@ object Queries {
       Tables.load(s, dir, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("n_chars"),
+          concat(lit("b"), lpad(expr("doc_id div 50").cast("string"),
+            4, "0")).as("block"))
+        .repartition(col("block"))
+        .write.partitionBy("block").mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Per-process cache of q204's text-block staging: documents with
+    * TEXT, one parquet file per 50-doc block over the fixed
+    * doc_id < 500 probe (10 files = 10 micro-batches, the q197 batch
+    * sizing) — q197's staging carries only counts, the streaming KMV
+    * needs the text.
+    */
+  private val stagedTextBlocksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedTextBlocksFor(s: SparkSession, dir: String): String =
+    stagedTextBlocksCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q204_in_").toString
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("source"), col("text"),
           concat(lit("b"), lpad(expr("doc_id div 50").cast("string"),
             4, "0")).as("block"))
         .repartition(col("block"))

@@ -471,6 +471,60 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming KMV sketch maintenance: each micro-batch's bounded
+    * (#groups × k)-row [[graft.sketch.Kmv]] sketch lands in
+    * `sketchPath` partitioned by a CONTENT-derived batch key (dynamic
+    * partition overwrite — the [[qualityAuditSink]] idempotency
+    * discipline: a foreachBatch replay rewrites its own partition, and
+    * even a duplicated sketch row is harmless because KMV merging
+    * dedups by hash value).
+    *
+    * Why this is the right streaming shape: KMV is UNION-MERGEABLE
+    * with zero loss — a value among the k smallest of the whole stream
+    * has at most k−1 values below it anywhere, so it is among the k
+    * smallest of its own batch; merging batch sketches
+    * ([[mergedKmvSketch]]) therefore reconstructs the batch-computed
+    * sketch EXACTLY, not approximately. Per-batch state is bounded by
+    * #groups × k; nothing rides the state store.
+    */
+  def kmvSketchSink(
+      stream: DataFrame, groupCols: Seq[String], value: Column, k: Int,
+      batchKey: DataFrame => DataFrame,
+      sketchPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keyRow = batchKey(batch)
+          val sk = graft.core.Scalars.withScalars(
+            graft.sketch.Kmv.sketch(batch, groupCols, value, k,
+              materialize = false),
+            keyRow)
+          sk.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(keyRow.columns.toIndexedSeq: _*)
+            .parquet(sketchPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Merge a [[kmvSketchSink]] store back into the per-group sketch:
+    * distinct (group, h) across batches — the same hash CAN surface in
+    * several batches — then the k smallest per group. Runs on the
+    * store's #batches × #groups × k rows, never the stream's data.
+    */
+  def mergedKmvSketch(
+      spark: org.apache.spark.sql.SparkSession, sketchPath: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    graft.operators.GroupLimit.topKPerGroup(
+      spark.read.parquet(sketchPath)
+        .select((groupCols :+ "h").map(col): _*)
+        .distinct(),
+      groupCols, Seq(col("h")), k)
+
   final case class VocabCount(value: String, count: Long)
 
   /** Streaming vocabulary: running value counts maintained with
