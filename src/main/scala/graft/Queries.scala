@@ -9592,7 +9592,111 @@ object Queries {
           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
                ELSE (63 * CAST(2147483647 AS BIGINT)) // MAX(h) END
             AS distinct_est
-        FROM sk GROUP BY 1 ORDER BY 1"""))
+        FROM sk GROUP BY 1 ORDER BY 1""")),
+
+    // Rank-biased overlap (eval/RetrievalMetrics.rboQ20): how much
+    // ranking fidelity does int8 quantization cost? Ranking A = exact
+    // cosine top-10 (the q12 brute-force path), ranking B =
+    // reconstructed int8 dot top-10 (the q36 quantization), RBO at
+    // p = 1/2 in Q20 fixed point — geometric weights are exact powers
+    // of two, so the top-weighted agreement score is pure integer
+    // arithmetic. 20 query vectors; quadratic-by-contract scoring like
+    // q12/q24 (the zero-key broadcast product), RBO itself runs on
+    // 200-row rank tables.
+    GraftQuery(
+      "q205_rbo_quantization",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val rankA = graft.operators.GroupLimit.topKPerGroup(
+          graft.sim.Similarity.bruteForceTopK(
+            emb, "vec_id", "embedding", qs, k = 10),
+          Seq("query_id"), Seq(col("score").desc, col("vec_id")), 10,
+          rankCol = "rank")
+        val coded = emb
+          .select(col("vec_id"), col("embedding"),
+            graft.sim.Quantize.int8Scale(col("embedding")).as("scale"))
+          .select(col("vec_id"), col("scale"),
+            graft.sim.Quantize.int8Codes(col("embedding"), col("scale"))
+              .as("codes"))
+        val qcoded = coded.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            col("scale").as("qscale"), col("codes").as("qcodes"))
+        val scored = graft.core.Scalars.withEach(coded, qcoded)
+          .select(col("query_id"), col("vec_id"),
+            (graft.sim.Quantize.dotInt(col("codes"), col("qcodes"))
+              .cast("double") * col("scale") * col("qscale")).as("score"))
+        val rankB = graft.operators.GroupLimit.topKPerGroup(
+          scored, Seq("query_id"),
+          Seq(col("score").desc, col("vec_id")), 10, rankCol = "rank")
+        graft.eval.RetrievalMetrics.rboQ20(
+          rankA, rankB, "query_id", "vec_id", "rank", depth = 10)
+          .orderBy(col("query"))
+      },
+      Some("""
+        WITH qv AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+        cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+        sA AS (SELECT query_id, vec_id,
+                 list_reduce(list_transform(cv, (x,i) -> x * qv[i]),
+                   (a,b) -> a + b)
+                 / (sqrt(list_reduce(list_transform(cv, x -> x * x),
+                     (a,b) -> a + b))
+                    * sqrt(list_reduce(list_transform(qv, x -> x * x),
+                     (a,b) -> a + b))) AS score
+               FROM cv, qv),
+        rA AS (SELECT query_id, vec_id, rn FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rn FROM sA)
+               WHERE rn <= 10),
+        qz AS (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+               FROM embeddings),
+        cz AS (SELECT vec_id, scale,
+                 list_transform(embedding,
+                   x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(least(greatest(
+                       floor(CAST(x AS DOUBLE) / scale + 0.5),
+                       -127), 127) AS BIGINT) END) AS codes
+               FROM qz),
+        qq AS (SELECT vec_id AS query_id, scale AS qscale,
+                 codes AS qcodes
+               FROM cz WHERE vec_id < 20),
+        sB AS (SELECT qq.query_id, cz.vec_id,
+                 CAST(list_reduce(
+                   list_transform(cz.codes, (x,i) -> x * qq.qcodes[i]),
+                   (a,b) -> a + b) AS DOUBLE)
+                   * cz.scale * qq.qscale AS score
+               FROM cz, qq),
+        rB AS (SELECT query_id, vec_id, rn FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rn FROM sB)
+               WHERE rn <= 10),
+        mt AS (SELECT a.query_id AS q, greatest(a.rn, b.rn) AS m
+               FROM rA a JOIN rB b
+                 ON a.query_id = b.query_id AND a.vec_id = b.vec_id),
+        pc AS (SELECT q, m, CAST(COUNT(*) AS BIGINT) AS c
+               FROM mt GROUP BY 1, 2),
+        dd AS (SELECT unnest(range(1, 11)) AS d),
+        ov AS (SELECT pc.q, dd.d, CAST(SUM(pc.c) AS BIGINT) AS ov
+               FROM pc JOIN dd ON pc.m <= dd.d GROUP BY 1, 2),
+        sc AS (SELECT q,
+                 CAST(SUM((ov * CAST(1048576 AS BIGINT))
+                   // (d * (CAST(1 AS BIGINT) << d))) AS BIGINT)
+                   AS rbo_q20,
+                 MAX(CASE WHEN d = 10 THEN ov END) AS n_common
+               FROM ov GROUP BY 1),
+        aq AS (SELECT query_id AS q FROM rA
+               UNION SELECT query_id FROM rB)
+        SELECT aq.q AS query,
+          COALESCE(sc.n_common, CAST(0 AS BIGINT)) AS n_common,
+          COALESCE(sc.rbo_q20, CAST(0 AS BIGINT)) AS rbo_q20
+        FROM aq LEFT JOIN sc ON sc.q = aq.q ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

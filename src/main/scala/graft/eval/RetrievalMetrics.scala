@@ -92,4 +92,63 @@ object RetrievalMetrics {
       .select(col("query"), col("n_rel"), col("first_rel_rank"),
         col("mrr_q"), col("dcg_q"), col("idcg_q"), col("ndcg"))
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two rankings of
+    * the same queries, truncated at `depth`, with persistence p = 1/2
+    * in Q20 fixed point: `rbo_q20 = Σ_{d=1..depth} ⌊overlap_d·2²⁰ /
+    * (d·2^d)⌋` where `overlap_d = |top-d(A) ∩ top-d(B)|` (each term is
+    * `(1−p)p^{d−1}·A_d` with A_d the agreement at depth d; p = 1/2
+    * makes the geometric weights exact powers of two, so the whole
+    * score is integer arithmetic — replayable anywhere).
+    *
+    * THE metric for "how much did ranking quality change": comparing
+    * an ANN/quantized ranking against the exact one, or yesterday's
+    * ranker against today's, top-weighted the way users read results.
+    *
+    * Inputs are `(queryCol, itemCol, rankCol)` with 1-based ranks;
+    * rows ranked beyond `depth` are ignored. Output `(query, n_common,
+    * rbo_q20)` for every query in either ranking — disjoint rankings
+    * score 0, identical depth-`depth` rankings score
+    * `Σ 2²⁰ div 2^d` (= 1 − 2^−depth in Q20).
+    *
+    * Scale shape: one equi-join on (query, item), one count per
+    * (query, join-depth), a `depth`-row broadcast expansion
+    * ([[graft.core.Scalars.withEach]] — no nested loops), two
+    * map-side-combinable aggregates. Per-query work is O(depth²) on
+    * count tables, never on corpus rows.
+    */
+  def rboQ20(
+      a: DataFrame, b: DataFrame, queryCol: String, itemCol: String,
+      rankCol: String, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 40,
+      s"depth must be in [1, 40] (2^depth rides a long), got $depth")
+    val aa = a.select(col(queryCol).as("query"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("__ra"))
+      .filter(col("__ra") >= 1L && col("__ra") <= depth)
+    val bb = b.select(col(queryCol).as("query"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("__rb"))
+      .filter(col("__rb") >= 1L && col("__rb") <= depth)
+    // an item is in both prefixes from depth max(ra, rb) onward
+    val joined = aa.join(bb, Seq("query", "__i"))
+      .select(col("query"), greatest(col("__ra"), col("__rb")).as("__m"))
+    val perDepthCounts = joined
+      .groupBy(col("query"), col("__m")).agg(count(lit(1)).as("__c"))
+    val depths = a.sparkSession.range(1, depth + 1).toDF("__d")
+    val scores = graft.core.Scalars.withEach(perDepthCounts, depths)
+      .filter(col("__m") <= col("__d"))
+      .groupBy(col("query"), col("__d"))
+      .agg(sum(col("__c")).as("__ov"))
+      .groupBy(col("query"))
+      .agg(sum(expr(
+        s"(__ov * ${1L << 20}L) div (__d * shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(__d AS INT)))")).as("rbo_q20"),
+        max(when(col("__d") === depth.toLong, col("__ov")))
+          .as("__nc_at_depth"))
+    val allQueries = aa.select(col("query"))
+      .unionAll(bb.select(col("query"))).distinct()
+    allQueries.join(scores, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("__nc_at_depth"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_q20"), lit(0L)).as("rbo_q20"))
+  }
 }
