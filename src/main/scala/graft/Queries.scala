@@ -8695,15 +8695,16 @@ object Queries {
                 row_number() OVER (ORDER BY rem DESC, stratum) AS rk
               FROM b),
         req AS (SELECT r.stratum,
-                  base + CASE WHEN rk <= 1000 - x.sb THEN 1 ELSE 0 END
-                    AS requested
+                  CAST(base + CASE WHEN rk <= 1000 - x.sb THEN 1 ELSE 0 END
+                    AS BIGINT) AS requested
                 FROM r, x),
         avail AS (SELECT lang, COUNT(*) AS available
                   FROM documents GROUP BY lang)
         SELECT req.stratum,
           COALESCE(avail.available, 0) AS available,
           req.requested,
-          LEAST(req.requested, COALESCE(avail.available, 0)) AS allocated
+          CAST(LEAST(req.requested, COALESCE(avail.available, 0))
+            AS BIGINT) AS allocated
         FROM req LEFT JOIN avail ON avail.lang = req.stratum
         ORDER BY req.stratum""")),
 
@@ -8727,43 +8728,43 @@ object Queries {
           graft.operators.Checks.RowCountBetween(1L, 100000000L),
           graft.operators.Checks.ReferencedIn("l_orderkey",
             t(s, dir, "orders"), "o_orderkey")))
-          .orderBy(col("check"))
+          .orderBy(col("check_idx"))
       },
       Some("""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
         c AS (
-          SELECT 'complete(l_returnflag)' AS chk,
+          SELECT 0 AS idx, 'complete(l_returnflag)' AS chk,
             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS violations
           FROM lineitem
           UNION ALL
-          SELECT 'satisfies(qty_range)',
+          SELECT 1, 'satisfies(qty_range)',
             CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
               THEN 0 ELSE 1 END) AS BIGINT)
           FROM lineitem
           UNION ALL
-          SELECT 'satisfies(low_discount)',
+          SELECT 2, 'satisfies(low_discount)',
             CAST(SUM(CASE WHEN l_discount <= 0.05e0 THEN 0 ELSE 1 END)
               AS BIGINT)
           FROM lineitem
           UNION ALL
-          SELECT 'unique(l_orderkey,l_linenumber)',
+          SELECT 3, 'unique(l_orderkey,l_linenumber)',
             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) -
             (SELECT CAST(COUNT(*) AS BIGINT) FROM
               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
           UNION ALL
-          SELECT 'row_count_between(1,100000000)',
+          SELECT 4, 'row_count_between(1,100000000)',
             (SELECT CAST(CASE WHEN COUNT(*) < 1 THEN 1 - COUNT(*)
               WHEN COUNT(*) > 100000000 THEN COUNT(*) - 100000000
               ELSE 0 END AS BIGINT) FROM lineitem)
           UNION ALL
-          SELECT 'referenced_in(l_orderkey)',
+          SELECT 5, 'referenced_in(l_orderkey)',
             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
              WHERE l.l_orderkey IS NOT NULL
                AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
-        SELECT chk AS "check", violations, n.total,
-          violations = 0 AS passed
-        FROM c, n ORDER BY chk""")),
+        SELECT CAST(idx AS BIGINT) AS check_idx, chk AS "check",
+          violations, n.total, violations = 0 AS passed
+        FROM c, n ORDER BY idx""")),
 
     // Join pre-flight audit, summary form (operators/JoinAudit): exact
     // inner-join output forecast + key-overlap profile for
@@ -8861,7 +8862,8 @@ object Queries {
                   AS pre
               FROM m)
         SELECT path, bytes,
-          CASE WHEN bytes = 0 THEN -1 ELSE pre // 120000 END AS "group"
+          CAST(CASE WHEN bytes = 0 THEN -1 ELSE pre // 120000 END
+            AS BIGINT) AS "group"
         FROM p ORDER BY path""")),
 
     // Sentence-boundary-aware chunking (Chunking.chunkBySentences over
@@ -8992,7 +8994,7 @@ object Queries {
             COALESCE(SUM(bytes) OVER (ORDER BY b
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
           FROM blk)
-        SELECT pre // 120000 AS "group",
+        SELECT CAST(pre // 120000 AS BIGINT) AS "group",
           CAST(COUNT(*) AS BIGINT) AS n_files_in,
           CAST(SUM(n) AS BIGINT) AS n_rows,
           CAST(SUM(sd) AS BIGINT) AS sum_doc

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   *   - [[Checks.ReferencedIn]]: referential integrity — every non-NULL
   *     key exists in a dimension.
   *
-  * Output: one row per check — `(check, violations, total, passed)` —
-  * ordered as declared. `violations`/`total` make the row actionable
+  * Output: one row per check — `(check_idx, check, violations, total,
+  * passed)`. Rows come out grouped by check KIND (row-level checks
+  * share one scan and plan together), not in declaration order —
+  * `check_idx` carries each check's declared position, so join results
+  * back to declarations by index, never by row position.
+  * `violations`/`total` make the row actionable
   * (0.01% bad vs 40% bad are different incidents); `passed` is the
   * machine gate (`assertAll` raises on the first false).
   *
@@ -71,41 +75,49 @@ object Checks {
     def name = s"referenced_in($col)"
   }
 
-  /** The audit table: `(check, violations, total, passed)`, one row per
-    * declared check, in declaration order via the hidden sort handled
-    * by callers (the table is #checks-sized; order it as needed).
+  /** The audit table: `(check_idx, check, violations, total, passed)`,
+    * one row per declared check. `check_idx` is the check's POSITION in
+    * the declared list — rows come out grouped by check kind (the
+    * shared-scan checks plan together), so match results back to
+    * declarations by `check_idx`, never by row position.
     */
   def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "runChecks needs at least one check")
     val spark = df.sparkSession
+    val indexed = checks.zipWithIndex
 
     // One shared-scan aggregate row for all row-level checks + count.
-    val rowLevel: Seq[(Check, Column)] = checks.collect {
-      case c @ Complete(colName) =>
+    val rowLevel: Seq[(Check, Int, Column)] = indexed.collect {
+      case (c @ Complete(colName), i) =>
         // coalesce: an EMPTY batch has zero violations, not NULL ones
-        c -> coalesce(sum(when(col(colName).isNull, 1L).otherwise(0L)), lit(0L))
-      case c @ Satisfies(_, pred) =>
-        c -> coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+        (c, i,
+          coalesce(sum(when(col(colName).isNull, 1L).otherwise(0L)), lit(0L)))
+      case (c @ Satisfies(_, pred), i) =>
+        (c, i,
+          coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+            lit(0L)))
     }
     val aggCols = count(lit(1)).as("__n") +:
-      rowLevel.zipWithIndex.map { case ((_, e), i) => e.as(s"__v$i") }
+      rowLevel.map { case (_, i, e) => e.as(s"__v$i") }
     val base = df.agg(aggCols.head, aggCols.tail: _*)
 
-    def row(check: Check, violations: Column): Column =
-      struct(lit(check.name).as("check"),
+    def row(check: Check, idx: Int, violations: Column): Column =
+      struct(lit(idx.toLong).as("check_idx"),
+        lit(check.name).as("check"),
         violations.cast("long").as("violations"),
         col("__n").as("total"),
         (violations === 0L).as("passed"))
 
-    val rowLevelRows: Seq[Column] = rowLevel.zipWithIndex.map {
-      case ((c, _), i) => row(c, col(s"__v$i"))
+    val rowLevelRows: Seq[Column] = rowLevel.map {
+      case (c, i, _) => row(c, i, col(s"__v$i"))
     }
-    val countRows: Seq[Column] = checks.collect {
-      case c @ RowCountBetween(lo, hi) =>
+    val countRows: Seq[Column] = indexed.collect {
+      case (c @ RowCountBetween(lo, hi), i) =>
         val dist = when(col("__n") < lo, lit(lo) - col("__n"))
           .when(col("__n") > hi, col("__n") - lit(hi))
           .otherwise(lit(0L))
-        struct(lit(c.name).as("check"),
+        struct(lit(i.toLong).as("check_idx"),
+          lit(c.name).as("check"),
           dist.cast("long").as("violations"),
           col("__n").as("total"),
           (dist === 0L).as("passed"))
@@ -118,31 +130,34 @@ object Checks {
 
     // Unique: duplicate rows = total keyed rows − distinct keys, from a
     // distinct-key-sized aggregate.
-    val uniqueFrames = checks.collect { case c @ Unique(cols) =>
+    val uniqueFrames = indexed.collect { case (c @ Unique(cols), i) =>
       df.groupBy(cols.map(col).toIndexedSeq: _*)
         .agg(count(lit(1)).as("__c"))
         .agg(coalesce(sum(col("__c")), lit(0L)).as("__tot"),
           count(lit(1)).as("__keys"))
-        .select(lit(c.name).as("check"),
+        .select(lit(i.toLong).as("check_idx"),
+          lit(c.name).as("check"),
           (col("__tot") - col("__keys")).as("violations"),
           col("__tot").as("total"),
           (col("__tot") === col("__keys")).as("passed"))
     }
 
     // ReferencedIn: orphan keys via anti-join, reduced to one count.
-    val refFrames = checks.collect { case c @ ReferencedIn(colName, dim, dimCol) =>
-      val nRow = df.agg(count(lit(1)).as("__n"))
-      val orphans = df.filter(col(colName).isNotNull)
-        .join(dim.select(col(dimCol).as("__dk")).distinct(),
-          col(colName) === col("__dk"), "left_anti")
-        .agg(count(lit(1)).as("__orphans"))
-      // 1×1 attach through the zero-key broadcast hash join — a bare
-      // crossJoin would plan the BNLJ PlanGuardSpec forbids.
-      graft.core.Scalars.withScalars(orphans, nRow)
-        .select(lit(c.name).as("check"),
-          col("__orphans").as("violations"),
-          col("__n").as("total"),
-          (col("__orphans") === 0L).as("passed"))
+    val refFrames = indexed.collect {
+      case (c @ ReferencedIn(colName, dim, dimCol), i) =>
+        val nRow = df.agg(count(lit(1)).as("__n"))
+        val orphans = df.filter(col(colName).isNotNull)
+          .join(dim.select(col(dimCol).as("__dk")).distinct(),
+            col(colName) === col("__dk"), "left_anti")
+          .agg(count(lit(1)).as("__orphans"))
+        // 1×1 attach through the zero-key broadcast hash join — a bare
+        // crossJoin would plan the BNLJ PlanGuardSpec forbids.
+        graft.core.Scalars.withScalars(orphans, nRow)
+          .select(lit(i.toLong).as("check_idx"),
+            lit(c.name).as("check"),
+            col("__orphans").as("violations"),
+            col("__n").as("total"),
+            (col("__orphans") === 0L).as("passed"))
     }
 
     (fromScan ++ uniqueFrames ++ refFrames).reduce(_ unionByName _)

@@ -76,6 +76,17 @@ object Compaction {
   private def normalizePath(p: org.apache.spark.sql.Column) =
     regexp_replace(p, "^[a-zA-Z0-9.+-]+:/+", "/")
 
+  /** `input_file_name()` reports the percent-ENCODED URI string
+    * (space → `%20`) while `Path.toUri.getPath` listings are decoded;
+    * decode before joining or every file whose path contains an
+    * encodable character silently drops from the plan join. A literal
+    * `+` in a URI path means `+` (never space), but `url_decode`
+    * follows form-encoding and would turn it into one — protect it as
+    * `%2B` first so the decode round-trips it.
+    */
+  private def decodeFileUri(p: org.apache.spark.sql.Column) =
+    url_decode(regexp_replace(p, "\\+", "%2B"))
+
   /** Manifest of a directory's parquet part files as `(path, bytes)`,
     * paths normalized scheme-free. Driver-side filesystem listing —
     * #files-sized, the same bounded contract as the TFRecord manifest.
@@ -120,8 +131,16 @@ object Compaction {
     val paths = planned.select(col("__path")).collect().map(_.getString(0))
     require(paths.nonEmpty, "compactParquet: plan has no rewritable groups")
     val data = spark.read.parquet(paths.toIndexedSeq: _*)
-      .withColumn("__path", normalizePath(input_file_name()))
-    data.join(broadcast(planned), Seq("__path"))
+      .withColumn("__path", normalizePath(decodeFileUri(input_file_name())))
+    // Left join + raise on miss: only planned paths were passed to the
+    // scan, so an unmatched row can only mean a path-normalization
+    // mismatch — fail loudly rather than silently lose that file's rows.
+    data.join(broadcast(planned), Seq("__path"), "left")
+      .withColumn("group",
+        when(col("group").isNull, raise_error(concat(
+          lit("compactParquet: scanned file missing from plan "),
+          lit("(path normalization mismatch): "), col("__path"))))
+          .otherwise(col("group")))
       .drop("__path")
       .repartition(col("group"))
       .write.partitionBy("group").mode("overwrite").parquet(outDir)

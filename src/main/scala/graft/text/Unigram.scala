@@ -36,7 +36,6 @@ object Unigram {
     require(candidates.nonEmpty, "need at least one candidate token")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q20 = 1L << 20
     val counts = corpus
       .select(posexplode(
         MultiPatternCount.multiPatternCount(col(textCol), candidates))
@@ -49,11 +48,17 @@ object Unigram {
       .select(col("token"), coalesce(col("count"), lit(0L)).as("count"))
     val total = withNames.agg(
       coalesce(sum(col("count")), lit(0L)).as("__total"))
+    // No ·2^20 pre-scale on either log: ilog2Q20 normalizes by
+    // bit-length, so ilog2Q20(x·2^20) = ilog2Q20(x) + 20·2^20
+    // BIT-EXACTLY (a power-of-two factor shifts the mantissa without
+    // truncation) and the 20·2^20 terms cancel in the difference —
+    // identical scores, and no long overflow for corpus counts
+    // approaching 2^43 that (count+1)·2^20 would hit at 100 TB scale.
     graft.core.Scalars.withScalars(withNames, total)
       .select(col("token"), col("count"),
-        (ILog2Q20.ilog2Q20((col("count") + 1L) * q20) -
+        (ILog2Q20.ilog2Q20(col("count") + 1L) -
           ILog2Q20.ilog2Q20(
-            (col("__total") + candidates.size.toLong) * q20)).as("score"))
+            col("__total") + candidates.size.toLong)).as("score"))
   }
 
   /** Viterbi segmentation of `textCol` under an integer-scored vocab:

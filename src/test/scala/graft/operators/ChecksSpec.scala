@@ -17,7 +17,9 @@ class ChecksSpec extends SparkSpec {
 
   private def audit(checks: Seq[Checks.Check]) =
     Checks.runChecks(batch, checks).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("violations"), r.getAs[Long]("total"),
+          r.getAs[Boolean]("passed"))))
       .toMap
 
   test("complete / satisfies / unique / row count / referential") {
@@ -42,7 +44,7 @@ class ChecksSpec extends SparkSpec {
       Checks.Unique(Seq("id", "name")),
       Checks.RowCountBetween(2, 2),
       Checks.ReferencedIn("id", dim, "k"))).collect()
-    all(got.map(_.getBoolean(3))) shouldBe true
+    all(got.map(_.getAs[Boolean]("passed"))) shouldBe true
     Checks.assertAll(clean, Seq(Checks.Complete("name"))).count() shouldBe 1L
   }
 
@@ -50,15 +52,34 @@ class ChecksSpec extends SparkSpec {
     val df = Seq((1L, Some(5L)), (2L, None)).toDF("id", "v")
     val got = Checks.runChecks(df,
       Seq(Checks.Satisfies("v_big", col("v") > 0))).collect()
-    got.head.getLong(1) shouldBe 1L
+    got.head.getAs[Long]("violations") shouldBe 1L
   }
 
   test("NULL foreign keys are not referential violations") {
     val df = Seq((Some(1L), "x"), (None, "y")).toDF("fk", "p")
     val got = Checks.runChecks(df,
       Seq(Checks.ReferencedIn("fk", dim, "k"))).collect()
-    got.head.getLong(1) shouldBe 0L
-    got.head.getBoolean(3) shouldBe true
+    got.head.getAs[Long]("violations") shouldBe 0L
+    got.head.getAs[Boolean]("passed") shouldBe true
+  }
+
+  test("check_idx carries declaration position through kind regrouping") {
+    // Interleave kinds so output regrouping differs from declaration
+    // order: scan-level checks plan first, then Unique, then
+    // ReferencedIn — check_idx must still name each declared slot.
+    val got = Checks.runChecks(batch, Seq(
+      Checks.Unique(Seq("id")),             // 0
+      Checks.Complete("name"),              // 1
+      Checks.ReferencedIn("id", dim, "k"),  // 2
+      Checks.RowCountBetween(1, 3)))        // 3
+      .collect()
+      .map(r => r.getAs[Long]("check_idx") -> r.getAs[String]("check"))
+      .toMap
+    got shouldBe Map(
+      0L -> "unique(id)",
+      1L -> "complete(name)",
+      2L -> "referenced_in(id)",
+      3L -> "row_count_between(1,3)")
   }
 
   test("assertAll raises listing every failing check with counts") {
@@ -78,7 +99,8 @@ class ChecksSpec extends SparkSpec {
     val got = Checks.runChecks(empty, Seq(
       Checks.Complete("name"),
       Checks.RowCountBetween(1, 10))).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+      .map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("violations"), r.getAs[Boolean]("passed")))).toMap
     got("complete(name)") shouldBe ((0L, true))
     got("row_count_between(1,10)") shouldBe ((1L, false))
   }

@@ -62,6 +62,16 @@ class UnigramSpec extends SparkSpec {
     got("zz")._2 shouldBe (l1 - l11)
   }
 
+  test("ilog2Q20 power-of-two scale identity backs the overflow-free score") {
+    // fitScores drops the ·2^20 pre-scale relying on
+    // ilog2Q20(x·2^20) = ilog2Q20(x) + 20·2^20 being bit-exact.
+    for (x <- Seq(1L, 2L, 3L, 7L, 255L, 1000L, 1L << 30, (1L << 43) - 11L))
+      graft.text.Dsir.ilog2Q20(x << 20) shouldBe
+        (graft.text.Dsir.ilog2Q20(x) + (20L << 20))
+    // counts past the old (count+1)·2^20 overflow point still score
+    graft.text.Dsir.ilog2Q20(Long.MaxValue >> 2) should be > 0L
+  }
+
   test("segmentation is layout-independent and codegen-stable") {
     val docs = (0L until 200L)
       .map(i => (i, s"key agg row$i value key agg")).toDF("id", "text")
