@@ -9698,7 +9698,366 @@ object Queries {
         SELECT aq.q AS query,
           COALESCE(sc.n_common, CAST(0 AS BIGINT)) AS n_common,
           COALESCE(sc.rbo_q20, CAST(0 AS BIGINT)) AS rbo_q20
-        FROM aq LEFT JOIN sc ON sc.q = aq.q ORDER BY 1"""))
+        FROM aq LEFT JOIN sc ON sc.q = aq.q ORDER BY 1""")),
+
+    // Range-clustered rewrite (operators/RangeCluster.clusterByRange):
+    // the lakehouse CLUSTER BY maintenance pass — documents rewritten
+    // as 8 shards with globally DISJOINT key ranges (shard i's max key
+    // < shard i+1's min), balanced by the exact closed-form rule
+    // shard = floor(8 * cntLess(key) / N) so equal keys never straddle
+    // a boundary. The whole lifecycle is the equality check: the
+    // plan's receipt (per-shard rows + key range) joined against the
+    // REWRITTEN layout read back from disk (row count + doc_id sum per
+    // shard), replayed in SQL as one window cumsum over the key
+    // histogram.
+    GraftQuery(
+      "q206_range_cluster",
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q206_").toString
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val receipt = graft.operators.RangeCluster
+          .clusterByRange(docs, "n_chars", nShards = 8, s"$out/c")
+        val back = s.read.parquet(s"$out/c")
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_back"),
+            sum(col("doc_id")).as("sum_doc"))
+        receipt.join(back, Seq("shard")).orderBy(col("shard"))
+      },
+      Some("""
+        WITH h AS (SELECT CAST(n_chars AS BIGINT) AS k,
+                     CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(SUM(doc_id) AS BIGINT) AS sd
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        p AS (SELECT k, c, sd,
+                COALESCE(CAST(SUM(c) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS cb
+              FROM h),
+        sh AS (SELECT k, c, sd,
+                 CAST((8 * cb) // t.n AS BIGINT) AS shard
+               FROM p, t)
+        SELECT shard,
+          CAST(SUM(c) AS BIGINT) AS n_rows,
+          MIN(k) AS min_key, MAX(k) AS max_key,
+          CAST(SUM(c) AS BIGINT) AS n_back,
+          CAST(SUM(sd) AS BIGINT) AS sum_doc
+        FROM sh GROUP BY 1 ORDER BY 1""")),
+
+    // Isotonic calibration fit (eval/Isotonic.fitCalibration): PAVA
+    // over per-(lang, quantized-score) bins with a deterministic
+    // pseudo-label — the FIX for the miscalibration q80/q81 measure.
+    // Spark runs exact-rational PAVA (BigInt cross-multiplied pool
+    // means, one final correctly-rounded divide); the oracle replays
+    // the fit through isotonic regression's minimax characterization
+    // fit_i = max_{j<=i} min_{k>=i} mean(y[j..k]) — IEEE rounding is
+    // monotone, so max-of-min over rounded interval means equals the
+    // rounded exact value and the doubles match bit-for-bit.
+    GraftQuery(
+      "q207_isotonic_fit",
+      (s, dir) =>
+        graft.eval.Isotonic.fitCalibration(
+          t(s, dir, "documents").select(
+            col("lang"),
+            pmod(col("n_chars"), lit(16)).cast("long").as("predQ"),
+            pmod(col("doc_id") * 7 + col("n_chars"), lit(2)).cast("long")
+              .as("y")),
+          Seq("lang"), "predQ", "y")
+          .select(col("lang"), col("predQ"), col("n"), col("n_pos"),
+            col("calibrated"))
+          .orderBy(col("lang"), col("predQ")),
+      Some("""
+        WITH d AS (SELECT lang, CAST(n_chars % 16 AS BIGINT) AS predq,
+                     CAST((doc_id * 7 + n_chars) % 2 AS BIGINT) AS y
+                   FROM documents),
+        b AS (SELECT lang, predq, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(y) AS BIGINT) AS pos
+              FROM d GROUP BY 1, 2),
+        c AS (SELECT lang, predq, n, pos,
+                CAST(SUM(n) OVER (PARTITION BY lang ORDER BY predq)
+                  AS BIGINT) AS cn,
+                CAST(SUM(pos) OVER (PARTITION BY lang ORDER BY predq)
+                  AS BIGINT) AS cpos
+              FROM b),
+        iv AS (SELECT j.lang, j.predq AS jq, k.predq AS kq,
+                 k.cpos - j.cpos + j.pos AS ipos,
+                 k.cn - j.cn + j.n AS inn
+               FROM c j JOIN c k
+                 ON j.lang = k.lang AND j.predq <= k.predq),
+        mn AS (SELECT b.lang, b.predq, iv.jq,
+                 MIN(CAST(iv.ipos AS DOUBLE) / iv.inn) AS m
+               FROM b JOIN iv ON iv.lang = b.lang
+                 AND iv.jq <= b.predq AND iv.kq >= b.predq
+               GROUP BY 1, 2, 3),
+        ft AS (SELECT lang, predq, MAX(m) AS calibrated
+               FROM mn GROUP BY 1, 2)
+        SELECT b.lang, b.predq AS "predQ", b.n, b.pos AS n_pos,
+          ft.calibrated
+        FROM b JOIN ft ON ft.lang = b.lang AND ft.predq = b.predq
+        ORDER BY 1, 2""")),
+
+    // Deterministic random walks (graph/RandomWalks.walks): DeepWalk
+    // corpus generation over the customer<->supplier purchase graph
+    // (nodes namespaced 2c / 2s+1), one walk of length 3 per node.
+    // Every step picks neighbor squaredHash("start#walk#step") mod
+    // outdeg over dst-ordered neighbors — a pure function of the walk
+    // coordinates, so DuckDB replays the ENTIRE walk set by folding
+    // the same Karp-Rabin hash through 3 unrolled step CTEs.
+    GraftQuery(
+      "q208_random_walks",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.RandomWalks
+          .walks(edges, "src", "dst", walksPerNode = 1, walkLen = 3)
+          .orderBy(col("start"), col("walk"), col("step"))
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        re AS (SELECT src, dst,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                   - 1 AS BIGINT) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+               FROM e),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS walk, node
+               FROM n),
+        s1 AS (SELECT s.start, s.walk, re.dst AS node
+               FROM (SELECT start, walk, node,
+                       list_reduce(list_transform(
+                         range(1, len(CAST(start AS VARCHAR) || '#0#1') + 1),
+                         j -> CAST(ord(substr(
+                           CAST(start AS VARCHAR) || '#0#1',
+                           CAST(j AS INTEGER), 1)) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+                     FROM s0) s
+               JOIN re ON re.src = s.node
+                 AND re.rk = (s.h * s.h) % 2147483647 % re.deg),
+        s2 AS (SELECT s.start, s.walk, re.dst AS node
+               FROM (SELECT start, walk, node,
+                       list_reduce(list_transform(
+                         range(1, len(CAST(start AS VARCHAR) || '#0#2') + 1),
+                         j -> CAST(ord(substr(
+                           CAST(start AS VARCHAR) || '#0#2',
+                           CAST(j AS INTEGER), 1)) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+                     FROM s1) s
+               JOIN re ON re.src = s.node
+                 AND re.rk = (s.h * s.h) % 2147483647 % re.deg),
+        s3 AS (SELECT s.start, s.walk, re.dst AS node
+               FROM (SELECT start, walk, node,
+                       list_reduce(list_transform(
+                         range(1, len(CAST(start AS VARCHAR) || '#0#3') + 1),
+                         j -> CAST(ord(substr(
+                           CAST(start AS VARCHAR) || '#0#3',
+                           CAST(j AS INTEGER), 1)) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+                     FROM s2) s
+               JOIN re ON re.src = s.node
+                 AND re.rk = (s.h * s.h) % 2147483647 % re.deg)
+        SELECT start, walk, step, node FROM (
+          SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM s0
+          UNION ALL
+          SELECT start, walk, CAST(1 AS BIGINT), node FROM s1
+          UNION ALL
+          SELECT start, walk, CAST(2 AS BIGINT), node FROM s2
+          UNION ALL
+          SELECT start, walk, CAST(3 AS BIGINT), node FROM s3)
+        ORDER BY 1, 2, 3""")),
+
+    // CUSUM change-point detection (operators/ChangePoint.cusum): the
+    // temporal drift monitor over per-type hourly event volumes —
+    // Page's sequential recurrence computed through its exact closed
+    // form (running sum minus its running floor, including the empty
+    // prefix), two one-sided statistics + alarms, all integer. The
+    // oracle replays the same two windows verbatim.
+    GraftQuery(
+      "q209_cusum_drift",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")),
+              "yyyy-MM-dd HH:mm:ss").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.ChangePoint
+          .cusum(hourly, Seq("event_type"), "hour", "n",
+            k = 18L, threshold = 50L)
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""
+        WITH b AS (SELECT event_type,
+                     strftime(date_trunc('hour', ts),
+                       '%Y-%m-%d %H:%M:%S') AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, hour, n,
+                CAST(SUM(n - 18) OVER (PARTITION BY event_type
+                  ORDER BY hour) AS BIGINT) AS cc
+              FROM b),
+        m AS (SELECT event_type, hour, n, cc,
+                CAST(MIN(cc) OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS mn,
+                CAST(MAX(cc) OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS mx
+              FROM c)
+        SELECT event_type, hour, n,
+          cc - LEAST(CAST(0 AS BIGINT), mn) AS cusum_high,
+          GREATEST(CAST(0 AS BIGINT), mx) - cc AS cusum_low,
+          cc - LEAST(CAST(0 AS BIGINT), mn) >= 50 AS alarm_high,
+          GREATEST(CAST(0 AS BIGINT), mx) - cc >= 50 AS alarm_low
+        FROM m ORDER BY event_type, hour""")),
+
+    // TrustRank (graph/PageRank.seededRanks): seeded personalized
+    // PageRank over the customer<->supplier purchase graph — initial
+    // mass and the per-round base grant go ONLY to the trusted seed
+    // set (suppliers of nation 0), so rank measures endorsement
+    // REACHABLE from the seeds. Three unrolled integer rounds in the
+    // oracle, the q120 protocol with a seed-conditional grant.
+    GraftQuery(
+      "q210_trustrank",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = t(s, dir, "supplier")
+          .filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("seed"))
+        graft.graph.PageRank
+          .seededRanks(edges, "src", "dst", seeds, "seed",
+            iterations = 3)
+          .withColumnRenamed("rank", "rank_q")
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        v AS (SELECT src AS vx FROM e UNION SELECT dst FROM e),
+        sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS vx
+               FROM supplier WHERE s_nationkey = 0),
+        f AS (SELECT v.vx, sd.vx IS NOT NULL AS is_seed
+              FROM v LEFT JOIN sd ON sd.vx = v.vx),
+        od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT vx, is_seed,
+                 CASE WHEN is_seed THEN CAST(1000000000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS r
+               FROM f),
+        i1 AS (SELECT e.dst AS vx, SUM(r0.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r0 ON r0.vx = e.src
+               GROUP BY 1),
+        r1 AS (SELECT f.vx, f.is_seed,
+                 CASE WHEN f.is_seed THEN 150000000 ELSE 0 END +
+                   COALESCE(i1.s, 0) * 85 // 100 AS r
+               FROM f LEFT JOIN i1 USING (vx)),
+        i2 AS (SELECT e.dst AS vx, SUM(r1.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r1 ON r1.vx = e.src
+               GROUP BY 1),
+        r2 AS (SELECT f.vx, f.is_seed,
+                 CASE WHEN f.is_seed THEN 150000000 ELSE 0 END +
+                   COALESCE(i2.s, 0) * 85 // 100 AS r
+               FROM f LEFT JOIN i2 USING (vx)),
+        i3 AS (SELECT e.dst AS vx, SUM(r2.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r2 ON r2.vx = e.src
+               GROUP BY 1),
+        r3 AS (SELECT f.vx, f.is_seed,
+                 CASE WHEN f.is_seed THEN 150000000 ELSE 0 END +
+                   COALESCE(i3.s, 0) * 85 // 100 AS r
+               FROM f LEFT JOIN i3 USING (vx))
+        SELECT vx AS vertex, is_seed, CAST(r AS BIGINT) AS rank_q
+        FROM r3 ORDER BY vertex""")),
+
+    // Greedy maximum-coverage selection (operators/GreedyCoverage):
+    // pick the 5 documents whose (lang, token) sets jointly cover the
+    // most distinct features — the diversity-selection step for
+    // fine-tuning/eval sets, Nemhauser's (1-1/e) greedy. Language-
+    // qualified tokens make coverage require documents from multiple
+    // languages, so the selection dynamics (non-increasing marginal
+    // gains, cross-group picks) are actually exercised. Features are
+    // Karp-Rabin hashes (the engine's replayable hash); ties go to the
+    // smallest doc id in both engines; 5 unrolled oracle rounds.
+    GraftQuery(
+      "q211_greedy_coverage",
+      (s, dir) => {
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .select(col("doc_id"),
+            graft.functions.KrHash.krHash(
+              concat(col("lang"), lit("#"), col("token"))).as("f"))
+        graft.operators.GreedyCoverage
+          .greedySelect(pairs, "doc_id", "f", k = 5)
+          .orderBy(col("round"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT DISTINCT doc_id,
+            list_reduce(list_transform(range(1, len(tok) + 1),
+              j -> CAST(ord(substr(tok, CAST(j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS f
+          FROM (SELECT doc_id,
+                  lang || '#' || unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          WHERE tok NOT LIKE '%#'),
+        g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+               FROM p GROUP BY 1),
+        s1 AS (SELECT doc_id, c FROM g1 ORDER BY c DESC, doc_id LIMIT 1),
+        c1 AS (SELECT p.f FROM p JOIN s1 USING (doc_id)),
+        g2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM p
+               WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+                 AND f NOT IN (SELECT f FROM c1) GROUP BY 1),
+        s2 AS (SELECT doc_id, c FROM g2 ORDER BY c DESC, doc_id LIMIT 1),
+        c2 AS (SELECT f FROM c1 UNION
+               SELECT p.f FROM p JOIN s2 USING (doc_id)),
+        g3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM p
+               WHERE doc_id NOT IN (SELECT doc_id FROM s1
+                   UNION SELECT doc_id FROM s2)
+                 AND f NOT IN (SELECT f FROM c2) GROUP BY 1),
+        s3 AS (SELECT doc_id, c FROM g3 ORDER BY c DESC, doc_id LIMIT 1),
+        c3 AS (SELECT f FROM c2 UNION
+               SELECT p.f FROM p JOIN s3 USING (doc_id)),
+        g4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM p
+               WHERE doc_id NOT IN (SELECT doc_id FROM s1
+                   UNION SELECT doc_id FROM s2
+                   UNION SELECT doc_id FROM s3)
+                 AND f NOT IN (SELECT f FROM c3) GROUP BY 1),
+        s4 AS (SELECT doc_id, c FROM g4 ORDER BY c DESC, doc_id LIMIT 1),
+        c4 AS (SELECT f FROM c3 UNION
+               SELECT p.f FROM p JOIN s4 USING (doc_id)),
+        g5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM p
+               WHERE doc_id NOT IN (SELECT doc_id FROM s1
+                   UNION SELECT doc_id FROM s2
+                   UNION SELECT doc_id FROM s3
+                   UNION SELECT doc_id FROM s4)
+                 AND f NOT IN (SELECT f FROM c4) GROUP BY 1),
+        s5 AS (SELECT doc_id, c FROM g5 ORDER BY c DESC, doc_id LIMIT 1),
+        sel AS (
+          SELECT 1 AS round, doc_id, c AS gain FROM s1
+          UNION ALL SELECT 2, doc_id, c FROM s2
+          UNION ALL SELECT 3, doc_id, c FROM s3
+          UNION ALL SELECT 4, doc_id, c FROM s4
+          UNION ALL SELECT 5, doc_id, c FROM s5)
+        SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
+          CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT)
+            AS covered_total
+        FROM sel ORDER BY round"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -73,6 +73,65 @@ class PageRankSpec extends SparkSpec {
     shuffled shouldBe base
   }
 
+  /** Local replay of the seeded iteration. */
+  private def localSeeded(
+      es: Seq[(String, String)], seeds: Set[String], iters: Int,
+      scale: Long = 1000000000L): Map[String, Long] = {
+    val e = es.distinct
+    val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    def grant(v: String, g: Long) = if (seeds(v)) g else 0L
+    var r = vs.map(v => v -> grant(v, scale)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map(x => r(x._1) / outdeg(x._1)).sum
+      }
+      r = vs.map(v =>
+        v -> (grant(v, scale * 15L / 100L) +
+          in.getOrElse(v, 0L) * 85L / 100L)).toMap
+    }
+    r
+  }
+
+  private def seeded(
+      es: Seq[(String, String)], seeds: Seq[String], iters: Int) =
+    PageRank.seededRanks(
+      edges(es: _*), "src", "dst", seeds.toDF("s"), "s", iters)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("is_seed"), r.getAs[Long]("rank"))))
+      .toMap
+
+  test("seeded ranks match the local replay; trust decays with distance") {
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "c")
+    val got = seeded(es, Seq("a"), 3)
+    got.map { case (v, (_, r)) => v -> r } shouldBe
+      localSeeded(es, Set("a"), 3)
+    got("a")._1 shouldBe true
+    got("b")._1 shouldBe false
+    // c receives from both a (direct) and b; b only gets half of a's
+    got("c")._2 should be > got("b")._2
+    // non-seeds still accumulate flowing trust
+    got("d")._2 should be > 0L
+  }
+
+  test("vertices unreachable from seeds rank zero; foreign seeds ignored") {
+    val es = Seq("a" -> "b", "x" -> "y") // x/y disconnected from seed a
+    val got = seeded(es, Seq("a", "not_in_graph"), 4)
+    got("x")._2 shouldBe 0L
+    got("y")._2 shouldBe 0L
+    got("b")._2 should be > 0L
+    got.contains("not_in_graph") shouldBe false
+  }
+
+  test("seeding every vertex reproduces plain ranks") {
+    val es = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "a")
+    val plain = PageRank.ranks(edges(es: _*), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    seeded(es, Seq("a", "b", "c"), 3)
+      .map { case (v, (_, r)) => v -> r } shouldBe plain
+  }
+
   test("NULL endpoints raise instead of silently dropping") {
     val df = Seq((Some("a"), Some("b")), (Some("a"), None))
       .toDF("src", "dst")
