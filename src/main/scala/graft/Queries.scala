@@ -10057,7 +10057,104 @@ object Queries {
         SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
           CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT)
             AS covered_total
-        FROM sel ORDER BY round"""))
+        FROM sel ORDER BY round""")),
+
+    // HITS hubs & authorities (graph/Hits.scores): Kleinberg's
+    // two-score split over the DIRECTED customer->supplier purchase
+    // graph — customers are pure hubs, suppliers pure authorities, the
+    // separation PageRank's single score conflates. Integer iteration
+    // with per-half-step max-normalization (order-preserving, no IEEE
+    // L2 norm); the oracle unrolls 2 rounds = 4 half-steps, each one
+    // sum + one max + one integral multiply-divide.
+    GraftQuery(
+      "q212_hits",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.graph.Hits.scores(edges, "src", "dst", iterations = 2)
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+                     l_suppkey * 2 + 1 AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        v AS (SELECT src AS vx FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT vx, CAST(1000000 AS BIGINT) AS s FROM v),
+        a1s AS (SELECT e.dst AS vx, CAST(SUM(h0.s) AS BIGINT) AS sm
+                FROM e JOIN h0 ON h0.vx = e.src GROUP BY 1),
+        a1m AS (SELECT MAX(sm) AS mx FROM a1s),
+        a1 AS (SELECT v.vx,
+                 CAST(COALESCE(a1s.sm, 0) * 1000000 // a1m.mx AS BIGINT)
+                   AS s
+               FROM v LEFT JOIN a1s USING (vx), a1m),
+        h1s AS (SELECT e.src AS vx, CAST(SUM(a1.s) AS BIGINT) AS sm
+                FROM e JOIN a1 ON a1.vx = e.dst GROUP BY 1),
+        h1m AS (SELECT MAX(sm) AS mx FROM h1s),
+        h1 AS (SELECT v.vx,
+                 CAST(COALESCE(h1s.sm, 0) * 1000000 // h1m.mx AS BIGINT)
+                   AS s
+               FROM v LEFT JOIN h1s USING (vx), h1m),
+        a2s AS (SELECT e.dst AS vx, CAST(SUM(h1.s) AS BIGINT) AS sm
+                FROM e JOIN h1 ON h1.vx = e.src GROUP BY 1),
+        a2m AS (SELECT MAX(sm) AS mx FROM a2s),
+        a2 AS (SELECT v.vx,
+                 CAST(COALESCE(a2s.sm, 0) * 1000000 // a2m.mx AS BIGINT)
+                   AS s
+               FROM v LEFT JOIN a2s USING (vx), a2m),
+        h2s AS (SELECT e.src AS vx, CAST(SUM(a2.s) AS BIGINT) AS sm
+                FROM e JOIN a2 ON a2.vx = e.dst GROUP BY 1),
+        h2m AS (SELECT MAX(sm) AS mx FROM h2s),
+        h2 AS (SELECT v.vx,
+                 CAST(COALESCE(h2s.sm, 0) * 1000000 // h2m.mx AS BIGINT)
+                   AS s
+               FROM v LEFT JOIN h2s USING (vx), h2m)
+        SELECT v.vx AS vertex, h2.s AS hub, a2.s AS authority
+        FROM v JOIN h2 ON h2.vx = v.vx JOIN a2 ON a2.vx = v.vx
+        ORDER BY vertex""")),
+
+    // TextRank keywords (text/TextRank.keywords): integer PageRank
+    // over the window-2 token co-occurrence graph of the documents
+    // corpus — the unsupervised keyword baseline (Mihalcea & Tarau
+    // 2004), composed from cooccurrenceEdges + the q120 PageRank. The
+    // oracle rebuilds the pair set (normalize -> compact non-empty
+    // tokens -> offset join) and unrolls 2 integer rounds.
+    GraftQuery(
+      "q213_textrank",
+      (s, dir) =>
+        graft.text.TextRank.keywords(
+          t(s, dir, "documents"), "text", window = 2, iterations = 2)
+          .orderBy(col("token")),
+      Some("""
+        WITH d AS (
+          SELECT list_filter(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              t -> t <> '') AS toks
+          FROM documents),
+        pos AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+        pj AS (SELECT toks, i, unnest(range(1, 3)) AS j FROM pos),
+        pr AS (SELECT list_extract(toks, CAST(i AS INTEGER)) AS w1,
+                 list_extract(toks, CAST(i + j AS INTEGER)) AS w2
+               FROM pj WHERE i + j <= len(toks)),
+        e AS (SELECT w1 AS src, w2 AS dst FROM pr
+              UNION SELECT w2, w1 FROM pr),
+        v AS (SELECT src AS vx FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT vx, CAST(1000000000 AS BIGINT) AS r FROM v),
+        i1 AS (SELECT e.dst AS vx, SUM(r0.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r0 ON r0.vx = e.src
+               GROUP BY 1),
+        r1 AS (SELECT v.vx, 150000000 + COALESCE(i1.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i1 USING (vx)),
+        i2 AS (SELECT e.dst AS vx, SUM(r1.r // od.d) AS s
+               FROM e JOIN od USING (src) JOIN r1 ON r1.vx = e.src
+               GROUP BY 1),
+        r2 AS (SELECT v.vx, 150000000 + COALESCE(i2.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i2 USING (vx))
+        SELECT vx AS token, CAST(r AS BIGINT) AS rank_q
+        FROM r2 ORDER BY token"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
