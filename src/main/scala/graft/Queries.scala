@@ -10154,7 +10154,64 @@ object Queries {
         r2 AS (SELECT v.vx, 150000000 + COALESCE(i2.s, 0) * 85 // 100 AS r
                FROM v LEFT JOIN i2 USING (vx))
         SELECT vx AS token, CAST(r AS BIGINT) AS rank_q
-        FROM r2 ORDER BY token"""))
+        FROM r2 ORDER BY token""")),
+
+    // Streaming CUSUM drift monitoring (streaming/Streaming
+    // .cusumBucketSink): events arrive in 8 micro-batches whose blocks
+    // deliberately IGNORE time order (hash on event_id); each batch
+    // lands its per-(type, hour) bucket rows content-keyed and the
+    // alarm table is recomputed over the whole bucket store — so the
+    // maintained table equals q209's batch CUSUM exactly under ANY
+    // arrival order (the q204 streaming==batch discipline applied to
+    // a sequential statistic). Oracle = the batch windows verbatim.
+    GraftQuery(
+      "q214_streaming_cusum",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val staged = stagedEventBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q214_").toString
+        val src = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.cusumBucketSink(
+          src,
+          b => b.groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")),
+              "yyyy-MM-dd HH:mm:ss").as("hour"))
+            .agg(count(lit(1)).as("n")),
+          Seq("event_type"), "hour", "n", k = 18L, threshold = 50L,
+          b => b.agg(min(col("block")).as("batch_block")),
+          s"$base/buckets", s"$base/alarms", s"$base/ckpt")
+          .awaitTermination()
+        s.read.parquet(s"$base/alarms")
+          .select(col("event_type"), col("hour"), col("n"),
+            col("cusum_high"), col("cusum_low"),
+            col("alarm_high"), col("alarm_low"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""
+        WITH b AS (SELECT event_type,
+                     strftime(date_trunc('hour', ts),
+                       '%Y-%m-%d %H:%M:%S') AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, hour, n,
+                CAST(SUM(n - 18) OVER (PARTITION BY event_type
+                  ORDER BY hour) AS BIGINT) AS cc
+              FROM b),
+        m AS (SELECT event_type, hour, n, cc,
+                CAST(MIN(cc) OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS mn,
+                CAST(MAX(cc) OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS mx
+              FROM c)
+        SELECT event_type, hour, n,
+          cc - LEAST(CAST(0 AS BIGINT), mn) AS cusum_high,
+          GREATEST(CAST(0 AS BIGINT), mx) - cc AS cusum_low,
+          cc - LEAST(CAST(0 AS BIGINT), mn) >= 50 AS alarm_high,
+          GREATEST(CAST(0 AS BIGINT), mx) - cc >= 50 AS alarm_low
+        FROM m ORDER BY event_type, hour"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -10228,6 +10285,26 @@ object Queries {
         .select(col("doc_id"), col("source"), col("text"),
           concat(lit("b"), lpad(expr("doc_id div 50").cast("string"),
             4, "0")).as("block"))
+        .repartition(col("block"))
+        .write.partitionBy("block").mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Per-process cache of q214's staged event-block layout: events in
+    * 8 hash blocks so the stream delivers 8 micro-batches — the block
+    * assignment deliberately IGNORES time order (pmod on event_id), so
+    * the sink's any-order correctness claim is actually exercised.
+    */
+  private val stagedEventBlocksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedEventBlocksFor(s: SparkSession, dir: String): String =
+    stagedEventBlocksCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q214_in_").toString
+      Tables.load(s, dir, "events")
+        .withColumn("block", concat(lit("b"),
+          lpad(pmod(col("event_id"), lit(8)).cast("string"), 2, "0")))
         .repartition(col("block"))
         .write.partitionBy("block").mode("overwrite").parquet(p)
       p

@@ -511,6 +511,69 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CUSUM drift monitoring: each micro-batch reduces to its
+    * per-(group, time-bucket) metric rows
+    * (`bucketize: raw batch → (groupCols…, orderCol, valueCol)`),
+    * lands them in `bucketPath` partitioned by a CONTENT-derived batch
+    * key (the [[qualityAuditSink]]/[[kmvSketchSink]] idempotency
+    * discipline), and recomputes
+    * [[graft.operators.ChangePoint.cusum]] over the WHOLE bucket
+    * store into `alarmPath`.
+    *
+    * Why recompute instead of carrying (C, min C, max C) state: the
+    * sequential recurrence is order-sensitive, and a file stream makes
+    * no arrival-order promise — incremental state would silently
+    * corrupt on out-of-order or late buckets. The bucket store is
+    * TINY by [[graft.operators.ChangePoint]]'s pre-bucketed contract
+    * (buckets, never raw events), so the per-batch recompute is
+    * bounded by bucket count, exact under ANY arrival order, handles
+    * late buckets (same (group, ord) across batches merges by sum),
+    * and makes streaming ≡ batch an equality (q214) — the q204
+    * streaming-KMV argument applied to a sequential statistic.
+    */
+  def cusumBucketSink(
+      stream: DataFrame,
+      bucketize: DataFrame => DataFrame,
+      groupCols: Seq[String], orderCol: String, valueCol: String,
+      k: Long, threshold: Long,
+      batchKey: DataFrame => DataFrame,
+      bucketPath: String, alarmPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keyRow = batchKey(batch)
+          graft.core.Scalars.withScalars(bucketize(batch), keyRow)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(keyRow.columns.toIndexedSeq: _*)
+            .parquet(bucketPath)
+          storedCusum(batch.sparkSession, bucketPath, groupCols,
+            orderCol, valueCol, k, threshold)
+            .write.mode("overwrite").parquet(alarmPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The CUSUM table over a [[cusumBucketSink]] bucket store: merge
+    * same-(group, bucket) rows across batches by SUM (a bucket split
+    * over batches, or re-delivered, accumulates exactly once per
+    * landed partition), then the [[graft.operators.ChangePoint]]
+    * windows. #buckets-sized work.
+    */
+  def storedCusum(
+      spark: org.apache.spark.sql.SparkSession, bucketPath: String,
+      groupCols: Seq[String], orderCol: String, valueCol: String,
+      k: Long, threshold: Long): DataFrame =
+    graft.operators.ChangePoint.cusum(
+      spark.read.parquet(bucketPath)
+        .groupBy((groupCols :+ orderCol).map(col): _*)
+        .agg(sum(col(valueCol)).as(valueCol)),
+      groupCols, orderCol, valueCol, k, threshold)
+
   /** Merge a [[kmvSketchSink]] store back into the per-group sketch:
     * distinct (group, h) across batches — the same hash CAN surface in
     * several batches — then the k smallest per group. Runs on the
