@@ -10211,7 +10211,84 @@ object Queries {
           GREATEST(CAST(0 AS BIGINT), mx) - cc AS cusum_low,
           cc - LEAST(CAST(0 AS BIGINT), mn) >= 50 AS alarm_high,
           GREATEST(CAST(0 AS BIGINT), mx) - cc >= 50 AS alarm_low
-        FROM m ORDER BY event_type, hour"""))
+        FROM m ORDER BY event_type, hour""")),
+
+    // Interpolated Kneser-Ney perplexity (text/NgramLm.fitKneserNey /
+    // scoreKneserNey): the standard n-gram smoothing beside q49's
+    // add-one baseline — discount d=3/4 as an exact rational, P(v|u) =
+    // [max(c(u,v)·4−3, 0)·N + 3·fol(u)·pre(v)] / (4·c(u)·N) over the
+    // common denominator, unseen contexts backing off to pre(v)/N.
+    // Same Q20 integer nll and 20-round recursive-CTE ilog2 replay as
+    // q49; fit on the 'en' slice, score the rest.
+    GraftQuery(
+      "q215_kneser_ney",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+        val lm = graft.text.NgramLm.fitKneserNey(
+          docs.filter(col("lang") === "en"), "text")
+        graft.text.NgramLm.scoreKneserNey(
+          docs.filter(col("lang") =!= "en"), "doc_id", "text", lm)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, lang,
+            list_filter(
+              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              x -> x <> '') AS toks
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        bi AS (
+          SELECT doc_id, lang, toks[i] AS u, toks[i + 1] AS v
+          FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM d)
+        ),
+        cuv AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+        ctx AS (SELECT u, CAST(SUM(c) AS BIGINT) AS cu,
+                  CAST(COUNT(*) AS BIGINT) AS fol
+                FROM cuv GROUP BY 1),
+        cont AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS pre
+                 FROM cuv GROUP BY 1),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM cuv),
+        probs AS (
+          SELECT b.doc_id,
+            greatest(
+              (CASE WHEN ctx.cu IS NULL THEN COALESCE(cont.pre, 0)
+                 ELSE greatest(COALESCE(cuv.c, 0) * 4 - 3, 0) * nb.nbi
+                   + 3 * ctx.fol * COALESCE(cont.pre, 0) END
+               * 1048576)
+              // (CASE WHEN ctx.cu IS NULL THEN nb.nbi
+                  ELSE 4 * ctx.cu * nb.nbi END), 1) AS s
+          FROM bi b
+          CROSS JOIN nb
+          LEFT JOIN cuv ON b.u = cuv.u AND b.v = cuv.v
+          LEFT JOIN ctx ON b.u = ctx.u
+          LEFT JOIN cont ON b.v = cont.v
+          WHERE b.lang <> 'en'
+        ),
+        svals AS (SELECT DISTINCT s FROM probs),
+        norm AS (
+          SELECT s, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM svals
+        ),
+        iter(s, bl, i, m, frac) AS (
+          SELECT s, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT s, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20
+        ),
+        ltab AS (SELECT s, (bl - 21) * 1048576 + frac AS l FROM iter WHERE i = 20)
+        SELECT p.doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(-ltab.l) AS BIGINT) AS nll_q20
+        FROM probs p JOIN ltab ON p.s = ltab.s
+        GROUP BY 1
+        ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

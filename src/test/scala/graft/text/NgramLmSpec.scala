@@ -58,6 +58,49 @@ class NgramLmSpec extends SparkSpec {
     scores(raw.repartition(1)) shouldBe scores(raw.repartition(11))
   }
 
+  test("Kneser-Ney matches a hand-computed interpolated model") {
+    // train: "a b a b" -> bigrams (a,b) c=2, (b,a) c=1
+    // contexts: a -> (cu=2, fol=1), b -> (cu=1, fol=1)
+    // continuations: b -> pre=1, a -> pre=1; N = 2 distinct bigrams
+    val lm = NgramLm.fitKneserNey(
+      Seq((0L, "a b a b")).toDF("doc_id", "text"), "text",
+      dNum = 3L, dDen = 4L)
+    lm.nBi shouldBe 2L
+    val row = NgramLm.scoreKneserNey(
+      Seq((10L, "a b z")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    row.getLong(1) shouldBe 2L
+    // p(b|a) = [max(2*4-3,0)*2 + 3*1*1] / (4*2*2) = 13/16
+    // p(z|b): z unseen as v -> pre=0; num = max(0*4-3,0)*2 + 3*1*0 = 0
+    //   -> Q20 clamp to 1 ulp
+    val expected =
+      -Dsir.ilog2Q20(13L * Dsir.Scale / 16L) - Dsir.ilog2Q20(1L)
+    row.getLong(2) shouldBe expected
+  }
+
+  test("Kneser-Ney: unseen context backs off to continuation probability") {
+    val lm = NgramLm.fitKneserNey(
+      Seq((0L, "a b c b")).toDF("doc_id", "text"), "text")
+    // bigram (z, b): z never a context -> p = pre(b)/N = 2/3
+    val row = NgramLm.scoreKneserNey(
+      Seq((10L, "z b")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    row.getLong(2) shouldBe -Dsir.ilog2Q20(2L * Dsir.Scale / 3L)
+  }
+
+  test("Kneser-Ney discriminates target-like from alien text") {
+    val target = (0L until 20L)
+      .map(i => (i, "spark shuffle join stage executor task spark shuffle"))
+      .toDF("doc_id", "text")
+    val lm = NgramLm.fitKneserNey(target, "text")
+    val raw = Seq(
+      (100L, "spark shuffle join stage"),
+      (101L, "cat dog fish bird")).toDF("doc_id", "text")
+    val scores = NgramLm.scoreKneserNey(raw, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    scores(100L) should be < scores(101L)
+  }
+
   test("native ilog2_q20 expression matches the scalar under forced codegen") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
