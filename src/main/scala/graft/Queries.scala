@@ -10288,7 +10288,55 @@ object Queries {
           CAST(SUM(-ltab.l) AS BIGINT) AS nll_q20
         FROM probs p JOIN ltab ON p.s = ltab.s
         GROUP BY 1
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // Label-propagation communities (graph/Communities
+    // .labelPropagation): the density grouping beside Components' q43
+    // connectivity closure, over the undirected purchase graph.
+    // Deterministic synchronous variant — self-vote damping, smallest
+    // label among the most frequent neighbor labels — so 2 unrolled
+    // rounds replay exactly (votes -> count -> per-vertex argmax with
+    // the (count desc, label asc) tie rule as a ROW_NUMBER pick).
+    GraftQuery(
+      "q216_communities",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.graph.Communities
+          .labelPropagation(edges, "src", "dst", rounds = 2)
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        v AS (SELECT DISTINCT src AS vx FROM e),
+        l0 AS (SELECT vx AS vertex, vx AS label FROM v),
+        v1 AS (SELECT e.dst AS vertex, l0.label
+               FROM e JOIN l0 ON l0.vertex = e.src
+               UNION ALL SELECT vertex, label FROM l0),
+        c1 AS (SELECT vertex, label, CAST(COUNT(*) AS BIGINT) AS c
+               FROM v1 GROUP BY 1, 2),
+        l1 AS (SELECT vertex, label FROM (
+                 SELECT vertex, label, ROW_NUMBER() OVER (
+                   PARTITION BY vertex ORDER BY c DESC, label) AS rn
+                 FROM c1)
+               WHERE rn = 1),
+        v2 AS (SELECT e.dst AS vertex, l1.label
+               FROM e JOIN l1 ON l1.vertex = e.src
+               UNION ALL SELECT vertex, label FROM l1),
+        c2 AS (SELECT vertex, label, CAST(COUNT(*) AS BIGINT) AS c
+               FROM v2 GROUP BY 1, 2),
+        l2 AS (SELECT vertex, label FROM (
+                 SELECT vertex, label, ROW_NUMBER() OVER (
+                   PARTITION BY vertex ORDER BY c DESC, label) AS rn
+                 FROM c2)
+               WHERE rn = 1)
+        SELECT vertex, label FROM l2 ORDER BY vertex"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
