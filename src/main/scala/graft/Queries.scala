@@ -10336,7 +10336,87 @@ object Queries {
                    PARTITION BY vertex ORDER BY c DESC, label) AS rn
                  FROM c2)
                WHERE rn = 1)
-        SELECT vertex, label FROM l2 ORDER BY vertex"""))
+        SELECT vertex, label FROM l2 ORDER BY vertex""")),
+
+    // Weighted PageRank (graph/PageRank.weightedRanks): mass splits
+    // proportionally to integer edge weights — here the lineitem count
+    // per (customer, supplier) pair, the aggregated-interaction form
+    // every real link graph arrives in. Three unrolled integer rounds
+    // (the q120 protocol with (r·w) // W(u) shares).
+    GraftQuery(
+      "q217_weighted_pagerank",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+        graft.graph.PageRank
+          .weightedRanks(edges, "src", "dst", "w", iterations = 3)
+          .withColumnRenamed("rank", "rank_q")
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                      CAST(COUNT(*) AS BIGINT) AS w
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    GROUP BY 1, 2),
+        e AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0),
+        ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ws FROM e GROUP BY 1),
+        v AS (SELECT src AS vx FROM e UNION SELECT dst FROM e),
+        r0 AS (SELECT vx, CAST(1000000000 AS BIGINT) AS r FROM v),
+        i1 AS (SELECT e.dst AS vx, SUM((r0.r * e.w) // ow.ws) AS s
+               FROM e JOIN ow USING (src) JOIN r0 ON r0.vx = e.src
+               GROUP BY 1),
+        r1 AS (SELECT v.vx, 150000000 + COALESCE(i1.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i1 USING (vx)),
+        i2 AS (SELECT e.dst AS vx, SUM((r1.r * e.w) // ow.ws) AS s
+               FROM e JOIN ow USING (src) JOIN r1 ON r1.vx = e.src
+               GROUP BY 1),
+        r2 AS (SELECT v.vx, 150000000 + COALESCE(i2.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i2 USING (vx)),
+        i3 AS (SELECT e.dst AS vx, SUM((r2.r * e.w) // ow.ws) AS s
+               FROM e JOIN ow USING (src) JOIN r2 ON r2.vx = e.src
+               GROUP BY 1),
+        r3 AS (SELECT v.vx, 150000000 + COALESCE(i3.s, 0) * 85 // 100 AS r
+               FROM v LEFT JOIN i3 USING (vx))
+        SELECT vx AS vertex, CAST(r AS BIGINT) AS rank_q
+        FROM r3 ORDER BY vertex""")),
+
+    // Split-conformal thresholds (eval/Conformal.thresholds): the
+    // finite-sample-corrected ceil((n+1)(1-alpha))-th smallest
+    // calibration score per language at alpha = 1/10 — the gate with a
+    // distribution-free coverage guarantee, NOT the plain 0.9
+    // quantile (the +1 is the difference). Exact integer rank over the
+    // q54 histogram shape; the oracle replays rank and pick.
+    GraftQuery(
+      "q218_conformal",
+      (s, dir) =>
+        graft.eval.Conformal.thresholds(
+          t(s, dir, "documents"), Seq("lang"), "n_chars",
+          aNum = 1L, aDen = 10L)
+          .select(col("lang"), col("n"), col("rank"),
+            col("threshold").cast("long").as("threshold"))
+          .orderBy(col("lang")),
+      Some("""
+        WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                     CAST(COUNT(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        cm AS (SELECT lang, v, c,
+                 CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM h),
+        rk AS (SELECT lang, v, cum, n,
+                 CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS rank
+               FROM cm)
+        SELECT lang, n, rank,
+          MIN(CASE WHEN cum >= rank THEN v END) AS threshold
+        FROM rk GROUP BY 1, 2, 3 ORDER BY lang"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

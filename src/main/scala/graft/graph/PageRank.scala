@@ -95,6 +95,73 @@ object PageRank {
     r
   }
 
+  /** Weighted PageRank: mass splits along out-edges PROPORTIONALLY to
+    * integer edge weights instead of uniformly — the natural form when
+    * the graph is an aggregated interaction table (a host linking
+    * another 500 times vs once, co-purchase counts, citation
+    * multiplicity). One round is
+    * `r'(v) = base + ⌊85·(Σ_{u→v} ⌊r(u)·w(u,v) / W(u)⌋)/100⌋` with
+    * `W(u) = Σ_w` — integral div only, same exactness and per-round
+    * shuffle profile as [[ranks]] (which this generalizes: all-equal
+    * weights give identical results). Duplicate (src, dst) rows SUM
+    * their weights; NULL or non-positive weights raise.
+    *
+    * Overflow contract: the `r(u)·w` product needs
+    * `|V|·scale·maxWeight < 2⁶³` — checked from two bounded scalars
+    * (vertex count, max summed weight), fail-loud with the fix
+    * (pre-scale weights down; ratios are all the iteration reads).
+    */
+  def weightedRanks(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(scale >= 100L, s"need scale >= 100 (damping divides by 100), got $scale")
+    val guard = (c: String) => when(col(c).isNull,
+      raise_error(lit(s"PageRank.weightedRanks: NULL $c — drop explicitly, " +
+        "a silent skip would re-route rank mass")))
+      .otherwise(col(c))
+    val w = when(col(weightCol).isNull || col(weightCol).cast("long") <= 0L,
+      raise_error(lit(s"PageRank.weightedRanks: NULL or non-positive " +
+        s"$weightCol — a zero-weight edge is no edge; drop explicitly")))
+      .otherwise(col(weightCol).cast("long"))
+    val e = edges
+      .select(guard(srcCol).as("src"), guard(dstCol).as("dst"), w.as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val edgesW = e.join(outW, "src").localCheckpoint(true)
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint(true)
+
+    val nVertices = vertices.count()
+    val maxW = edgesW.agg(max(col("w"))).head.getLong(0) // bounded scalar
+    require(nVertices == 0 ||
+      BigInt(nVertices) * scale * maxW < BigInt(Long.MaxValue),
+      s"PageRank.weightedRanks: |V|·scale·maxWeight = " +
+        s"$nVertices · $scale · $maxW exceeds the exact long range — " +
+        "pre-scale weights down (only ratios matter) or lower scale")
+
+    val base = lit(scale * 15L / 100L)
+    var r = vertices.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val inSum = r
+        .join(edgesW, r("vertex") === edgesW("src"))
+        .select(col("dst").as("vertex"),
+          expr("(rank * w) div wsum").as("contrib"))
+        .groupBy(col("vertex"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      r = vertices
+        .join(inSum, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (base + expr("coalesce(in_sum, 0L) * 85 div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
   /** Seeded (personalized) PageRank — TrustRank (Gyöngyi et al. 2004):
     * identical damped iteration, but initial mass AND the per-round
     * base grant go ONLY to the seed vertices, so rank measures

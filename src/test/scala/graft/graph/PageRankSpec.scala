@@ -73,6 +73,37 @@ class PageRankSpec extends SparkSpec {
     shuffled shouldBe base
   }
 
+  test("weightedRanks with equal weights reproduces plain ranks") {
+    val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a")
+    val plain = PageRank.ranks(edges(es: _*), "src", "dst", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weighted = PageRank.weightedRanks(
+      es.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w"),
+      "src", "dst", "w", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weighted shouldBe plain
+  }
+
+  test("weightedRanks splits mass by weight; duplicate edges sum") {
+    // a -> b (w 3), a -> c (w 1): b gets 3/4 of a's damped share
+    val df = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got = PageRank.weightedRanks(df, "src", "dst", "w", 1,
+      scale = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r1(b) = 150 + (1000*3 div 4)*85 div 100 = 150 + 637 = 787
+    // r1(c) = 150 + (1000*1 div 4)*85 div 100 = 150 + 212 = 362
+    got shouldBe Map("a" -> 150L, "b" -> 787L, "c" -> 362L)
+  }
+
+  test("weightedRanks rejects NULL and non-positive weights") {
+    intercept[Exception] {
+      PageRank.weightedRanks(
+        Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", 1).collect()
+    }
+  }
+
   /** Local replay of the seeded iteration. */
   private def localSeeded(
       es: Seq[(String, String)], seeds: Set[String], iters: Int,
