@@ -10416,7 +10416,48 @@ object Queries {
                FROM cm)
         SELECT lang, n, rank,
           MIN(CASE WHEN cum >= rank THEN v END) AS threshold
-        FROM rk GROUP BY 1, 2, 3 ORDER BY lang"""))
+        FROM rk GROUP BY 1, 2, 3 ORDER BY lang""")),
+
+    // k-core peel (graph/KCore.kCore): the dense-structure signal over
+    // the undirected purchase graph — vertices surviving 4 peel rounds
+    // at k=8, with degrees over the surviving subgraph. Peeling is
+    // confluent (the core is unique), so the only replay question is
+    // round count: both engines run exactly 4 rounds, converged or
+    // not, and agree either way.
+    GraftQuery(
+      "q219_kcore",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.graph.KCore.kCore(edges, "src", "dst", k = 8, rounds = 4)
+          .orderBy(col("vertex"))
+      },
+      Some("""
+        WITH e00 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                       l_suppkey * 2 + 1 AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e0 AS (SELECT src, dst FROM e00 UNION SELECT dst, src FROM e00),
+        d1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1),
+        s1 AS (SELECT src FROM d1 WHERE d >= 8),
+        e1 AS (SELECT e.src, e.dst FROM e0 e
+               JOIN s1 a ON e.src = a.src JOIN s1 b ON e.dst = b.src),
+        d2 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e1 GROUP BY 1),
+        s2 AS (SELECT src FROM d2 WHERE d >= 8),
+        e2 AS (SELECT e.src, e.dst FROM e1 e
+               JOIN s2 a ON e.src = a.src JOIN s2 b ON e.dst = b.src),
+        d3 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY 1),
+        s3 AS (SELECT src FROM d3 WHERE d >= 8),
+        e3 AS (SELECT e.src, e.dst FROM e2 e
+               JOIN s3 a ON e.src = a.src JOIN s3 b ON e.dst = b.src),
+        d4 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e3 GROUP BY 1),
+        s4 AS (SELECT src FROM d4 WHERE d >= 8),
+        e4 AS (SELECT e.src, e.dst FROM e3 e
+               JOIN s4 a ON e.src = a.src JOIN s4 b ON e.dst = b.src)
+        SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e4 GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
