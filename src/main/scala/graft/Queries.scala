@@ -10457,7 +10457,61 @@ object Queries {
         e4 AS (SELECT e.src, e.dst FROM e3 e
                JOIN s4 a ON e.src = a.src JOIN s4 b ON e.dst = b.src)
         SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
-        FROM e4 GROUP BY 1 ORDER BY 1"""))
+        FROM e4 GROUP BY 1 ORDER BY 1""")),
+
+    // ANN-mined hard negatives (sim/Select.hardNegatives): the
+    // DPR/SimCSE contrastive-pair recipe — per query (vec_id < 16),
+    // fetch the 12 most-cosine-similar vectors, exclude self and the
+    // "positives" (same vec_id mod 7 — the deterministic label), keep
+    // the top 5. The TWO-STAGE truncation is the pinned contract (an
+    // ANN index serves a candidate list first); the oracle replays
+    // both ROW_NUMBER stages over the exact quadratic cosine (the
+    // q12/q205 sequential-fold protocol).
+    GraftQuery(
+      "q220_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val positives = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q"))
+          .join(emb.select(col("vec_id").as("p")),
+            pmod(col("q"), lit(7)) === pmod(col("p"), lit(7)))
+        graft.sim.Select.hardNegatives(
+          emb, "vec_id", "embedding", queries, positives, "q", "p",
+          k = 5, fetchK = 12)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 16),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        s AS (SELECT query_id, vec_id,
+                list_reduce(list_transform(cv, (x,i) -> x * qv[i]),
+                  (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(cv, x -> x * x),
+                    (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(qv, x -> x * x),
+                    (a,b) -> a + b))) AS score
+              FROM c, q),
+        stage1 AS (SELECT query_id, vec_id, score FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS rn
+                     FROM s)
+                   WHERE rn <= 12),
+        negs AS (SELECT query_id, vec_id, score FROM stage1
+                 WHERE vec_id <> query_id
+                   AND vec_id % 7 <> query_id % 7)
+        SELECT query_id, vec_id, score,
+          CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS rank
+              FROM negs)
+        WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

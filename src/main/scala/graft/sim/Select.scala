@@ -37,6 +37,53 @@ import org.apache.spark.sql.functions._
   */
 object Select {
 
+  /** ANN-mined hard negatives for contrastive training — the
+    * DPR/SimCSE curation recipe: a retriever trained on RANDOM
+    * negatives learns nothing once it separates topics; the gradient
+    * signal lives in near-misses. Per query, emit the `k`
+    * most-similar corpus items that are NOT the query itself and NOT
+    * a known positive: `(query_id, vec_id, score, rank)`.
+    *
+    * Two-stage semantics, pinned for replay (q220): fetch the
+    * `fetchK` most-cosine-similar items FIRST (the bounded-heap
+    * [[Similarity.bruteForceTopK]] pass — this is what an ANN index
+    * serves), THEN exclude self/positives and keep the top `k` of
+    * what remains. A query whose top-`fetchK` is crowded with
+    * positives can yield fewer than `k` negatives — size `fetchK`
+    * above `k` + the worst-case per-query positive count; the
+    * truncation is part of the contract, not an error (mining from a
+    * candidate list is what production retrieval does).
+    *
+    * Plan shape: [[Similarity.bruteForceTopK]]'s one corpus scan into
+    * bounded two-stage heaps (Q·fetchK rows out), one anti-join
+    * against the positives table, one map-side-capped
+    * [[graft.operators.GroupLimit]] top-k. Nothing corpus-sized
+    * shuffles.
+    */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      positives: DataFrame, queryIdCol: String, posIdCol: String,
+      k: Int, fetchK: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fetchK >= k,
+      s"fetchK must be >= k (got fetchK=$fetchK, k=$k) — and should " +
+        "exceed k + the worst-case per-query positive count")
+    val cands = Similarity
+      .bruteForceTopK(corpus, idCol, vecCol, queries, fetchK)
+      .filter(col("query_id") =!= col("vec_id"))
+    val pos = positives
+      .select(col(queryIdCol).cast("long").as("__q"),
+        col(posIdCol).cast("long").as("__p"))
+      .distinct()
+    val negs = cands.join(pos,
+      cands("query_id") === col("__q") && cands("vec_id") === col("__p"),
+      "left_anti")
+    graft.operators.GroupLimit.topKPerGroup(
+      negs, Seq("query_id"), Seq(col("score").desc, col("vec_id")), k,
+      rankCol = "rank")
+  }
+
   private[sim] final case class Cand(
       gid: Long, id: Long, rel: Double, vec: Seq[Float])
   private[sim] final case class Pick(

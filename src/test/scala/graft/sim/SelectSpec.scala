@@ -167,4 +167,37 @@ class SelectSpec extends SparkSpec {
     }
     ex.getMessage should include("maxGroupSize")
   }
+
+  test("hardNegatives: excludes self and positives, two-stage truncation") {
+    val data = corpus(40, 8, seed = 7)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = data.take(3)
+      .map { case (id, v) => (id, v.toArray) }
+    // positives: ids congruent mod 4 to the query
+    val pos = (for ((q, _) <- queries; p <- 0L until 40L if p % 4 == q % 4)
+      yield (q, p)).toDF("q", "p")
+    val got = Select.hardNegatives(
+      df, "vec_id", "embedding", queries, pos, "q", "p",
+      k = 5, fetchK = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+
+    // local replay of the pinned two-stage rule
+    val expect = queries.flatMap { case (q, qv) =>
+      val top = data
+        .map { case (id, v) => (id, Similarity.cosine(v, qv.toSeq)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(20)
+      top.filter { case (id, _) => id != q && id % 4 != q % 4 }
+        .take(5).zipWithIndex
+        .map { case ((id, s), i) => (q, id, s, i + 1L) }
+    }.toSet
+    got.toSet shouldBe expect
+    // no positive and no self leaked
+    got.foreach { case (q, id, _, _) =>
+      id should not be q
+      (id % 4) should not be (q % 4)
+    }
+  }
 }
