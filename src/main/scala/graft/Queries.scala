@@ -10511,7 +10511,45 @@ object Queries {
                 ORDER BY score DESC, vec_id) AS rank
               FROM negs)
         WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // Degree assortativity (graph/Assortativity.degreeAssortativity):
+    // Newman's one-number shape diagnostic over the purchase graph —
+    // bipartite structure is strongly disassortative, and the
+    // undirected closure's (x, y) symmetry collapses Pearson's
+    // denominator to an INTEGER, so the coefficient is one exact
+    // integer ratio with a single IEEE divide, no sqrt anywhere.
+    GraftQuery(
+      "q221_assortativity",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.graph.Assortativity
+          .degreeAssortativity(edges, "src", "dst")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1),
+        xy AS (SELECT dx.deg AS x, dy.deg AS y
+               FROM e JOIN d dx ON e.src = dx.src
+               JOIN d dy ON e.dst = dy.src),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                 CAST(SUM(x) AS BIGINT) AS sum_x,
+                 CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                 CAST(SUM(x * y) AS BIGINT) AS sum_xy
+               FROM xy)
+        SELECT n_edges, sum_x, sum_xx, sum_xy,
+          CASE WHEN n_edges * sum_xx - sum_x * sum_x = 0 THEN NULL
+            ELSE CAST(n_edges * sum_xy - sum_x * sum_x AS DOUBLE)
+              / CAST(n_edges * sum_xx - sum_x * sum_x AS DOUBLE) END AS r
+        FROM st"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
