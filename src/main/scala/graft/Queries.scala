@@ -10549,7 +10549,85 @@ object Queries {
           CASE WHEN n_edges * sum_xx - sum_x * sum_x = 0 THEN NULL
             ELSE CAST(n_edges * sum_xy - sum_x * sum_x AS DOUBLE)
               / CAST(n_edges * sum_xx - sum_x * sum_x AS DOUBLE) END AS r
-        FROM st"""))
+        FROM st""")),
+
+    // node2vec second-order walks (graph/RandomWalks.node2vecWalks):
+    // the biased DeepWalk generalization — step 2 weighs each
+    // neighbor by its relation to the PREVIOUS node (return 1 /
+    // distance-1 2 / distance-2 4), picked by the KR hash landing in
+    // the dst-ordered cumulative-weight interval. One first-order +
+    // one second-order step, both unrolled in SQL (candidate fan-out,
+    // LEFT-join distance class, window cumsum, interval pick).
+    GraftQuery(
+      "q222_node2vec",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.RandomWalks.node2vecWalks(
+          edges, "src", "dst", walksPerNode = 1, walkLen = 2,
+          wReturn = 1L, wIn = 2L, wOut = 4L)
+          .orderBy(col("start"), col("walk"), col("step"))
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        re AS (SELECT src, dst,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                   - 1 AS BIGINT) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+               FROM e),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS walk, node
+               FROM n),
+        s1 AS (SELECT s.start, s.walk, s.node AS prev, re.dst AS node
+               FROM (SELECT start, walk, node,
+                       list_reduce(list_transform(
+                         range(1, len(CAST(start AS VARCHAR) || '#0#1') + 1),
+                         j -> CAST(ord(substr(
+                           CAST(start AS VARCHAR) || '#0#1',
+                           CAST(j AS INTEGER), 1)) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+                     FROM s0) s
+               JOIN re ON re.src = s.node
+                 AND re.rk = (s.h * s.h) % 2147483647 % re.deg),
+        cand AS (SELECT s.start, s.walk, s.prev, s.node, e.dst AS x
+                 FROM s1 s JOIN e ON e.src = s.node),
+        wgt AS (SELECT c.start, c.walk, c.node, c.x,
+                  CAST(CASE WHEN c.x = c.prev THEN 1
+                    WHEN ep.src IS NOT NULL THEN 2
+                    ELSE 4 END AS BIGINT) AS w
+                FROM cand c
+                LEFT JOIN e ep ON ep.src = c.prev AND ep.dst = c.x),
+        cum AS (SELECT start, walk, node, x, w,
+                  CAST(SUM(w) OVER (PARTITION BY start, walk
+                    ORDER BY x) AS BIGINT) AS cw,
+                  CAST(SUM(w) OVER (PARTITION BY start, walk)
+                    AS BIGINT) AS tot,
+                  list_reduce(list_transform(
+                    range(1, len(CAST(start AS VARCHAR) || '#0#2') + 1),
+                    j -> CAST(ord(substr(
+                      CAST(start AS VARCHAR) || '#0#2',
+                      CAST(j AS INTEGER), 1)) AS BIGINT)),
+                    (a, b) -> (a * 257 + b) % 2147483647) AS h
+                FROM wgt),
+        s2 AS (SELECT start, walk, x AS node FROM cum
+               WHERE (h * h) % 2147483647 % tot >= cw - w
+                 AND (h * h) % 2147483647 % tot < cw)
+        SELECT start, walk, step, node FROM (
+          SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM s0
+          UNION ALL
+          SELECT start, walk, CAST(1 AS BIGINT), node FROM s1
+          UNION ALL
+          SELECT start, walk, CAST(2 AS BIGINT), node FROM s2)
+        ORDER BY 1, 2, 3"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,135 @@ object RandomWalks {
         .select(col("start"), col("walk"), col("dst").as("node"))
         .localCheckpoint(true) // constant-depth lineage across steps
       frames += frontier.withColumn("step", lit(t.toLong))
+      t += 1
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("start"), col("walk"), col("step"), col("node"))
+  }
+
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec
+    * 2016): the step from `cur` weighs each neighbor `x` by its
+    * relation to the PREVIOUS node — `wReturn` when `x = prev` (the
+    * 1/p return bias), `wIn` when `x` is also a neighbor of `prev`
+    * (distance 1 — BFS-ish, community structure), `wOut` otherwise
+    * (distance 2 — DFS-ish, structural roles). Integer weights stand
+    * in for the paper's 1/p, 1, 1/q rationals (only ratios matter).
+    *
+    * Determinism: the pick at step `t` of walk `w` from `s` is the
+    * neighbor whose cumulative-weight interval (neighbors in dst
+    * order) contains `squaredHash("s#w#t"[:salt]) mod totalWeight` —
+    * the [[walks]] rule lifted from uniform to weighted, still a pure
+    * function of the walk coordinates (q222 unrolls the steps in
+    * SQL). Step 1 has no `prev` and is the uniform first-order step.
+    *
+    * Scale shape: second-order walks are INHERENTLY degree-bound —
+    * the step must classify every neighbor of `cur` against `prev`'s
+    * adjacency. Per step: one frontier ⋈ adjacency fan-out
+    * (Σ deg(cur) rows — what any node2vec implementation,
+    * alias-table samplers included, must touch or precompute), one
+    * LEFT join against the edge set for the distance-1 class, and a
+    * per-walk window bounded by deg(cur). For degree-bounded graphs
+    * this is |frontier|·avgDeg per step; for hub-heavy graphs prefer
+    * [[walks]] (first-order) or cap degrees upstream.
+    */
+  def node2vecWalks(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, walkLen: Int,
+      wReturn: Long, wIn: Long, wOut: Long,
+      salt: String = ""): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      s"walksPerNode must be in [1, 1024], got $walksPerNode")
+    require(walkLen >= 1 && walkLen <= 100,
+      s"walkLen must be in [1, 100], got $walkLen")
+    require(wReturn >= 0 && wIn >= 1 && wOut >= 0 &&
+      wReturn + wIn + wOut >= 1,
+      s"need wIn >= 1 and non-negative weights, got " +
+        s"($wReturn, $wIn, $wOut)")
+
+    def endpoint(c: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"node2vecWalks: NULL $c — a NULL is not a node id")))
+        .otherwise(col(c).cast("long"))
+    val edges = edgesDf
+      .select(endpoint(srcCol).as("src"), endpoint(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val degrees = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "__dn")
+      .localCheckpoint(true)
+    val bySrc = Window.partitionBy(col("src"))
+    val ranked = edges
+      .withColumn("nbr_rank",
+        row_number().over(bySrc.orderBy(col("dst"))).cast("long") - 1L)
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+
+    def stepHash(t: Int): Column =
+      graft.operators.Splits.squaredHash(
+        concat(col("start").cast("string"), lit("#"),
+          col("walk").cast("string"), lit("#" + t)), salt)
+
+    val start = nodes
+      .select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"),
+        lit(null).cast("long").as("prev"),
+        col("node"))
+      .localCheckpoint(true)
+    var frontier = start
+    val frames = scala.collection.mutable.ArrayBuffer(
+      start.select(col("start"), col("walk"), lit(0L).as("step"),
+        col("node")))
+    var t = 1
+    while (t <= walkLen) {
+      frontier =
+        if (t == 1) {
+          // first-order uniform step: the walks() rule
+          val picked = frontier
+            .join(degrees, frontier("node") === degrees("__dn"))
+            .select(col("start"), col("walk"), col("node"),
+              pmod(stepHash(t), col("deg")).as("__pick"))
+          picked
+            .join(ranked, picked("node") === ranked("src") &&
+              picked("__pick") === ranked("nbr_rank"))
+            .select(col("start"), col("walk"),
+              picked("node").as("prev"), col("dst").as("node"))
+            .localCheckpoint(true)
+        } else {
+          // second-order step: classify cur's neighbors against prev
+          val cand = frontier
+            .join(ranked.select(col("src").as("__c"), col("dst").as("x")),
+              frontier("node") === col("__c"))
+            .select(col("start"), col("walk"), col("prev"),
+              col("node"), col("x"))
+          val prevAdj = edges
+            .select(col("src").as("__p"), col("dst").as("__px"),
+              lit(true).as("__near"))
+          val weighted = cand
+            .join(prevAdj, cand("prev") === col("__p") &&
+              cand("x") === col("__px"), "left")
+            .select(col("start"), col("walk"), col("node"), col("x"),
+              when(col("x") === col("prev"), lit(wReturn))
+                .when(coalesce(col("__near"), lit(false)), lit(wIn))
+                .otherwise(lit(wOut)).as("__w"))
+            .filter(col("__w") > 0L)
+          val byWalk = Window.partitionBy(col("start"), col("walk"))
+          val cumW = byWalk.orderBy(col("x"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          weighted
+            .withColumn("__cum", sum(col("__w")).over(cumW))
+            .withColumn("__tot", sum(col("__w")).over(byWalk))
+            .withColumn("__r", pmod(stepHash(t), col("__tot")))
+            .filter(col("__r") >= col("__cum") - col("__w") &&
+              col("__r") < col("__cum"))
+            .select(col("start"), col("walk"),
+              col("node").as("prev"), col("x").as("node"))
+            .localCheckpoint(true)
+        }
+      frames += frontier.select(col("start"), col("walk"),
+        lit(t.toLong).as("step"), col("node"))
       t += 1
     }
     frames.reduce(_ unionByName _)

@@ -82,4 +82,101 @@ class RandomWalksSpec extends SparkSpec {
       RandomWalks.walks(df, "src", "dst", 1, 1).collect()
     }
   }
+
+  /** Local replay of the second-order biased step rule. */
+  private def localNode2vec(
+      edges: Seq[(Long, Long)], walksPerNode: Int, walkLen: Int,
+      wReturn: Long, wIn: Long, wOut: Long,
+      salt: String = ""): Set[(Long, Long, Long, Long)] = {
+    val e = edges.distinct
+    val eSet = e.toSet
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+    for (s <- nodes; w <- 0 until walksPerNode) {
+      var prev = -1L
+      var cur = s
+      out += ((s, w.toLong, 0L, s))
+      var t = 1
+      var alive = true
+      while (t <= walkLen && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val key = s"$s#$w#$t" + (if (salt.isEmpty) "" else ":" + salt)
+            val h = kr(key); val h2 = (h * h) % 2147483647L
+            if (t == 1) {
+              prev = cur
+              cur = nbrs((h2 % nbrs.size).toInt)
+              out += ((s, w.toLong, t.toLong, cur))
+            } else {
+              val weighted = nbrs.map { x =>
+                x -> (if (x == prev) wReturn
+                else if (eSet((prev, x))) wIn else wOut)
+              }.filter(_._2 > 0L)
+              if (weighted.isEmpty) alive = false
+              else {
+                val tot = weighted.map(_._2).sum
+                val r = h2 % tot
+                var acc = 0L
+                var picked = -1L
+                weighted.foreach { case (x, wt) =>
+                  if (picked < 0 && r < acc + wt) picked = x
+                  acc += wt
+                }
+                prev = cur; cur = picked
+                out += ((s, w.toLong, t.toLong, cur))
+              }
+            }
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
+  private def runN2v(
+      edges: Seq[(Long, Long)], walksPerNode: Int, walkLen: Int,
+      wR: Long, wI: Long, wO: Long, salt: String = "",
+      repartition: Option[Int] = None) = {
+    val df0 = edges.toDF("src", "dst")
+    val df = repartition.map(df0.repartition(_)).getOrElse(df0)
+    RandomWalks.node2vecWalks(df, "src", "dst", walksPerNode, walkLen,
+      wR, wI, wO, salt)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("node2vec matches the local second-order replay") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 1L), (3L, 1L),
+      (3L, 4L), (4L, 3L), (2L, 4L), (4L, 2L))
+    runN2v(edges, 2, 4, wR = 1L, wI = 2L, wO = 4L) shouldBe
+      localNode2vec(edges, 2, 4, 1L, 2L, 4L)
+  }
+
+  test("node2vec: zero return weight never revisits prev at step 2+") {
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i + 1) % 30), ((i + 1) % 30, i),
+        (i, (i + 9) % 30), ((i + 9) % 30, i)))
+    val got = runN2v(edges, 1, 5, wR = 0L, wI = 1L, wO = 3L)
+    got shouldBe localNode2vec(edges, 1, 5, 0L, 1L, 3L)
+    // reconstruct paths and assert no immediate backtracking
+    got.groupBy(s => (s._1, s._2)).foreach { case (_, steps) =>
+      val path = steps.toSeq.sortBy(_._3).map(_._4)
+      path.sliding(3).foreach { w =>
+        if (w.length == 3) w(0) should not be w(2)
+      }
+    }
+  }
+
+  test("node2vec is layout-independent and salt-sensitive") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 3 + 1) % 40), ((i * 3 + 1) % 40, i)))
+    val a = runN2v(edges, 1, 4, 1L, 2L, 4L, salt = "s1")
+    a shouldBe runN2v(edges, 1, 4, 1L, 2L, 4L, salt = "s1",
+      repartition = Some(13))
+    a should not be runN2v(edges, 1, 4, 1L, 2L, 4L, salt = "s2")
+    a shouldBe localNode2vec(edges, 1, 4, 1L, 2L, 4L, "s1")
+  }
 }
