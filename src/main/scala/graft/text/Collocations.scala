@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *   PMI(x, y) = log2( c_xy · N / (c_x · c_y) )
   *
   * computed as the EXACT Q20 integer
-  * `L(c_xy) + L(N) − L(c_x) − L(c_y)` where `L(n) = ilog2Q20(n·2²⁰)`
-  * is the [[graft.functions.ILog2Q20]] square-and-shift integer log —
+  * `L(c_xy) + L(N) − L(c_x) − L(c_y)` where `L(n) = ilog2Q20(n)`
+  * is the [[graft.functions.ILog2Q20]] square-and-shift integer log
+  * (the +1+1−1−1 coefficients cancel the Q20 normalization offsets,
+  * so no 2²⁰ pre-scale — and no fixed-point count ceiling) —
   * each term individually floored, so the statistic is a deterministic
   * pure function of the counts, order-independent under any
   * partitioning, and bit-replayable in SQL (q110) with no IEEE
@@ -75,16 +77,17 @@ object Collocations {
       .filter(col("c_xy") >= minCount)
 
     // bounded collect: exactly ONE row — the token total, needed
-    // driver-side to guard the fixed-point range before computing
+    // driver-side: one bounded scalar for logN (and the emptiness gate)
     val n = uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
     require(n > 0, "Collocations.pmi: empty corpus — PMI undefined")
-    require(n < Long.MaxValue / Q20,
-      s"Collocations.pmi: corpus too large for Q20 fixed point " +
-        s"(N=$n >= 2^43 tokens) — pre-aggregate or sample first")
-    val logN = graft.text.Dsir.ilog2Q20(n * Q20)
+    // No ·2^20 pre-scale on any log: ilog2Q20(x·2^20) = ilog2Q20(x) +
+    // 20·2^20 bit-exactly (power-of-two mantissa shift — see
+    // Unigram.fitScores), and PMI's +1+1−1−1 log coefficients cancel
+    // the four offsets. Identical pmi_q20, and the old 2^43-token
+    // fixed-point ceiling (count·2^20 overflow) disappears.
+    val logN = graft.text.Dsir.ilog2Q20(n)
 
-    def l(c: Column): Column =
-      graft.functions.ILog2Q20.ilog2Q20(c * lit(Q20))
+    def l(c: Column): Column = graft.functions.ILog2Q20.ilog2Q20(c)
 
     pairs
       .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))

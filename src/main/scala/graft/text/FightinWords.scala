@@ -21,14 +21,14 @@ import graft.functions.ILog2Q20
   * Exactness: deltas are computed in Q20 fixed-point BASE-2 log units
   * via the native [[ILog2Q20]] expression —
   * `δ_w = L(a+α) − L(A+αV−a−α) − L(b+α) + L(B+αV−b−α)`,
-  * `L(x) = ilog2_q20(x·2²⁰)` — pure integer multiply/shift/compare,
+  * `L(x) = ilog2_q20(x)` — pure integer multiply/shift/compare,
   * bit-identical in any engine (DuckDB replays L as the 20-round
-  * recursive CTE, the q48/q49 protocol). Natural-log users divide by
-  * `log2 e` once downstream. The variance estimate is ONE IEEE divide
-  * of exact integers: `(a+b+2α) / ((a+α)·(b+α))`. Counts enter L as
-  * `x·2²⁰`, so the exact path holds to ~8·10¹² tokens per side —
-  * beyond that, pre-scale counts (document the unit) rather than
-  * letting the shift overflow.
+  * recursive CTE, the q48/q49 protocol). The +1−1−1+1 coefficients
+  * cancel ilog2Q20's Q20 normalization offsets, so counts enter L
+  * UNSCALED — no 2²⁰ pre-multiplication, no fixed-point token
+  * ceiling. Natural-log users divide by `log2 e` once downstream. The
+  * variance estimate is ONE IEEE divide of exact integers:
+  * `(a+b+2α) / ((a+α)·(b+α))`.
   *
   * Scale shape: one token explode feeding ONE map-side-combinable
   * aggregate (conditional sums — no second pass per corpus); the
@@ -64,8 +64,11 @@ object FightinWords {
       sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
       count(lit(1)).as("__v"))
 
-    val q20 = 1L << 20
-    def L(x: Column) = ILog2Q20.ilog2Q20(x * q20)
+    // No ·2^20 pre-scale: ilog2Q20(x·2^20) = ilog2Q20(x) + 20·2^20
+    // bit-exactly (see Unigram.fitScores), and delta's +1−1−1+1 log
+    // coefficients cancel the offsets — identical delta_q20, no long
+    // overflow for corpus-scale counts past 2^43.
+    def L(x: Column) = ILog2Q20.ilog2Q20(x)
     val a = col("n_a") + alpha
     val b = col("n_b") + alpha
     val restA = col("__ta") + lit(alpha) * col("__v") - a
