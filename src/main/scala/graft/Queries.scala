@@ -10627,7 +10627,60 @@ object Queries {
           SELECT start, walk, CAST(1 AS BIGINT), node FROM s1
           UNION ALL
           SELECT start, walk, CAST(2 AS BIGINT), node FROM s2)
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // Dedup threshold-sensitivity curve: "how much MORE is removed at
+    // 0.90 than at 0.98" — the report a curation run reads before
+    // committing to a near-dup threshold. Verified q14 pairs at the
+    // recall-complete 0.9 base, swept over 5 cutoffs ABOVE it (exact
+    // subsets, so banded recall stays complete at every point);
+    // (cut, pair count, affected-doc count) replayed over the same
+    // quadratic unigram-Jaccard oracle as q14 plus an unnested cut
+    // list.
+    GraftQuery(
+      "q223_dedup_threshold_curve",
+      (s, dir) => {
+        val cuts = Seq(0.90, 0.92, 0.94, 0.96, 0.98)
+        val pairs = graft.dedup.Dedup.nearDuplicates(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text",
+          shingleSize = 1, numHashes = 64, bands = 16, threshold = 0.9)
+          .withColumn("cut", explode(array(cuts.map(lit): _*)))
+          .filter(col("jaccard") >= col("cut"))
+          .localCheckpoint(true) // feeds both aggregates below
+        val nPairs = pairs.groupBy(col("cut"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDocs = pairs
+          .select(col("cut"),
+            explode(array(col("id_a"), col("id_b"))).as("__id"))
+          .groupBy(col("cut"))
+          .agg(countDistinct(col("__id")).as("n_docs"))
+        nPairs.join(nDocs, Seq("cut")).orderBy(col("cut"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+          list_distinct(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+            AS toks
+          FROM documents WHERE doc_id < 500),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks)))
+                  AS jaccard
+              FROM t a, t b
+              WHERE a.doc_id < b.doc_id),
+        cuts AS (SELECT unnest([0.90e0, 0.92e0, 0.94e0, 0.96e0, 0.98e0])
+                   AS cut),
+        hit AS (SELECT cuts.cut, p.id_a, p.id_b
+                FROM p JOIN cuts ON p.jaccard >= cuts.cut),
+        np AS (SELECT cut, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM hit GROUP BY 1),
+        nd AS (SELECT cut, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+               FROM (SELECT cut, id_a AS id FROM hit
+                     UNION ALL SELECT cut, id_b FROM hit)
+               GROUP BY 1)
+        SELECT np.cut, np.n_pairs, nd.n_docs
+        FROM np JOIN nd USING (cut) ORDER BY cut"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
