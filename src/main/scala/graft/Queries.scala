@@ -10680,7 +10680,83 @@ object Queries {
                      UNION ALL SELECT cut, id_b FROM hit)
                GROUP BY 1)
         SELECT np.cut, np.n_pairs, nd.n_docs
-        FROM np JOIN nd USING (cut) ORDER BY cut"""))
+        FROM np JOIN nd USING (cut) ORDER BY cut""")),
+
+    // Jensen-Shannon drift contributions (text/Drift
+    // .tokenJsdContributions): the symmetric BOUNDED member of the
+    // drift family beside q79's KL — same add-one Q20 probabilities,
+    // mixture as the integer half (sa+sb) div 2, per-token
+    // sa·(L(sa)−L(m)) + sb·(L(sb)−L(m)) in exact Q40. The oracle
+    // extends the q79 recursive-CTE ilog2 replay with a third side
+    // for the mixture.
+    GraftQuery(
+      "q224_jsd_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.text.Drift.tokenJsdContributions(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "text")
+          .orderBy(col("contrib_q40").desc, col("token"))
+      },
+      Some("""
+        WITH RECURSIVE ta AS (
+          SELECT unnest(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS token
+          FROM documents WHERE lang = 'en'),
+        tb AS (
+          SELECT unnest(list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+            x -> x <> '')) AS token
+          FROM documents WHERE lang <> 'en'),
+        ca AS (SELECT token, COUNT(*) AS c_a FROM ta GROUP BY 1),
+        cb AS (SELECT token, COUNT(*) AS c_b FROM tb GROUP BY 1),
+        j AS (
+          SELECT COALESCE(ca.token, cb.token) AS token,
+            COALESCE(c_a, 0) AS n_a, COALESCE(c_b, 0) AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        tot AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+            CAST(SUM(n_b) AS BIGINT) AS nb, COUNT(*) AS v
+          FROM j),
+        sq AS (
+          SELECT token, n_a, n_b,
+            greatest(((n_a + 1) * 1048576) // (na + v), 1) AS sa,
+            greatest(((n_b + 1) * 1048576) // (nb + v), 1) AS sb
+          FROM j, tot),
+        sq2 AS (SELECT token, n_a, n_b, sa, sb,
+                  (sa + sb) // 2 AS sm FROM sq),
+        stack AS (
+          SELECT token, 0 AS side, sa AS s FROM sq2
+          UNION ALL SELECT token, 1, sb FROM sq2
+          UNION ALL SELECT token, 2, sm FROM sq2),
+        norm AS (
+          SELECT token, side, length(bin(s)) AS bl,
+            CASE WHEN length(bin(s)) >= 21 THEN s >> (length(bin(s)) - 21)
+                 ELSE s << (21 - length(bin(s))) END AS m
+          FROM stack),
+        iter(token, side, bl, i, m, frac) AS (
+          SELECT token, side, bl, 0, m, CAST(0 AS BIGINT) FROM norm
+          UNION ALL
+          SELECT token, side, bl, i + 1,
+            CASE WHEN (m * m) >> 20 >= 2097152 THEN ((m * m) >> 20) >> 1
+                 ELSE (m * m) >> 20 END,
+            frac * 2 + CASE WHEN (m * m) >> 20 >= 2097152 THEN 1 ELSE 0 END
+          FROM iter WHERE i < 20),
+        ltab AS (SELECT token, side, (bl - 21) * 1048576 + frac AS l
+                 FROM iter WHERE i = 20),
+        la AS (SELECT token, l FROM ltab WHERE side = 0),
+        lb AS (SELECT token, l FROM ltab WHERE side = 1),
+        lm AS (SELECT token, l FROM ltab WHERE side = 2)
+        SELECT sq2.token, CAST(sq2.n_a AS BIGINT) AS n_a,
+          CAST(sq2.n_b AS BIGINT) AS n_b,
+          CAST(sq2.sa * (la.l - lm.l) + sq2.sb * (lb.l - lm.l)
+            AS BIGINT) AS contrib_q40
+        FROM sq2 JOIN la ON sq2.token = la.token
+          JOIN lb ON sq2.token = lb.token
+          JOIN lm ON sq2.token = lm.token
+        ORDER BY contrib_q40 DESC, sq2.token"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

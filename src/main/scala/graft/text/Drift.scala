@@ -89,6 +89,66 @@ object Drift {
       (col("__sa") * (col("__la") - col("__lb"))).as("contrib_q40"))
   }
 
+  /** Jensen–Shannon contributions `(token, n_a, n_b, contrib_q40)` —
+    * the SYMMETRIC, BOUNDED member of the drift family:
+    * [[tokenKlContributions]]' KL(A‖B) is direction-dependent and a
+    * token near-absent from B can dominate the sum unboundedly; JSD
+    * treats the corpora symmetrically and is bounded (≤ 1 bit), which
+    * makes thresholds transferable across corpus pairs — the usual
+    * dashboard choice. `Σ contrib_q40 / 2` is the corpus JSD in Q40
+    * log2 units.
+    *
+    * Exactness: computed ON THE QUANTIZED Q20 probabilities (the same
+    * add-one-smoothed `s = max(⌊(n+1)·2²⁰/(N+V)⌋, 1)` as the KL path)
+    * with the mixture as the integer half `m = (s_a + s_b) div 2` —
+    * every term integer, order-independent, replayed in DuckDB via the
+    * q79 recursive-CTE ilog2 (q224). Per-token contribution
+    * `s_a·(L(s_a)−L(m)) + s_b·(L(s_b)−L(m))` is ≥ 0 up to the one-ulp
+    * quantization of `m`.
+    *
+    * Scale shape: identical to the KL path — two token aggregates, one
+    * full-outer join (shuffle carries DISTINCT tokens), a 1-row scalar
+    * guard, map-only scoring.
+    */
+  def tokenJsdContributions(
+      a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(split(TextStats.normalize(col(textCol)), " "))
+          .as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+
+    val joined = counts(a, "n_a")
+      .join(counts(b, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint(true)
+
+    val scalars = joined.agg(
+      sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"),
+      count(lit(1)).as("v")).head // bounded: ONE row
+    val (na, nb, v) = (scalars.getLong(0), scalars.getLong(1), scalars.getLong(2))
+    require(na > 0 && nb > 0,
+      s"tokenJsdContributions: empty corpus (N_a=$na, N_b=$nb) — JSD undefined")
+    require(na < (Long.MaxValue / Scale) - 1 && nb < (Long.MaxValue / Scale) - 1,
+      s"tokenJsdContributions: corpus too large for Q20 fixed point " +
+        s"(N_a=$na, N_b=$nb >= 2^43) — pre-aggregate or sample first")
+
+    joined
+      .withColumn("__sa",
+        greatest(expr(s"((n_a + 1L) * ${Scale}L) div ${na + v}L"), lit(1L)))
+      .withColumn("__sb",
+        greatest(expr(s"((n_b + 1L) * ${Scale}L) div ${nb + v}L"), lit(1L)))
+      .withColumn("__sm", expr("(__sa + __sb) div 2L"))
+      .withColumn("__la", graft.functions.ILog2Q20.ilog2Q20(col("__sa")))
+      .withColumn("__lb", graft.functions.ILog2Q20.ilog2Q20(col("__sb")))
+      .withColumn("__lm", graft.functions.ILog2Q20.ilog2Q20(col("__sm")))
+      .select(col("token"), col("n_a"), col("n_b"),
+        (col("__sa") * (col("__la") - col("__lm")) +
+          col("__sb") * (col("__lb") - col("__lm"))).as("contrib_q40"))
+  }
+
   /** Population stability index contributions over a PRE-BINNED
     * feature — the industry-standard "did this feature's distribution
     * shift" gate (scorecard monitoring; the usual rules of thumb

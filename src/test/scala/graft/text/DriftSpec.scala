@@ -77,6 +77,37 @@ class DriftSpec extends SparkSpec {
 
   private def bins(vs: Long*) = vs.toDF("bin")
 
+  test("jsd: matches a driver-side fixed-point reference and is symmetric") {
+    val a = Seq("x x y", "x z").toDF("text")
+    val b = Seq("x y y y", "y w").toDF("text")
+    def table(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) =
+      Drift.tokenJsdContributions(l, r, "text")
+        .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+
+    val got = table(a, b)
+    val cntA = Map("x" -> 3L, "y" -> 1L, "z" -> 1L, "w" -> 0L)
+    val cntB = Map("x" -> 1L, "y" -> 4L, "w" -> 1L, "z" -> 0L)
+    val (na, nb, v) = (5L, 6L, 4L)
+    def s(n: Long, total: Long) =
+      math.max(((n + 1L) * (1L << 20)) / (total + v), 1L)
+    val expect = cntA.keys.map { t =>
+      val sa = s(cntA(t), na); val sb = s(cntB(t), nb)
+      val sm = (sa + sb) / 2L
+      t -> (sa * (Dsir.ilog2Q20(sa) - Dsir.ilog2Q20(sm)) +
+        sb * (Dsir.ilog2Q20(sb) - Dsir.ilog2Q20(sm)))
+    }.toMap
+    got shouldBe expect
+    // symmetric: swapping corpora gives the identical table
+    table(b, a) shouldBe got
+  }
+
+  test("jsd: identical corpora contribute exactly zero") {
+    val c = Seq("alpha beta beta", "gamma alpha").toDF("text")
+    Drift.tokenJsdContributions(c, c, "text")
+      .collect().map(_.getLong(3)).toSet shouldBe Set(0L)
+  }
+
   test("psi: identical distributions give zero contributions") {
     val a = bins(1L, 1L, 2L, 3L)
     Drift.psiContributions(a, a, "bin")
