@@ -10756,7 +10756,34 @@ object Queries {
         FROM sq2 JOIN la ON sq2.token = la.token
           JOIN lb ON sq2.token = lb.token
           JOIN lm ON sq2.token = lm.token
-        ORDER BY contrib_q40 DESC, sq2.token"""))
+        ORDER BY contrib_q40 DESC, sq2.token""")),
+
+    // Gini concentration (operators/Coverage.giniConcentration): the
+    // one-number datasheet summary beside q154's head-coverage cut —
+    // char-mass concentration across sources. Integer numerator and
+    // denominator (ranks by ascending mass, source tie-break — ties
+    // are order-free), ONE IEEE divide; the oracle replays the ranked
+    // sum as a window.
+    GraftQuery(
+      "q225_gini_concentration",
+      (s, dir) =>
+        graft.operators.Coverage.giniConcentration(
+          t(s, dir, "documents"), Seq("source"), "n_chars"),
+      Some("""
+        WITH m AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+                   FROM documents GROUP BY 1),
+        r AS (SELECT mass,
+                CAST(ROW_NUMBER() OVER (ORDER BY mass, source)
+                  AS BIGINT) AS rk
+              FROM m),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(mass) AS BIGINT) AS t,
+                 CAST(SUM(rk * mass) AS BIGINT) AS s
+               FROM r)
+        SELECT n AS n_groups, t AS total_mass,
+          CAST(2 * s - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)
+            AS gini
+        FROM st"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -102,4 +102,55 @@ object Coverage {
       .select(groupCols.map(col) ++
         Seq(col("mass"), col("rank"), col("cum_mass"), col("in_head")): _*)
   }
+
+  /** Gini concentration of mass across groups — the ONE-NUMBER
+    * companion to [[headCoverage]]'s cut table, the standard datasheet
+    * summary ("how concentrated is this corpus across domains"): 0 =
+    * perfectly even, → 1 = one group holds everything. Comparable
+    * across corpora and releases the way a p-specific head cut is not.
+    *
+    * Exactness: with groups ranked 1..n by ascending mass (group cols
+    * break ties; tied EQUAL masses contribute identically under any
+    * tie order, so the statistic is tie-order-free),
+    * `G = (2·Σ rank·mass − (n+1)·Σ mass) / (n·Σ mass)` — integer
+    * numerator and denominator, ONE correctly-rounded IEEE divide
+    * (q225 replays it as a window). Zero total mass yields NULL.
+    *
+    * Scale shape: the [[headCoverage]] discipline — one
+    * map-side-combinable mass aggregate, ranks via
+    * [[Enumerate.denseIds]] (no global window), one Σ rank·mass
+    * aggregate; the overflow ceiling `2·n·total < 2⁶³` is checked from
+    * ONE bounded scalar row before the ranked pass.
+    *
+    * Output: one row `(n_groups, total_mass, gini)`.
+    */
+  def giniConcentration(
+      df: DataFrame, groupCols: Seq[String], massCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "giniConcentration needs group columns")
+    val m = when(col(massCol).isNull || col(massCol).cast("long") < 0L,
+      raise_error(lit(s"giniConcentration: NULL or negative $massCol — " +
+        "drop explicitly, a silent skip would shift every rank")))
+      .otherwise(col(massCol).cast("long"))
+    val masses = df.select(groupCols.map(col) :+ m.as("mass"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("mass")).as("mass"))
+      .localCheckpoint(true) // scalar guard + ranked pass both read it
+
+    val sc = masses.agg(count(lit(1)).as("n"), sum(col("mass")).as("t"))
+      .head // bounded: ONE row
+    val (n, total) = (sc.getLong(0), sc.getLong(1))
+    require(n > 0, "giniConcentration: input is empty")
+    require(BigInt(2) * n * total < BigInt(Long.MaxValue),
+      s"giniConcentration: 2·n·total = 2 · $n · $total exceeds the " +
+        "exact long range — pre-scale masses (only ratios matter)")
+
+    val ranked = Enumerate.denseIds(masses, "mass" +: groupCols, "__r0")
+    ranked
+      .agg(sum((col("__r0") + 1L) * col("mass")).as("__s"))
+      .select(lit(n).as("n_groups"), lit(total).as("total_mass"),
+        (if (total == 0L) lit(null).cast("double")
+         else ((lit(2L) * col("__s") - lit(n + 1L) * lit(total))
+           .cast("double") /
+           (lit(n) * lit(total)).cast("double"))).as("gini"))
+  }
 }

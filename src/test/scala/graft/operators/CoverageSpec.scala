@@ -78,4 +78,43 @@ class CoverageSpec extends SparkSpec {
     "windowspecdefinition\\(__b".r.findAllIn(plan).nonEmpty shouldBe true
     plan should not include "SinglePartition"
   }
+
+  private def gini(ms: Seq[(String, Long)]) =
+    Coverage.giniConcentration(ms.toDF("g", "m"), Seq("g"), "m")
+      .collect().head match {
+        case r => (r.getAs[Long]("n_groups"), r.getAs[Long]("total_mass"),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))
+      }
+
+  test("gini: hand values — skewed, even, and one-group-takes-all") {
+    gini(Seq("a" -> 50L, "b" -> 30L, "c" -> 15L, "d" -> 5L)) shouldBe
+      ((4L, 100L, Some(0.375)))
+    gini(Seq("a" -> 10L, "b" -> 10L, "c" -> 10L, "d" -> 10L)) shouldBe
+      ((4L, 40L, Some(0.0)))
+    // maximum for n groups is (n-1)/n
+    gini(Seq("a" -> 100L, "b" -> 0L, "c" -> 0L, "d" -> 0L)) shouldBe
+      ((4L, 100L, Some(0.75)))
+  }
+
+  test("gini: zero total mass yields NULL; rows pre-aggregate by group") {
+    gini(Seq("a" -> 0L, "b" -> 0L))._3 shouldBe None
+    // two rows of one group merge before ranking
+    gini(Seq("a" -> 30L, "a" -> 20L, "b" -> 50L)) shouldBe
+      ((2L, 100L, Some(0.0)))
+  }
+
+  test("gini: tie-order-free and layout-independent") {
+    val ms = (0 until 40).map(i => (s"g$i", ((i % 5) * 10 + 1).toLong))
+    val a = gini(ms)
+    Coverage.giniConcentration(
+      ms.toDF("g", "m").repartition(7), Seq("g"), "m")
+      .collect().head.getAs[Double]("gini") shouldBe a._3.get
+  }
+
+  test("gini: negative mass raises") {
+    intercept[Exception] {
+      Coverage.giniConcentration(
+        Seq(("a", -1L)).toDF("g", "m"), Seq("g"), "m").collect()
+    }
+  }
 }
