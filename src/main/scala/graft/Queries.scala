@@ -10783,7 +10783,461 @@ object Queries {
         SELECT n AS n_groups, t AS total_mass,
           CAST(2 * s - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)
             AS gini
-        FROM st"""))
+        FROM st""")),
+
+    // Degree-CAPPED node2vec (RandomWalks.node2vecWalks maxDegree):
+    // q222's walk with each node's adjacency truncated to its 8
+    // lowest-id neighbors — the hub-survival knob for second-order
+    // walks, whose Σ deg(cur) step cost is otherwise unbounded on a
+    // hub-heavy graph (a 10⁷-degree host makes the uncapped path
+    // unrunnable at 100 TB). The cap is deterministic (rank-by-dst,
+    // the LSH bucket-cap discipline), so the oracle replays it as a
+    // rank filter and the whole biased walk runs on the SAME capped
+    // adjacency: picks, candidate fan-out and distance-1 class.
+    GraftQuery(
+      "q226_node2vec_capped",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.RandomWalks.node2vecWalks(
+          edges, "src", "dst", walksPerNode = 1, walkLen = 2,
+          wReturn = 1L, wIn = 2L, wOut = 4L, maxDegree = 8)
+          .orderBy(col("start"), col("walk"), col("step"))
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        rall AS (SELECT src, dst,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                     - 1 AS BIGINT) AS rk
+                 FROM e),
+        rec AS (SELECT src, dst, rk FROM rall WHERE rk < 8),
+        re AS (SELECT src, dst, rk,
+                 CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+               FROM rec),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS walk, node
+               FROM n),
+        s1 AS (SELECT s.start, s.walk, s.node AS prev, re.dst AS node
+               FROM (SELECT start, walk, node,
+                       list_reduce(list_transform(
+                         range(1, len(CAST(start AS VARCHAR) || '#0#1') + 1),
+                         j -> CAST(ord(substr(
+                           CAST(start AS VARCHAR) || '#0#1',
+                           CAST(j AS INTEGER), 1)) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+                     FROM s0) s
+               JOIN re ON re.src = s.node
+                 AND re.rk = (s.h * s.h) % 2147483647 % re.deg),
+        cand AS (SELECT s.start, s.walk, s.prev, s.node, rec.dst AS x
+                 FROM s1 s JOIN rec ON rec.src = s.node),
+        wgt AS (SELECT c.start, c.walk, c.node, c.x,
+                  CAST(CASE WHEN c.x = c.prev THEN 1
+                    WHEN ep.src IS NOT NULL THEN 2
+                    ELSE 4 END AS BIGINT) AS w
+                FROM cand c
+                LEFT JOIN rec ep ON ep.src = c.prev AND ep.dst = c.x),
+        cum AS (SELECT start, walk, node, x, w,
+                  CAST(SUM(w) OVER (PARTITION BY start, walk
+                    ORDER BY x) AS BIGINT) AS cw,
+                  CAST(SUM(w) OVER (PARTITION BY start, walk)
+                    AS BIGINT) AS tot,
+                  list_reduce(list_transform(
+                    range(1, len(CAST(start AS VARCHAR) || '#0#2') + 1),
+                    j -> CAST(ord(substr(
+                      CAST(start AS VARCHAR) || '#0#2',
+                      CAST(j AS INTEGER), 1)) AS BIGINT)),
+                    (a, b) -> (a * 257 + b) % 2147483647) AS h
+                FROM wgt),
+        s2 AS (SELECT start, walk, x AS node FROM cum
+               WHERE (h * h) % 2147483647 % tot >= cw - w
+                 AND (h * h) % 2147483647 % tot < cw)
+        SELECT start, walk, step, node FROM (
+          SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM s0
+          UNION ALL
+          SELECT start, walk, CAST(1 AS BIGINT), node FROM s1
+          UNION ALL
+          SELECT start, walk, CAST(2 AS BIGINT), node FROM s2)
+        ORDER BY 1, 2, 3""")),
+
+    // Streaming ingest through the dedup-index LIFECYCLE (streaming/
+    // Streaming.dedupIngestSink): four 25-doc micro-batches arrive in
+    // pinned order, each dedups against base corpus (< 400) PLUS every
+    // earlier batch's survivors (served from the LSM segments the sink
+    // itself appended), survivors land per batch and join the index.
+    // The sequential dependence IS the evidence the appends work: a
+    // block-3 doc near-dup'ing only a block-1 survivor must be dropped.
+    // The oracle unrolls the four batches as chained CTEs over the
+    // same exact-match + unigram-Jaccard rule (banding at these params
+    // is recall-complete over doc_id < 500 — the q14-pinned envelope).
+    GraftQuery(
+      "q227_streaming_dedup_ingest",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val staged = stagedDedupBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q227_").toString
+        val indexPath = s"$base/index"
+        graft.dedup.DedupIndex.write(
+          t(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", indexPath,
+          graft.dedup.DedupIndex.Params(
+            shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        val gate = graft.streaming.Streaming.dedupIngestSink(
+          stream, indexPath, s"$base/survivors", s"$base/ckpt",
+          "doc_id", "text", threshold = 0.9)
+        gate.awaitTermination()
+        val out = s.read.parquet(s"$base/survivors")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+          .localCheckpoint(true) // outlive the temp-tree cleanup below
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+              AS toks
+          FROM documents),
+        corp AS (SELECT t, toks FROM d WHERE doc_id < 400),
+        b1 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 400 AND doc_id < 425
+                 AND NOT EXISTS (SELECT 1 FROM corp c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM corp c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c1 AS (SELECT t, toks FROM corp
+               UNION ALL SELECT t, toks FROM b1),
+        b2 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 425 AND doc_id < 450
+                 AND NOT EXISTS (SELECT 1 FROM c1 c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM c1 c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c2 AS (SELECT t, toks FROM c1
+               UNION ALL SELECT t, toks FROM b2),
+        b3 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 450 AND doc_id < 475
+                 AND NOT EXISTS (SELECT 1 FROM c2 c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM c2 c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c3 AS (SELECT t, toks FROM c2
+               UNION ALL SELECT t, toks FROM b3),
+        b4 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 475 AND doc_id < 500
+                 AND NOT EXISTS (SELECT 1 FROM c3 c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM c3 c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9))
+        SELECT doc_id FROM (
+          SELECT doc_id FROM b1 UNION ALL SELECT doc_id FROM b2
+          UNION ALL SELECT doc_id FROM b3 UNION ALL SELECT doc_id FROM b4)
+        ORDER BY 1""")),
+
+    // IVF index maintenance: append × 4 then COMPACT (sim/Similarity
+    // .compactIvfIndex) — the small-file merge the append path (q98)
+    // accumulates toward, q139's segment-compaction twin for the ANN
+    // family. The compacted index serves q66's exact probe with q66's
+    // oracle VERBATIM: compaction must be invisible in results while
+    // the per-cell file count drops (pinned in SimilaritySpec).
+    GraftQuery(
+      "q228_ivf_compact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfCompactIndexFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfTopK(index, queries, k = 10, nProbe = 4)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= 4),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // Row batch → named tensors (records/RowsToTensors.compile, U14)
+    // and the placeholder layout (placeholderLayout, U15), driver-
+    // visible: an 8-doc batch compiles through the converters — dense
+    // Int64 without default (doc_id), dense with null→default (nc:
+    // every doc_id % 3 == 0 nulled, default −1), and a VarLen string
+    // feature (first doc_id % 4 tokens; % 4 == 0 rows are NULL → empty,
+    // the reference's null semantics) emitted as the k/shape,
+    // k/indices, k/values sparse triple. The oracle recomputes every
+    // tensor cell AND the layout dims from the same table + constants.
+    GraftQuery(
+      "q229_rows_to_tensors",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val norm = graft.text.TextStats.normalize(col("text"))
+        val batch = t(s, dir, "documents").filter(col("doc_id") < 8)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(null))
+              .otherwise(col("n_chars")).cast("long").as("nc"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(null))
+              .otherwise(slice(split(norm, " "), lit(1),
+                pmod(col("doc_id"), lit(4)).cast("int"))).as("toks"))
+          .orderBy(col("doc_id"))
+          .collect() // bounded: the 8-row batch the converter contract takes
+        val cols: Seq[IndexedSeq[Any]] = Seq(
+          batch.map(r => r.get(0): Any).toIndexedSeq,
+          batch.map(r => if (r.isNullAt(1)) null else r.get(1): Any).toIndexedSeq,
+          batch.map(r => if (r.isNullAt(2)) null else r.getSeq[String](2): Any).toIndexedSeq)
+        val specs: graft.types.FeatureSpec.Specs =
+          scala.collection.immutable.ListMap(
+            "doc_id" -> graft.types.FixedLenFeature(Nil, graft.types.FeatureDType.Int64),
+            "nc" -> graft.types.FixedLenFeature(Nil, graft.types.FeatureDType.Int64, Some(-1L)),
+            "toks" -> graft.types.VarLenFeature(graft.types.FeatureDType.TfString))
+        val tensors = graft.records.RowsToTensors.compile(specs)(cols)
+        val layout = graft.records.RowsToTensors.placeholderLayout(specs)
+        import graft.records.RowsToTensors._
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def dense(name: String): Unit = tensors(name) match {
+          case DenseVector(vs) => vs.zipWithIndex.foreach { case (v, i) =>
+            rows += Row(name, i.toLong, null, String.valueOf(v))
+          }
+          case other => throw new IllegalStateException(s"$name: $other")
+        }
+        dense("doc_id"); dense("nc")
+        tensors("toks/shape") match {
+          case SparseShape(n, m) =>
+            rows += Row("toks/shape", 0L, null, n.toString)
+            rows += Row("toks/shape", 1L, null, m.toString)
+          case other => throw new IllegalStateException(s"shape: $other")
+        }
+        tensors("toks/indices") match {
+          case SparseIndices(ix) => ix.zipWithIndex.foreach {
+            case ((r0, p), k) =>
+              rows += Row("toks/indices", r0, p, k.toLong.toString)
+          }
+          case other => throw new IllegalStateException(s"indices: $other")
+        }
+        tensors("toks/values") match {
+          case SparseValues(vs) => vs.zipWithIndex.foreach { case (v, k) =>
+            rows += Row("toks/values", k.toLong, null, String.valueOf(v))
+          }
+          case other => throw new IllegalStateException(s"values: $other")
+        }
+        layout.toSeq.foreach { case (n, dims) =>
+          dims.zipWithIndex.foreach { case (d, i) =>
+            rows += Row(s"layout:$n", i.toLong, null, d.toString)
+          }
+        }
+        val schema = StructType(Seq(
+          StructField("tensor", StringType, nullable = false),
+          StructField("i", LongType, nullable = false),
+          StructField("j", LongType, nullable = true),
+          StructField("v", StringType, nullable = false)))
+        s.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+          schema)
+          .orderBy(col("tensor"), col("i"), col("j"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, n_chars,
+            CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+              ' ') AS ts
+          FROM documents WHERE doc_id < 8),
+        tk AS (SELECT r, ts[1 : CAST(doc_id % 4 AS INTEGER)] AS l FROM d),
+        tok AS (SELECT r, CAST(p - 1 AS BIGINT) AS p, l[CAST(p AS INTEGER)] AS v,
+                  CAST(ROW_NUMBER() OVER (ORDER BY r, p) - 1 AS BIGINT) AS k
+                FROM (SELECT r, l, unnest(range(1, len(l) + 1)) AS p FROM tk)),
+        shp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COALESCE(MAX(len(l)), 0) AS BIGINT) AS m FROM tk),
+        u AS (
+          SELECT 'doc_id' AS tensor, r AS i, CAST(NULL AS BIGINT) AS j,
+            CAST(doc_id AS VARCHAR) AS v FROM d
+          UNION ALL
+          SELECT 'nc', r, NULL,
+            CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE n_chars END
+              AS VARCHAR) FROM d
+          UNION ALL
+          SELECT 'toks/shape', CAST(0 AS BIGINT), NULL, CAST(n AS VARCHAR)
+          FROM shp
+          UNION ALL
+          SELECT 'toks/shape', CAST(1 AS BIGINT), NULL, CAST(m AS VARCHAR)
+          FROM shp
+          UNION ALL
+          SELECT 'toks/indices', r, p, CAST(k AS VARCHAR) FROM tok
+          UNION ALL
+          SELECT 'toks/values', k, NULL, v FROM tok
+          UNION ALL
+          SELECT tensor, i, NULL, v FROM (VALUES
+            ('layout:doc_id', CAST(0 AS BIGINT), '-1'),
+            ('layout:nc', CAST(0 AS BIGINT), '-1'),
+            ('layout:toks/shape', CAST(0 AS BIGINT), '2'),
+            ('layout:toks/indices', CAST(0 AS BIGINT), '-1'),
+            ('layout:toks/indices', CAST(1 AS BIGINT), '2'),
+            ('layout:toks/values', CAST(0 AS BIGINT), '-1'))
+            lay(tensor, i, v))
+        SELECT tensor, i, j, v FROM u ORDER BY tensor, i, j""")),
+
+    // Contract truth tables as driver-visible constants: the HDFS path
+    // validator (core/Paths.checkFullHdfsPath, S9 — only fully
+    // qualified hdfs:// / viewfs:// URLs with an authority pass;
+    // malformed URIs are false, never a throw) and the evaluator
+    // sizing arithmetic (eval/EvalConfig.getEvalParams, U19 — the
+    // batch-splitting golden pairs). Both are pure functions evaluated
+    // at plan-build time; the oracle pins the expected table.
+    GraftQuery(
+      "q230_contract_tables",
+      (s, dir) => {
+        import s.implicits._
+        val paths = Seq(
+          "hdfs://nn1/user/x", "viewfs://root/data", "hdfs:///no-authority",
+          "file://host/x", "s3://bucket/key", "relative/path",
+          "http://a/b", "hdfs://nn1", "://bad-uri")
+        val pathRows = paths.map(p =>
+          (s"path:$p", if (graft.core.Paths.checkFullHdfsPath(p)) 1L else 0L))
+        def ep(w: Int, e: Int, n: Int): Seq[(String, Long)] = {
+          val p = graft.eval.EvalConfig.getEvalParams(w, e, n)
+          Seq(
+            (s"eval:$w:$e:$n:throttle", p.throttleSecs.toLong),
+            (s"eval:$w:$e:$n:ckpt_steps", p.saveCheckpointsSteps.toLong),
+            (s"eval:$w:$e:$n:batch", p.evaluationBatchSize.toLong),
+            (s"eval:$w:$e:$n:steps", p.steps.toLong))
+        }
+        (pathRows ++ ep(10, 2, 1000000) ++ ep(4, 1, 100000))
+          .toDF("name", "value")
+          .orderBy(col("name"))
+      },
+      Some("""
+        SELECT name, CAST(value AS BIGINT) AS value FROM (VALUES
+          ('path:hdfs://nn1/user/x', 1),
+          ('path:viewfs://root/data', 1),
+          ('path:hdfs:///no-authority', 0),
+          ('path:file://host/x', 0),
+          ('path:s3://bucket/key', 0),
+          ('path:relative/path', 0),
+          ('path:http://a/b', 0),
+          ('path:hdfs://nn1', 1),
+          ('path:://bad-uri', 0),
+          ('eval:10:2:1000000:throttle', 5),
+          ('eval:10:2:1000000:ckpt_steps', 1000000),
+          ('eval:10:2:1000000:batch', 100000),
+          ('eval:10:2:1000000:steps', 2),
+          ('eval:4:1:100000:throttle', 5),
+          ('eval:4:1:100000:ckpt_steps', 100000),
+          ('eval:4:1:100000:batch', 25000),
+          ('eval:4:1:100000:steps', 1)) t(name, value)
+        ORDER BY name""")),
+
+    // Eval-only metric recompute (eval/BootstrapEval
+    // .evaluateFromPredictions, U18): per-output weighted loss + rmse/
+    // mae/accuracy plus the summed total loss, over predictions whose
+    // values are DYADIC rationals (multiples of 0.25, weights 1/2) so
+    // every partial sum is exact in double and the aggregation order
+    // cannot matter — the one final divide (and sqrt) is the same
+    // single IEEE op in both engines. out2 exercises the per-output
+    // weight column; accuracy's int-cast comparison sees l2 ∈ {0,1,2}.
+    GraftQuery(
+      "q231_eval_only_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val preds = t(s, dir, "documents").select(
+          (pmod(col("doc_id"), lit(4)).cast("double") * lit(0.25)).as("p1"),
+          pmod(col("doc_id"), lit(2)).cast("double").as("l1"),
+          (pmod(col("doc_id"), lit(5)).cast("double") * lit(0.25)).as("p2"),
+          pmod(col("doc_id"), lit(3)).cast("double").as("l2"),
+          (lit(1.0) + pmod(col("doc_id"), lit(2)).cast("double")).as("w"))
+        val b = graft.eval.BootstrapEval
+        val m = b.evaluateFromPredictions(
+          preds,
+          Seq(b.OutputSpec("out1", "p1", "l1"),
+            b.OutputSpec("out2", "p2", "l2", Some("w"))),
+          metrics = Seq(b.rmse, b.mae, b.accuracy(0.5)))
+        m.toSeq.toDF("metric", "value").orderBy(col("metric"))
+      },
+      Some("""
+        WITH s AS (SELECT
+            CAST(doc_id % 4 AS DOUBLE) * 0.25e0 AS p1,
+            CAST(doc_id % 2 AS DOUBLE) AS l1,
+            CAST(doc_id % 5 AS DOUBLE) * 0.25e0 AS p2,
+            CAST(doc_id % 3 AS DOUBLE) AS l2,
+            1.0e0 + CAST(doc_id % 2 AS DOUBLE) AS w
+          FROM documents),
+        a AS (SELECT
+            SUM((p1-l1)*(p1-l1)) / SUM(1.0e0) AS loss1,
+            sqrt(SUM((p1-l1)*(p1-l1)) / SUM(1.0e0)) AS rmse1,
+            SUM(abs(p1-l1)) / SUM(1.0e0) AS mae1,
+            SUM(CASE WHEN CAST(p1 >= 0.5e0 AS INTEGER) = CAST(l1 AS INTEGER)
+              THEN 1.0e0 ELSE 0.0e0 END) / SUM(1.0e0) AS acc1,
+            SUM(w*(p2-l2)*(p2-l2)) / SUM(w) AS loss2,
+            sqrt(SUM(w*(p2-l2)*(p2-l2)) / SUM(w)) AS rmse2,
+            SUM(w*abs(p2-l2)) / SUM(w) AS mae2,
+            SUM(w * CASE WHEN CAST(p2 >= 0.5e0 AS INTEGER) = CAST(l2 AS INTEGER)
+              THEN 1.0e0 ELSE 0.0e0 END) / SUM(w) AS acc2
+          FROM s)
+        SELECT metric, value FROM (
+          SELECT 'loss' AS metric, loss1 + loss2 AS value FROM a
+          UNION ALL SELECT 'out1_loss', loss1 FROM a
+          UNION ALL SELECT 'out1_root_mean_squared_error', rmse1 FROM a
+          UNION ALL SELECT 'out1_mean_absolute_error', mae1 FROM a
+          UNION ALL SELECT 'out1_accuracy', acc1 FROM a
+          UNION ALL SELECT 'out2_loss', loss2 FROM a
+          UNION ALL SELECT 'out2_root_mean_squared_error', rmse2 FROM a
+          UNION ALL SELECT 'out2_mean_absolute_error', mae2 FROM a
+          UNION ALL SELECT 'out2_accuracy', acc2 FROM a)
+        ORDER BY metric"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -11145,6 +11599,83 @@ object Queries {
         .createTempDirectory("graft_ivf_index_").toString
       graft.sim.Similarity.writeIvfIndex(built, path)
       graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
+
+  /** q228's compacted twin of [[ivfAppendIndexFor]]: built from
+    * vec_id < 800, grown by FOUR small appends (small-file
+    * accumulation — the exact situation compaction exists for), then
+    * `compactIvfIndex` merges each cell's files before the read-back.
+    * Serving q66's oracle through it proves compaction is invisible
+    * in results while DedupIngest-style maintenance keeps file counts
+    * bounded (the file-count drop itself is pinned in SimilaritySpec).
+    */
+  private val ivfCompactIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  private def ivfCompactIndexFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.Similarity.IvfIndex =
+    ivfCompactIndexCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb.filter(col("vec_id") < 800), "vec_id", "embedding", centroids)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_compact_").toString
+      graft.sim.Similarity.writeIvfIndex(built, path)
+      for (b <- 0 until 4)
+        graft.sim.Similarity.appendToIvfIndex(
+          s, path,
+          emb.filter(col("vec_id") >= 800 &&
+            pmod(col("vec_id"), lit(4)) === b),
+          "vec_id", "embedding")
+      graft.sim.Similarity.compactIvfIndex(s, path)
+      graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
+
+  /** q227's staged ingest blocks: docs [400, 500) as FOUR 25-doc
+    * parquet files whose names AND modification times both increase
+    * in block order — the file stream delivers one file per
+    * micro-batch in that order under either of FileStreamSource's
+    * possible orderings (timestamp or path), so the sequential-dedup
+    * oracle's block unrolling is pinned. Staging is fixture, cached
+    * per dir; the index the query mutates is built fresh per run.
+    */
+  private val stagedDedupBlocksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedDedupBlocksFor(s: SparkSession, dir: String): String =
+    stagedDedupBlocksCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q227_in_")
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val t0 = 1700000000000L // fixed base so mtimes are deterministic
+      for (i <- 0 until 4) {
+        val lo = 400 + i * 25
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q227_blk_")
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 25)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        val found = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) found += p
+        }
+        require(found.size == 1, s"expected 1 part file, got ${found.size}")
+        val dst = root.resolve(f"block$i%04d.parquet")
+        java.nio.file.Files.move(found.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+        deleteTree(tmp)
+      }
+      root.toString
     })
 
   /** q172's deletion twin of [[ivfIndexFor]]: same centroids and

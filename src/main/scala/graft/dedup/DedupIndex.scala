@@ -152,22 +152,40 @@ object DedupIndex {
     * batch-sized; the existing corpus tables are never touched, read,
     * or re-aggregated. [[read]] serves the union of all segments.
     *
+    * `segmentName` (must start with "seg") pins the directory name
+    * instead of the auto-increment — the REPLAY-SAFETY seam for
+    * at-least-once ingest ([[graft.streaming.Streaming
+    * .dedupIngestSink]]): a redelivered batch OVERWRITES its own
+    * segment rather than appending a duplicate, and the caller can
+    * [[read]] with that name excluded so the recompute never sees the
+    * half-committed first attempt.
+    *
     * Semantics vs a monolithic rebuild: identical EXCEPT that the
     * `maxBucketSize` candidate cap applies per segment rather than
     * globally (a segmented index can only produce MORE candidates for
     * a hot bucket, and the exact-Jaccard verify keeps results correct
     * either way); DedupIndexSpec pins segmented ≡ rebuilt when caps
-    * don't bind. Compaction — when segments accumulate — is a
-    * [[write]] over the unioned corpus.
+    * don't bind. Compaction — when segments accumulate — is [[compact]].
     */
   def appendSegment(
       spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      segmentName: Option[String] = None): Unit = {
     val params = readParams(spark, path)
-    val next = segmentDirs(spark, path)
-      .map(_.split('/').last.stripPrefix("seg").toInt)
-      .foldLeft(-1)(math.max) + 1
-    writeTables(batch, idCol, textCol, f"$path/segments/seg$next%04d", params)
+    val name = segmentName match {
+      case Some(n) =>
+        require(n.startsWith("seg") && !n.contains('/'),
+          s"segment name must start with 'seg' and hold no '/', got $n")
+        n
+      case None =>
+        // auto-increment over the NUMERIC segments only; named
+        // segments (seg_b00001…) coexist and are simply skipped here
+        val next = segmentDirs(spark, path)
+          .flatMap(_.split('/').last.stripPrefix("seg").toIntOption)
+          .foldLeft(-1)(math.max) + 1
+        f"seg$next%04d"
+    }
+    writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
   }
 
   /** Compact accumulated segments back into the base tables — the
@@ -229,11 +247,17 @@ object DedupIndex {
   /** Load an index written by [[write]] (+ any [[appendSegment]]s):
     * the served tables are the union of the base and every segment.
     * The parameters come from the stored `meta`, so queries are always
-    * consistent with the build.
+    * consistent with the build. `excludeSegments` (directory names)
+    * drops named segments from the union — the replay-safety half of
+    * [[appendSegment]]'s `segmentName`: recompute a batch against the
+    * index WITHOUT the batch's own possibly-half-committed segment.
     */
-  def read(spark: SparkSession, path: String): Index = {
+  def read(
+      spark: SparkSession, path: String,
+      excludeSegments: Set[String] = Set.empty): Index = {
     val params = readParams(spark, path)
     val roots = path +: segmentDirs(spark, path)
+      .filterNot(d => excludeSegments.contains(d.split('/').last))
     def union(sub: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)
     Index(params, union("exact"), union("buckets"), union("sets"))

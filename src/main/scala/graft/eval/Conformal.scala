@@ -57,12 +57,24 @@ object Conformal {
     val byGroup = Window.partitionBy(keys.map(col): _*)
     val cumW = byGroup.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // rank = ceil((n+1)(aDen−aNum)/aDen), exact integer ceiling
+    // rank = ceil((n+1)(aDen−aNum)/aDen), exact integer ceiling.
+    // (n+1)·(aDen−aNum)+(aDen−1) must fit a long or the SQL product
+    // silently wraps to a wrong (possibly negative) rank — fail loud
+    // on groups past the bound (computed driver-side in BigInt so the
+    // bound itself cannot wrap)
+    val nMax = ((BigInt(Long.MaxValue) - (aDen - 1)) / (aDen - aNum) - 1)
+      .min(BigInt(Long.MaxValue)).toLong
     val out = hist
       .withColumn("__cum", sum(col("__c")).over(cumW))
       .withColumn("n", sum(col("__c")).over(byGroup))
-      .withColumn("rank", expr(
-        s"((n + 1L) * ${aDen - aNum}L + ${aDen - 1}L) div ${aDen}L"))
+      .withColumn("rank",
+        when(col("n") > lit(nMax), raise_error(lit(
+          s"Conformal.thresholds: a calibration group exceeds $nMax " +
+            s"rows — (n+1)·(aDen−aNum) would overflow exact long " +
+            s"arithmetic at alpha = $aNum/$aDen; use a coarser alpha " +
+            "denominator or smaller groups")))
+          .otherwise(expr(
+            s"((n + 1L) * ${aDen - aNum}L + ${aDen - 1}L) div ${aDen}L")))
       .groupBy((keys.map(col) :+ col("n") :+ col("rank")): _*)
       .agg(min(when(col("__cum") >= col("rank"), col("__v")))
         .as("threshold"))

@@ -130,8 +130,12 @@ object Isotonic {
     val m = mapping.select(
       (groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") } :+
         col("predQ").as("__pq") :+ col("calibrated").as(calCol)): _*)
+    // null-safe equality on group keys: fitCalibration's groupBy
+    // RETAINS null keys, so a NULL-group bin the fit produced must
+    // match NULL-group rows here — a plain === would treat a seen bin
+    // as unseen (null === null is null)
     val cond = groupCols.zipWithIndex
-      .map { case (c, i) => df(c) === m(s"__g$i") }
+      .map { case (c, i) => df(c) <=> m(s"__g$i") }
       .foldLeft(df(predQCol).cast("long") === m("__pq"))(_ && _)
     df.join(broadcast(m), cond, "left")
       .select(df.columns.map(df(_)) :+ m(calCol): _*)

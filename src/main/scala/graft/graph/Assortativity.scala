@@ -38,9 +38,12 @@ object Assortativity {
     */
   def degreeAssortativity(
       edgesDf: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // cast first, then raise on the cast's null — a non-numeric id
+    // would otherwise cast to NULL silently past a null-only guard
     def endpoint(c: String) =
-      when(col(c).isNull, raise_error(lit(
-        s"degreeAssortativity: NULL $c — a NULL is not a node id")))
+      when(col(c).cast("long").isNull, raise_error(lit(
+        s"degreeAssortativity: NULL or non-integer $c — node ids " +
+          "must be integers")))
         .otherwise(col(c).cast("long"))
     val directed = edgesDf
       .select(endpoint(srcCol).as("src"), endpoint(dstCol).as("dst"))

@@ -36,9 +36,12 @@ object Communities {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
+    // cast first, then raise on the cast's null — a non-numeric id
+    // would otherwise cast to NULL silently past a null-only guard
     def endpoint(c: String) =
-      when(col(c).isNull, raise_error(lit(
-        s"labelPropagation: NULL $c — a NULL is not a node id")))
+      when(col(c).cast("long").isNull, raise_error(lit(
+        s"labelPropagation: NULL or non-integer $c — node ids must " +
+          "be integers")))
         .otherwise(col(c).cast("long"))
     val directed = edgesDf
       .select(endpoint(srcCol).as("src"), endpoint(dstCol).as("dst"))

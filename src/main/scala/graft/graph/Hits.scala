@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   * eigenvector fixpoint is the same normalized direction.
   *
   * Overflow contract: after each half-step scores are ≤ `scale`, so
-  * the next sum is ≤ `maxInDegree · scale · scale / scale = |V|·scale`
-  * before dividing — the guard requires `|V|·scale < 2⁶³/scale`…
-  * conservatively `|V| ≤ 10¹⁷/scale²·10⁹` is overkill; the enforced
-  * bound is `|V| · scale ≤ 10¹⁷` (the [[PageRank]] contract, ample
-  * because sums stay ≤ |V|·scale).
+  * a vertex's incoming sum is ≤ `deg·scale` and the half-step's
+  * `__sum · scale` product needs `maxDeg · scale² < 2⁶³` — the bound
+  * the guard ENFORCES, with `maxDeg` the max in-/out-degree read from
+  * the edge table (two bounded-scalar aggregates, BigInt-checked so
+  * the guard itself cannot wrap). A graph failing it raises at build
+  * with the lower `scale` to use; nothing silently wraps in non-ANSI
+  * long arithmetic.
   *
   * Scale shape, per round: two half-steps, each ONE |E| equi-join +
   * map-combinable sum + a 1-row max collect (bounded driver scalar,
@@ -59,9 +61,17 @@ object Hits {
       .localCheckpoint(true)
     val nVertices = vertices.count()
     require(nVertices > 0, "Hits.scores: edge set is empty")
-    require(scale <= 100000000000000000L / nVertices,
-      s"Hits.scores: |V|·scale = ${nVertices} · ${scale} exceeds the " +
-        "exact long range — lower scale for graphs this large")
+    // the half-step computes __sum * scale with __sum <= maxDeg * scale,
+    // so the real requirement is maxDeg * scale^2 < 2^63 (bounded
+    // scalars; BigInt so this check cannot itself overflow)
+    val maxOutDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).head.getLong(0)
+    val maxInDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).head.getLong(0)
+    val maxDeg = math.max(maxOutDeg, maxInDeg)
+    require(BigInt(maxDeg) * BigInt(scale) * BigInt(scale) < BigInt(Long.MaxValue),
+      s"Hits.scores: maxDeg·scale² = $maxDeg · $scale² exceeds the " +
+        "exact long range — lower scale for graphs this dense")
 
     // one half-step: out(v) = floor(sum_{edges into v} in(u) * scale / max)
     def halfStep(in: DataFrame, edgeFrom: String, edgeTo: String): DataFrame = {

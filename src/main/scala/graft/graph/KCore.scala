@@ -14,18 +14,25 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: peeling is confluent — the k-core is UNIQUE whatever
   * the removal order — so the only replay question is round count.
-  * `rounds` is fixed; a converged core is idempotent under extra
-  * rounds, so Spark and the oracle agree exactly whether or not the
-  * peel has converged by round `rounds` (q219 unrolls the same
-  * count). One round per peeled "layer"; graphs needing more than
-  * `rounds` layers return the partially-peeled superset — same on
-  * both sides, and detectable (some returned degree < k).
+  * `rounds` is an upper bound: the peel STOPS EARLY when a round
+  * removes nothing (the surviving edge count is unchanged — one cheap
+  * count per round on the already-checkpointed edge set), and a
+  * converged core is idempotent under extra rounds, so Spark and a
+  * fixed-round oracle agree exactly (q219 unrolls 4 rounds). Graphs
+  * whose peel does NOT converge within `rounds` layers return the
+  * partially-peeled superset — identical on both sides, detectable
+  * (some returned degree < k), and with
+  * `failOnNonConverged = true` the call raises instead of returning
+  * it (the fail-loud switch for users who treat the result as THE
+  * core rather than a bounded peel).
   *
   * Scale shape, per round: one semi-join of the edge set against the
   * surviving vertex set per endpoint + one map-side-combinable degree
-  * count — the [[PageRank]] round profile; the edge set SHRINKS
-  * monotonically ([[graft.dedup.Components]]' large-star argument).
-  * Edges checkpointed per round so lineage stays constant.
+  * count + one count() on the freshly checkpointed edges (the
+  * convergence probe — reads cached blocks, no recompute) — the
+  * [[PageRank]] round profile; the edge set SHRINKS monotonically
+  * ([[graft.dedup.Components]]' large-star argument). Edges
+  * checkpointed per round so lineage stays constant.
   */
 object KCore {
 
@@ -36,13 +43,15 @@ object KCore {
     */
   def kCore(
       edgesDf: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int = 10): DataFrame = {
+      rounds: Int = 10, failOnNonConverged: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
+    // cast first, then raise on the cast's null — a non-numeric id
+    // would otherwise cast to NULL silently past a null-only guard
     def endpoint(c: String) =
-      when(col(c).isNull, raise_error(lit(
-        s"kCore: NULL $c — a NULL is not a node id")))
+      when(col(c).cast("long").isNull, raise_error(lit(
+        s"kCore: NULL or non-integer $c — node ids must be integers")))
         .otherwise(col(c).cast("long"))
     val directed = edgesDf
       .select(endpoint(srcCol).as("src"), endpoint(dstCol).as("dst"))
@@ -51,8 +60,13 @@ object KCore {
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // convergence = a round that removes no edge (count unchanged on
+    // the checkpointed set — a cheap metadata-local count per round);
+    // an empty edge set is trivially converged
+    var prevEdges = e.count()
+    var converged = prevEdges == 0L
     var round = 0
-    while (round < rounds) {
+    while (round < rounds && !converged) {
       val survivors = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("src").as("__sv"))
@@ -61,8 +75,16 @@ object KCore {
         .join(survivors.withColumnRenamed("__sv", "__sv2"),
           e("dst") === col("__sv2"), "left_semi")
         .localCheckpoint(true)
+      val n = e.count()
+      converged = n == prevEdges || n == 0L
+      prevEdges = n
       round += 1
     }
+    require(converged || !failOnNonConverged,
+      s"kCore: peel did not converge within $rounds rounds " +
+        s"($prevEdges directed edges still peeling) — raise rounds, " +
+        "or call with failOnNonConverged = false to accept the " +
+        "partially-peeled superset")
     e.groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("degree"))
   }

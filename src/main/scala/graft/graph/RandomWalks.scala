@@ -49,9 +49,12 @@ object RandomWalks {
     require(walkLen >= 1 && walkLen <= 100,
       s"walkLen must be in [1, 100], got $walkLen")
 
+    // cast first, then raise on the cast's null — a non-numeric id
+    // would otherwise cast to NULL silently past a null-only guard
     def endpoint(c: String) =
-      when(col(c).isNull, raise_error(lit(
-        s"RandomWalks.walks: NULL $c — a NULL is not a node id")))
+      when(col(c).cast("long").isNull, raise_error(lit(
+        s"RandomWalks.walks: NULL or non-integer $c — node ids must " +
+          "be integers")))
         .otherwise(col(c).cast("long"))
     val edges = edgesDf
       .select(endpoint(srcCol).as("src"), endpoint(dstCol).as("dst"))
@@ -120,14 +123,29 @@ object RandomWalks {
     * alias-table samplers included, must touch or precompute), one
     * LEFT join against the edge set for the distance-1 class, and a
     * per-walk window bounded by deg(cur). For degree-bounded graphs
-    * this is |frontier|·avgDeg per step; for hub-heavy graphs prefer
-    * [[walks]] (first-order) or cap degrees upstream.
+    * this is |frontier|·avgDeg per step; for hub-heavy graphs set
+    * `maxDegree` (below) or prefer [[walks]] (first-order).
+    *
+    * `maxDegree` caps the fan-out IN CODE, not prose: each node's
+    * adjacency is truncated to its `maxDegree` LOWEST-id neighbors
+    * (the deterministic cap discipline of the LSH bucket caps —
+    * replayable, no sampling stream) and the walk then runs on that
+    * capped graph: picks, candidate fan-outs AND the distance-1
+    * classification all read the same truncated adjacency, so the
+    * result is exactly node2vec on the capped graph (q226 replays
+    * the cap in SQL). On a graph whose max out-degree is below the
+    * cap the result is bit-identical to the uncapped walk (pinned in
+    * RandomWalksSpec). The bias: a hub's high-id neighbors are never
+    * visited THROUGH that hub — the price of bounding a 10⁷-degree
+    * host's Σdeg(cur) term to maxDegree rows per visiting walk.
+    * Note the cap is per-direction: an undirected graph fed as a
+    * symmetric edge list may keep u→v and drop v→u.
     */
   def node2vecWalks(
       edgesDf: DataFrame, srcCol: String, dstCol: String,
       walksPerNode: Int, walkLen: Int,
       wReturn: Long, wIn: Long, wOut: Long,
-      salt: String = ""): DataFrame = {
+      salt: String = "", maxDegree: Int = Int.MaxValue): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       s"walksPerNode must be in [1, 1024], got $walksPerNode")
     require(walkLen >= 1 && walkLen <= 100,
@@ -136,26 +154,39 @@ object RandomWalks {
       wReturn + wIn + wOut >= 1,
       s"need wIn >= 1 and non-negative weights, got " +
         s"($wReturn, $wIn, $wOut)")
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
 
     def endpoint(c: String) =
-      when(col(c).isNull, raise_error(lit(
-        s"node2vecWalks: NULL $c — a NULL is not a node id")))
+      when(col(c).cast("long").isNull, raise_error(lit(
+        s"node2vecWalks: NULL or non-integer $c — node ids must " +
+          "be integers")))
         .otherwise(col(c).cast("long"))
-    val edges = edgesDf
+    val edgesAll = edgesDf
       .select(endpoint(srcCol).as("src"), endpoint(dstCol).as("dst"))
       .distinct()
       .localCheckpoint(true)
-    val degrees = edges.groupBy(col("src"))
+    val bySrc = Window.partitionBy(col("src"))
+    // the degree cap rides the rank the picks need anyway: one window
+    // pass ranks each node's neighbors by dst, the cap keeps the
+    // lowest maxDegree of them, and EVERYTHING downstream (degrees,
+    // picks, candidate fan-out, distance-1 classification) reads this
+    // one capped adjacency — a cap ≥ max degree filters nothing
+    val rankedAll = edgesAll
+      .withColumn("nbr_rank",
+        row_number().over(bySrc.orderBy(col("dst"))).cast("long") - 1L)
+    val ranked =
+      (if (maxDegree == Int.MaxValue) rankedAll
+       else rankedAll.filter(col("nbr_rank") < maxDegree.toLong))
+        .localCheckpoint(true)
+    val edges = ranked.select(col("src"), col("dst"))
+    val degrees = ranked.groupBy(col("src"))
       .agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "__dn")
       .localCheckpoint(true)
-    val bySrc = Window.partitionBy(col("src"))
-    val ranked = edges
-      .withColumn("nbr_rank",
-        row_number().over(bySrc.orderBy(col("dst"))).cast("long") - 1L)
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // walk starts cover ALL nodes of the input graph (a dst-only node
+    // still emits its step-0 row; cap ≥ 1 keeps every src walkable)
+    val nodes = edgesAll.select(col("src").as("node"))
+      .union(edgesAll.select(col("dst").as("node")))
       .distinct()
 
     def stepHash(t: Int): Column =

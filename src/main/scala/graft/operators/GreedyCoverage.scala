@@ -44,13 +44,17 @@ object GreedyCoverage {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    def guard(c: String) = when(col(c).isNull,
-      raise_error(lit(s"greedySelect: NULL $c — a NULL covers nothing; " +
-        "drop explicitly")))
-      .otherwise(col(c))
+    // cast FIRST, then raise on the cast's null: a non-numeric id or
+    // feature (string topics, uuids…) casts to NULL in non-ANSI Spark
+    // and a null-checked-then-cast guard would silently admit it — the
+    // NULL then never matches the anti-join and every round reports
+    // bogus gain
+    def guard(c: String) = when(col(c).cast("long").isNull,
+      raise_error(lit(s"greedySelect: NULL or non-integer $c — ids and " +
+        "features must be integers; map strings to ids upstream")))
+      .otherwise(col(c).cast("long"))
     val incidence = pairs
-      .select(guard(idCol).cast("long").as("__id"),
-        guard(featureCol).cast("long").as("__f"))
+      .select(guard(idCol).as("__id"), guard(featureCol).as("__f"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -232,6 +232,40 @@ object Similarity {
       .parquet(s"$path/assigned")
   }
 
+  /** Compact an on-disk IVF index's cell partitions — the maintenance
+    * step [[appendToIvfIndex]] makes necessary (the
+    * [[graft.dedup.DedupIndex.compact]] of the ANN family): every
+    * append drops one batch-sized parquet file into EACH touched cell
+    * directory, so a year of daily appends serves every probe through
+    * hundreds of small files per cell (listing + open cost swamps the
+    * scan at 100 TB). Compaction rewrites the assigned table with one
+    * shuffle BY CELL — each cell's rows coalesce into a task's worth
+    * of files — and swaps it into place write-to-temp-then-rename, the
+    * DedupIndex.compact discipline. Assignments are untouched (cells
+    * are centroid-determined per row), so the compacted index is
+    * row-identical to the segmented one it replaces: every [[ivfTopK]]
+    * guarantee carries over, pinned by q228 serving q66's oracle
+    * through an appended-then-compacted index. Centroids are not
+    * touched. Not concurrency-safe against readers mid-swap — run it
+    * in the ingest pipeline's maintenance window, like any file-level
+    * compaction.
+    */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val tmp = s"$path/compact_tmp"
+    assigned.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/assigned")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/assigned"), dst),
+      s"compactIvfIndex: rename of assigned into place failed — index " +
+        s"at $path left with compact_tmp for manual recovery")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Surgical deletion from an on-disk IVF index — the
     * retention/GDPR-erasure half of index maintenance
     * ([[appendToIvfIndex]] grows, this shrinks): only the CELL

@@ -511,6 +511,64 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous-ingest dedup through a persistent [[graft.dedup
+    * .DedupIndex]] — the LIFECYCLE wiring the batch pieces imply but
+    * never exercise together: each micro-batch is deduped against the
+    * corpus-so-far (base index + every earlier batch's survivors),
+    * its survivors land under `survivorPath/batch=NNNNN/`, and the
+    * SAME survivors join the corpus as a new LSM segment
+    * ([[graft.dedup.DedupIndex.appendSegment]]) so the NEXT batch
+    * dedups against them too. This is the production shape of
+    * continuous 100 TB ingest: per-batch cost is batch-sized (shingle
+    * + sign the batch, two equi-joins against the stored tables),
+    * the corpus is never re-derived, and `DedupIndex.compact` folds
+    * the accumulated segments down off the ingest path.
+    *
+    * Replay safety (foreachBatch is at-least-once): the batch's
+    * segment is NAMED by batchId and the dedup reads the index with
+    * that name EXCLUDED, so a redelivered batch recomputes the same
+    * survivors against the same corpus state and overwrites both its
+    * survivor partition and its segment — idempotent, never
+    * self-deduping against its own half-committed first attempt.
+    *
+    * Ordering: survivors depend on which batches preceded the batch —
+    * that is the SEMANTICS of sequential ingest dedup, not an
+    * artifact (q227 stages one file per batch with strictly
+    * increasing modification times to pin the order; a production
+    * deployment gets its order from the source's offsets).
+    */
+  def dedupIngestSink(
+      stream: DataFrame,
+      indexPath: String,
+      survivorPath: String,
+      checkpointPath: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val segName = f"seg_b$batchId%05d"
+          val idx = graft.dedup.DedupIndex.read(
+            spark, indexPath, excludeSegments = Set(segName))
+          // pin survivors BEFORE the index mutates below: appendSegment
+          // re-executes the plan it is handed, and a lazy plan would
+          // re-list the segment tree it is about to extend
+          val survivors = graft.dedup.DedupIndex
+            .dedupAgainst(batch, idx, idCol, textCol, threshold)
+            .localCheckpoint(true)
+          survivors.write.mode("overwrite")
+            .parquet(f"$survivorPath/batch=$batchId%05d")
+          graft.dedup.DedupIndex.appendSegment(
+            spark, indexPath, survivors, idCol, textCol, Some(segName))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming CUSUM drift monitoring: each micro-batch reduces to its
     * per-(group, time-bucket) metric rows
     * (`bucketize: raw batch → (groupCols…, orderCol, valueCol)`),

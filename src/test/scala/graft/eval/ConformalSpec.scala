@@ -47,6 +47,16 @@ class ConformalSpec extends SparkSpec {
     got(rows.toDF("g", "s").repartition(7)) shouldBe a
   }
 
+  test("a group too large for the rank product raises, never wraps") {
+    // aDen = 2^62: nMax = 0, so even a 2-row group would overflow
+    // (n+1)·(aDen−aNum) in long arithmetic — fail loud, not a wrong
+    // (possibly negative) rank
+    intercept[Exception] {
+      Conformal.thresholds(
+        Seq(1L, 2L).toDF("s"), Nil, "s", 1L, 1L << 62).collect()
+    }
+  }
+
   test("NULL scores and degenerate alpha raise") {
     intercept[Exception] {
       Conformal.thresholds(

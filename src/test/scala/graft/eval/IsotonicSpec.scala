@@ -80,6 +80,25 @@ class IsotonicSpec extends SparkSpec {
     got shouldBe Map(0L -> Some(0.25), 1L -> Some(0.75), 9L -> None)
   }
 
+  test("applyCalibration matches NULL-group bins null-safely") {
+    // fitCalibration's groupBy RETAINS a NULL group key — a bin the
+    // fit saw; apply must serve it (=== would return NULL for every
+    // NULL-group row, silently treating a fitted bin as unseen)
+    val rows = Seq(
+      (Option("a"), 0L, 0L), (Option("a"), 0L, 1L),
+      (Option.empty[String], 0L, 1L), (Option.empty[String], 0L, 1L))
+    val mapping = Isotonic.fitCalibration(
+      rows.toDF("g", "predQ", "y"), Seq("g"), "predQ", "y")
+    val got = Isotonic.applyCalibration(
+      Seq((Option("a"), 0L), (Option.empty[String], 0L))
+        .toDF("g", "predQ"),
+      mapping, Seq("g"), "predQ")
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    got shouldBe Map(Some("a") -> Some(0.5), None -> Some(1.0))
+  }
+
   test("bad labels, negative predictions and the bin cap raise") {
     intercept[Exception] {
       Isotonic.fitCalibration(

@@ -57,6 +57,20 @@ class HitsSpec extends SparkSpec {
     run(es, 4) shouldBe local(es, 4)
   }
 
+  test("maxDeg·scale² past the exact long range raises at build") {
+    // a 10-in-degree hub with scale = 1e9: 10 · 10^18 > 2^63 − 1, so
+    // the half-step's __sum · scale product would silently wrap — the
+    // guard must refuse (the weaker |V|·scale bound would admit it)
+    val es = (1 to 10).map(i => s"u$i" -> "hub")
+    intercept[IllegalArgumentException] {
+      Hits.scores(es.toDF("src", "dst"), "src", "dst", 1,
+        scale = 1000000000L)
+    }
+    // same graph at the default scale is fine
+    Hits.scores(es.toDF("src", "dst"), "src", "dst", 1)
+      .count() shouldBe 11L
+  }
+
   test("NULL endpoints and empty graphs raise") {
     intercept[Exception] {
       Hits.scores(Seq((Some("a"), Option.empty[String])).toDF("src", "dst"),

@@ -61,4 +61,37 @@ class KCoreSpec extends SparkSpec {
         "src", "dst", 3, 10)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
+
+  test("convergence: a deep path graph peels fully once rounds allow") {
+    // a 30-node path at k=2 loses its two endpoints per round — 15
+    // layers, past the default 10: the convergence-aware peel with
+    // enough rounds reaches the (empty) core and STOPS, instead of
+    // returning a partially-peeled superset forever
+    val path = (0L until 29L).map(i => (i, i + 1))
+    KCore.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
+      rounds = 20).count() shouldBe 0L
+    // and matches the local fixed-round replay when rounds bind
+    run(path, 2, rounds = 10) shouldBe local(path, 2, 10)
+  }
+
+  test("failOnNonConverged raises on a partial peel, passes converged") {
+    val path = (0L until 29L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      KCore.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
+        rounds = 5, failOnNonConverged = true)
+    }
+    // a converged peel under the same flag returns normally (triangle
+    // plus tail converges in 2 rounds)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    KCore.kCore(es.toDF("src", "dst"), "src", "dst", k = 2,
+      rounds = 10, failOnNonConverged = true)
+      .collect().map(r => r.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+  }
+
+  test("non-integer node ids raise (no silent cast to NULL)") {
+    val df = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    intercept[Exception] {
+      KCore.kCore(df, "src", "dst", k = 1, rounds = 1).collect()
+    }
+  }
 }

@@ -138,14 +138,54 @@ class RandomWalksSpec extends SparkSpec {
   private def runN2v(
       edges: Seq[(Long, Long)], walksPerNode: Int, walkLen: Int,
       wR: Long, wI: Long, wO: Long, salt: String = "",
-      repartition: Option[Int] = None) = {
+      repartition: Option[Int] = None,
+      maxDegree: Int = Int.MaxValue) = {
     val df0 = edges.toDF("src", "dst")
     val df = repartition.map(df0.repartition(_)).getOrElse(df0)
     RandomWalks.node2vecWalks(df, "src", "dst", walksPerNode, walkLen,
-      wR, wI, wO, salt)
+      wR, wI, wO, salt, maxDegree)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
+  }
+
+  /** The cap's reference semantics: truncate each node's adjacency to
+    * its `cap` lowest-id neighbors. (Test graphs below keep every
+    * node a src, so the capped graph's node set equals the input's
+    * and the local replay's walk starts line up with Spark's.)
+    */
+  private def capEdges(edges: Seq[(Long, Long)], cap: Int): Seq[(Long, Long)] =
+    edges.distinct.groupBy(_._1).toSeq.flatMap { case (s, es) =>
+      es.map(_._2).distinct.sorted.take(cap).map(s -> _)
+    }
+
+  test("node2vec maxDegree: capped run ≡ node2vec on the capped graph") {
+    // hub 0 points at everyone; ring keeps every node a src
+    val edges = (1L until 25L).map(h => (0L, h)) ++
+      (0L until 25L).flatMap(i =>
+        Seq((i, (i + 1) % 25), ((i + 1) % 25, i)))
+    val got = runN2v(edges, 1, 4, 1L, 2L, 4L, maxDegree = 3)
+    got shouldBe localNode2vec(capEdges(edges, 3), 1, 4, 1L, 2L, 4L)
+    // and the hub's capped fan-out really binds: only its 3 lowest-id
+    // neighbors are ever reached FROM the hub at step 1
+    val fromHub = got.filter(s => s._1 == 0L && s._3 == 1L).map(_._4)
+    fromHub.foreach(n => n should be <= 3L)
+  }
+
+  test("node2vec maxDegree ≥ max degree is bit-identical to uncapped") {
+    val edges = (0L until 20L).flatMap(i =>
+      Seq((i, (i * 3 + 1) % 20), ((i * 3 + 1) % 20, i),
+        (i, (i * 7 + 2) % 20)))
+    runN2v(edges, 2, 4, 1L, 2L, 4L, maxDegree = 100) shouldBe
+      runN2v(edges, 2, 4, 1L, 2L, 4L)
+  }
+
+  test("node2vec maxDegree keeps dst-only nodes as walk starts") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)) // 2,3,4 dangling
+    val got = runN2v(edges, 1, 2, 1L, 2L, 4L, maxDegree = 1)
+    // all four nodes emit step 0; node 1 walks only to neighbor 2
+    got.filter(_._3 == 0L).map(_._4) shouldBe Set(1L, 2L, 3L, 4L)
+    got.filter(s => s._1 == 1L && s._3 == 1L).map(_._4) shouldBe Set(2L)
   }
 
   test("node2vec matches the local second-order replay") {

@@ -51,4 +51,14 @@ class GreedyCoverageSpec extends SparkSpec {
       GreedyCoverage.greedySelect(df, "id", "f", 1).collect()
     }
   }
+
+  test("non-integer features raise instead of silently casting to NULL") {
+    // string topic labels cast to NULL in non-ANSI Spark; a
+    // null-then-cast guard would admit them and every round would
+    // report bogus gain against features that never anti-join away
+    val df = Seq((1L, "topicA"), (2L, "topicB")).toDF("id", "f")
+    intercept[Exception] {
+      GreedyCoverage.greedySelect(df, "id", "f", 1).collect()
+    }
+  }
 }

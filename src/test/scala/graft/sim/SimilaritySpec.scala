@@ -168,6 +168,42 @@ class SimilaritySpec extends SparkSpec {
       table(rebuilt)
   }
 
+  test("compactIvfIndex merges per-cell files, results identical") {
+    val data = corpus(120, 8, seed = 17)
+    val (oldPart, rest) = data.splitAt(60)
+    val base = Similarity.buildIvf(
+      oldPart.toDF("vec_id", "embedding"), "vec_id", "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cmp").toString + "/idx"
+    Similarity.writeIvfIndex(base, dir)
+    // several small appends: the small-file accumulation compact fixes
+    rest.grouped(15).foreach { b =>
+      Similarity.appendToIvfIndex(
+        spark, dir, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    def partFiles(): Map[String, Int] = {
+      val cells = new java.io.File(s"$dir/assigned").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      cells.map(c => c.getName ->
+        c.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    def table() = spark.read.parquet(s"$dir/assigned")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val before = table()
+    val filesBefore = partFiles()
+    filesBefore.values.max should be > 1 // appends really fragmented it
+    Similarity.compactIvfIndex(spark, dir)
+    val filesAfter = partFiles()
+    filesAfter.keySet shouldBe filesBefore.keySet // no cell lost
+    filesAfter.values.max shouldBe 1 // one file per cell after merge
+    table() shouldBe before // row-identical
+    // and the compacted index still serves identically
+    val loaded = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+    val queries = Seq((0L, data(5)._2.toArray))
+    Similarity.ivfTopK(loaded, queries, k = 5, nProbe = 4)
+      .collect().length shouldBe 5
+  }
+
   test("ivf scans fewer rows than the corpus") {
     val data = corpus(100, 8, seed = 9)
     val df = data.toDF("vec_id", "embedding")
