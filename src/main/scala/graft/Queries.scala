@@ -10885,11 +10885,11 @@ object Queries {
         val base = java.nio.file.Files
           .createTempDirectory("graft_q227_").toString
         val indexPath = s"$base/index"
-        graft.dedup.DedupIndex.write(
-          t(s, dir, "documents").filter(col("doc_id") < 400),
-          "doc_id", "text", indexPath,
-          graft.dedup.DedupIndex.Params(
-            shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+        // fresh MUTABLE copy of the cached pristine base index: the
+        // run appends segments to it, so it can never be shared
+        copyTree(
+          java.nio.file.Paths.get(pristineIngestIndexFor(s, dir)),
+          java.nio.file.Paths.get(indexPath))
         val stream = s.readStream
           .schema(s.read.parquet(staged).schema)
           .option("maxFilesPerTrigger", 1)
@@ -11237,7 +11237,152 @@ object Queries {
           UNION ALL SELECT 'out2_root_mean_squared_error', rmse2 FROM a
           UNION ALL SELECT 'out2_mean_absolute_error', mae2 FROM a
           UNION ALL SELECT 'out2_accuracy', acc2 FROM a)
-        ORDER BY metric"""))
+        ORDER BY metric""")),
+
+    // Streaming IVF ingest lifecycle (streaming/Streaming
+    // .ivfIngestSink) — q227's ANN twin: vectors >= 300 arrive as four
+    // micro-batches, each assigned against the STORED centroids
+    // (map-only, corpus never read) and landed as a cell-partitioned
+    // LSM segment; the probe then serves base ∪ segments. Assignment
+    // is a pure per-row function of the centroids, so the streamed-in
+    // index is row-identical to a one-shot build over everything —
+    // q66's oracle runs VERBATIM against it.
+    GraftQuery(
+      "q232_streaming_ivf_ingest",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val emb = t(s, dir, "embeddings")
+        val staged = stagedVectorBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q232_").toString
+        val indexPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(indexPath))
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.ivfIngestSink(
+          stream, indexPath, s"$base/ckpt", "vec_id", "embedding")
+          .awaitTermination()
+        val index = graft.sim.Similarity.readIvfIndex(
+          s, indexPath, "vec_id", "embedding")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        val out = graft.sim.Similarity
+          .ivfTopK(index, queries, k = 10, nProbe = 4)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+          .localCheckpoint(true) // outlive the ckpt cleanup below
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= 4),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // Isotonic calibration APPLIED (eval/Isotonic.applyCalibration) —
+    // q207 pins the fit; this pins serving it: the broadcast join back
+    // onto scored rows, including the two seams that silently corrupt
+    // a gate if wrong — NULL-group bins the fit SAW must resolve
+    // (null-safe group-key equality; every doc_id % 5 == 0 row carries
+    // a NULL group on both the fit and apply sides) and bins the fit
+    // NEVER saw must yield NULL calibrated (apply predQ ranges to 19,
+    // fit bins stop at 15). The oracle chains q207's minimax fit replay
+    // with an IS NOT DISTINCT FROM left join.
+    GraftQuery(
+      "q233_isotonic_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val grp = when(pmod(col("doc_id"), lit(5)) === 0, lit(null))
+          .otherwise(col("lang"))
+        val mapping = graft.eval.Isotonic.fitCalibration(
+          docs.select(
+            grp.as("grp"),
+            pmod(col("n_chars"), lit(16)).cast("long").as("predQ"),
+            pmod(col("doc_id") * 7 + col("n_chars"), lit(2)).cast("long")
+              .as("y")),
+          Seq("grp"), "predQ", "y")
+        graft.eval.Isotonic.applyCalibration(
+          docs.select(col("doc_id"), grp.as("grp"),
+            pmod(col("n_chars"), lit(20)).cast("long").as("predQ")),
+          mapping, Seq("grp"), "predQ")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT
+            CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS grp,
+            CAST(n_chars % 16 AS BIGINT) AS predq,
+            CAST((doc_id * 7 + n_chars) % 2 AS BIGINT) AS y
+          FROM documents),
+        b AS (SELECT grp, predq, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(y) AS BIGINT) AS pos
+              FROM d GROUP BY 1, 2),
+        c AS (SELECT grp, predq, n, pos,
+                CAST(SUM(n) OVER (PARTITION BY grp ORDER BY predq)
+                  AS BIGINT) AS cn,
+                CAST(SUM(pos) OVER (PARTITION BY grp ORDER BY predq)
+                  AS BIGINT) AS cpos
+              FROM b),
+        iv AS (SELECT j.grp, j.predq AS jq, k.predq AS kq,
+                 k.cpos - j.cpos + j.pos AS ipos,
+                 k.cn - j.cn + j.n AS inn
+               FROM c j JOIN c k
+                 ON j.grp IS NOT DISTINCT FROM k.grp
+                AND j.predq <= k.predq),
+        mn AS (SELECT b.grp, b.predq, iv.jq,
+                 MIN(CAST(iv.ipos AS DOUBLE) / iv.inn) AS m
+               FROM b JOIN iv ON iv.grp IS NOT DISTINCT FROM b.grp
+                 AND iv.jq <= b.predq AND iv.kq >= b.predq
+               GROUP BY 1, 2, 3),
+        ft AS (SELECT grp, predq, MAX(m) AS calibrated
+               FROM mn GROUP BY 1, 2),
+        a AS (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS grp,
+                CAST(n_chars % 20 AS BIGINT) AS predq
+              FROM documents)
+        SELECT a.doc_id, a.grp, a.predq AS "predQ", ft.calibrated
+        FROM a LEFT JOIN ft
+          ON a.grp IS NOT DISTINCT FROM ft.grp AND a.predq = ft.predq
+        ORDER BY a.doc_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -11635,6 +11780,104 @@ object Queries {
           "vec_id", "embedding")
       graft.sim.Similarity.compactIvfIndex(s, path)
       graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
+
+  /** q227's PRISTINE base dedup index (corpus doc_id < 400), built
+    * once per dir — the fixture half of the ingest lifecycle (the
+    * q195/q197 staging discipline: fixture cached, operator timed).
+    * Each run COPIES this tree into a fresh temp dir before mutating
+    * it with appended segments: a copy of a few small parquet files,
+    * not a corpus re-derivation.
+    */
+  private val pristineIngestIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pristineIngestIndexFor(s: SparkSession, dir: String): String =
+    pristineIngestIndexCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q227_base_").toString
+      graft.dedup.DedupIndex.write(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 400),
+        "doc_id", "text", p,
+        graft.dedup.DedupIndex.Params(
+          shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
+      p
+    })
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(src).forEach { p =>
+      val to = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(to)
+      else java.nio.file.Files.copy(p, to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** q232's PRISTINE base IVF index (vectors vec_id < 300, q66's
+    * deterministic centroids) — fixture cached once per dir and COPIED
+    * per run before the stream mutates it with segments (the q227
+    * discipline).
+    */
+  private val pristineIvfIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pristineIvfIngestFor(
+      s: SparkSession, dir: String, emb: => DataFrame): String =
+    pristineIvfIngestCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      // project to the ingest schema: base and streamed segments must
+      // union by name, so the base carries exactly the stream's columns
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb.filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q232_base_").toString
+      graft.sim.Similarity.writeIvfIndex(built, p)
+      p
+    })
+
+  /** q232's staged vector blocks: vec_id >= 300 as FOUR hash blocks
+    * (pmod 4), one parquet file per block with pinned names/mtimes —
+    * assignment is order-free, so the pinning is for determinism of
+    * the batch→segment mapping only.
+    */
+  private val stagedVectorBlocksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedVectorBlocksFor(s: SparkSession, dir: String): String =
+    stagedVectorBlocksCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q232_in_")
+      val emb = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") >= 300)
+        .select(col("vec_id"), col("embedding"))
+      val t0 = 1700000000000L
+      for (i <- 0 until 4) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q232_blk_")
+        emb.filter(pmod(col("vec_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val it = java.nio.file.Files.list(tmp).iterator()
+        val found = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.toString.endsWith(".parquet")) found += p
+        }
+        require(found.size == 1, s"expected 1 part file, got ${found.size}")
+        val dst = root.resolve(f"block$i%04d.parquet")
+        java.nio.file.Files.move(found.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+        deleteTree(tmp)
+      }
+      root.toString
     })
 
   /** q227's staged ingest blocks: docs [400, 500) as FOUR 25-doc

@@ -187,13 +187,35 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Read an IVF index written by [[writeIvfIndex]]. The returned
-    * `assigned` DataFrame is partition-pruned by any `cell` filter
-    * [[ivfTopK]] applies.
+  /** LSM segment directories of an on-disk IVF index — written by
+    * [[graft.streaming.Streaming.ivfIngestSink]], folded back into the
+    * base by [[compactIvfIndex]]. Sorted by name for determinism.
+    */
+  private[graft] def ivfSegmentDirs(
+      spark: SparkSession, path: String): Seq[String] = {
+    val segRoot = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val fs = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(segRoot)) Nil
+    else fs.listStatus(segRoot).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("seg"))
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
+
+  /** Read an IVF index written by [[writeIvfIndex]] (+ any streaming
+    * segments): the served table is the UNION of the base `assigned`
+    * and every segment's — each union arm is its own cell-partitioned
+    * parquet scan, so [[ivfTopK]]'s cell filter still partition-prunes
+    * every arm (the filter pushes through the union).
     */
   def readIvfIndex(
       spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex = {
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val roots = path +: ivfSegmentDirs(spark, path)
+    val assigned = roots
+      .map(r => spark.read.parquet(s"$r/assigned"))
+      .reduce(_ unionByName _)
     IvfIndex(assigned, readIvfCentroids(spark, path), idCol, vecCol)
   }
 
@@ -245,13 +267,18 @@ object Similarity {
     * are centroid-determined per row), so the compacted index is
     * row-identical to the segmented one it replaces: every [[ivfTopK]]
     * guarantee carries over, pinned by q228 serving q66's oracle
-    * through an appended-then-compacted index. Centroids are not
-    * touched. Not concurrency-safe against readers mid-swap — run it
-    * in the ingest pipeline's maintenance window, like any file-level
-    * compaction.
+    * through an appended-then-compacted index. Streaming segments
+    * ([[graft.streaming.Streaming.ivfIngestSink]]) fold into the base
+    * in the same pass and their directories are removed. Centroids are
+    * not touched. Not concurrency-safe against readers mid-swap — run
+    * it in the ingest pipeline's maintenance window, like any
+    * file-level compaction.
     */
   def compactIvfIndex(spark: SparkSession, path: String): Unit = {
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val roots = path +: ivfSegmentDirs(spark, path)
+    val assigned = roots
+      .map(r => spark.read.parquet(s"$r/assigned"))
+      .reduce(_ unionByName _)
     val tmp = s"$path/compact_tmp"
     assigned.repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
@@ -263,6 +290,7 @@ object Similarity {
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/assigned"), dst),
       s"compactIvfIndex: rename of assigned into place failed — index " +
         s"at $path left with compact_tmp for manual recovery")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -284,6 +312,12 @@ object Similarity {
   def removeFromIvfIndex(
       spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit = {
+    // deletion rewrites BASE cell partitions only — with streaming
+    // segments present it would silently keep deleted vectors alive in
+    // the segments; compact first (erasure is a maintenance-window op)
+    require(ivfSegmentDirs(spark, path).isEmpty,
+      s"removeFromIvfIndex: index at $path has streaming segments — " +
+        "run compactIvfIndex first, then delete")
     val assigned = spark.read.parquet(s"$path/assigned")
     val del = ids.select(ids.columns.head).toDF(idCol)
     val affected = assigned.join(del, Seq(idCol), "left_semi")

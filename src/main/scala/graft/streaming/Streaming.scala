@@ -569,6 +569,49 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous-ingest ANN maintenance through a persistent IVF index —
+    * [[dedupIngestSink]]'s exact twin for the similarity family: each
+    * micro-batch of vectors is assigned against the index's STORED
+    * centroids (one map-only broadcast pass — the existing corpus is
+    * never read) and lands as a cell-partitioned LSM segment under
+    * `segments/seg_bNNNNN/`; [[graft.sim.Similarity.readIvfIndex]]
+    * serves base ∪ segments with the cell filter partition-pruning
+    * every arm, and [[graft.sim.Similarity.compactIvfIndex]] folds
+    * segments back into the base off the ingest path.
+    *
+    * Unlike dedup ingest, assignment is a pure per-row function of the
+    * stored centroids, so batch ORDER is irrelevant and the final
+    * index is row-identical to a one-shot build over the union —
+    * which is exactly what q232 pins by serving q66's oracle through
+    * a streamed-in index. Replay safety: a redelivered batch
+    * overwrites its own named segment; no exclusion read is needed
+    * because assignment never consults index contents.
+    */
+  def ivfIngestSink(
+      stream: DataFrame,
+      indexPath: String,
+      checkpointPath: String,
+      idCol: String,
+      vecCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val centroids =
+            graft.sim.Similarity.readIvfCentroids(spark, indexPath)
+          require(centroids.nonEmpty,
+            s"ivfIngestSink: no centroids stored under $indexPath")
+          graft.sim.Similarity
+            .buildIvfWithCentroids(batch, idCol, vecCol, centroids)
+            .assigned.write.partitionBy("cell").mode("overwrite")
+            .parquet(f"$indexPath/segments/seg_b$batchId%05d/assigned")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming CUSUM drift monitoring: each micro-batch reduces to its
     * per-(group, time-bucket) metric rows
     * (`bucketize: raw batch → (groupCols…, orderCol, valueCol)`),

@@ -204,6 +204,48 @@ class SimilaritySpec extends SparkSpec {
       .collect().length shouldBe 5
   }
 
+  test("ivf streaming segments: union read, compact folds, delete guard") {
+    val data = corpus(90, 8, seed = 23)
+    val (basePart, rest) = data.splitAt(50)
+    val base = Similarity.buildIvf(
+      basePart.toDF("vec_id", "embedding"), "vec_id", "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_seg").toString + "/idx"
+    Similarity.writeIvfIndex(base, dir)
+    // hand-write two segments the way ivfIngestSink does
+    rest.grouped(20).zipWithIndex.foreach { case (b, i) =>
+      Similarity.buildIvfWithCentroids(
+        b.toDF("vec_id", "embedding"), "vec_id", "embedding", base.centroids)
+        .assigned.write.partitionBy("cell").mode("overwrite")
+        .parquet(f"$dir/segments/seg_b$i%05d/assigned")
+    }
+    def table(ix: Similarity.IvfIndex) = ix.assigned
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val rebuilt = Similarity.buildIvfWithCentroids(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding", base.centroids)
+    val union = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+    table(union) shouldBe table(rebuilt) // segments served transparently
+    // the cell filter still partition-prunes every union arm
+    val plan = union.assigned.filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    // deletion refuses while segments exist (it rewrites base only)
+    intercept[IllegalArgumentException] {
+      Similarity.removeFromIvfIndex(
+        spark, dir, Seq(data.head._1).toDF("vec_id"), "vec_id")
+    }
+    // compaction folds segments into the base and removes them
+    Similarity.compactIvfIndex(spark, dir)
+    new java.io.File(s"$dir/segments").exists() shouldBe false
+    table(Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")) shouldBe
+      table(rebuilt)
+    // and deletion works post-compact
+    Similarity.removeFromIvfIndex(
+      spark, dir, Seq(data.head._1).toDF("vec_id"), "vec_id")
+    Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+      .assigned.filter(col("vec_id") === data.head._1).count() shouldBe 0L
+  }
+
   test("ivf scans fewer rows than the corpus") {
     val data = corpus(100, 8, seed = 9)
     val df = data.toDF("vec_id", "embedding")
