@@ -11382,7 +11382,180 @@ object Queries {
         SELECT a.doc_id, a.grp, a.predq AS "predQ", ft.calibrated
         FROM a LEFT JOIN ft
           ON a.grp IS NOT DISTINCT FROM ft.grp AND a.predq = ft.predq
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // Distribution matching (operators/Mixing.matchDistribution):
+    // rejection-sample the corpus DOWN to a target language mix
+    // (en:zh:es:de:fr = 4:2:2:1:1) keeping the maximum row count — the
+    // scarcest-relative bucket (es at both SFs) keeps rate 1 and
+    // anchors every other rate. The oracle replays the count table,
+    // the IEEE-ratio argmin (tie by bucket), the two-divide rate
+    // product in the same order, and the portable affine-mod draw.
+    GraftQuery(
+      "q234_distribution_match",
+      (s, dir) =>
+        graft.operators.Mixing.matchDistribution(
+          t(s, dir, "documents"), "lang", "doc_id",
+          Seq("en" -> 4L, "zh" -> 2L, "es" -> 2L, "de" -> 1L,
+            "fr" -> 1L),
+          seed = 41L)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH cnt AS (SELECT lang AS b, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1),
+        tgt AS (SELECT * FROM (VALUES ('en', CAST(4 AS BIGINT)),
+                  ('zh', CAST(2 AS BIGINT)), ('es', CAST(2 AS BIGINT)),
+                  ('de', CAST(1 AS BIGINT)), ('fr', CAST(1 AS BIGINT)))
+                  t(b, tw)),
+        wt AS (SELECT cnt.b, n, tw FROM cnt JOIN tgt USING (b)),
+        rf AS (SELECT n AS refn, tw AS reft FROM wt
+               ORDER BY CAST(n AS DOUBLE) / CAST(tw AS DOUBLE), b
+               LIMIT 1),
+        rates AS (SELECT b,
+                    (CAST(tw AS DOUBLE) / CAST(reft AS DOUBLE))
+                      * (CAST(refn AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS rate
+                  FROM wt, rf),
+        h AS (SELECT doc_id, lang,
+                ((doc_id % 2147483647) * 1103515245 + 41) % 2147483647
+                  AS h1
+              FROM documents),
+        h2 AS (SELECT doc_id, lang,
+                 (h1 * 784588716 + 997) % 2147483647 AS hv
+               FROM h)
+        SELECT doc_id, lang FROM h2 JOIN rates ON rates.b = h2.lang
+        WHERE (CAST(hv AS DOUBLE) + 0.5e0) / 2147483647.0e0 < rate
+        ORDER BY doc_id""")),
+
+    // Temporal embargo split (operators/Splits.withTemporalEmbargo):
+    // the time-series leakage guard beside q100's cluster-safe hash
+    // split — train strictly before cutoff − embargo, test at/after
+    // cutoff, and the 3-day gap LABELED rather than silently dropped
+    // (the purged-split recipe). Pure map-only row function of the
+    // timestamp; the oracle is the same three-way CASE on timestamp
+    // literals.
+    GraftQuery(
+      "q235_embargo_split",
+      (s, dir) =>
+        graft.operators.Splits.withTemporalEmbargo(
+          t(s, dir, "events"), "ts",
+          java.time.Instant.parse("2024-01-20T00:00:00Z"),
+          embargoSeconds = 3L * 86400L)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            min(col("event_id")).as("first_event"))
+          .orderBy(col("split")),
+      Some("""
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(event_id) AS first_event
+        FROM (SELECT event_id,
+                CASE WHEN ts < TIMESTAMP '2024-01-17 00:00:00'
+                       THEN 'train'
+                     WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                       THEN 'test'
+                     ELSE 'embargo' END AS split
+              FROM events)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Dedup to WEIGHTS (dedup/Dedup.dedupToWeights): one
+    // representative per near-dup cluster carrying the cluster SIZE —
+    // the soft-dedup form loss-weighting pipelines want (hard dedup
+    // silently reshapes the training distribution; the weight keeps
+    // the choice explicit). q100's parameters and recall-complete
+    // envelope; the oracle replays the recursive closure and counts
+    // members per component, singletons weight 1.
+    GraftQuery(
+      "q236_dedup_weights",
+      (s, dir) =>
+        graft.dedup.Dedup.dedupToWeights(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.85)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH RECURSIVE tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          FROM documents WHERE doc_id < 500),
+        t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> array_to_string(ts[i:i+2], ' '))) AS gs
+          FROM tok WHERE len(ts) >= 3),
+        e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM t a, t b
+          WHERE a.doc_id <> b.doc_id
+            AND len(a.gs) > 0 AND len(b.gs) > 0
+            AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.85
+        ),
+        reach AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+          WHERE e2.v <> r.u
+        ),
+        comp AS (SELECT u AS id, least(u, MIN(v)) AS component
+                 FROM reach GROUP BY u),
+        assigned AS (
+          SELECT d.doc_id,
+            COALESCE(c.component, d.doc_id) AS comp
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+          WHERE d.doc_id < 500)
+        SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS weight
+        FROM assigned GROUP BY comp ORDER BY 1""")),
+
+    // Per-group bootstrap metrics (eval/BootstrapEval
+    // .bootstrapMetricsByGroup): q15's resampled loss SLICED by
+    // event_type — the per-slice uncertainty a datasheet wants. The
+    // draw is (rowKey, round)-only, so grouped rounds are exact
+    // partitions of q15's global round; the oracle is q15's replay
+    // with event_type joining the GROUP BY, decimal-exact sums and
+    // one final IEEE divide per (group, round).
+    GraftQuery(
+      "q237_grouped_bootstrap",
+      (s, dir) =>
+        graft.eval.BootstrapEval.bootstrapMetricsByGroup(
+          t(s, dir, "events").withColumn("pred", col("value") * lit(0.9)),
+          col("event_id"), Seq("event_type"),
+          Seq(graft.eval.BootstrapEval.OutputSpec("value", "pred", "value")),
+          nbBootstrap = 10, seed = 42L,
+          metrics = Seq(graft.eval.BootstrapEval.mseExact),
+          uniform = Some(graft.eval.BootstrapEval.portableUniform(42L) _))
+          .select(col("event_type"), col("round"),
+            col("value_loss_exact"))
+          .orderBy(col("event_type"), col("round")),
+      Some("""
+        WITH r AS (SELECT CAST(range AS BIGINT) AS round FROM range(0, 10)),
+        d AS (
+          SELECT e.event_type, e.value,
+            e.value * CAST(0.9 AS DOUBLE) AS pred, r.round,
+            ((((e.event_id % 2147483647) * 1103515245 + r.round * 12345 + 42)
+               % 2147483647) * 784588716 + 997) % 2147483647 AS h2
+          FROM events e CROSS JOIN r),
+        w AS (
+          SELECT event_type, round, value, pred,
+            CASE
+              WHEN u <= 0.36787944117144233 THEN 0.0
+              WHEN u <= 0.7357588823428847 THEN 1.0
+              WHEN u <= 0.9196986029286058 THEN 2.0
+              WHEN u <= 0.9810118431238463 THEN 3.0
+              WHEN u <= 0.9963401531726563 THEN 4.0
+              WHEN u <= 0.9994058151824183 THEN 5.0
+              WHEN u <= 0.9999167588507120 THEN 6.0
+              WHEN u <= 0.9999897508033253 THEN 7.0
+              WHEN u <= 0.9999988747974020 THEN 8.0
+              ELSE 9.0 END AS w
+          FROM (SELECT event_type, round, value, pred,
+                  (CAST(h2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / CAST(2147483647 AS DOUBLE) AS u
+                FROM d))
+        SELECT event_type, CAST(round AS INTEGER) AS round,
+          CAST(SUM(CAST(w * (pred - value) * (pred - value)
+            AS DECIMAL(27,6))) AS DOUBLE)
+            / CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
+            AS value_loss_exact
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

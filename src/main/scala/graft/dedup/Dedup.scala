@@ -643,4 +643,48 @@ object Dedup {
       .filter(col("edits") >= 0 && col("edits") <= maxEdits)
       .select(col("id_a"), col("id_b"), col("hamming"), col("edits"))
   }
+
+  /** Dedup-to-WEIGHTS — keep one representative per near-duplicate
+    * cluster carrying the cluster's multiplicity instead of silently
+    * dropping it: dropping duplicates changes the training
+    * distribution (a 500-copy boilerplate page and a unique document
+    * count the same after a hard dedup), so loss-weighting or
+    * temperature-flattening pipelines want `(representative, weight)`
+    * and decide the exponent themselves (weight¹ = original
+    * distribution, weight⁰ = hard dedup, in between = flattened).
+    *
+    * Composition: [[nearDuplicates]] pairs → [[Components
+    * .connectedComponents]] clusters → representative = SMALLEST id
+    * per cluster, `weight` = cluster size; documents in no cluster are
+    * their own representative with weight 1. Deterministic — the pair
+    * set, the clustering, and the min-id pick are all pure functions
+    * of the corpus (q236 replays cluster sizes through the q100
+    * recursive-CTE closure).
+    *
+    * Scale shape: the LSH pair pipeline + the log-round components
+    * loop, then ONE count by component and ONE min-by pick — both
+    * map-side combinable — and a join back to the (id)-keyed docs.
+    */
+  def dedupToWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, shingleSize,
+      numHashes, bands, threshold, seed, maxBucketSize)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val withComp = df.select(col(idCol))
+      .join(comp, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("__comp"))
+    withComp
+      .groupBy(col("__comp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("weight"))
+      .select(col(idCol), col("weight"))
+  }
 }

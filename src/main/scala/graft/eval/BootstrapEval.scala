@@ -297,6 +297,53 @@ object BootstrapEval {
       .orderBy(col("round"))
   }
 
+  /** Per-GROUP bootstrap metrics — one row per (group…, round): the
+    * per-slice evaluation with uncertainty a corpus datasheet wants
+    * ("is quality flat across languages, within resampling noise?").
+    * Same explode + Poisson(1) weighting + partial/final aggregation
+    * as [[bootstrapMetricsDf]] with the group columns joining the
+    * round key — still ONE shuffle of |groups|×B×|metrics| partial
+    * states at any input size.
+    *
+    * The resample draw depends only on (rowKey, round) — NOT the
+    * group — so a row carries the same weight under any slicing:
+    * grouped rounds are exact partitions of the global round
+    * (Σ_g groupMetricNumerator = globalNumerator), and slicing is
+    * pure reporting, never a different experiment.
+    */
+  def bootstrapMetricsByGroup(
+      df: DataFrame,
+      rowKey: Column,
+      groupCols: Seq[String],
+      outputs: Seq[OutputSpec],
+      nbBootstrap: Int,
+      metrics: Seq[Metric] = Seq(rmse),
+      seed: Long = 0L,
+      uniform: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(groupCols.nonEmpty,
+      "bootstrapMetricsByGroup: no group columns — use bootstrapMetricsDf")
+    require(!groupCols.contains("round"),
+      "group columns may not be named 'round'")
+    val draw = uniform.getOrElse(xxhashUniform(seed) _)
+    val rounds = df
+      .withColumn("__round", explode(sequence(lit(0), lit(nbBootstrap - 1))))
+      .withColumn("__u", draw(rowKey, col("__round")))
+      .withColumn("__w", poissonInverseCdf(col("__u")))
+    val aggs = outputs.map { o =>
+      val w = col("__w") * o.weightCol.map(col).getOrElse(lit(1.0))
+      s"${o.name}_loss" -> mse.agg(col(o.predCol), col(o.labelCol), w)
+    } ++ outputs.flatMap { o =>
+      val w = col("__w") * o.weightCol.map(col).getOrElse(lit(1.0))
+      metrics.map(m => s"${o.name}_${m.name}" ->
+        m.agg(col(o.predCol), col(o.labelCol), w))
+    }
+    rounds
+      .groupBy((groupCols.map(col) :+ col("__round").as("round")): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .orderBy((groupCols.map(col) :+ col("round")): _*)
+  }
+
   def evaluateBootstrap(
       df: DataFrame,
       rowKey: Column,

@@ -366,4 +366,72 @@ object Mixing {
       temperatureRepeatRates(df, stratumCol, alpha).select(
         col(stratumCol), col("rate")),
       seed, maxRate)
+
+  /** Rejection-sample DOWN to a target bucket distribution — the
+    * "make the corpus look like the reference mix" curation step
+    * (match a production length/language/domain histogram, rebalance a
+    * scraped dump to a published data recipe): among all
+    * downsampling-only schemes hitting the target proportions, this
+    * keeps the MAXIMUM number of rows. The reference bucket — the
+    * argmin of n_b/t_b, i.e. the one already scarcest relative to its
+    * target share — keeps everything (rate 1), and every other bucket
+    * keeps rate (t_b/t_ref)·(n_ref/n_b) < 1, so expected kept counts
+    * are proportional to the target exactly.
+    *
+    * Determinism: membership is [[graft.eval.BootstrapEval
+    * .portableUniform]] of (key, seed) against the bucket's rate — a
+    * pure row function (the [[mixByTemperature]] draw), replayed in
+    * SQL by q234. The reference-bucket selection compares the IEEE
+    * ratio n_b/t_b (one divide — the same op in any engine), ties to
+    * the smallest bucket value. Buckets absent from `target` are
+    * DROPPED (rate 0 — a mix recipe is a whitelist); target buckets
+    * absent from the data raise (no rows cannot be upsampled to a
+    * share; use [[upsampleWithRates]] if repeats are acceptable).
+    *
+    * Scale shape: one map-side-combinable count by bucket, one 1-row
+    * argmin aggregate, then a broadcast join of the #buckets-sized
+    * rate table and a map-only filter. Nothing corpus-sized shuffles.
+    */
+  def matchDistribution(
+      df: DataFrame, bucketCol: String, keyCol: String,
+      target: Seq[(String, Long)], seed: Long = 41L): DataFrame = {
+    require(target.nonEmpty, "matchDistribution: empty target")
+    require(target.forall(_._2 >= 1L),
+      s"matchDistribution: target shares must be >= 1, got $target")
+    require(target.map(_._1).distinct.size == target.size,
+      s"matchDistribution: duplicate target buckets in $target")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = target.toDF("__mb", "__t")
+    val counts = df.groupBy(col(bucketCol).cast("string").as("__cb"))
+      .agg(count(lit(1)).as("__n"))
+    val missing = tgt
+      .join(counts, col("__mb") === col("__cb"), "left_anti")
+      .select(col("__mb")).collect() // bounded: <= |target|
+    require(missing.isEmpty,
+      "matchDistribution: target buckets absent from the data " +
+        s"(cannot downsample to a share of nothing): " +
+        missing.map(_.getString(0)).mkString(", "))
+    val withT = counts.join(broadcast(tgt), col("__cb") === col("__mb"))
+    // reference bucket = argmin n_b/t_b (IEEE ratio for SELECTION only,
+    // tie to smallest bucket value); its (n, t) anchor every rate
+    val ref = withT
+      .agg(min(struct(
+        (col("__n").cast("double") / col("__t").cast("double")).as("__r"),
+        col("__cb").as("__rb"),
+        col("__n").as("__rn"), col("__t").as("__rt"))).as("__ref"))
+      .select(col("__ref.__rn").as("__refn"),
+        col("__ref.__rt").as("__reft"))
+    val rates = graft.core.Scalars.withScalars(withT, ref)
+      .select(col("__cb"),
+        ((col("__t").cast("double") / col("__reft").cast("double")) *
+          (col("__refn").cast("double") / col("__n").cast("double")))
+          .as("__rate"))
+    val draw = graft.eval.BootstrapEval
+      .portableUniform(seed)(col(keyCol), lit(0L))
+    df.join(broadcast(rates),
+        col(bucketCol).cast("string") === col("__cb"))
+      .filter(draw < col("__rate"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

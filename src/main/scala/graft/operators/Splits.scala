@@ -188,4 +188,37 @@ object Splits {
           col(idCol).cast("long") === col("__sel_id"))
       .select((df.columns.map(col).toIndexedSeq :+ col(outCol)): _*)
   }
+
+  /** Temporal train/test split with an EMBARGO gap — the time-series
+    * leakage guard [[withSplit]]'s hash split cannot give (a model
+    * evaluated on events interleaved with its training window reads
+    * the future through autocorrelation; the purged-split recipe from
+    * financial ML, de Prado 2018 ch. 7): rows strictly before
+    * `cutoff − embargo` are `train`, rows at/after `cutoff` are
+    * `test`, and the `embargo` rows in between are labeled — not
+    * silently dropped — so the caller decides their fate visibly and
+    * audits the gap's size. Pure per-row function of the timestamp:
+    * map-only, deterministic, layout-independent. NULL timestamps
+    * raise (an unplaceable row in a leakage control is a data bug).
+    *
+    * `cutoffTs` and `embargoSeconds` are interpreted in epoch seconds
+    * of the timestamp column's instant.
+    */
+  def withTemporalEmbargo(
+      df: DataFrame, tsCol: String, cutoffTs: java.time.Instant,
+      embargoSeconds: Long, outCol: String = "split"): DataFrame = {
+    require(embargoSeconds >= 0,
+      s"embargo must be >= 0 seconds, got $embargoSeconds")
+    require(!df.columns.contains(outCol),
+      s"column $outCol already exists on the input")
+    val cut = cutoffTs.getEpochSecond
+    val ts = when(col(tsCol).isNull, raise_error(lit(
+      s"withTemporalEmbargo: NULL $tsCol — an unplaceable row in a " +
+        "leakage control is a data bug; drop explicitly")))
+      .otherwise(unix_timestamp(col(tsCol)))
+    df.withColumn(outCol,
+      when(ts < cut - embargoSeconds, "train")
+        .when(ts >= cut, "test")
+        .otherwise("embargo"))
+  }
 }

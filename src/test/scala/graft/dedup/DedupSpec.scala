@@ -328,4 +328,24 @@ class DedupSpec extends SparkSpec {
         df, "doc_id", "text", maxEdits = 3, maxDistance = 8, chunks = 8)
     }
   }
+
+  test("dedupToWeights: one representative per cluster, weight = size") {
+    // cluster {1,2,3} (identical text), cluster {10,11} (identical),
+    // singletons 20 and 21
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "pack my box with five dozen liquor jugs today"),
+      (11L, "pack my box with five dozen liquor jugs today"),
+      (20L, "how vexingly quick daft zebras jump around here"),
+      (21L, "completely unrelated sentence about data engines"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupToWeights(df, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 3L, 10L -> 2L, 20L -> 1L, 21L -> 1L)
+    // weights conserve the corpus mass
+    got.values.sum shouldBe 7L
+  }
 }

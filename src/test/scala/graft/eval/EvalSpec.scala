@@ -192,6 +192,29 @@ class EvalSpec extends SparkSpec {
     loss(df.repartition(7), BootstrapEval.mseExact) shouldBe exact
   }
 
+  test("grouped bootstrap equals per-group filtering (draw is group-free)") {
+    val df = (0 until 120).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        i.toDouble / 10.0, i.toDouble / 11.0))
+      .toDF("id", "g", "label", "pred")
+    val outs = Seq(BootstrapEval.OutputSpec("m", "pred", "label"))
+    val grouped = BootstrapEval.bootstrapMetricsByGroup(
+      df, col("id"), Seq("g"), outs, nbBootstrap = 5, seed = 7L,
+      metrics = Seq(BootstrapEval.mseExact))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("m_loss_exact"))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val solo = BootstrapEval.bootstrapMetricsDf(
+        df.filter(col("g") === g), col("id"), outs, nbBootstrap = 5,
+        seed = 7L, metrics = Seq(BootstrapEval.mseExact))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[Double]("m_loss_exact")).toMap
+      for (r <- 0 until 5)
+        grouped((g, r)) shouldBe solo(r) // bit-equal: same draws, same sums
+    }
+  }
+
   test("poisson inverse cdf maps uniforms to small counts with mean ~1") {
     val df = (0 until 10000).map(i => (i + 0.5) / 10000.0).toDF("u")
     val counts = df.select(BootstrapEval.poissonInverseCdf(col("u")).as("k"))

@@ -232,4 +232,36 @@ class MixingSpec extends SparkSpec {
     assert(out.filter(col("s").isNull).count() > 10L,
       "NULL stratum is the rare one and must upsample")
   }
+
+  test("matchDistribution: ref bucket keeps all, others near target mix") {
+    // 600 a / 200 b / 100 c, target 1:1:1 → c is scarcest (ref, rate
+    // 1), a keeps ~1/6, b keeps ~1/2
+    val rows = ((0 until 600).map(i => (i.toLong, "a")) ++
+      (600 until 800).map(i => (i.toLong, "b")) ++
+      (800 until 900).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val out = Mixing.matchDistribution(rows, "s", "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    val byS = out.groupBy(col("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byS("c") shouldBe 100L // reference bucket fully kept
+    assert(byS("a") > 60 && byS("a") < 140, s"a=${byS("a")}")
+    assert(byS("b") > 60 && byS("b") < 140, s"b=${byS("b")}")
+    // deterministic: rerun and repartition select the same rows
+    val again = Mixing.matchDistribution(rows.repartition(7), "s", "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    again.collect().map(r => r.getLong(0)).sorted shouldBe
+      out.collect().map(r => r.getLong(0)).sorted
+  }
+
+  test("matchDistribution: off-target buckets drop; absent targets raise") {
+    val rows = ((0 until 50).map(i => (i.toLong, "a")) ++
+      (50 until 60).map(i => (i.toLong, "junk"))).toDF("id", "s")
+    val out = Mixing.matchDistribution(rows, "s", "id", Seq("a" -> 1L))
+    out.filter(col("s") === "junk").count() shouldBe 0L // whitelist
+    out.filter(col("s") === "a").count() shouldBe 50L
+    an[IllegalArgumentException] should be thrownBy {
+      Mixing.matchDistribution(rows, "s", "id",
+        Seq("a" -> 1L, "missing" -> 1L))
+    }
+  }
 }

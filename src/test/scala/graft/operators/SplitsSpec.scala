@@ -148,4 +148,36 @@ class SplitsSpec extends SparkSpec {
     got.size shouldBe 4 // no row vanished through the restore join
     Seq(3L, 4L).map(got).sorted shouldBe Seq("a", "b")
   }
+
+  test("withTemporalEmbargo: three-way labels with boundary semantics") {
+    val rows = Seq(
+      (1L, "2024-01-10 00:00:00"), // train
+      (2L, "2024-01-16 23:59:59"), // train (strictly before cut-emb)
+      (3L, "2024-01-17 00:00:00"), // embargo (at the boundary)
+      (4L, "2024-01-19 23:59:59"), // embargo
+      (5L, "2024-01-20 00:00:00"), // test (at the cutoff)
+      (6L, "2024-01-25 12:00:00")) // test
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    val got = Splits.withTemporalEmbargo(rows, "ts",
+        java.time.Instant.parse("2024-01-20T00:00:00Z"), 3L * 86400L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    got shouldBe Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test", 6L -> "test")
+  }
+
+  test("withTemporalEmbargo: NULL timestamps raise; bad args raise") {
+    val rows = Seq((1L, Option("2024-01-10 00:00:00")),
+      (2L, Option.empty[String])).toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    intercept[Exception] {
+      Splits.withTemporalEmbargo(rows, "ts",
+        java.time.Instant.parse("2024-01-20T00:00:00Z"), 86400L)
+        .collect()
+    }
+    an[IllegalArgumentException] should be thrownBy {
+      Splits.withTemporalEmbargo(rows, "ts",
+        java.time.Instant.parse("2024-01-20T00:00:00Z"), -1L)
+    }
+  }
 }
