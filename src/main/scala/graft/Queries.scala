@@ -11555,7 +11555,110 @@ object Queries {
             AS DECIMAL(27,6))) AS DOUBLE)
             / CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
             AS value_loss_exact
-        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // PAIRED bootstrap model comparison: two models' losses under the
+    // SAME resample weights per round (the per-row draw depends only
+    // on (rowKey, round), so the comparison is paired by
+    // construction), with the per-round difference and win flag — the
+    // "is A actually better than B, beyond resampling noise" readout.
+    // Pure composition over bootstrapMetricsDf with two outputs; the
+    // oracle extends q15's replay with a second prediction and the
+    // same one-subtract diff.
+    GraftQuery(
+      "q238_paired_bootstrap",
+      (s, dir) =>
+        graft.eval.BootstrapEval.bootstrapMetricsDf(
+          t(s, dir, "events")
+            .withColumn("pred_a", col("value") * lit(0.9))
+            .withColumn("pred_b", col("value") * lit(0.8) + lit(2.0)),
+          col("event_id"),
+          Seq(graft.eval.BootstrapEval.OutputSpec("a", "pred_a", "value"),
+            graft.eval.BootstrapEval.OutputSpec("b", "pred_b", "value")),
+          nbBootstrap = 10, seed = 42L,
+          metrics = Seq(graft.eval.BootstrapEval.mseExact),
+          uniform = Some(graft.eval.BootstrapEval.portableUniform(42L) _))
+          .select(col("round"),
+            col("a_loss_exact"), col("b_loss_exact"),
+            (col("a_loss_exact") - col("b_loss_exact")).as("diff"),
+            (col("a_loss_exact") < col("b_loss_exact")).as("a_wins"))
+          .orderBy(col("round")),
+      Some("""
+        WITH r AS (SELECT CAST(range AS BIGINT) AS round FROM range(0, 10)),
+        d AS (
+          SELECT e.value,
+            e.value * CAST(0.9 AS DOUBLE) AS pred_a,
+            e.value * CAST(0.8 AS DOUBLE) + CAST(2.0 AS DOUBLE) AS pred_b,
+            r.round,
+            ((((e.event_id % 2147483647) * 1103515245 + r.round * 12345 + 42)
+               % 2147483647) * 784588716 + 997) % 2147483647 AS h2
+          FROM events e CROSS JOIN r),
+        w AS (
+          SELECT round, value, pred_a, pred_b,
+            CASE
+              WHEN u <= 0.36787944117144233 THEN 0.0
+              WHEN u <= 0.7357588823428847 THEN 1.0
+              WHEN u <= 0.9196986029286058 THEN 2.0
+              WHEN u <= 0.9810118431238463 THEN 3.0
+              WHEN u <= 0.9963401531726563 THEN 4.0
+              WHEN u <= 0.9994058151824183 THEN 5.0
+              WHEN u <= 0.9999167588507120 THEN 6.0
+              WHEN u <= 0.9999897508033253 THEN 7.0
+              WHEN u <= 0.9999988747974020 THEN 8.0
+              ELSE 9.0 END AS w
+          FROM (SELECT round, value, pred_a, pred_b,
+                  (CAST(h2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / CAST(2147483647 AS DOUBLE) AS u
+                FROM d)),
+        agg AS (
+          SELECT round,
+            CAST(SUM(CAST(w * (pred_a - value) * (pred_a - value)
+              AS DECIMAL(27,6))) AS DOUBLE)
+              / CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
+              AS a_loss_exact,
+            CAST(SUM(CAST(w * (pred_b - value) * (pred_b - value)
+              AS DECIMAL(27,6))) AS DOUBLE)
+              / CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
+              AS b_loss_exact
+          FROM w GROUP BY round)
+        SELECT CAST(round AS INTEGER) AS round, a_loss_exact, b_loss_exact,
+          a_loss_exact - b_loss_exact AS diff,
+          a_loss_exact < b_loss_exact AS a_wins
+        FROM agg ORDER BY round""")),
+
+    // Per-group winsorization (sketch/Quantiles.winsorize): n_chars
+    // clipped to each language's exact [p05, p95] discrete quantiles —
+    // the heavy-tail taming step before per-group normalization.
+    // Thresholds are ELEMENTS of the data (q54's histogram contract),
+    // so the clip replays exactly: the oracle recomputes both
+    // thresholds per lang and applies the same two-sided clamp.
+    GraftQuery(
+      "q239_winsorize",
+      (s, dir) =>
+        graft.sketch.Quantiles.winsorize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars", pLo = 0.05, pHi = 0.95)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH h AS (
+          SELECT lang, n_chars AS v, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        w AS (
+          SELECT lang, v, c,
+            CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+              AS cum,
+            CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM h),
+        th AS (
+          SELECT lang,
+            MIN(CASE WHEN cum >= ceil(0.05e0 * n) THEN v END) AS lo,
+            MIN(CASE WHEN cum >= ceil(0.95e0 * n) THEN v END) AS hi
+          FROM w GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars,
+          least(greatest(d.n_chars, th.lo), th.hi) AS winsorized
+        FROM documents d JOIN th ON d.lang = th.lang
+        ORDER BY d.doc_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

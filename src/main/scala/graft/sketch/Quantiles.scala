@@ -221,10 +221,54 @@ object Quantiles {
       .select((groupCols.zipWithIndex.map { case (c, i) =>
         col(c).as(s"__g$i")
       } :+ col("__v") :+ col(pctCol)): _*)
+    // null-safe group keys: groupBy RETAINS null keys as a group, so a
+    // NULL-group row must match its own histogram — a plain === would
+    // silently DROP every NULL-group row through this inner join (the
+    // Isotonic.applyCalibration lesson)
     val cond = groupCols.zipWithIndex
-      .map { case (c, i) => df(c) === ranks(s"__g$i") }
+      .map { case (c, i) => df(c) <=> ranks(s"__g$i") }
       .reduce(_ && _) && df(valueCol) === ranks("__v")
     df.join(ranks, cond)
       .select(df.columns.map(df(_)) :+ ranks(pctCol): _*)
+  }
+
+  /** `df` plus `outCol`: per-group WINSORIZED values — clipped to the
+    * group's exact discrete [pLo, pHi] quantiles (the [[grouped]]
+    * thresholds, which are ELEMENTS of the data). The standard
+    * heavy-tail taming step before per-group normalization or
+    * z-scoring: one pathological 500 MB document otherwise owns its
+    * group's scale. Clipping to exact in-data quantiles (never an
+    * interpolated midpoint) keeps the result engine-replayable.
+    *
+    * NULL values pass through as NULL (a NULL is not a datum —
+    * [[grouped]] excludes them from the histogram too); NULL group
+    * keys are their own group and join null-safely. Scale shape: the
+    * [[grouped]] histogram contract (shuffle carries distinct values,
+    * never rows) + one join of the #groups-sized threshold table back
+    * onto the rows.
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double, pHi: Double, outCol: String = "winsorized"): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs group columns")
+    require(pLo > 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    require(!df.columns.contains(outCol),
+      s"column $outCol already exists on the input")
+    val th = grouped(df, groupCols, valueCol, Seq(pLo, pHi))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q") === pLo, col("value"))).as("__lo"),
+        min(when(col("q") === pHi, col("value"))).as("__hi"))
+      .select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__wg$i")
+      } :+ col("__lo") :+ col("__hi")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> th(s"__wg$i") }
+      .reduce(_ && _)
+    df.join(th, cond, "left")
+      .select(df.columns.map(df(_)) :+
+        when(df(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(df(valueCol), col("__lo")), col("__hi")))
+          .as(outCol): _*)
   }
 }

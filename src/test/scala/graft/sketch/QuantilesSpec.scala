@@ -175,4 +175,49 @@ class QuantilesSpec extends SparkSpec {
     }
     ex.getMessage should include("NULL v")
   }
+
+  test("group percentile keeps NULL-group rows (null-safe join)") {
+    val df = Seq((Option("g"), 1L), (Option("g"), 2L),
+      (Option.empty[String], 5L), (Option.empty[String], 6L))
+      .toDF("g", "v")
+    val got = Quantiles.withGroupPercentile(df, Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        r.getDouble(2)).toMap
+    got.size shouldBe 4 // no row vanished
+    got((None, 5L)) shouldBe 0.0
+    got((None, 6L)) shouldBe 1.0
+  }
+
+  test("winsorize clips to the exact in-data group quantiles") {
+    // group a: values 1..100 → p05 = 5, p95 = 95; one group b
+    val rows = (1L to 100L).map(v => ("a", v)) ++ Seq(("b", 7L), ("b", 9L))
+    val got = Quantiles.winsorize(rows.toDF("g", "v"), Seq("g"), "v",
+        pLo = 0.05, pHi = 0.95)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    got(("a", 1L)) shouldBe 5L
+    got(("a", 4L)) shouldBe 5L
+    got(("a", 5L)) shouldBe 5L
+    got(("a", 50L)) shouldBe 50L
+    got(("a", 95L)) shouldBe 95L
+    got(("a", 99L)) shouldBe 95L
+    // thresholds are data elements: b's p05 = 7, p95 = 9
+    got(("b", 7L)) shouldBe 7L
+    got(("b", 9L)) shouldBe 9L
+  }
+
+  test("winsorize: NULL values pass through; NULL groups clip in-group") {
+    val rows = Seq((Option("a"), Option(1L)), (Option("a"), Option(100L)),
+      (Option("a"), Option.empty[Long]),
+      (Option.empty[String], Option(3L)), (Option.empty[String], Option(30L)))
+      .toDF("g", "v")
+    val got = Quantiles.winsorize(rows, Seq("g"), "v", 0.5, 1.0)
+      .collect().map(r => (Option(r.getString(0)),
+        Option(r.get(1)).map(_.asInstanceOf[Long])) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    got((Some("a"), None)) shouldBe None // NULL passes through
+    got((Some("a"), Some(1L))) shouldBe Some(1L) // p50 of {1,100} is 1
+    got((None, Some(3L))) shouldBe Some(3L)
+    got((None, Some(30L))) shouldBe Some(30L) // p100 = 30, unclipped
+  }
 }
