@@ -11658,7 +11658,304 @@ object Queries {
         SELECT d.doc_id, d.lang, d.n_chars,
           least(greatest(d.n_chars, th.lo), th.hi) AS winsorized
         FROM documents d JOIN th ON d.lang = th.lang
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // The FULL dedup-index LSM lifecycle end to end (q227 + compact +
+    // serve): four micro-batches [350, 450) stream in against a
+    // corpus < 350, their survivors accumulate as segments, COMPACT
+    // folds everything into the base (segments directory gone), and a
+    // fifth "day" [450, 500) is deduped against the compacted index.
+    // Green means compaction is invisible in semantics — the oracle is
+    // the same chained sequential-dedup closure with one more block,
+    // knowing nothing about segments or compaction.
+    GraftQuery(
+      "q240_ingest_compact_serve",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val docs = t(s, dir, "documents")
+        val staged = stagedDedupBlocksFor(s, dir, startId = 350)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q240_").toString
+        val indexPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIngestIndexFor(s, dir, 350)),
+          java.nio.file.Paths.get(indexPath))
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.dedupIngestSink(
+          stream, indexPath, s"$base/survivors", s"$base/ckpt",
+          "doc_id", "text", threshold = 0.9)
+          .awaitTermination()
+        graft.dedup.DedupIndex.compact(s, indexPath)
+        val idx = graft.dedup.DedupIndex.read(s, indexPath)
+        val out = graft.dedup.DedupIndex.dedupAgainst(
+          docs.filter(col("doc_id") >= 450 && col("doc_id") < 500),
+          idx, "doc_id", "text", threshold = 0.9)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+              AS toks
+          FROM documents),
+        corp AS (SELECT t, toks FROM d WHERE doc_id < 350),
+        b1 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 350 AND doc_id < 375
+                 AND NOT EXISTS (SELECT 1 FROM corp c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM corp c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c1 AS (SELECT t, toks FROM corp
+               UNION ALL SELECT t, toks FROM b1),
+        b2 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 375 AND doc_id < 400
+                 AND NOT EXISTS (SELECT 1 FROM c1 c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM c1 c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c2 AS (SELECT t, toks FROM c1
+               UNION ALL SELECT t, toks FROM b2),
+        b3 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 400 AND doc_id < 425
+                 AND NOT EXISTS (SELECT 1 FROM c2 c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM c2 c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c3 AS (SELECT t, toks FROM c2
+               UNION ALL SELECT t, toks FROM b3),
+        b4 AS (SELECT doc_id, t, toks FROM d
+               WHERE doc_id >= 425 AND doc_id < 450
+                 AND NOT EXISTS (SELECT 1 FROM c3 c WHERE c.t = d.t)
+                 AND NOT EXISTS (SELECT 1 FROM c3 c
+                   WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(d.toks, c.toks)))
+                       >= 0.9)),
+        c4 AS (SELECT t, toks FROM c3
+               UNION ALL SELECT t, toks FROM b4)
+        SELECT doc_id FROM d
+        WHERE doc_id >= 450 AND doc_id < 500
+          AND NOT EXISTS (SELECT 1 FROM c4 c WHERE c.t = d.t)
+          AND NOT EXISTS (SELECT 1 FROM c4 c
+            WHERE CAST(len(list_intersect(d.toks, c.toks)) AS DOUBLE)
+                / len(list_distinct(list_concat(d.toks, c.toks))) >= 0.9)
+        ORDER BY 1""")),
+
+    // Degree-capped node2vec at walkLen = 3 — TWO chained second-order
+    // steps: q226 pins one biased step; this pins that `prev`
+    // PROPAGATES (step 3's distance classes are computed against step
+    // 2's pick, not the start node). The oracle carries prev through
+    // the step-2 CTE and unrolls a second candidate/classify/cumsum/
+    // interval block with the '#0#3' hash.
+    GraftQuery(
+      "q241_node2vec_len3",
+      (s, dir) => {
+        val e0 = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.RandomWalks.node2vecWalks(
+          edges, "src", "dst", walksPerNode = 1, walkLen = 3,
+          wReturn = 1L, wIn = 2L, wOut = 4L, maxDegree = 8)
+          .orderBy(col("start"), col("walk"), col("step"))
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                      l_suppkey * 2 + 1 AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        rall AS (SELECT src, dst,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                     - 1 AS BIGINT) AS rk
+                 FROM e),
+        rec AS (SELECT src, dst, rk FROM rall WHERE rk < 8),
+        re AS (SELECT src, dst, rk,
+                 CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+               FROM rec),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS walk, node
+               FROM n),
+        s1 AS (SELECT s.start, s.walk, s.node AS prev, re.dst AS node
+               FROM (SELECT start, walk, node,
+                       list_reduce(list_transform(
+                         range(1, len(CAST(start AS VARCHAR) || '#0#1') + 1),
+                         j -> CAST(ord(substr(
+                           CAST(start AS VARCHAR) || '#0#1',
+                           CAST(j AS INTEGER), 1)) AS BIGINT)),
+                         (a, b) -> (a * 257 + b) % 2147483647) AS h
+                     FROM s0) s
+               JOIN re ON re.src = s.node
+                 AND re.rk = (s.h * s.h) % 2147483647 % re.deg),
+        cand2 AS (SELECT s.start, s.walk, s.prev, s.node, rec.dst AS x
+                  FROM s1 s JOIN rec ON rec.src = s.node),
+        wgt2 AS (SELECT c.start, c.walk, c.node, c.x,
+                   CAST(CASE WHEN c.x = c.prev THEN 1
+                     WHEN ep.src IS NOT NULL THEN 2
+                     ELSE 4 END AS BIGINT) AS w
+                 FROM cand2 c
+                 LEFT JOIN rec ep ON ep.src = c.prev AND ep.dst = c.x),
+        cum2 AS (SELECT start, walk, node, x, w,
+                   CAST(SUM(w) OVER (PARTITION BY start, walk
+                     ORDER BY x) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY start, walk)
+                     AS BIGINT) AS tot,
+                   list_reduce(list_transform(
+                     range(1, len(CAST(start AS VARCHAR) || '#0#2') + 1),
+                     j -> CAST(ord(substr(
+                       CAST(start AS VARCHAR) || '#0#2',
+                       CAST(j AS INTEGER), 1)) AS BIGINT)),
+                     (a, b) -> (a * 257 + b) % 2147483647) AS h
+                 FROM wgt2),
+        s2 AS (SELECT start, walk, node AS prev, x AS node FROM cum2
+               WHERE (h * h) % 2147483647 % tot >= cw - w
+                 AND (h * h) % 2147483647 % tot < cw),
+        cand3 AS (SELECT s.start, s.walk, s.prev, s.node, rec.dst AS x
+                  FROM s2 s JOIN rec ON rec.src = s.node),
+        wgt3 AS (SELECT c.start, c.walk, c.node, c.x,
+                   CAST(CASE WHEN c.x = c.prev THEN 1
+                     WHEN ep.src IS NOT NULL THEN 2
+                     ELSE 4 END AS BIGINT) AS w
+                 FROM cand3 c
+                 LEFT JOIN rec ep ON ep.src = c.prev AND ep.dst = c.x),
+        cum3 AS (SELECT start, walk, node, x, w,
+                   CAST(SUM(w) OVER (PARTITION BY start, walk
+                     ORDER BY x) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY start, walk)
+                     AS BIGINT) AS tot,
+                   list_reduce(list_transform(
+                     range(1, len(CAST(start AS VARCHAR) || '#0#3') + 1),
+                     j -> CAST(ord(substr(
+                       CAST(start AS VARCHAR) || '#0#3',
+                       CAST(j AS INTEGER), 1)) AS BIGINT)),
+                     (a, b) -> (a * 257 + b) % 2147483647) AS h
+                 FROM wgt3),
+        s3 AS (SELECT start, walk, x AS node FROM cum3
+               WHERE (h * h) % 2147483647 % tot >= cw - w
+                 AND (h * h) % 2147483647 % tot < cw)
+        SELECT start, walk, step, node FROM (
+          SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM s0
+          UNION ALL
+          SELECT start, walk, CAST(1 AS BIGINT), node FROM s1
+          UNION ALL
+          SELECT start, walk, CAST(2 AS BIGINT), node FROM s2
+          UNION ALL
+          SELECT start, walk, CAST(3 AS BIGINT), node FROM s3)
+        ORDER BY 1, 2, 3""")),
+
+    // KMV set algebra (sketch/Kmv.pairwiseSetAlgebra): per source-pair
+    // union / intersection / difference cardinality estimates from the
+    // q203 bigram sketches alone — the corpus-versioning readout
+    // ("what did v2 add/drop/share") with NO corpus join. Exact long
+    // union estimator, one double divide for the intersection, one
+    // subtract per difference; the oracle extends q203's full SQL
+    // replay of the sketch machinery with the same three expressions.
+    // Probe pairs limited to 4 sources (6 pairs) to keep the oracle's
+    // replay cheap; the operator itself is #groups²-pair bounded.
+    GraftQuery(
+      "q242_kmv_set_algebra",
+      (s, dir) => {
+        val bigrams = t(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+          .select(col("source"),
+            filter(split(col("text"), " "), x => x =!= "").as("__w"))
+          .filter(size(col("__w")) > 1)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(__w) - 2), " +
+              "i -> concat(__w[i], ' ', __w[i + 1]))")).as("bigram"))
+        val sk = graft.sketch.Kmv.sketch(
+          bigrams, Seq("source"), col("bigram"), k = 64)
+        graft.sketch.Kmv.pairwiseSetAlgebra(sk, "source", k = 64)
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        bg AS (
+          SELECT DISTINCT source, w[i] || ' ' || w[i + 1] AS bigram
+          FROM (SELECT source, w, unnest(range(1, len(w))) AS i
+                FROM t WHERE len(w) > 1)),
+        hh AS (
+          SELECT source,
+            list_reduce(
+              list_transform(range(1, length(bigram) + 1),
+                j -> CAST(ord(substring(bigram, CAST(j AS INTEGER), 1))
+                  AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS h0
+          FROM bg),
+        dh AS (
+          SELECT DISTINCT source,
+            (((((h0 * h0) % 2147483647) * ((h0 * h0) % 2147483647))
+              % 2147483647) * h0) % 2147483647 AS h
+          FROM hh),
+        sk AS (
+          SELECT source, h FROM (
+            SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dh)
+          WHERE rn <= 64),
+        est AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+            CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                 ELSE (63 * CAST(2147483647 AS BIGINT)) // MAX(h) END
+                   AS distinct_est
+          FROM sk GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM sk),
+        pairs AS (SELECT a.source AS ga, b.source AS gb
+                  FROM srcs a, srcs b WHERE a.source < b.source),
+        u AS (
+          SELECT p.ga, p.gb, s.h,
+            MAX(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+            MAX(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN sk s ON s.source = p.ga OR s.source = p.gb
+          GROUP BY 1, 2, 3),
+        uk AS (
+          SELECT * FROM (
+            SELECT u.*, row_number()
+              OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM u)
+          WHERE rn <= 64),
+        agg AS (
+          SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS k_used,
+            CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+            CAST(MAX(h) AS BIGINT) AS union_hk
+          FROM uk GROUP BY 1, 2),
+        alg AS (
+          SELECT ga, gb, k_used,
+            CASE WHEN k_used < 64 THEN k_used
+                 ELSE (63 * CAST(2147483647 AS BIGINT)) // union_hk END
+                   AS union_est,
+            n_common
+          FROM agg)
+        SELECT alg.ga, alg.gb, alg.k_used, alg.union_est,
+          CAST(alg.n_common * alg.union_est AS DOUBLE)
+            / CAST(alg.k_used AS DOUBLE) AS inter_est,
+          CAST(ea.distinct_est AS DOUBLE)
+            - CAST(alg.n_common * alg.union_est AS DOUBLE)
+              / CAST(alg.k_used AS DOUBLE) AS diff_a_est,
+          CAST(eb.distinct_est AS DOUBLE)
+            - CAST(alg.n_common * alg.union_est AS DOUBLE)
+              / CAST(alg.k_used AS DOUBLE) AS diff_b_est
+        FROM alg
+        JOIN est ea ON ea.source = alg.ga
+        JOIN est eb ON eb.source = alg.gb
+        ORDER BY alg.ga, alg.gb"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -12068,12 +12365,13 @@ object Queries {
   private val pristineIngestIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def pristineIngestIndexFor(s: SparkSession, dir: String): String =
-    pristineIngestIndexCache.computeIfAbsent(dir, { _ =>
+  private def pristineIngestIndexFor(
+      s: SparkSession, dir: String, maxId: Int = 400): String =
+    pristineIngestIndexCache.computeIfAbsent(s"$dir#$maxId", { _ =>
       val p = java.nio.file.Files
-        .createTempDirectory("graft_q227_base_").toString
+        .createTempDirectory("graft_dedup_ingest_base_").toString
       graft.dedup.DedupIndex.write(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < 400),
+        Tables.load(s, dir, "documents").filter(col("doc_id") < maxId),
         "doc_id", "text", p,
         graft.dedup.DedupIndex.Params(
           shingleSize = 1, numHashes = 64, bands = 16, seed = 42L))
@@ -12167,16 +12465,17 @@ object Queries {
   private val stagedDedupBlocksCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def stagedDedupBlocksFor(s: SparkSession, dir: String): String =
-    stagedDedupBlocksCache.computeIfAbsent(dir, { _ =>
+  private def stagedDedupBlocksFor(
+      s: SparkSession, dir: String, startId: Int = 400): String =
+    stagedDedupBlocksCache.computeIfAbsent(s"$dir#$startId", { _ =>
       val root = java.nio.file.Files
-        .createTempDirectory("graft_q227_in_")
+        .createTempDirectory("graft_dedup_ingest_in_")
       val docs = Tables.load(s, dir, "documents")
-        .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .filter(col("doc_id") >= startId && col("doc_id") < startId + 100)
         .select(col("doc_id"), col("text"))
       val t0 = 1700000000000L // fixed base so mtimes are deterministic
       for (i <- 0 until 4) {
-        val lo = 400 + i * 25
+        val lo = startId + i * 25
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_q227_blk_")
         docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 25)

@@ -122,10 +122,54 @@ object Kmv {
     unionK.groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).as("k_used"),
         sum(col("in_a") * col("in_b")).as("n_common"),
-        sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"))
+        sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        max(col("h")).as("union_hk"))
       .select(col("ga"), col("gb"), col("k_used"), col("n_common"),
         col("n_a"), col("n_b"),
         (col("n_common").cast("double") / col("k_used").cast("double"))
-          .as("jaccard_est"))
+          .as("jaccard_est"),
+        col("union_hk"))
+  }
+
+  /** Full pairwise SET ALGEBRA from sketches alone — the corpus-
+    * versioning readout ("how many bigrams did v2 add / drop / share
+    * vs v1") without ever joining the corpora: per pair (ga < gb),
+    *
+    *   - `union_est`  — the union sketch's own KMV estimate (EXACT
+    *     integer when the union sketch is not full, else
+    *     `(k−1)·Modulus div h_(k)`);
+    *   - `inter_est`  — `n_common · union_est / k_used` (exact long
+    *     product, ONE double divide — the standard KMV intersection
+    *     estimator J·|A∪B|);
+    *   - `diff_a_est` / `diff_b_est` — each side's own distinct
+    *     estimate minus the intersection (one subtract each).
+    *
+    * When no sketch is full all four are EXACT set cardinalities.
+    * Estimates are individually noisy, so a difference can come out
+    * slightly negative — callers clamp if they need a hard floor
+    * (clamping here would hide the estimator's variance).
+    *
+    * Scale shape: [[pairwiseJaccard]]'s bounded per-pair work plus two
+    * joins against the #groups-sized [[distinctEstimate]] table.
+    */
+  def pairwiseSetAlgebra(
+      sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val pj = pairwiseJaccard(sk, groupCol, k)
+    val est = distinctEstimate(sk, Seq(groupCol), k)
+    val ea = est.select(col(groupCol).cast("string").as("ga"),
+      col("distinct_est").as("__ea"))
+    val eb = est.select(col(groupCol).cast("string").as("gb"),
+      col("distinct_est").as("__eb"))
+    val unionEst = when(col("k_used") < k, col("k_used"))
+      .otherwise(expr(s"(${k - 1}L * ${Modulus}L) div union_hk"))
+    pj.join(ea, Seq("ga")).join(eb, Seq("gb"))
+      .withColumn("union_est", unionEst)
+      .withColumn("inter_est",
+        (col("n_common") * col("union_est")).cast("double") /
+          col("k_used").cast("double"))
+      .select(col("ga"), col("gb"), col("k_used"), col("union_est"),
+        col("inter_est"),
+        (col("__ea").cast("double") - col("inter_est")).as("diff_a_est"),
+        (col("__eb").cast("double") - col("inter_est")).as("diff_b_est"))
   }
 }

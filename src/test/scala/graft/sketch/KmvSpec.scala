@@ -70,6 +70,29 @@ class KmvSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("pairwiseSetAlgebra is EXACT when no sketch is full") {
+    // A = {x, y, z, w}, B = {y, z, q} → |A∪B| = 5, |A∩B| = 2,
+    // |A\B| = 2, |B\A| = 1; sketches of k = 8 hold everything
+    val df = (Seq("x", "y", "z", "w").map(("a", _)) ++
+      Seq("y", "z", "q").map(("b", _))).toDF("g", "tok")
+    val sk = Kmv.sketch(df, Seq("g"), col("tok"), k = 8)
+    val r = Kmv.pairwiseSetAlgebra(sk, "g", k = 8).head()
+    r.getAs[Long]("union_est") shouldBe 5L
+    r.getAs[Double]("inter_est") shouldBe 2.0
+    r.getAs[Double]("diff_a_est") shouldBe 2.0
+    r.getAs[Double]("diff_b_est") shouldBe 1.0
+  }
+
+  test("pairwiseSetAlgebra estimates land near truth on full sketches") {
+    // two overlapping 600-element sets, k = 64: estimates within ~35%
+    val a = (0 until 600).map(i => ("a", s"tok$i"))
+    val b = (300 until 900).map(i => ("b", s"tok$i"))
+    val sk = Kmv.sketch((a ++ b).toDF("g", "tok"), Seq("g"), col("tok"), k = 64)
+    val r = Kmv.pairwiseSetAlgebra(sk, "g", k = 64).head()
+    r.getAs[Long]("union_est").toDouble shouldBe 900.0 +- 320.0
+    r.getAs[Double]("inter_est") shouldBe 300.0 +- 160.0
+  }
+
   test("estimator arithmetic is pure integer division") {
     // force a full sketch with known h_(k): hashes of 3 tokens, k=2
     val df = Seq(("g", "t1"), ("g", "t2"), ("g", "t3")).toDF("g", "tok")
