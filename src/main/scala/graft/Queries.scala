@@ -11955,7 +11955,62 @@ object Queries {
         FROM alg
         JOIN est ea ON ea.source = alg.ga
         JOIN est eb ON eb.source = alg.gb
-        ORDER BY alg.ga, alg.gb"""))
+        ORDER BY alg.ga, alg.gb""")),
+
+    // The conformal gate APPLIED (q218's thresholds end to end): keep
+    // rows whose score is within the per-language threshold, report
+    // kept count / empirical coverage / the largest admitted score.
+    // The guarantee made checkable: empirical coverage must be
+    // >= 1 − α = 0.9 (the rank's construction makes it
+    // ceil((n+1)·0.9)-smallest, so the kept fraction is ≥ 0.9 minus
+    // the share of rows TIED at the threshold — all exact integers
+    // both sides). Broadcast join of the #groups-sized threshold table
+    // + map-only filter; one IEEE divide for the coverage readout.
+    GraftQuery(
+      "q243_conformal_gate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val th = graft.eval.Conformal.thresholds(
+          docs, Seq("lang"), "n_chars", aNum = 1L, aDen = 10L)
+          .select(col("lang").as("__gl"), col("threshold"))
+        docs.join(broadcast(th), col("lang") === col("__gl"))
+          .filter(col("n_chars") <= col("threshold"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            max(col("n_chars")).cast("long").as("max_kept"))
+          .join(broadcast(
+            docs.groupBy(col("lang").as("__cl"))
+              .agg(count(lit(1)).as("__n"))),
+            col("lang") === col("__cl"))
+          .select(col("lang"), col("n_kept"), col("max_kept"),
+            (col("n_kept").cast("double") / col("__n").cast("double"))
+              .as("coverage"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                     CAST(COUNT(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        cm AS (SELECT lang, v, c,
+                 CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM h),
+        rk AS (SELECT lang, v, cum, n,
+                 CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS rank
+               FROM cm),
+        th AS (SELECT lang, MAX(n) AS n,
+                 MIN(CASE WHEN cum >= rank THEN v END) AS threshold
+               FROM rk GROUP BY lang),
+        kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(d.n_chars) AS BIGINT) AS max_kept
+                 FROM documents d JOIN th ON d.lang = th.lang
+                 WHERE d.n_chars <= th.threshold
+                 GROUP BY 1)
+        SELECT kept.lang, kept.n_kept, kept.max_kept,
+          CAST(kept.n_kept AS DOUBLE) / CAST(th.n AS DOUBLE) AS coverage
+        FROM kept JOIN th ON kept.lang = th.lang
+        ORDER BY kept.lang"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
