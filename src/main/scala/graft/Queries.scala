@@ -12010,7 +12010,55 @@ object Queries {
         SELECT kept.lang, kept.n_kept, kept.max_kept,
           CAST(kept.n_kept AS DOUBLE) / CAST(th.n AS DOUBLE) AS coverage
         FROM kept JOIN th ON kept.lang = th.lang
-        ORDER BY kept.lang"""))
+        ORDER BY kept.lang""")),
+
+    // Quantile normalization (sketch/Quantiles.quantileNormalize):
+    // per-language n_chars mapped onto the POOLED distribution — the
+    // scorer-harmonization step ("v2's 0.8 ≠ v1's 0.8") with output
+    // values that are elements of the pooled data, never interpolated.
+    // Exact integer rank rule replayed: before·N/(n−1) ceiling,
+    // singleton → pooled median rank; the engine's pooled prefix runs
+    // through dense ids + the two-level bucket scan and the rank
+    // lookup through the binned point-in-interval hash join (no
+    // global window, no non-equi join — the oracle uses DuckDB's
+    // plain windows for the same numbers).
+    GraftQuery(
+      "q244_quantile_normalize",
+      (s, dir) =>
+        graft.sketch.Quantiles.quantileNormalize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH b AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v
+                   FROM documents),
+        g AS (SELECT lang, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        gg AS (SELECT lang, v,
+                 CAST(COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS bef,
+                 CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM g),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM b),
+        r AS (SELECT lang, v,
+                CASE WHEN n = 1 THEN (np + 1) // 2
+                     ELSE greatest(1, (bef * np + (n - 2)) // (n - 1))
+                     END AS rk
+              FROM gg, tot),
+        p AS (SELECT v AS pv, COUNT(*) AS pc FROM b GROUP BY 1),
+        pp AS (SELECT pv,
+                 CAST(COALESCE(SUM(pc) OVER (ORDER BY pv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pb,
+                 CAST(SUM(pc) OVER (ORDER BY pv) AS BIGINT) AS pcum
+               FROM p),
+        map AS (SELECT r.lang, r.v, MIN(pp.pv) AS nv
+                FROM r JOIN pp ON pp.pcum >= r.rk AND pp.pb < r.rk
+                GROUP BY 1, 2)
+        SELECT b.doc_id, b.lang, b.v AS n_chars, map.nv AS normalized
+        FROM b JOIN map ON b.lang = map.lang AND b.v = map.v
+        ORDER BY b.doc_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

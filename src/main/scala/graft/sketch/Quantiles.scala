@@ -247,6 +247,118 @@ object Quantiles {
     * never rows) + one join of the #groups-sized threshold table back
     * onto the rows.
     */
+  /** `df` plus `outCol`: per-group QUANTILE NORMALIZATION onto the
+    * pooled distribution — the scorer-harmonization step when
+    * different groups were scored by different models/versions and
+    * raw values are not comparable ("v2's 0.8 means something
+    * different from v1's 0.8"): each value maps to the pooled value
+    * at the SAME within-group percentile, so downstream thresholds
+    * and mixes read one common scale. Output values are ELEMENTS of
+    * the pooled data (never interpolated), so the map is exact and
+    * engine-replayable.
+    *
+    * Pinned rule: a value with `before` strictly-smaller in-group
+    * rows out of `n` maps to the pooled `ceil(before·N/(n−1))`-th
+    * smallest value (floored at rank 1); a singleton group maps to
+    * the pooled median rank `ceil(N/2)` — all exact integer
+    * arithmetic (q244 replays it), with a fail-loud `before·N`
+    * overflow ceiling from two bounded scalars. NULL values raise;
+    * NULL group keys are their own group.
+    *
+    * Scale shape: group histograms with per-group windows (the
+    * [[grouped]] contract), the pooled prefix via [[graft.operators
+    * .Enumerate]] dense ids + the two-level bucket scan (the
+    * headCoverage discipline — NO global window), and the rank
+    * lookup as a [[graft.operators.RangeJoin]] point-in-interval
+    * hash join over disjoint pooled rank intervals. Everything past
+    * the first aggregate is distinct-value-sized.
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String = "normalized",
+      bucketWidth: Long = 1L << 16,
+      maxBuckets: Long = 4000000L): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs group columns")
+    require(!df.columns.contains(outCol),
+      s"column $outCol already exists on the input")
+    val v = when(col(valueCol).isNull,
+      raise_error(lit(s"quantileNormalize: NULL $valueCol — drop " +
+        "explicitly, a NULL has no rank")))
+      .otherwise(col(valueCol))
+    val base = df
+      .select((groupCols.map(col) :+ v.as("__v")): _*)
+
+    // group histograms: exclusive prefix + group size per distinct value
+    val gHist = base
+      .groupBy((groupCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cumBefore = byGroup.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gRanks = gHist
+      .withColumn("__before",
+        coalesce(sum(col("__c")).over(cumBefore), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(byGroup))
+
+    // pooled histogram + exclusive prefix WITHOUT a global window:
+    // dense value order via zipWithIndex, bucket totals collected
+    // (bounded), exclusive offsets broadcast back, window within bucket
+    val pHist = base.groupBy(col("__v").as("__pv"))
+      .agg(count(lit(1)).as("__pc"))
+    val ranked = graft.operators.Enumerate
+      .denseIds(pHist, Seq("__pv"), idCol = "__pr")
+      .localCheckpoint(true) // read twice: bucket totals + the plan below
+    val bucketed = ranked.withColumn("__pb", expr(s"__pr div ${bucketWidth}L"))
+    val nBuckets = bucketed.agg(countDistinct(col("__pb"))).head.getLong(0)
+    require(nBuckets <= maxBuckets,
+      s"quantileNormalize: $nBuckets pooled-value buckets exceeds " +
+        s"maxBuckets=$maxBuckets — widen bucketWidth ($bucketWidth)")
+    val totals = bucketed.groupBy(col("__pb"))
+      .agg(sum(col("__pc")).as("__t"))
+      .collect() // bounded: one row per bucket
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }
+    val nPool = acc
+    require(nPool > 0, "quantileNormalize: input is empty")
+    // the target rank computes before·nPool + (n−2): fail loud past long
+    require(BigInt(nPool) * nPool < BigInt(Long.MaxValue),
+      s"quantileNormalize: $nPool rows exceeds the exact-rank ceiling " +
+        "(before·N must fit a long) — normalize per partition")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("__pb2", "__off"))
+    val wb = Window.partitionBy(col("__pb")).orderBy(col("__pr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = bucketed
+      .join(offsetDf, col("__pb") === col("__pb2"))
+      .withColumn("__pcum", col("__off") + sum(col("__pc")).over(wb))
+      .select(col("__pv"), (col("__pcum") - col("__pc") + 1L).as("__plo"),
+        col("__pcum").as("__phi"))
+
+    // target pooled rank per (group, value): exact integer ceiling,
+    // singleton groups pinned to the pooled median rank
+    val points = gRanks.withColumn("__r",
+      when(col("__n") === 1L, lit((nPool + 1L) / 2L))
+        .otherwise(greatest(lit(1L), expr(
+          s"(__before * ${nPool}L + (__n - 2L)) div (__n - 1L)"))))
+      .select((groupCols.map(col) :+ col("__v") :+ col("__r")): _*)
+    val looked = graft.operators.RangeJoin.pointIntervalJoin(
+      points, "__r", intervals, "__plo", "__phi",
+      binWidth = math.max(1L, nPool / 64L))
+      .select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__qg$i")
+      } :+ col("__v") :+ col("__pv")): _*)
+
+    // null-safe group keys back onto the rows (the applyCalibration
+    // discipline: a NULL group is its own group, never dropped)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> looked(s"__qg$i") }
+      .reduce(_ && _) && df(valueCol) === looked("__v")
+    df.join(looked, cond)
+      .select(df.columns.map(df(_)) :+ looked("__pv").as(outCol): _*)
+  }
+
   def winsorize(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLo: Double, pHi: Double, outCol: String = "winsorized"): DataFrame = {

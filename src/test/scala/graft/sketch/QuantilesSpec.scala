@@ -188,6 +188,72 @@ class QuantilesSpec extends SparkSpec {
     got((None, 6L)) shouldBe 1.0
   }
 
+  /** Local replay of the pinned normalization rule. */
+  private def localQN(rows: Seq[(String, Long)]): Map[(String, Long), Long] = {
+    val pooled = rows.map(_._2).sorted
+    val nPool = pooled.size.toLong
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.size.toLong
+      vs.distinct.map { vv =>
+        val before = vs.count(_ < vv).toLong
+        val r =
+          if (n == 1L) (nPool + 1L) / 2L
+          else math.max(1L, (before * nPool + (n - 2L)) / (n - 1L))
+        (g, vv) -> pooled((r - 1L).toInt)
+      }
+    }.toMap
+  }
+
+  test("quantileNormalize maps each group onto the pooled scale") {
+    // group a: 10..59 (low scorer), group b: 1000..1049 (high scorer):
+    // after normalization both groups span the SAME pooled range
+    val rows = (0 until 50).map(i => ("a", 10L + i)) ++
+      (0 until 50).map(i => ("b", 1000L + i))
+    val got = Quantiles.quantileNormalize(
+        rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = localQN(rows)
+    got shouldBe want
+    // the harmonization property: both groups' max maps to the pooled
+    // max, both mins to the pooled min's side of the scale
+    got(("a", 59L)) shouldBe got(("b", 1049L)) // both p100 → pooled max
+    got(("a", 59L)) shouldBe 1049L
+    got(("a", 10L)) shouldBe got(("b", 1000L)) // both p0 → pooled min
+  }
+
+  test("quantileNormalize: singletons, NULL groups, NULL values") {
+    val rows = Seq((Option("a"), 5L), (Option("a"), 7L), (Option("a"), 9L),
+      (Option("s"), 100L), // singleton → pooled median rank
+      (Option.empty[String], 6L), (Option.empty[String], 8L))
+      .toDF("g", "v")
+    val got = Quantiles.quantileNormalize(rows, Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    got.size shouldBe 6 // NULL-group rows survive
+    // pooled sorted: 5,6,7,8,9,100 (N=6); singleton rank (6+1)/2 = 3 → 7
+    got((Some("s"), 100L)) shouldBe 7L
+    // NULL group {6, 8}: before(8)=1, n=2 → rank 6 → pooled max 100
+    got((None, 8L)) shouldBe 100L
+    got((None, 6L)) shouldBe 5L
+    intercept[Exception] {
+      Quantiles.quantileNormalize(
+        Seq((Option("a"), Option(1L)), (Option("a"), Option.empty[Long]))
+          .toDF("g", "v"), Seq("g"), "v").collect()
+    }
+  }
+
+  test("quantileNormalize matches the local replay on mixed ties") {
+    val rows = (0 until 90).map(i =>
+      (s"g${i % 3}", (i * 7 % 13).toLong)) // heavy ties across groups
+    val got = Quantiles.quantileNormalize(
+        rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe localQN(rows)
+  }
+
   test("winsorize clips to the exact in-data group quantiles") {
     // group a: values 1..100 → p05 = 5, p95 = 95; one group b
     val rows = (1L to 100L).map(v => ("a", v)) ++ Seq(("b", 7L), ("b", 9L))
