@@ -677,11 +677,17 @@ object Dedup {
       maxBucketSize: Long = 100000L): DataFrame = {
     val pairs = nearDuplicates(df, idCol, textCol, shingleSize,
       numHashes, bands, threshold, seed, maxBucketSize)
+    // Alias the components table before joining: if the caller's id
+    // column is itself named "id", an unqualified col(idCol) ===
+    // col("id") is ambiguous (both sides carry an "id") and Spark
+    // raises AnalysisException. Private names keep references
+    // unambiguous for any caller column name.
     val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     val withComp = df.select(col(idCol))
-      .join(comp, col(idCol) === col("id"), "left")
+      .join(comp, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("__comp"))
+        coalesce(col("__cc_comp"), col(idCol)).as("__comp"))
     withComp
       .groupBy(col("__comp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("weight"))

@@ -212,10 +212,18 @@ object Splits {
     require(!df.columns.contains(outCol),
       s"column $outCol already exists on the input")
     val cut = cutoffTs.getEpochSecond
-    val ts = when(col(tsCol).isNull, raise_error(lit(
-      s"withTemporalEmbargo: NULL $tsCol — an unplaceable row in a " +
-        "leakage control is a data bug; drop explicitly")))
-      .otherwise(unix_timestamp(col(tsCol)))
+    // Cast FIRST, raise on the null RESULT: unix_timestamp returns
+    // NULL both for a NULL input and for an unparseable string, and
+    // either is an unplaceable row in a leakage control — letting it
+    // fall through both when-branches would silently label it
+    // "embargo" (same cast-to-null-escapes-guard class fixed in
+    // KCore/Communities/GreedyCoverage).
+    val parsed = unix_timestamp(col(tsCol))
+    val ts = when(parsed.isNull, raise_error(lit(
+      s"withTemporalEmbargo: NULL or unparseable $tsCol — an " +
+        "unplaceable row in a leakage control is a data bug; drop " +
+        "or fix explicitly")))
+      .otherwise(parsed)
     df.withColumn(outCol,
       when(ts < cut - embargoSeconds, "train")
         .when(ts >= cut, "test")

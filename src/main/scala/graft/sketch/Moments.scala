@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * variance / skewness do not; the finished statistics are derived
   * AFTER the final merge. This is the same raw-vs-finished split the
   * reference's bootstrap evaluator uses for its metric aggregation
-  * (`/root/reference/ml_hadoop_experiment/commons/spark_metrics.py`):
-  * ship the additive state, finish once.
+  * (`ml_hadoop_experiment/tensorflow/keras_bootstrap_helper.py:40-100`
+  * computes the raw predictions exactly once and derives every
+  * finished bootstrap metric afterwards by re-weighting them): keep
+  * the raw additive state, finish the statistics at the end.
   *
   * Exactness: values quantize to `⌊x · 10^decimals⌋` longs (decimal
   * quantization — [[graft.sim.EmbeddingDrift]] uses binary 2^k; here

@@ -232,21 +232,6 @@ object Quantiles {
       .select(df.columns.map(df(_)) :+ ranks(pctCol): _*)
   }
 
-  /** `df` plus `outCol`: per-group WINSORIZED values — clipped to the
-    * group's exact discrete [pLo, pHi] quantiles (the [[grouped]]
-    * thresholds, which are ELEMENTS of the data). The standard
-    * heavy-tail taming step before per-group normalization or
-    * z-scoring: one pathological 500 MB document otherwise owns its
-    * group's scale. Clipping to exact in-data quantiles (never an
-    * interpolated midpoint) keeps the result engine-replayable.
-    *
-    * NULL values pass through as NULL (a NULL is not a datum —
-    * [[grouped]] excludes them from the histogram too); NULL group
-    * keys are their own group and join null-safely. Scale shape: the
-    * [[grouped]] histogram contract (shuffle carries distinct values,
-    * never rows) + one join of the #groups-sized threshold table back
-    * onto the rows.
-    */
   /** `df` plus `outCol`: per-group QUANTILE NORMALIZATION onto the
     * pooled distribution — the scorer-harmonization step when
     * different groups were scored by different models/versions and
@@ -359,6 +344,21 @@ object Quantiles {
       .select(df.columns.map(df(_)) :+ looked("__pv").as(outCol): _*)
   }
 
+  /** `df` plus `outCol`: per-group WINSORIZED values — clipped to the
+    * group's exact discrete [pLo, pHi] quantiles (the [[grouped]]
+    * thresholds, which are ELEMENTS of the data). The standard
+    * heavy-tail taming step before per-group normalization or
+    * z-scoring: one pathological 500 MB document otherwise owns its
+    * group's scale. Clipping to exact in-data quantiles (never an
+    * interpolated midpoint) keeps the result engine-replayable.
+    *
+    * NULL values pass through as NULL (a NULL is not a datum —
+    * [[grouped]] excludes them from the histogram too); NULL group
+    * keys are their own group and join null-safely. Scale shape: the
+    * [[grouped]] histogram contract (shuffle carries distinct values,
+    * never rows) + one join of the #groups-sized threshold table back
+    * onto the rows.
+    */
   def winsorize(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLo: Double, pHi: Double, outCol: String = "winsorized"): DataFrame = {

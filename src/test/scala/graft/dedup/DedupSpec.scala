@@ -348,4 +348,18 @@ class DedupSpec extends SparkSpec {
     // weights conserve the corpus mass
     got.values.sum shouldBe 7L
   }
+
+  test("dedupToWeights: caller id column literally named 'id' works") {
+    // the components table also carries an "id" column — the join must
+    // stay unambiguous (aliased internally), not AnalysisException
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "completely unrelated sentence about data engines"))
+      .toDF("id", "text")
+    val got = Dedup.dedupToWeights(df, "id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 9L -> 1L)
+  }
 }

@@ -180,4 +180,23 @@ class SplitsSpec extends SparkSpec {
         java.time.Instant.parse("2024-01-20T00:00:00Z"), -1L)
     }
   }
+
+  test("withTemporalEmbargo: unparseable string timestamps raise, " +
+    "never silently label embargo") {
+    // unix_timestamp returns NULL for an unparseable string — the
+    // guard must fire on the parse RESULT, not just a NULL input,
+    // or the row falls through both when-branches into "embargo"
+    val rows = Seq((1L, "2024-01-10 00:00:00"), (2L, "not-a-date"))
+      .toDF("id", "ts")
+    val ex = intercept[Exception] {
+      Splits.withTemporalEmbargo(rows, "ts",
+        java.time.Instant.parse("2024-01-20T00:00:00Z"), 86400L)
+        .collect()
+    }
+    // ANSI mode: unix_timestamp itself raises CANNOT_PARSE_TIMESTAMP;
+    // non-ANSI: it returns NULL and our cast-then-raise guard fires.
+    // Either way the row must raise, never label "embargo".
+    assert(ex.getMessage.contains("unplaceable") ||
+      ex.getMessage.contains("CANNOT_PARSE_TIMESTAMP"))
+  }
 }
