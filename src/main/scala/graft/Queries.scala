@@ -12058,7 +12058,116 @@ object Queries {
                 GROUP BY 1, 2)
         SELECT b.doc_id, b.lang, b.v AS n_chars, map.nv AS normalized
         FROM b JOIN map ON b.lang = map.lang AND b.v = map.v
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // IVF maintenance with CENTROID RETRAIN (sim/Similarity
+    // .compactIvfIndexWithRetrain): base on vec_id < 300 with q66's
+    // day-0 centroids, two drift appends assigned against those stale
+    // centroids, then the compact-with-retrain maintenance window —
+    // sim/KMeans re-fits 16 cells on the compacted corpus (2
+    // quantized-integer Lloyd rounds, q44's bit-replayable contract),
+    // every row re-assigns by the smallest-cell-id cosine rule, and
+    // BOTH tables swap in. The probe then runs through cells that
+    // reflect the corpus as ingested, not as bootstrapped — the
+    // staleness escape the append path (q98/q228/q232) documents as
+    // caller policy. DuckDB replays the ENTIRE lifecycle: both Lloyd
+    // rounds (q44's CTE unroll, k=16, init = the 16 smallest vec_ids
+    // of the union), the double→float→double centroid rounding the
+    // stored index applies, the cosine re-assignment, and the
+    // 4-of-16-cell pruned top-k (q66's probe machinery) — retrained
+    // approximate recall as an equality check, not a bound.
+    GraftQuery(
+      "q245_ivf_retrain_compact",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = ivfRetrainIndexFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfTopK(index, queries, k = 10, nProbe = 4)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 500),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c
+               FROM e WHERE vec_id < 16),
+        d1 AS (
+          SELECT e.vec_id, e.v, c0.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(e.v, (x, i) -> (x - c0.c[i]) * (x - c0.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM e, c0),
+        a1 AS (
+          SELECT vec_id, v, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1),
+        q1 AS (
+          SELECT cid, unnest(list_transform(v, (x, i) ->
+            struct_pack(pos := i, q := CAST(floor(x * 1048576e0) AS BIGINT)))) AS u
+          FROM a1 WHERE rn = 1),
+        c1 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q1 GROUP BY cid, u.pos)
+          GROUP BY cid),
+        d2 AS (
+          SELECT e.vec_id, e.v, c1.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(e.v, (x, i) -> (x - c1.c[i]) * (x - c1.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM e, c1),
+        a2 AS (
+          SELECT vec_id, v, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d2),
+        q2 AS (
+          SELECT cid, unnest(list_transform(v, (x, i) ->
+            struct_pack(pos := i, q := CAST(floor(x * 1048576e0) AS BIGINT)))) AS u
+          FROM a2 WHERE rn = 1),
+        c2 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q2 GROUP BY cid, u.pos)
+          GROUP BY cid),
+        cf AS (SELECT cid AS cell, CAST(CAST(c AS FLOAT[]) AS DOUBLE[]) AS cv
+               FROM c2),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cf.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * cf.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(cf.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, cf.cell) AS rn
+            FROM e, cf) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, cf.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * cf.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(cf.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, cf.cell) AS rn
+            FROM q, cf) WHERE rn <= 4),
+        sc AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -12432,6 +12541,45 @@ object Queries {
     */
   private val ivfCompactIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  /** q245's retrained index: base on vec_id < 300 with q66's day-0
+    * centroids, two drift appends ([300, 500) by pmod 2 — non-empty at
+    * every SF), then `compactIvfIndexWithRetrain` re-fits the 16 cells
+    * with 2 deterministic Lloyd rounds and re-assigns. The union
+    * corpus is exactly vec_id < 500 at every SF, so the oracle's
+    * kmeans unroll is SF-stable.
+    */
+  private val ivfRetrainIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Similarity.IvfIndex]()
+
+  private def ivfRetrainIndexFor(
+      s: SparkSession, dir: String,
+      emb: => DataFrame): graft.sim.Similarity.IvfIndex =
+    ivfRetrainIndexCache.computeIfAbsent(dir, { _ =>
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .toSeq
+      val built = graft.sim.Similarity.buildIvfWithCentroids(
+        emb.filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_retrain_").toString
+      graft.sim.Similarity.writeIvfIndex(built, path)
+      for (b <- 0 until 2)
+        graft.sim.Similarity.appendToIvfIndex(
+          s, path,
+          emb.filter(col("vec_id") >= 300 && col("vec_id") < 500 &&
+            pmod(col("vec_id"), lit(2)) === b)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+      graft.sim.Similarity.compactIvfIndexWithRetrain(
+        s, path, "vec_id", "embedding", iters = 2)
+      graft.sim.Similarity.readIvfIndex(s, path, "vec_id", "embedding")
+    })
 
   private def ivfCompactIndexFor(
       s: SparkSession, dir: String,

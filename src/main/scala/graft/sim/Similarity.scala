@@ -285,11 +285,85 @@ object Similarity {
       .parquet(s"$tmp/assigned")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/assigned")
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/assigned"), dst),
-      s"compactIvfIndex: rename of assigned into place failed — index " +
-        s"at $path left with compact_tmp for manual recovery")
+    swapIntoPlace(fs, path, tmp, "assigned")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Rename `$tmp/$child` into place as `$path/$child` by renaming the
+    * live copy ASIDE first (never delete-then-rename): a crash mid-swap
+    * always leaves at least one complete copy on disk — either
+    * `${child}_old` (step 1 done) or `$child` (step 2 done) — instead
+    * of a window with zero copies and only the tmp dir for manual
+    * recovery.
+    */
+  private def swapIntoPlace(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, tmp: String,
+      child: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$child")
+    val bak = new org.apache.hadoop.fs.Path(s"$path/${child}_old")
+    fs.delete(bak, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(dst, bak),
+      s"swap: rename of live $child aside failed — index at $path " +
+        s"untouched, $tmp holds the new copy")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$child"), dst),
+      s"swap: rename of new $child into place failed — restore by " +
+        s"renaming ${child}_old back at $path")
+    fs.delete(bak, true)
+  }
+
+  /** [[compactIvfIndex]] with a CENTROID RETRAIN — the staleness
+    * escape hatch for a continuously-ingested index: every streamed /
+    * appended batch is assigned against the centroids the index was
+    * BUILT with ([[appendToIvfIndex]] documents drift as caller
+    * policy), so under sustained distribution drift the day-0 cells
+    * grow lopsided and probe recall silently degrades. This runs the
+    * compaction maintenance window one step further: re-cluster the
+    * compacted corpus with [[KMeans.fit]] (deterministic
+    * quantized-integer Lloyd rounds — bit-replayable, q44's oracle
+    * contract), RE-ASSIGN every row against the new centroids (the
+    * same smallest-cell-id cosine rule as [[buildIvfWithCentroids]]),
+    * and swap BOTH the assigned table and the centroid table into
+    * place with the rename-aside discipline. The result is
+    * row-identical to a fresh [[buildIvf]]-style build over the
+    * union corpus with the retrained centroids (pinned in
+    * SimilaritySpec), so every [[ivfTopK]] guarantee holds with
+    * cells that reflect the corpus as ingested, not as bootstrapped.
+    *
+    * `k` is taken from the stored centroid table (cell count is an
+    * index invariant across maintenance). Cost: one k-means fit
+    * (iters × (map-only assign + k×dim-group aggregate)) + one full
+    * re-assign + the compaction rewrite — a maintenance-window rebuild
+    * of the PARTITION LAYOUT only, amortized across the appends that
+    * made it necessary; the corpus parquet is read, never re-derived.
+    */
+  def compactIvfIndexWithRetrain(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      iters: Int, quantBits: Int = 20): Unit = {
+    val roots = path +: ivfSegmentDirs(spark, path)
+    val corpus = roots
+      .map(r => spark.read.parquet(s"$r/assigned"))
+      .reduce(_ unionByName _)
+      .drop("cell")
+    val k = readIvfCentroids(spark, path).size
+    val fitted = KMeans.fit(corpus, idCol, vecCol, k, iters, quantBits)
+    // centroids are stored as float vectors (the IvfIndex contract);
+    // the double->float rounding is the same IEEE cast both engines
+    // replay (CAST(... AS FLOAT[]) in the oracle)
+    val newCents = fitted.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+    val rebuilt = buildIvfWithCentroids(corpus, idCol, vecCol, newCents)
+    val tmp = s"$path/compact_tmp"
+    rebuilt.assigned.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/assigned")
+    import spark.implicits._
+    newCents.toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    swapIntoPlace(fs, path, tmp, "assigned")
+    swapIntoPlace(fs, path, tmp, "centroids")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }

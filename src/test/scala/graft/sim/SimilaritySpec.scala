@@ -204,6 +204,44 @@ class SimilaritySpec extends SparkSpec {
       .collect().length shouldBe 5
   }
 
+  test("compactIvfIndexWithRetrain equals a fresh kmeans build on the union") {
+    val data = corpus(140, 8, seed = 29)
+    val (oldPart, rest) = data.splitAt(80)
+    val base = Similarity.buildIvf(
+      oldPart.toDF("vec_id", "embedding"), "vec_id", "embedding", nCells = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rt").toString + "/idx"
+    Similarity.writeIvfIndex(base, dir)
+    // drift in: appends assigned against the day-0 centroids
+    rest.grouped(20).foreach { b =>
+      Similarity.appendToIvfIndex(
+        spark, dir, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    Similarity.compactIvfIndexWithRetrain(
+      spark, dir, "vec_id", "embedding", iters = 2)
+
+    // fresh build on the union with the SAME deterministic kmeans fit
+    val dfAll = data.toDF("vec_id", "embedding")
+    val fitted = KMeans.fit(dfAll, "vec_id", "embedding", k = 5, iters = 2)
+    val freshCents = fitted.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+    val fresh = Similarity.buildIvfWithCentroids(
+      dfAll, "vec_id", "embedding", freshCents)
+
+    val retrained = Similarity.readIvfIndex(spark, dir, "vec_id", "embedding")
+    // centroid tables identical (bit-exact: quantized-integer Lloyd)
+    retrained.centroids.map { case (i, c) => (i, c.toSeq) } shouldBe
+      freshCents.map { case (i, c) => (i, c.toSeq) }
+    def table(ix: Similarity.IvfIndex) = ix.assigned
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    table(retrained) shouldBe table(fresh)
+    // segments folded away, one file per cell, serving still works
+    new java.io.File(s"$dir/segments").exists() shouldBe false
+    val queries = Seq((0L, data(5)._2.toArray))
+    Similarity.ivfTopK(retrained, queries, k = 5, nProbe = 5)
+      .collect().length shouldBe 5
+  }
+
   test("ivf streaming segments: union read, compact folds, delete guard") {
     val data = corpus(90, 8, seed = 23)
     val (basePart, rest) = data.splitAt(50)
