@@ -63,12 +63,17 @@ object Hits {
     require(nVertices > 0, "Hits.scores: edge set is empty")
     // the half-step computes __sum * scale with __sum <= maxDeg * scale,
     // so the real requirement is maxDeg * scale^2 < 2^63 (bounded
-    // scalars; BigInt so this check cannot itself overflow)
-    val maxOutDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    // scalars; BigInt so this check cannot itself overflow). One
+    // aggregate job, not two: max TOTAL degree (in+out per vertex)
+    // upper-bounds both max in-degree and max out-degree — at most 2x
+    // conservative, irrelevant against the 2^23-vertex-degree headroom
+    // the default scale leaves, and it halves the guard's fixed job
+    // cost (the round-12 two-job guard showed up as a ~0.8 s drift in
+    // the isolated sf0.1 probe — BENCH_NOTES round 13).
+    val maxDeg = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("__d"))
       .agg(max(col("__d"))).head.getLong(0)
-    val maxInDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("__d"))
-      .agg(max(col("__d"))).head.getLong(0)
-    val maxDeg = math.max(maxOutDeg, maxInDeg)
     require(BigInt(maxDeg) * BigInt(scale) * BigInt(scale) < BigInt(Long.MaxValue),
       s"Hits.scores: maxDeg·scale² = $maxDeg · $scale² exceeds the " +
         "exact long range — lower scale for graphs this dense")
