@@ -141,11 +141,25 @@ object RandomWalks {
     * Note the cap is per-direction: an undirected graph fed as a
     * symmetric edge list may keep u→v and drop v→u.
     */
+  /** Fail-loud hub ceiling for UNCAPPED second-order walks: with no
+    * `maxDegree` set, a single 10⁷-degree hub silently turns every
+    * step's Σ deg(cur) fan-out into a full-corpus join — the one
+    * scale killer in this operator's plan. Rather than run it,
+    * [[node2vecWalks]] measures the max out-degree (one bounded
+    * aggregate over the ranked adjacency it builds anyway) and raises
+    * past this limit unless the caller either sets `maxDegree`
+    * (deterministic truncation, the production path) or passes
+    * `allowUncapped = true` (the explicit eyes-open opt-out for
+    * exact-walk comparisons like the q222 witness).
+    */
+  val DefaultHubDegreeLimit = 10000L
+
   def node2vecWalks(
       edgesDf: DataFrame, srcCol: String, dstCol: String,
       walksPerNode: Int, walkLen: Int,
       wReturn: Long, wIn: Long, wOut: Long,
-      salt: String = "", maxDegree: Int = Int.MaxValue): DataFrame = {
+      salt: String = "", maxDegree: Int = Int.MaxValue,
+      allowUncapped: Boolean = false): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       s"walksPerNode must be in [1, 1024], got $walksPerNode")
     require(walkLen >= 1 && walkLen <= 100,
@@ -178,6 +192,18 @@ object RandomWalks {
       (if (maxDegree == Int.MaxValue) rankedAll
        else rankedAll.filter(col("nbr_rank") < maxDegree.toLong))
         .localCheckpoint(true)
+    if (maxDegree == Int.MaxValue && !allowUncapped) {
+      // hub guard: max out-degree = max neighbor rank + 1, read off
+      // the already-checkpointed ranked adjacency (one bounded
+      // aggregate, no extra shuffle shape)
+      val maxDeg = ranked.agg(max(col("nbr_rank"))).head.getLong(0) + 1L
+      require(maxDeg <= DefaultHubDegreeLimit,
+        s"node2vecWalks: max out-degree $maxDeg exceeds the uncapped " +
+          s"hub limit $DefaultHubDegreeLimit — every step fans out " +
+          "Σ deg(cur) rows, so a hub this size owns the plan. Set " +
+          "maxDegree (deterministic lowest-id truncation) or pass " +
+          "allowUncapped = true to run it anyway")
+    }
     val edges = ranked.select(col("src"), col("dst"))
     val degrees = ranked.groupBy(col("src"))
       .agg(count(lit(1)).as("deg"))

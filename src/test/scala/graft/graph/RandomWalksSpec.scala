@@ -219,4 +219,24 @@ class RandomWalksSpec extends SparkSpec {
     a should not be runN2v(edges, 1, 4, 1L, 2L, 4L, salt = "s2")
     a shouldBe localNode2vec(edges, 1, 4, 1L, 2L, 4L, "s1")
   }
+
+  test("node2vec hub guard: uncapped run on a hub-heavy graph raises") {
+    // one hub past the documented ceiling: the uncapped default must
+    // fail loud BEFORE fanning out, not own the plan with Σ deg(cur)
+    val hubDeg = RandomWalks.DefaultHubDegreeLimit + 1L
+    val hub = (1L to hubDeg).map(i => (0L, i)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      RandomWalks.node2vecWalks(hub, "src", "dst",
+        walksPerNode = 1, walkLen = 2, wReturn = 1L, wIn = 2L, wOut = 4L)
+    }
+    ex.getMessage should include("hub limit")
+    // setting maxDegree takes the capped production path — no raise
+    RandomWalks.node2vecWalks(hub, "src", "dst",
+      walksPerNode = 1, walkLen = 2, wReturn = 1L, wIn = 2L, wOut = 4L,
+      maxDegree = 8).count() should be > 0L
+    // the explicit eyes-open opt-out also runs
+    RandomWalks.node2vecWalks(hub, "src", "dst",
+      walksPerNode = 1, walkLen = 1, wReturn = 1L, wIn = 2L, wOut = 4L,
+      allowUncapped = true).count() should be > 0L
+  }
 }
