@@ -12167,7 +12167,164 @@ object Queries {
             ORDER BY score DESC, vec_id) AS rn
           FROM sc)
         WHERE rn <= 10
-        ORDER BY query_id, score DESC, vec_id"""))
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // Schema-compatibility contract as a driver-visible oracle row
+    // (types/SchemaCompat, P8): the reference's full ported truth
+    // table — 19 datatype cases, 5 structfield cases, 2 whole-schema
+    // cases — evaluated through the real predicate at plan-build time
+    // and pinned against a VALUES table (the q230 discipline for
+    // pure-function contracts). The names encode the case; the oracle
+    // pins the verdicts.
+    GraftQuery(
+      "q246_schema_compat_table",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        import graft.types._
+        import graft.types.FeatureDType._
+        def arr(t: DataType) = ArrayType(t, containsNull = false)
+        val dt: Seq[(String, DataType, FeatureSpec)] = Seq(
+          ("dt00_long_to_fix_int64", LongType, FixedLenFeature(Nil, Int64)),
+          ("dt01_long_to_fix_int32", LongType, FixedLenFeature(Nil, Int32)),
+          ("dt02_int_to_fix_int64", IntegerType, FixedLenFeature(Nil, Int64)),
+          ("dt03_int_to_fix_int32", IntegerType, FixedLenFeature(Nil, Int32)),
+          ("dt04_double_to_fix_f32", DoubleType, FixedLenFeature(Nil, Float32)),
+          ("dt05_float_to_fix_f32", FloatType, FixedLenFeature(Nil, Float32)),
+          ("dt06_double_to_fix_f64", DoubleType, FixedLenFeature(Nil, Float64)),
+          ("dt07_float_to_fix_f64", FloatType, FixedLenFeature(Nil, Float64)),
+          ("dt08_long_to_shape1", LongType, FixedLenFeature(Seq(1), Int64)),
+          ("dt09_long_to_shape2", LongType, FixedLenFeature(Seq(2), Int64)),
+          ("dt10_long_to_shape22", LongType, FixedLenFeature(Seq(2, 2), Int64)),
+          ("dt11_arrlong_to_shape1", arr(LongType), FixedLenFeature(Seq(1), Int64)),
+          ("dt12_arrlong_to_shape2", arr(LongType), FixedLenFeature(Seq(2), Int64)),
+          ("dt13_arrint_to_shape2", arr(IntegerType), FixedLenFeature(Seq(2), Int64)),
+          ("dt14_arrint_to_shape22", arr(IntegerType), FixedLenFeature(Seq(2, 2), Int64)),
+          ("dt15_arrarr_to_shape2", arr(arr(LongType)), FixedLenFeature(Seq(2), Int64)),
+          ("dt16_arrarr_to_shape22", arr(arr(LongType)), FixedLenFeature(Seq(2, 2), Int64)),
+          ("dt17_int_to_varlen", IntegerType, VarLenFeature(Int64)),
+          ("dt18_arrint_to_varlen", arr(IntegerType), VarLenFeature(Int64)))
+        val sf: Seq[(String, StructField, String, FeatureSpec)] = Seq(
+          ("sf0_name_mismatch",
+            StructField("tata", LongType), "toto", FixedLenFeature(Nil, Int64)),
+          ("sf1_type_mismatch",
+            StructField("toto", LongType), "toto", FixedLenFeature(Nil, Int32)),
+          ("sf2_nullable_no_default",
+            StructField("toto", LongType, nullable = true), "toto",
+            FixedLenFeature(Nil, Int64)),
+          ("sf3_ok",
+            StructField("toto", LongType, nullable = false), "toto",
+            FixedLenFeature(Nil, Int64)),
+          ("sf4_nullable_with_default",
+            StructField("toto", LongType, nullable = true), "toto",
+            FixedLenFeature(Nil, Int64, Some(1L))))
+        val schema = StructType(Seq(
+          StructField("a", LongType, nullable = false),
+          StructField("b", arr(IntegerType), nullable = false)))
+        val good: FeatureSpec.Specs =
+          Map("a" -> FixedLenFeature(Nil, Int64), "b" -> VarLenFeature(Int64))
+        val rows =
+          dt.map { case (n, t, sp) =>
+            (n, if (SchemaCompat.isDataTypeCompatible(sp, t)) 1L else 0L)
+          } ++
+          sf.map { case (n, f, nm, sp) =>
+            (n, if (SchemaCompat.isStructFieldCompatible(f, nm, sp)) 1L else 0L)
+          } ++ Seq(
+            ("schema_good",
+              if (SchemaCompat.isSchemaCompatible(schema, good)) 1L else 0L),
+            ("schema_missing_col",
+              if (SchemaCompat.isSchemaCompatible(schema,
+                good + ("c" -> VarLenFeature(Int64)))) 1L else 0L))
+        rows.toDF("cid", "compatible").orderBy(col("cid"))
+      },
+      Some("""
+        SELECT cid, CAST(compatible AS BIGINT) AS compatible FROM (VALUES
+          ('dt00_long_to_fix_int64', 1),
+          ('dt01_long_to_fix_int32', 0),
+          ('dt02_int_to_fix_int64', 1),
+          ('dt03_int_to_fix_int32', 1),
+          ('dt04_double_to_fix_f32', 0),
+          ('dt05_float_to_fix_f32', 1),
+          ('dt06_double_to_fix_f64', 1),
+          ('dt07_float_to_fix_f64', 1),
+          ('dt08_long_to_shape1', 0),
+          ('dt09_long_to_shape2', 0),
+          ('dt10_long_to_shape22', 0),
+          ('dt11_arrlong_to_shape1', 1),
+          ('dt12_arrlong_to_shape2', 1),
+          ('dt13_arrint_to_shape2', 1),
+          ('dt14_arrint_to_shape22', 1),
+          ('dt15_arrarr_to_shape2', 0),
+          ('dt16_arrarr_to_shape22', 1),
+          ('dt17_int_to_varlen', 1),
+          ('dt18_arrint_to_varlen', 1),
+          ('sf0_name_mismatch', 0),
+          ('sf1_type_mismatch', 0),
+          ('sf2_nullable_no_default', 0),
+          ('sf3_ok', 1),
+          ('sf4_nullable_with_default', 1),
+          ('schema_good', 1),
+          ('schema_missing_col', 0)) t(cid, compatible)
+        ORDER BY cid""")),
+
+    // Counting-sink manifests as driver-visible oracle rows (S1/S2/A4):
+    // both sinks stage a real write of documents doc_id < 500 (bounded
+    // at every SF), then the result reads the manifests BACK — the
+    // DSv2 sink's `_manifest` (A4, one `path\tcount` line per part,
+    // commit-message counts) and the RDD sink's driver-collected
+    // (path, count) list (S1) — and folds each to its total, plus an
+    // independent read-back row count through the DSv2 source. All
+    // three must equal DuckDB's count(*): the manifest counts are
+    // pinned to the data, not to each other.
+    GraftQuery(
+      "q247_manifest_counts",
+      (s, dir) => {
+        import s.implicits._
+        import graft.types._
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("lang"))
+        val base = s"/tmp/graft_q247_${math.abs(dir.hashCode)}"
+        val dsv2Out = s"$base/dsv2"
+        docs.write.format("tfrecord").mode("overwrite").save(dsv2Out)
+        val manifest = {
+          val src = scala.io.Source.fromFile(s"$dsv2Out/_manifest", "UTF-8")
+          try src.getLines().filter(_.nonEmpty).map { line =>
+            val Array(p, c) = line.split("\t")
+            (p, c.toLong)
+          }.toVector
+          finally src.close()
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val readBack = s.read.format("tfrecord").schema(schema)
+          .load(dsv2Out).count()
+        val specs: FeatureSpec.Specs = Map(
+          "doc_id" -> FixedLenFeature(Nil, FeatureDType.Int64),
+          "lang" -> FixedLenFeature(Nil, FeatureDType.TfString))
+        val rddManifest = graft.records.TfRecords.writeExamples(
+          docs, specs, s"$base/rdd", gzip = true, requireHdfs = false)
+        // file-count is layout-dependent (not oracle-stable) — pin the
+        // structural invariant fail-loud here, the totals in the oracle
+        require(manifest.nonEmpty && rddManifest.nonEmpty,
+          "q247: a counting sink committed an empty manifest")
+        Seq(
+          ("dsv2_manifest_total", manifest.map(_._2).sum),
+          ("dsv2_readback_rows", readBack),
+          ("rdd_sink_manifest_total", rddManifest.map(_._2).sum))
+          .toDF("name", "value").orderBy(col("name"))
+      },
+      Some("""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                   FROM documents WHERE doc_id < 500)
+        SELECT name, value FROM (
+          SELECT 'dsv2_manifest_total' AS name, c AS value FROM n
+          UNION ALL SELECT 'dsv2_readback_rows', c FROM n
+          UNION ALL SELECT 'rdd_sink_manifest_total', c FROM n)
+        ORDER BY name"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
