@@ -12324,7 +12324,60 @@ object Queries {
           SELECT 'dsv2_manifest_total' AS name, c AS value FROM n
           UNION ALL SELECT 'dsv2_readback_rows', c FROM n
           UNION ALL SELECT 'rdd_sink_manifest_total', c FROM n)
-        ORDER BY name"""))
+        ORDER BY name""")),
+
+    // Dedup-index DELETE via tombstones (dedup/DedupIndex.delete) —
+    // the takedown/license-revocation event a 100 TB corpus index
+    // must absorb without a rebuild: ids land as a batch-sized
+    // tombstone parquet, reads exclusion-filter the id-carrying
+    // fingerprint and shingle tables (two anti-joins against the
+    // tombstone-sized table; bucket lists stay as stored — a
+    // tombstoned candidate dies in the verify join), and compact
+    // folds the purge in physically (pinned in DedupIndexSpec). The
+    // oracle is q62's exact dedup closure with the deleted docs
+    // REMOVED from the corpus side: delete-then-dedupAgainst must
+    // equal rebuild-without-deleted. The upper half of the corpus
+    // ([200, 400)) is deleted — verified DISCRIMINATIVE: 5 batch docs
+    // flip to survivors at sf0.01 and 111 at sf0.1 (docs whose only
+    // dedup causes sat in the deleted band), so a no-op delete or a
+    // stale fingerprint table fails the compare, at every SF.
+    GraftQuery(
+      "q248_dedup_index_delete",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q248_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIngestIndexFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.DedupIndex.delete(s, idxPath,
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+            .select(col("doc_id")))
+        val idx = graft.dedup.DedupIndex.read(s, idxPath)
+        graft.dedup.DedupIndex.dedupAgainst(
+          docs.filter(col("doc_id") >= 400), idx, "doc_id", "text",
+          threshold = 0.9)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+            list_distinct(string_split(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents
+        ),
+        corpus AS (SELECT * FROM d WHERE doc_id < 200),
+        batch AS (SELECT * FROM d WHERE doc_id >= 400)
+        SELECT b.doc_id FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)
+          AND NOT EXISTS (
+            SELECT 1 FROM corpus c
+            WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
+        ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

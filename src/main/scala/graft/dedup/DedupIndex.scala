@@ -56,7 +56,7 @@ object DedupIndex {
     */
   final case class Index(
       params: Params,
-      exact: DataFrame,   // (__key)
+      exact: DataFrame,   // (corpus_id, __key)
       buckets: DataFrame, // (band, bucket, ids)
       sets: DataFrame)    // (corpus_id, __shingles)
 
@@ -85,9 +85,15 @@ object DedupIndex {
   def build(
       corpus: DataFrame, idCol: String, textCol: String,
       params: Params = Params()): Index = {
+    // fingerprints carry their corpus_id so tombstone deletion can
+    // exclusion-filter them; two identical texts keep the key alive
+    // if only one of them is deleted (exactly rebuild-without-deleted
+    // semantics). The anti-join consumer matches on __key alone, so
+    // per-id rows are semantically identical to the old distinct-key
+    // table.
     val exact = corpus
-      .select(TextStats.fingerprintMd5(col(textCol)).as("__key"))
-      .distinct()
+      .select(col(idCol).as("corpus_id"),
+        TextStats.fingerprintMd5(col(textCol)).as("__key"))
     val sets = corpus
       .select(col(idCol).as("corpus_id"),
         Dedup.shingles(col(textCol), params.shingleSize).as("__shingles"))
@@ -188,6 +194,43 @@ object DedupIndex {
     writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
   }
 
+  /** Delete documents from an on-disk index by id — the takedown /
+    * license-revocation half of index maintenance (a real operational
+    * event at 100 TB) that previously required a full rebuild. LSM
+    * tombstone discipline, not a rewrite: the ids land as one
+    * batch-sized parquet append under `tombstones/`, [[read]]
+    * exclusion-filters the id-carrying tables against them (two
+    * anti-joins against a tombstone-sized table), and [[compact]]
+    * folds them in physically and clears them. The bucket member
+    * lists are deliberately NOT filtered at read: buckets only
+    * nominate CANDIDATES, and a tombstoned candidate dies in the
+    * exact-Jaccard verify join against the filtered `sets` — so the
+    * read-path cost of a delete is two small anti-joins, and the
+    * list rewrite is deferred to the compaction maintenance window.
+    * Pinned: delete-then-dedupAgainst ≡ rebuild-without-deleted
+    * (DedupIndexSpec; q248's oracle), before AND after compact.
+    *
+    * `ids` is a DataFrame (one column) so deletion sets scale past
+    * driver memory; ids absent from the index are harmless.
+    */
+  def delete(
+      spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).as("corpus_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The tombstone table, if any deletes are pending. */
+  private def tombstones(
+      spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def antiTombstones(
+      df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t => df.join(t, Seq("corpus_id"), "left_anti"))
+
   /** Compact accumulated segments back into the base tables — the
     * third phase of the LSM lifecycle (build → append → compact),
     * closing the cost [[read]]'s union leaves behind: every query
@@ -208,12 +251,19 @@ object DedupIndex {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val params = readParams(spark, path)
-    if (segmentDirs(spark, path).isEmpty) return // nothing to merge
+    val tomb = tombstones(spark, path)
+    if (segmentDirs(spark, path).isEmpty && tomb.isEmpty)
+      return // nothing to merge, nothing to purge
+    // read() already applies the tombstone exclusion to exact/sets;
+    // the bucket member lists get their deferred physical purge here
+    // (explode → anti-join → re-collect under the global cap)
     val idx = read(spark, path)
     val tmp = s"$path/compact_tmp"
-    val mergedBuckets = idx.buckets
-      .select(col("band"), col("bucket"),
-        explode(col("ids")).as("corpus_id"))
+    val mergedBuckets = antiTombstones(
+      idx.buckets
+        .select(col("band"), col("bucket"),
+          explode(col("ids")).as("corpus_id")),
+      tomb)
       .groupBy(col("band"), col("bucket"))
       .agg(graft.functions.CappedCollectList
         .cappedCollectList(col("corpus_id"), bufferCap(params.maxBucketSize))
@@ -232,6 +282,7 @@ object DedupIndex {
           "left with compact_tmp for manual recovery")
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -260,7 +311,13 @@ object DedupIndex {
       .filterNot(d => excludeSegments.contains(d.split('/').last))
     def union(sub: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)
-    Index(params, union("exact"), union("buckets"), union("sets"))
+    // pending deletes exclusion-filter the id-carrying tables; the
+    // bucket lists stay as-stored (candidates only — a tombstoned
+    // candidate dies in the verify join against the filtered sets)
+    // until compact purges them physically
+    val tomb = tombstones(spark, path)
+    Index(params, antiTombstones(union("exact"), tomb), union("buckets"),
+      antiTombstones(union("sets"), tomb))
   }
 
   /** Near-duplicate matches of `batch` against the indexed corpus —

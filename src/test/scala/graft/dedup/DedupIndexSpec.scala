@@ -201,4 +201,52 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.read(spark, path), "doc_id", "text",
       threshold = 0.9).count() shouldBe 0L
   }
+
+  test("delete tombstones: delete-then-dedupAgainst equals " +
+    "rebuild-without-deleted, before and after compact") {
+    val (corpus, batch) = mkCorpusAndBatch(31)
+    val path = Files.createTempDirectory("dedup_index_del_").toString
+    DedupIndex.write(corpus, "doc_id", "text", path, params)
+    // delete a third of the corpus (two tombstone batches: appends merge)
+    DedupIndex.delete(spark, path, Seq(0L, 3L, 6L).toDF("doc_id"))
+    DedupIndex.delete(spark, path, Seq(9L, 12L, 15L).toDF("doc_id"))
+    val deleted = Set(0L, 3L, 6L, 9L, 12L, 15L)
+    val remaining = corpus.filter(!col("doc_id").isin(deleted.toSeq: _*))
+    def survivors(ix: DedupIndex.Index) =
+      DedupIndex.dedupAgainst(batch, ix, "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def pairs(ix: DedupIndex.Index) =
+      DedupIndex.nearDuplicatesAgainst(batch, ix, "doc_id", "text",
+        threshold = 0.9)
+        .select("batch_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = DedupIndex.build(remaining, "doc_id", "text", params)
+    // tombstone reads serve rebuild-without-deleted semantics...
+    survivors(DedupIndex.read(spark, path)) shouldBe survivors(rebuilt)
+    pairs(DedupIndex.read(spark, path)) shouldBe pairs(rebuilt)
+    // ...no near-dup pair ever names a deleted corpus doc...
+    pairs(DedupIndex.read(spark, path))
+      .map(_._2).intersect(deleted) shouldBe Set.empty
+    // ...and compact folds the tombstones in physically: dir gone,
+    // bucket member lists purged, answers unchanged
+    DedupIndex.compact(spark, path)
+    new java.io.File(s"$path/tombstones").exists() shouldBe false
+    survivors(DedupIndex.read(spark, path)) shouldBe survivors(rebuilt)
+    pairs(DedupIndex.read(spark, path)) shouldBe pairs(rebuilt)
+    val idsLeft = DedupIndex.read(spark, path).buckets
+      .select(explode(col("ids")).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    idsLeft.intersect(deleted) shouldBe Set.empty
+    // identical-text twin survives a single-sided delete: deleting one
+    // of two docs with the same text must keep the fingerprint alive
+    val twins = Seq((900L, "twin text alpha"), (901L, "twin text alpha"))
+      .toDF("doc_id", "text")
+    val tPath = Files.createTempDirectory("dedup_index_twin_").toString
+    DedupIndex.write(twins, "doc_id", "text", tPath, params)
+    DedupIndex.delete(spark, tPath, Seq(900L).toDF("doc_id"))
+    DedupIndex.dedupAgainst(
+      Seq((950L, "twin text alpha")).toDF("doc_id", "text"),
+      DedupIndex.read(spark, tPath), "doc_id", "text",
+      threshold = 0.9).count() shouldBe 0L // still an exact dup of 901
+  }
 }
