@@ -33,7 +33,7 @@ object Communities {
     */
   def labelPropagation(
       edgesDf: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, maxChanged: Option[Long] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
     // cast first, then raise on the cast's null — a non-numeric id
@@ -53,6 +53,7 @@ object Communities {
       .localCheckpoint(true)
 
     var labels = vertices.withColumn("label", col("vertex"))
+    var labelsPrev = labels
     var round = 0
     while (round < rounds) {
       // neighbor votes + the self vote, then per-vertex argmax
@@ -63,6 +64,7 @@ object Communities {
         .unionByName(labels.select(col("vertex"), col("label")))
         .groupBy(col("vertex"), col("label"))
         .agg(count(lit(1)).as("__c"))
+      labelsPrev = labels
       labels = votes
         .groupBy(col("vertex"))
         .agg(max(struct(col("__c"), (-col("label")).as("__nl")))
@@ -70,6 +72,22 @@ object Communities {
         .select(col("vertex"), (-col("__best.__nl")).as("label"))
         .localCheckpoint(true)
       round += 1
+    }
+    // converged-or-raise (the k-core discipline, label form): the
+    // convergence signal for a label iteration is the COUNT of
+    // vertices whose label moved in the final round — 0 means a
+    // synchronous fixed point. One vertex-sized join + one aggregate,
+    // only when the caller gates.
+    maxChanged.foreach { m =>
+      val changed = labels
+        .join(labelsPrev.withColumnRenamed("label", "__pl"), "vertex")
+        .filter(col("label") =!= col("__pl"))
+        .count()
+      require(changed <= m,
+        s"labelPropagation: $changed vertices changed label in the " +
+          s"final round (maxChanged $m) — labels have not settled; " +
+          "raise rounds, or drop maxChanged to accept the " +
+          "fixed-round labeling as-is")
     }
     labels
   }

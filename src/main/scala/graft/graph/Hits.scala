@@ -44,7 +44,8 @@ object Hits {
     */
   def scores(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, scale: Long = 1000000L): DataFrame = {
+      iterations: Int = 5, scale: Long = 1000000L,
+      maxResidual: Option[Long] = None): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(scale >= 1L, s"need scale >= 1, got $scale")
     val guard = (c: String) => when(col(c).isNull,
@@ -95,9 +96,21 @@ object Hits {
 
     var hubs = vertices.withColumn("__s", lit(scale))
     var auth = vertices.withColumn("__s", lit(scale))
+    var hubsPrev = hubs
+    var authPrev = auth
     for (_ <- 1 to iterations) {
+      authPrev = auth
+      hubsPrev = hubs
       auth = halfStep(hubs, "src", "dst") // authority from in-link hubs
       hubs = halfStep(auth, "dst", "src") // hub from out-link authorities
+    }
+    // converged-or-raise (the k-core discipline): L1 drift of BOTH
+    // score families over the final round, exact integers in scale
+    // units — two bounded aggregates, only when the caller gates
+    maxResidual.foreach { m =>
+      PageRank.requireConverged("Hits.scores",
+        PageRank.l1Residual(hubs, hubsPrev, "__s") +
+          PageRank.l1Residual(auth, authPrev, "__s"), m)
     }
     hubs.withColumnRenamed("__s", "hub")
       .join(auth.withColumnRenamed("__s", "authority"), Seq("vertex"))

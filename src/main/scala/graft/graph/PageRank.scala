@@ -49,9 +49,33 @@ object PageRank {
     * Self-loops are legal (a host linking itself endorses itself);
     * NULL endpoints raise — a silent drop would re-route mass.
     */
+  /** Exact-integer L1 residual between two rank tables — the
+    * convergence signal for the fixed-iteration power methods in this
+    * family (the k-core converged-or-raise discipline, lifted to
+    * value iteration): `Σ_v |a(v) − b(v)|` in scale units, one
+    * vertex-sized join + one map-combinable aggregate, all exact
+    * longs. A residual of 0 means the iteration hit its integer fixed
+    * point; `tol·|V|` bounds the per-vertex average drift.
+    */
+  private[graph] def l1Residual(
+      a: DataFrame, b: DataFrame, valueCol: String): Long =
+    a.select(col("vertex"), col(valueCol).as("__a"))
+      .join(b.select(col("vertex"), col(valueCol).as("__b")), "vertex")
+      .agg(sum(abs(col("__a") - col("__b"))).as("__r"))
+      .head.getLong(0)
+
+  private[graph] def requireConverged(
+      what: String, residual: Long, maxResidual: Long): Unit =
+    require(residual <= maxResidual,
+      s"$what: final-round L1 residual $residual exceeds " +
+        s"maxResidual $maxResidual — the iteration has not settled; " +
+        "raise iterations, or drop maxResidual to accept the " +
+        "fixed-iteration result as-is")
+
   def ranks(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+      iterations: Int = 5, scale: Long = 1000000000L,
+      maxResidual: Option[Long] = None): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(scale >= 100L, s"need scale >= 100 (damping divides by 100), got $scale")
     val guard = (c: String) => when(col(c).isNull,
@@ -76,6 +100,7 @@ object PageRank {
 
     val base = lit(scale * 15L / 100L)
     var r = vertices.withColumn("rank", lit(scale))
+    var rPrev = r
     for (_ <- 1 to iterations) {
       // `div` (integral) rather than `/` (IEEE): ranks exceed 2⁵³ on
       // big graphs, where a double round-trip would silently round
@@ -85,6 +110,7 @@ object PageRank {
           expr("rank div outdeg").as("contrib"))
         .groupBy(col("vertex"))
         .agg(sum(col("contrib")).as("in_sum"))
+      rPrev = r
       r = vertices
         .join(inSum, Seq("vertex"), "left")
         .select(col("vertex"),
@@ -92,6 +118,8 @@ object PageRank {
             .as("rank"))
         .localCheckpoint(true)
     }
+    maxResidual.foreach(m => requireConverged("PageRank.ranks",
+      l1Residual(r, rPrev, "rank"), m))
     r
   }
 
@@ -113,7 +141,8 @@ object PageRank {
     */
   def weightedRanks(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+      iterations: Int = 5, scale: Long = 1000000000L,
+      maxResidual: Option[Long] = None): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(scale >= 100L, s"need scale >= 100 (damping divides by 100), got $scale")
     val guard = (c: String) => when(col(c).isNull,
@@ -145,6 +174,7 @@ object PageRank {
 
     val base = lit(scale * 15L / 100L)
     var r = vertices.withColumn("rank", lit(scale))
+    var rPrev = r
     for (_ <- 1 to iterations) {
       val inSum = r
         .join(edgesW, r("vertex") === edgesW("src"))
@@ -152,6 +182,7 @@ object PageRank {
           expr("(rank * w) div wsum").as("contrib"))
         .groupBy(col("vertex"))
         .agg(sum(col("contrib")).as("in_sum"))
+      rPrev = r
       r = vertices
         .join(inSum, Seq("vertex"), "left")
         .select(col("vertex"),
@@ -159,6 +190,8 @@ object PageRank {
             .as("rank"))
         .localCheckpoint(true)
     }
+    maxResidual.foreach(m => requireConverged("PageRank.weightedRanks",
+      l1Residual(r, rPrev, "rank"), m))
     r
   }
 
@@ -180,7 +213,8 @@ object PageRank {
   def seededRanks(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
-      iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+      iterations: Int = 5, scale: Long = 1000000000L,
+      maxResidual: Option[Long] = None): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(scale >= 100L, s"need scale >= 100 (damping divides by 100), got $scale")
     val guard = (c: String) => when(col(c).isNull,
@@ -214,6 +248,7 @@ object PageRank {
     val seedOnly = (grant: org.apache.spark.sql.Column) =>
       when(col("is_seed"), grant).otherwise(lit(0L))
     var r = vertices.withColumn("rank", seedOnly(lit(scale)))
+    var rPrev = r
     for (_ <- 1 to iterations) {
       val inSum = r
         .join(edgesDeg, r("vertex") === edgesDeg("src"))
@@ -221,6 +256,7 @@ object PageRank {
           expr("rank div outdeg").as("contrib"))
         .groupBy(col("vertex"))
         .agg(sum(col("contrib")).as("in_sum"))
+      rPrev = r
       r = vertices
         .join(inSum, Seq("vertex"), "left")
         .select(col("vertex"), col("is_seed"),
@@ -228,6 +264,8 @@ object PageRank {
             .as("rank"))
         .localCheckpoint(true)
     }
+    maxResidual.foreach(m => requireConverged("PageRank.seededRanks",
+      l1Residual(r, rPrev, "rank"), m))
     r
   }
 }

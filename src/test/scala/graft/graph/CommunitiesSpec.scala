@@ -64,4 +64,23 @@ class CommunitiesSpec extends SparkSpec {
         "src", "dst", 1).collect()
     }
   }
+
+  test("maxChanged converged-or-raise: long path raises early, " +
+    "settles with enough rounds") {
+    // labels on a path drain toward the min id one hop per round:
+    // after 2 rounds a 12-vertex path is still moving
+    val es = (1L to 11L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Communities.labelPropagation(es.toDF("src", "dst"),
+        "src", "dst", rounds = 2, maxChanged = Some(0L)).collect()
+    }
+    ex.getMessage should include("have not settled")
+    // enough rounds reach the synchronous fixed point; gated ≡ ungated
+    val gated = Communities.labelPropagation(es.toDF("src", "dst"),
+        "src", "dst", rounds = 30, maxChanged = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gated shouldBe Communities.labelPropagation(es.toDF("src", "dst"),
+        "src", "dst", rounds = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
 }

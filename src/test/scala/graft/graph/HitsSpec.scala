@@ -82,4 +82,22 @@ class HitsSpec extends SparkSpec {
         "src", "dst", 1)
     }
   }
+
+  test("maxResidual converged-or-raise on a slow-mixing path") {
+    val es = (1 to 20).map(i => s"v$i" -> s"v${i + 1}")
+    val ex = intercept[IllegalArgumentException] {
+      Hits.scores(es.toDF("src", "dst"), "src", "dst",
+        iterations = 1, maxResidual = Some(0L)).collect()
+    }
+    ex.getMessage should include("has not settled")
+    // a symmetric pair settles to the normalized fixed point fast;
+    // the gated result equals the ungated one
+    val pair = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val gated = Hits.scores(pair, "src", "dst",
+        iterations = 5, maxResidual = Some(0L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Hits.scores(pair, "src", "dst", iterations = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    gated shouldBe plain
+  }
 }

@@ -180,4 +180,34 @@ class PageRankSpec extends SparkSpec {
     }
     ex.getMessage should include("exceeds the exact long range")
   }
+
+  test("maxResidual converged-or-raise: slow-mixing path raises early, " +
+    "settles with enough iterations") {
+    // a long directed path mixes slowly: mass takes ~length rounds to
+    // drain, so the residual after 2 iterations is large
+    val es = (1 to 30).map(i => s"v$i" -> s"v${i + 1}")
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.ranks(edges(es: _*), "src", "dst",
+        iterations = 2, maxResidual = Some(0L)).collect()
+    }
+    ex.getMessage should include("has not settled")
+    // with enough rounds the exact integer iteration hits a fixed
+    // point (damping contracts, truncation quantizes) and the same
+    // gate passes; result equals the ungated run
+    val gated = PageRank.ranks(edges(es: _*), "src", "dst",
+        iterations = 60, maxResidual = Some(0L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gated shouldBe local(es, 60)
+    // weighted + seeded variants share the gate
+    intercept[IllegalArgumentException] {
+      PageRank.weightedRanks(
+        es.map { case (a, b) => (a, b, 2L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 2, maxResidual = Some(0L)).collect()
+    }.getMessage should include("has not settled")
+    intercept[IllegalArgumentException] {
+      PageRank.seededRanks(edges(es: _*), "src", "dst",
+        Seq("v1").toDF("seed"), "seed",
+        iterations = 2, maxResidual = Some(0L)).collect()
+    }.getMessage should include("has not settled")
+  }
 }
