@@ -12377,7 +12377,101 @@ object Queries {
             SELECT 1 FROM corpus c
             WHERE CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
                     / len(list_distinct(list_concat(b.toks, c.toks))) >= 0.9)
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // The TRAINING-EXPORT LIFECYCLE as one oracle row — the full
+    // curation pipeline this engine exists for, composed end-to-end
+    // from already-pinned stages: Gopher quality gate (q60's rules) →
+    // exact dedup keep-lowest-id (q08) → deterministic KR-hash split,
+    // train slice (q52) → token-count sequence packing at 2048 (q53's
+    // two-level prefix scan) → round-robin shard manifest (per-shard
+    // sequence/slice/token totals). Each stage's oracle CTEs chain
+    // UNCHANGED, so a drift anywhere in the pipeline — a filter
+    // boundary, a dedup tie-break, a split bucket, a pack offset —
+    // surfaces as a manifest mismatch. Scale shape: every stage is
+    // map-only or histogram-shuffled except the pack prefix (bounded
+    // bucket collect) — the composition inherits each stage's 100 TB
+    // contract, and the manifest is #shards rows.
+    GraftQuery(
+      "q249_training_export",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val filtered = graft.text.QualityFilter.withQualityFilter(
+          docs, "text",
+          graft.text.QualityFilter.gopherRules(col("text"),
+            minWords = 30, maxWords = 90))
+          .filter(col("keep"))
+          .select(docs.columns.map(col): _*)
+        val deduped = graft.dedup.Dedup.exactDedup(
+          filtered, "text", "doc_id")
+        val train = graft.operators.Splits.withSplit(
+          deduped, "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "v1")
+          .filter(col("split") === "train")
+        val withToks = train.select(col("doc_id"),
+          graft.text.TextStats.tokenCount(col("text"))
+            .cast("long").as("n_tok"))
+        val packed = graft.operators.Packing.packSequences(
+          withToks, "doc_id", "doc_id", "n_tok",
+          seqLen = 2048, bucketWidth = 64)
+        packed
+          .groupBy(pmod(col("seq_id"), lit(8)).as("shard"))
+          .agg(countDistinct(col("seq_id")).as("n_seqs"),
+            count(lit(1)).as("n_slices"),
+            sum(col("n_tok")).as("tok_total"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        qs AS (
+          SELECT doc_id, text, ts, text IS NULL AS tn, len(ts) AS wc,
+            CAST(len(text) - (len(ts) - 1) AS DOUBLE) / len(ts) AS ml,
+            CAST(len(list_filter(ts, t -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','are','was',
+               'it','that','this','for','on','with','as','at','by'], t)))
+              AS DOUBLE) / len(ts) AS sr
+          FROM d),
+        keepers AS (
+          SELECT doc_id, text, ts FROM qs
+          WHERE NOT tn AND wc >= 30 AND wc <= 90
+            AND ml >= 3.0e0 AND ml <= 10.0e0 AND sr >= 0.06e0),
+        dd AS (
+          SELECT doc_id, ts FROM (
+            SELECT doc_id, ts, ROW_NUMBER() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rn
+            FROM keepers) WHERE rn = 1),
+        sk AS (
+          SELECT doc_id, ts, CAST(doc_id AS VARCHAR) || ':v1' AS k FROM dd),
+        sh AS (
+          SELECT doc_id, ts,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(k) + 1),
+                i -> CAST(ord(substr(k, i, 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hh
+          FROM sk),
+        train AS (
+          SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM sh
+          WHERE ((hh * hh) % 2147483647) % 10000 < 8000 AND len(ts) > 0),
+        c AS (
+          SELECT doc_id, n,
+            CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS start
+          FROM train),
+        sp AS (
+          SELECT doc_id, n, start,
+            unnest(range(start // 2048, (start + n - 1) // 2048 + 1)) AS seq_id
+          FROM c),
+        slices AS (
+          SELECT seq_id, doc_id,
+            least((seq_id + 1) * 2048, start + n)
+              - greatest(seq_id * 2048, start) AS n_tok
+          FROM sp)
+        SELECT CAST(seq_id % 8 AS BIGINT) AS shard,
+          CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+          CAST(COUNT(*) AS BIGINT) AS n_slices,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_total
+        FROM slices GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
