@@ -12471,7 +12471,64 @@ object Queries {
           CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
           CAST(COUNT(*) AS BIGINT) AS n_slices,
           CAST(SUM(n_tok) AS BIGINT) AS tok_total
-        FROM slices GROUP BY 1 ORDER BY 1"""))
+        FROM slices GROUP BY 1 ORDER BY 1""")),
+
+    // LSH parameter planning (dedup/LshPlan): the (bands, rowsPerBand)
+    // choice for a target Jaccard threshold, derived — not hand-tuned —
+    // from the banding S-curve p(s) = 1 − (1 − s^r)^b by minimizing
+    // the quantized false-positive + false-negative error integrals
+    // (100-interval midpoint rule, every power a LINEAR multiplication
+    // fold — never libm pow — each term ⌊err·2^30⌋, totals exact
+    // longs). DuckDB replays the whole computation: the same midpoints,
+    // the same multiplication folds, the same quantization, the same
+    // min-total / ties-to-more-bands pick. At 100 TB this is the plan
+    // step that decides whether the bucket join floods with false
+    // candidates or silently misses near-dups.
+    GraftQuery(
+      "q250_lsh_plan",
+      (s, dir) => {
+        import s.implicits._
+        val cands = graft.dedup.LshPlan.candidates(64, 0.8)
+        val (pb, _) = graft.dedup.LshPlan.plan(64, 0.8)
+        cands.map(c => (c.bands.toLong, c.rowsPerBand.toLong,
+          c.fpQ, c.fnQ, c.totalQ, c.bands == pb))
+          .toDF("bands", "rows_per_band", "fp_q", "fn_q", "total_q",
+            "chosen")
+          .orderBy(col("bands"))
+      },
+      Some("""
+        WITH ks AS (SELECT unnest(range(0, 100)) AS k),
+        bs AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS b),
+        terms AS (
+          SELECT bs.b, 64 // bs.b AS r, ks.k,
+            CAST(2 * ks.k + 1 AS DOUBLE) / 200.0e0 AS s
+          FROM bs, ks),
+        probs AS (
+          SELECT b, r, s,
+            1.0e0 - list_reduce(list_transform(range(1, b + 1), i ->
+              1.0e0 - list_reduce(list_transform(range(1, r + 1), j -> s),
+                (x, y) -> x * y)),
+              (x, y) -> x * y) AS p
+          FROM terms),
+        q AS (
+          SELECT b, r,
+            CAST(SUM(CASE WHEN s < 0.8e0 THEN
+              CAST(floor(p * 1073741824e0 / 100.0e0) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS fp_q,
+            CAST(SUM(CASE WHEN s >= 0.8e0 THEN
+              CAST(floor((1.0e0 - p) * 1073741824e0 / 100.0e0) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS fn_q
+          FROM probs GROUP BY 1, 2),
+        fin AS (
+          SELECT CAST(b AS BIGINT) AS bands,
+            CAST(r AS BIGINT) AS rows_per_band,
+            fp_q, fn_q, fp_q + fn_q AS total_q
+          FROM q),
+        m AS (SELECT MIN(total_q) AS mt FROM fin),
+        sel AS (SELECT MAX(bands) AS mb FROM fin, m WHERE total_q = mt)
+        SELECT bands, rows_per_band, fp_q, fn_q, total_q,
+          (fin.bands = sel.mb) AS chosen
+        FROM fin, m, sel ORDER BY bands"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -1,0 +1,92 @@
+package graft.dedup
+
+/** LSH parameter PLANNER — turns a target Jaccard threshold into the
+  * (bands, rowsPerBand) choice the MinHash pipeline needs, instead of
+  * leaving it a caller-tuned magic number (the reference pipelines and
+  * [[Dedup.nearDuplicates]]/[[DedupIndex.Params]] all take `bands`
+  * raw; this computes the right one, the way datasketch's
+  * `_optimal_param` does for its MinHashLSH).
+  *
+  * Theory (Leskovec, Rajaraman & Ullman, "Mining of Massive
+  * Datasets" ch. 3): banding `n = b·r` MinHashes makes a pair with
+  * true Jaccard `s` a candidate with probability
+  * `p(s) = 1 − (1 − s^r)^b` — an S-curve stepping near `(1/b)^(1/r)`.
+  * A good `(b, r)` for threshold `t` minimizes
+  * `∫₀ᵗ p(s) ds` (false-positive mass: dissimilar pairs nominated)
+  * `+ ∫ₜ¹ (1 − p(s)) ds` (false-negative mass: near-dups missed).
+  *
+  * Determinism contract (what makes this oracle-checkable rather than
+  * a heuristic): both integrals are 100-interval midpoint sums, every
+  * power is a LINEAR multiplication fold (never `pow`, whose libm
+  * differs across engines), each midpoint term quantizes to
+  * `⌊err · 2^30⌋` longs, and the per-candidate total is an exact
+  * integer sum — bit-replayable in SQL with the same fold (q250).
+  * The pick is the divisor pair minimizing the quantized total, ties
+  * to MORE bands (cheaper verify beats cheaper banding: more bands →
+  * fewer hashes per band → more candidates → the exact-Jaccard verify
+  * absorbs them, while a missed near-dup is unrecoverable).
+  *
+  * Scale note: this runs on the DRIVER in O(divisors(n) · 100) — the
+  * planning step before any corpus pass. The payoff at 100 TB is in
+  * the plan it feeds: a mis-banded LSH either floods the bucket join
+  * with false candidates (verify cost) or silently misses near-dups
+  * (no cost signal at all — the worse failure).
+  */
+object LshPlan {
+
+  /** `x^k` as a linear multiplication fold — k−1 sequential IEEE
+    * multiplies, the engine-replayable power (k ≥ 1).
+    */
+  private[dedup] def powFold(x: Double, k: Int): Double = {
+    var acc = x
+    var i = 1
+    while (i < k) { acc *= x; i += 1 }
+    acc
+  }
+
+  final case class Candidate(
+      bands: Int, rowsPerBand: Int,
+      fpQ: Long, fnQ: Long) {
+    def totalQ: Long = fpQ + fnQ
+  }
+
+  /** All divisor pairs `(b, r)` of `numHashes` with their quantized
+    * false-positive / false-negative error masses for `threshold`.
+    */
+  def candidates(numHashes: Int, threshold: Double): Seq[Candidate] = {
+    require(numHashes >= 1 && numHashes <= 100000,
+      s"numHashes must be in [1, 100000], got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val scale = (1L << 30).toDouble
+    for {
+      b <- 1 to numHashes
+      if numHashes % b == 0
+    } yield {
+      val r = numHashes / b
+      // 100-interval midpoint rule on [0, 1]; midpoints below the
+      // threshold accumulate candidate probability (false positives),
+      // the rest accumulate miss probability (false negatives)
+      var fp = 0L
+      var fn = 0L
+      var k = 0
+      while (k < 100) {
+        val s = (2 * k + 1).toDouble / 200.0
+        val p = 1.0 - powFold(1.0 - powFold(s, r), b)
+        if (s < threshold) fp += math.floor(p * scale / 100.0).toLong
+        else fn += math.floor((1.0 - p) * scale / 100.0).toLong
+        k += 1
+      }
+      Candidate(b, r, fp, fn)
+    }
+  }
+
+  /** The planned `(bands, rowsPerBand)`: minimal quantized total
+    * error, ties to more bands.
+    */
+  def plan(numHashes: Int, threshold: Double): (Int, Int) = {
+    val best = candidates(numHashes, threshold)
+      .minBy(c => (c.totalQ, -c.bands))
+    (best.bands, best.rowsPerBand)
+  }
+}
