@@ -10571,7 +10571,12 @@ object Queries {
           e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.graph.RandomWalks.node2vecWalks(
           edges, "src", "dst", walksPerNode = 1, walkLen = 2,
-          wReturn = 1L, wIn = 2L, wOut = 4L)
+          wReturn = 1L, wIn = 2L, wOut = 4L,
+          // the UNCAPPED witness for q226's capped production path —
+          // the explicit eyes-open opt-out the hub guard documents
+          // (a supplier's degree grows with SF and would trip the
+          // 10k ceiling around SF ~17)
+          allowUncapped = true)
           .orderBy(col("start"), col("walk"), col("step"))
       },
       Some("""
@@ -12284,7 +12289,8 @@ object Queries {
         val docs = t(s, dir, "documents")
           .filter(col("doc_id") < 500)
           .select(col("doc_id"), col("lang"))
-        val base = s"/tmp/graft_q247_${math.abs(dir.hashCode)}"
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q247_").toString
         val dsv2Out = s"$base/dsv2"
         docs.write.format("tfrecord").mode("overwrite").save(dsv2Out)
         val manifest = {
@@ -12351,7 +12357,7 @@ object Queries {
         copyTree(
           java.nio.file.Paths.get(pristineIngestIndexFor(s, dir)),
           java.nio.file.Paths.get(idxPath))
-        graft.dedup.DedupIndex.delete(s, idxPath,
+        graft.dedup.DedupIndex.delete(idxPath,
           docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
             .select(col("doc_id")))
         val idx = graft.dedup.DedupIndex.read(s, idxPath)

@@ -131,9 +131,12 @@ object DedupIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     writeTables(corpus, idCol, textCol, path, params)
+    // formatVersion 2 = id-carrying exact table (tombstone deletes);
+    // readParams ignores it, read()'s exact-schema guard enforces it
     Seq((params.shingleSize, params.numHashes, params.bands, params.seed,
-      params.maxBucketSize))
-      .toDF("shingleSize", "numHashes", "bands", "seed", "maxBucketSize")
+      params.maxBucketSize, 2))
+      .toDF("shingleSize", "numHashes", "bands", "seed", "maxBucketSize",
+        "formatVersion")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -192,6 +195,21 @@ object DedupIndex {
         f"seg$next%04d"
     }
     writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
+    // tombstone sequencing: a tombstone masks only data OLDER than it,
+    // so ids re-ingested by this append un-tombstone themselves. The
+    // rewritten table goes write-to-tmp then rename-aside (never a
+    // lazy overwrite, which would read the dir it is replacing; never
+    // delete-then-rename, which leaves a zero-copy crash window).
+    tombstones(spark, path).foreach { t =>
+      val tmp = s"$path/tombstones_tmp"
+      t.join(batch.select(col(idCol).as("corpus_id")).distinct(),
+          Seq("corpus_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "tombstones")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
   }
 
   /** Delete documents from an on-disk index by id — the takedown /
@@ -212,9 +230,15 @@ object DedupIndex {
     *
     * `ids` is a DataFrame (one column) so deletion sets scale past
     * driver memory; ids absent from the index are harmless.
+    *
+    * Sequencing vs appends: an LSM tombstone must mask only data
+    * OLDER than itself, so [[appendSegment]] clears any pending
+    * tombstone whose id re-appears in the appended batch — a document
+    * re-ingested after its takedown (re-licensing) is live again, not
+    * silently masked and purged at the next compact. Same
+    * single-writer-per-index contract as the commit paths.
     */
-  def delete(
-      spark: SparkSession, path: String, ids: DataFrame): Unit = {
+  def delete(path: String, ids: DataFrame): Unit = {
     ids.select(col(ids.columns.head).as("corpus_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
   }
@@ -271,16 +295,14 @@ object DedupIndex {
       .filter(col("ids").isNotNull)
     idx.sets.write.mode("overwrite").parquet(s"$tmp/sets")
     mergedBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
-    idx.exact.distinct().write.mode("overwrite").parquet(s"$tmp/exact")
+    // exact is per-corpus-id rows (ids unique by contract), so no
+    // distinct: it could never drop a row and would cost a full
+    // corpus-sized shuffle for nothing
+    idx.exact.write.mode("overwrite").parquet(s"$tmp/exact")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (sub <- Seq("sets", "buckets", "exact")) {
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(dst, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$sub"), dst),
-        s"compact: rename of $sub into place failed — index at $path " +
-          "left with compact_tmp for manual recovery")
-    }
+    for (sub <- Seq("sets", "buckets", "exact"))
+      graft.core.FsSwap.swapIntoPlace(fs, path, tmp, sub)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -309,14 +331,26 @@ object DedupIndex {
     val params = readParams(spark, path)
     val roots = path +: segmentDirs(spark, path)
       .filterNot(d => excludeSegments.contains(d.split('/').last))
+    // format guard: round 13 changed `exact` from distinct (__key)
+    // rows to id-carrying (corpus_id, __key) rows so tombstone deletes
+    // can exclusion-filter it. An index tree holding the old layout
+    // must fail HERE with the fix, not as an AnalysisException deep
+    // inside a mixed-schema union or anti-join. Schema-only reads —
+    // no data scanned.
+    for (r <- roots)
+      require(spark.read.parquet(s"$r/exact").columns.contains("corpus_id"),
+        s"dedup index table $r/exact uses the pre-delete layout " +
+          "(fingerprints without corpus ids) — rebuild the index with " +
+          "DedupIndex.write to enable tombstone deletes and reads")
     def union(sub: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)
+    val exact = union("exact")
     // pending deletes exclusion-filter the id-carrying tables; the
     // bucket lists stay as-stored (candidates only — a tombstoned
     // candidate dies in the verify join against the filtered sets)
     // until compact purges them physically
     val tomb = tombstones(spark, path)
-    Index(params, antiTombstones(union("exact"), tomb), union("buckets"),
+    Index(params, antiTombstones(exact, tomb), union("buckets"),
       antiTombstones(union("sets"), tomb))
   }
 

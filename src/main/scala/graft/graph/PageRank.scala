@@ -58,15 +58,21 @@ object PageRank {
     * point; `tol·|V|` bounds the per-vertex average drift.
     */
   private[graph] def l1Residual(
-      a: DataFrame, b: DataFrame, valueCol: String): Long =
-    a.select(col("vertex"), col(valueCol).as("__a"))
+      a: DataFrame, b: DataFrame, valueCol: String): BigInt = {
+    // decimal(38,0) accumulation: per-vertex |Δ| reaches ~scale, so a
+    // long sum wraps negative past ~2^63/scale vertices and the gate
+    // would silently PASS an unconverged iteration — the exact failure
+    // it exists to prevent (the Hits maxDeg·scale² BigInt lesson)
+    val d = a.select(col("vertex"), col(valueCol).as("__a"))
       .join(b.select(col("vertex"), col(valueCol).as("__b")), "vertex")
-      .agg(sum(abs(col("__a") - col("__b"))).as("__r"))
-      .head.getLong(0)
+      .agg(sum(abs(col("__a") - col("__b")).cast("decimal(38,0)")).as("__r"))
+      .head.getDecimal(0)
+    if (d == null) BigInt(0) else BigInt(d.toBigInteger)
+  }
 
   private[graph] def requireConverged(
-      what: String, residual: Long, maxResidual: Long): Unit =
-    require(residual <= maxResidual,
+      what: String, residual: BigInt, maxResidual: Long): Unit =
+    require(residual <= BigInt(maxResidual),
       s"$what: final-round L1 residual $residual exceeds " +
         s"maxResidual $maxResidual — the iteration has not settled; " +
         "raise iterations, or drop maxResidual to accept the " +

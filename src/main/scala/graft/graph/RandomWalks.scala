@@ -195,8 +195,11 @@ object RandomWalks {
     if (maxDegree == Int.MaxValue && !allowUncapped) {
       // hub guard: max out-degree = max neighbor rank + 1, read off
       // the already-checkpointed ranked adjacency (one bounded
-      // aggregate, no extra shuffle shape)
-      val maxDeg = ranked.agg(max(col("nbr_rank"))).head.getLong(0) + 1L
+      // aggregate, no extra shuffle shape). max() over an empty edge
+      // set is NULL — an empty graph trivially passes (and walks
+      // return empty as before the guard existed).
+      val head = ranked.agg(max(col("nbr_rank"))).head
+      val maxDeg = if (head.isNullAt(0)) 0L else head.getLong(0) + 1L
       require(maxDeg <= DefaultHubDegreeLimit,
         s"node2vecWalks: max out-degree $maxDeg exceeds the uncapped " +
           s"hub limit $DefaultHubDegreeLimit — every step fans out " +

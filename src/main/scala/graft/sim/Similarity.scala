@@ -290,27 +290,10 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
-  /** Rename `$tmp/$child` into place as `$path/$child` by renaming the
-    * live copy ASIDE first (never delete-then-rename): a crash mid-swap
-    * always leaves at least one complete copy on disk — either
-    * `${child}_old` (step 1 done) or `$child` (step 2 done) — instead
-    * of a window with zero copies and only the tmp dir for manual
-    * recovery.
-    */
   private def swapIntoPlace(
       fs: org.apache.hadoop.fs.FileSystem, path: String, tmp: String,
-      child: String): Unit = {
-    val dst = new org.apache.hadoop.fs.Path(s"$path/$child")
-    val bak = new org.apache.hadoop.fs.Path(s"$path/${child}_old")
-    fs.delete(bak, true) // clear any leftover from a prior crashed swap
-    require(fs.rename(dst, bak),
-      s"swap: rename of live $child aside failed — index at $path " +
-        s"untouched, $tmp holds the new copy")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$child"), dst),
-      s"swap: rename of new $child into place failed — restore by " +
-        s"renaming ${child}_old back at $path")
-    fs.delete(bak, true)
-  }
+      child: String): Unit =
+    graft.core.FsSwap.swapIntoPlace(fs, path, tmp, child)
 
   /** [[compactIvfIndex]] with a CENTROID RETRAIN — the staleness
     * escape hatch for a continuously-ingested index: every streamed /

@@ -208,8 +208,8 @@ class DedupIndexSpec extends SparkSpec {
     val path = Files.createTempDirectory("dedup_index_del_").toString
     DedupIndex.write(corpus, "doc_id", "text", path, params)
     // delete a third of the corpus (two tombstone batches: appends merge)
-    DedupIndex.delete(spark, path, Seq(0L, 3L, 6L).toDF("doc_id"))
-    DedupIndex.delete(spark, path, Seq(9L, 12L, 15L).toDF("doc_id"))
+    DedupIndex.delete(path, Seq(0L, 3L, 6L).toDF("doc_id"))
+    DedupIndex.delete(path, Seq(9L, 12L, 15L).toDF("doc_id"))
     val deleted = Set(0L, 3L, 6L, 9L, 12L, 15L)
     val remaining = corpus.filter(!col("doc_id").isin(deleted.toSeq: _*))
     def survivors(ix: DedupIndex.Index) =
@@ -243,10 +243,49 @@ class DedupIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val tPath = Files.createTempDirectory("dedup_index_twin_").toString
     DedupIndex.write(twins, "doc_id", "text", tPath, params)
-    DedupIndex.delete(spark, tPath, Seq(900L).toDF("doc_id"))
+    DedupIndex.delete(tPath, Seq(900L).toDF("doc_id"))
     DedupIndex.dedupAgainst(
       Seq((950L, "twin text alpha")).toDF("doc_id", "text"),
       DedupIndex.read(spark, tPath), "doc_id", "text",
       threshold = 0.9).count() shouldBe 0L // still an exact dup of 901
+  }
+
+  test("tombstone sequencing: a re-appended document un-tombstones " +
+    "itself and survives compact") {
+    // LSM rule: a tombstone masks only data OLDER than itself —
+    // delete id 5, then re-ingest it (re-licensing); the re-added doc
+    // must be live at read AND survive the physical purge at compact
+    val (corpus, _) = mkCorpusAndBatch(47)
+    val path = Files.createTempDirectory("dedup_index_reapp_").toString
+    DedupIndex.write(corpus, "doc_id", "text", path, params)
+    val doc5 = corpus.filter(col("doc_id") === 5L)
+    val text5 = doc5.select("text").head.getString(0)
+    DedupIndex.delete(path, Seq(5L).toDF("doc_id"))
+    // masked while deleted
+    DedupIndex.dedupAgainst(
+      Seq((800L, text5)).toDF("doc_id", "text"),
+      DedupIndex.read(spark, path), "doc_id", "text",
+      threshold = 0.9).count() shouldBe 1L
+    // re-append the SAME id: tombstone for 5 clears, others persist
+    DedupIndex.delete(path, Seq(7L).toDF("doc_id"))
+    DedupIndex.appendSegment(spark, path, doc5, "doc_id", "text")
+    def dupOf(t: String) = DedupIndex.dedupAgainst(
+      Seq((801L, t)).toDF("doc_id", "text"),
+      DedupIndex.read(spark, path), "doc_id", "text",
+      threshold = 0.9).count() == 0L
+    dupOf(text5) shouldBe true // re-added doc is live again
+    // and the unrelated tombstone (7) still masks
+    val text7 = corpus.filter(col("doc_id") === 7L)
+      .select("text").head.getString(0)
+    // 7's text may collide with another doc's; assert via exact table
+    DedupIndex.read(spark, path).exact
+      .filter(col("corpus_id") === 7L).count() shouldBe 0L
+    DedupIndex.read(spark, path).exact
+      .filter(col("corpus_id") === 5L).count() should be >= 1L
+    // compact folds the purge: 7 gone physically, 5 still present
+    DedupIndex.compact(spark, path)
+    DedupIndex.read(spark, path).exact
+      .filter(col("corpus_id") === 7L).count() shouldBe 0L
+    dupOf(text5) shouldBe true
   }
 }

@@ -220,6 +220,15 @@ class RandomWalksSpec extends SparkSpec {
     a shouldBe localNode2vec(edges, 1, 4, 1L, 2L, 4L, "s1")
   }
 
+  test("node2vec hub guard: empty edge set passes and walks are empty") {
+    // max(nbr_rank) over zero rows is NULL — the guard must treat an
+    // empty graph as trivially under the limit, not NPE
+    val none = Seq((1L, 2L)).toDF("src", "dst").filter("src < 0")
+    RandomWalks.node2vecWalks(none, "src", "dst",
+      walksPerNode = 1, walkLen = 2,
+      wReturn = 1L, wIn = 2L, wOut = 4L).count() shouldBe 0L
+  }
+
   test("node2vec hub guard: uncapped run on a hub-heavy graph raises") {
     // one hub past the documented ceiling: the uncapped default must
     // fail loud BEFORE fanning out, not own the plan with Σ deg(cur)
