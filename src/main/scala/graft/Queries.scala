@@ -12534,7 +12534,48 @@ object Queries {
         sel AS (SELECT MAX(bands) AS mb FROM fin, m WHERE total_q = mt)
         SELECT bands, rows_per_band, fp_q, fn_q, total_q,
           (fin.bands = sel.mb) AS chosen
-        FROM fin, m, sel ORDER BY bands"""))
+        FROM fin, m, sel ORDER BY bands""")),
+
+    // Dedup-index OPERATIONAL STATS (dedup/DedupIndex.stats) — the
+    // readout a maintenance scheduler reads before deciding to
+    // compact: segments a query currently unions, tombstones pending
+    // physical purge, live (tombstone-excluded) row counts of the
+    // served tables. The fixture exercises the full maintenance
+    // state — base (< 400) + one appended segment ([400, 450)) + a
+    // 100-id tombstone batch ([0, 100)) — and DuckDB recomputes every
+    // count from the raw corpus slices: exact is per-corpus-id rows,
+    // sets excludes shingle-less docs, both exclude the tombstoned
+    // band.
+    GraftQuery(
+      "q251_dedup_index_stats",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q251_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIngestIndexFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.DedupIndex.appendSegment(s, idxPath,
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+          "doc_id", "text")
+        graft.dedup.DedupIndex.delete(idxPath,
+          docs.filter(col("doc_id") < 100).select(col("doc_id")))
+        graft.dedup.DedupIndex.stats(s, idxPath).orderBy(col("stat"))
+      },
+      Some("""
+        WITH live AS (
+          SELECT doc_id, list_distinct(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents WHERE doc_id >= 100 AND doc_id < 450)
+        SELECT stat, value FROM (
+          SELECT 'exact_rows' AS stat,
+            CAST(COUNT(*) AS BIGINT) AS value FROM live
+          UNION ALL SELECT 'segments_pending', CAST(1 AS BIGINT)
+          UNION ALL SELECT 'sets_rows', CAST((
+            SELECT COUNT(*) FROM live WHERE len(toks) > 0) AS BIGINT)
+          UNION ALL SELECT 'tombstones_pending', CAST(100 AS BIGINT))
+        ORDER BY stat"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

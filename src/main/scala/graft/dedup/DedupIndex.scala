@@ -308,6 +308,28 @@ object DedupIndex {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Operational introspection of an on-disk index — the readout a
+    * maintenance scheduler needs BEFORE deciding to compact: how many
+    * LSM segments a read currently unions (per-query scan count), how
+    * many tombstones are pending physical purge, and the live row
+    * counts of the served tables after tombstone exclusion. One row
+    * per statistic, all exact counts (q251 pins them against DuckDB
+    * recomputing the same quantities from the raw corpus slices).
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val idx = read(spark, path)
+    val nSegments = segmentDirs(spark, path).size.toLong
+    val nTombstones =
+      tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
+    Seq(
+      ("segments_pending", nSegments),
+      ("tombstones_pending", nTombstones),
+      ("exact_rows", idx.exact.count()),
+      ("sets_rows", idx.sets.count()))
+      .toDF("stat", "value")
+  }
+
   private def readParams(spark: SparkSession, path: String): Params = {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"malformed dedup index meta at $path/meta: ${m.length} rows")
