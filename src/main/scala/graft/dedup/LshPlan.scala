@@ -31,6 +31,16 @@ package graft.dedup
   * the plan it feeds: a mis-banded LSH either floods the bucket join
   * with false candidates (verify cost) or silently misses near-dups
   * (no cost signal at all — the worse failure).
+  *
+  * Relation to this package's defaults: [[DedupIndex.Params]] ships
+  * `bands = 16` for 64 hashes, MORE bands than this planner's
+  * balanced pick at typical thresholds (e.g. (4, 16) at t = 0.8) —
+  * deliberately recall-heavy, because the pipeline's exact-Jaccard
+  * verify + hot-bucket caps absorb false positives at bounded cost
+  * while a missed near-dup has no recovery path (q14/q23 pin the
+  * recall-heavy setting against the exhaustive closure). Use the
+  * planner when candidate volume, not recall, is the binding
+  * constraint.
   */
 object LshPlan {
 
