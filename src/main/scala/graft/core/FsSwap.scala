@@ -18,7 +18,15 @@ object FsSwap {
       fs: FileSystem, path: String, tmp: String, child: String): Unit = {
     val dst = new HPath(s"$path/$child")
     val bak = new HPath(s"$path/${child}_old")
-    fs.delete(bak, true) // clear any leftover from a prior crashed swap
+    // Never destroy the backup while it may be the ONLY copy: a prior
+    // swap that crashed between its two renames leaves dst missing and
+    // bak live. Deleting bak here would turn that documented
+    // manual-recovery state into zero copies — verify dst first.
+    require(fs.exists(dst),
+      s"swap: live $child missing at $path — a prior swap crashed " +
+        s"mid-rename; recover by renaming ${child}_old back before " +
+        "retrying")
+    fs.delete(bak, true) // clear any leftover from a prior FINISHED swap
     require(fs.rename(dst, bak),
       s"swap: rename of live $child aside failed — index at $path " +
         s"untouched, $tmp holds the new copy")

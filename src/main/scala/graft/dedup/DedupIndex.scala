@@ -194,22 +194,26 @@ object DedupIndex {
           .foldLeft(-1)(math.max) + 1
         f"seg$next%04d"
     }
-    writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
-    // tombstone sequencing: a tombstone masks only data OLDER than it,
-    // so ids re-ingested by this append un-tombstone themselves. The
-    // rewritten table goes write-to-tmp then rename-aside (never a
-    // lazy overwrite, which would read the dir it is replacing; never
-    // delete-then-rename, which leaves a zero-copy crash window).
+    // tombstone fence: re-ingesting a tombstoned id is FORBIDDEN until
+    // compact physically purges the old rows. Anything laxer is wrong
+    // in some interleaving — clearing the tombstone wholesale would
+    // un-mask the STALE base/segment rows of that id (resurrecting
+    // text that no longer exists), and rewriting the tombstone table
+    // here would add a crash window where either all takedowns vanish
+    // or the new segment stays self-masked. One bounded semi-join
+    // against the takedown-sized table, checked BEFORE the segment
+    // lands so a refused append leaves the index untouched.
     tombstones(spark, path).foreach { t =>
-      val tmp = s"$path/tombstones_tmp"
-      t.join(batch.select(col(idCol).as("corpus_id")).distinct(),
-          Seq("corpus_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "tombstones")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val clash = t.join(
+        batch.select(col(idCol).as("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"appendSegment: batch re-ingests tombstoned ids at $path — " +
+          "run compact first (it purges the deleted rows and clears " +
+          "the tombstones), then append the re-licensed documents")
     }
+    writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
   }
 
   /** Delete documents from an on-disk index by id — the takedown /
@@ -231,12 +235,16 @@ object DedupIndex {
     * `ids` is a DataFrame (one column) so deletion sets scale past
     * driver memory; ids absent from the index are harmless.
     *
-    * Sequencing vs appends: an LSM tombstone must mask only data
-    * OLDER than itself, so [[appendSegment]] clears any pending
-    * tombstone whose id re-appears in the appended batch — a document
-    * re-ingested after its takedown (re-licensing) is live again, not
-    * silently masked and purged at the next compact. Same
-    * single-writer-per-index contract as the commit paths.
+    * Sequencing vs appends: a tombstone masks EVERY stored row of its
+    * id — base and segments alike — until [[compact]] physically
+    * purges them and clears the tombstone table. Re-ingesting a
+    * tombstoned id before that purge is refused by [[appendSegment]]
+    * (fail-loud): clearing the tombstone at append would un-mask the
+    * STALE rows of that id (resurrecting text that no longer exists),
+    * and any tombstone rewrite at append adds a crash window where
+    * takedowns silently vanish. The re-licensing flow is
+    * delete → compact → append. Same single-writer-per-index
+    * contract as the commit paths.
     */
   def delete(path: String, ids: DataFrame): Unit = {
     ids.select(col(ids.columns.head).as("corpus_id")).distinct()

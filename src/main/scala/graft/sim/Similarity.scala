@@ -212,6 +212,16 @@ object Similarity {
     */
   def readIvfIndex(
       spark: SparkSession, path: String, idCol: String, vecCol: String): IvfIndex = {
+    // a retrain crashed between its assigned/centroids swaps leaves a
+    // GEOMETRICALLY inconsistent index (new cells, old centroid table)
+    // that would answer probes plausibly but wrong — fail loud instead
+    val marker = new org.apache.hadoop.fs.Path(s"$path/retrain_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"IVF index at $path is mid-retrain (retrain_pending marker " +
+        "present) — a crashed compactIvfIndexWithRetrain left the " +
+        "assigned/centroids tables possibly inconsistent; recover " +
+        "from the *_old / compact_tmp copies, then remove the marker")
     val roots = path +: ivfSegmentDirs(spark, path)
     val assigned = roots
       .map(r => spark.read.parquet(s"$r/assigned"))
@@ -345,8 +355,18 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // assigned and centroids must swap TOGETHER — a crash between the
+    // two renames would serve retrained cell assignments against the
+    // stale day-0 centroid table, silently corrupting probe recall
+    // (cells no longer live where the probe ranking looks). No
+    // cross-rename atomicity exists on a filesystem, so a marker file
+    // brackets the window: readers fail loud on a half-swapped index
+    // instead of answering wrong.
+    val marker = new org.apache.hadoop.fs.Path(s"$path/retrain_pending")
+    fs.create(marker, true).close()
     swapIntoPlace(fs, path, tmp, "assigned")
     swapIntoPlace(fs, path, tmp, "centroids")
+    fs.delete(marker, false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
