@@ -250,13 +250,17 @@ class DedupIndexSpec extends SparkSpec {
       threshold = 0.9).count() shouldBe 0L // still an exact dup of 901
   }
 
-  test("tombstone sequencing: a re-appended document un-tombstones " +
-    "itself and survives compact") {
-    // LSM rule: a tombstone masks only data OLDER than itself —
-    // delete id 5, then re-ingest it (re-licensing); the re-added doc
-    // must be live at read AND survive the physical purge at compact
+  test("tombstone fence: appendSegment refuses tombstoned ids; " +
+    "re-licensing is delete -> compact -> append") {
+    // LSM rule (fail-loud variant): a tombstone masks EVERY stored row
+    // of its id until compact physically purges them. Clearing the
+    // tombstone at append would un-mask the STALE base rows of that id
+    // (resurrecting text that no longer exists), so appendSegment
+    // REFUSES a batch carrying a tombstoned id and leaves the index
+    // untouched; the documented re-licensing flow is
+    // delete -> compact -> append.
     val (corpus, _) = mkCorpusAndBatch(47)
-    val path = Files.createTempDirectory("dedup_index_reapp_").toString
+    val path = Files.createTempDirectory("dedup_index_fence_").toString
     DedupIndex.write(corpus, "doc_id", "text", path, params)
     val doc5 = corpus.filter(col("doc_id") === 5L)
     val text5 = doc5.select("text").head.getString(0)
@@ -266,26 +270,38 @@ class DedupIndexSpec extends SparkSpec {
       Seq((800L, text5)).toDF("doc_id", "text"),
       DedupIndex.read(spark, path), "doc_id", "text",
       threshold = 0.9).count() shouldBe 1L
-    // re-append the SAME id: tombstone for 5 clears, others persist
     DedupIndex.delete(path, Seq(7L).toDF("doc_id"))
+    // the fence: re-ingesting 5 before compact raises...
+    val err = intercept[IllegalArgumentException] {
+      DedupIndex.appendSegment(spark, path, doc5, "doc_id", "text")
+    }
+    err.getMessage should include("tombstoned")
+    // ...and the refused append left the index untouched: no segment
+    // landed and 5 is still masked
+    new java.io.File(s"$path/segments").exists() shouldBe false
+    DedupIndex.read(spark, path).exact
+      .filter(col("corpus_id") === 5L).count() shouldBe 0L
+    // a batch of only-fresh ids still appends fine with pending deletes
+    DedupIndex.appendSegment(spark, path,
+      Seq((600L, "fresh omega kappa")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // re-licensing flow: compact purges 5/7 physically and clears the
+    // tombstones, after which appending 5 succeeds and it is live
+    DedupIndex.compact(spark, path)
+    new java.io.File(s"$path/tombstones").exists() shouldBe false
     DedupIndex.appendSegment(spark, path, doc5, "doc_id", "text")
     def dupOf(t: String) = DedupIndex.dedupAgainst(
       Seq((801L, t)).toDF("doc_id", "text"),
       DedupIndex.read(spark, path), "doc_id", "text",
       threshold = 0.9).count() == 0L
     dupOf(text5) shouldBe true // re-added doc is live again
-    // and the unrelated tombstone (7) still masks
-    val text7 = corpus.filter(col("doc_id") === 7L)
-      .select("text").head.getString(0)
-    // 7's text may collide with another doc's; assert via exact table
+    // 7 stays physically purged (never re-appended)
     DedupIndex.read(spark, path).exact
       .filter(col("corpus_id") === 7L).count() shouldBe 0L
     DedupIndex.read(spark, path).exact
       .filter(col("corpus_id") === 5L).count() should be >= 1L
-    // compact folds the purge: 7 gone physically, 5 still present
+    // a later compact keeps the re-licensed doc live
     DedupIndex.compact(spark, path)
-    DedupIndex.read(spark, path).exact
-      .filter(col("corpus_id") === 7L).count() shouldBe 0L
     dupOf(text5) shouldBe true
   }
 }
