@@ -293,6 +293,32 @@ object Dedup {
       df.select(col(idCol), shingles(col(textCol), shingleSize).as("__set")),
       idCol, "__set", numHashes, bands, threshold, seed, maxBucketSize, materialize)
 
+  /** [[nearDuplicates]] with `bands` DERIVED from the threshold by
+    * [[LshPlan.planRecallBounded]] instead of hand-tuned — the planner
+    * as the default entry: the caller states the two things they
+    * actually know (the Jaccard threshold they serve and the recall
+    * they need) and the banding S-curve math picks the divisor pair
+    * with that miss bound and minimal wasted-candidate mass. At the
+    * package defaults (64 hashes, t = 0.9, maxMiss = 1e-6) this
+    * derives the (16, 4) the oracle queries pin, so planned ≡ tuned is
+    * driver-checked (q254 against q14's exhaustive closure).
+    */
+  def nearDuplicatesPlanned(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L,
+      materialize: Boolean = true,
+      maxMiss: Double = 1e-6): DataFrame = {
+    val (bands, _) = LshPlan.planRecallBounded(numHashes, threshold, maxMiss)
+    nearDuplicates(df, idCol, textCol, shingleSize, numHashes, bands,
+      threshold, seed, maxBucketSize, materialize)
+  }
+
   /** Generic MinHash-LSH near-duplicate pipeline over a precomputed
     * set-valued column — `array<string>` (shingles), `array<bigint>`
     * (e.g. [[graft.text.TextStats.winnowingFingerprints]] rolling-hash

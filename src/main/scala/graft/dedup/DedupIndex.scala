@@ -51,6 +51,29 @@ object DedupIndex {
     def rowsPerBand: Int = numHashes / bands
   }
 
+  object Params {
+    /** Params with `bands` DERIVED by [[LshPlan.planRecallBounded]]
+      * from the Jaccard threshold the index will serve — the planner
+      * as the default entry (state the threshold and recall bound you
+      * need; the S-curve math picks the banding) instead of a side
+      * table the caller must know to consult. The threshold is NOT
+      * baked into the index (it only affects the verify filter at
+      * query time, as ever); it is consumed here purely to plan the
+      * hash family. At the package defaults (64 hashes, t = 0.9) this
+      * derives the (16, 4) every oracle query pins.
+      */
+    def planned(
+        threshold: Double,
+        shingleSize: Int = 3,
+        numHashes: Int = 64,
+        seed: Long = 42L,
+        maxBucketSize: Long = 100000L,
+        maxMiss: Double = 1e-6): Params = {
+      val (bands, _) = LshPlan.planRecallBounded(numHashes, threshold, maxMiss)
+      Params(shingleSize, numHashes, bands, seed, maxBucketSize)
+    }
+  }
+
   /** A loaded index: three DataFrames (on-disk parquet after [[read]],
     * in-memory plans after [[build]]) plus the build parameters.
     */
@@ -210,8 +233,10 @@ object DedupIndex {
         .limit(1).count()
       require(clash == 0L,
         s"appendSegment: batch re-ingests tombstoned ids at $path — " +
-          "run compact first (it purges the deleted rows and clears " +
-          "the tombstones), then append the re-licensed documents")
+          "purge those ids first (targeted: purge(ids); full " +
+          "maintenance: compact — both physically drop the deleted " +
+          "rows and clear the tombstones), then append the " +
+          "re-licensed documents")
     }
     writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
   }
@@ -243,12 +268,78 @@ object DedupIndex {
     * STALE rows of that id (resurrecting text that no longer exists),
     * and any tombstone rewrite at append adds a crash window where
     * takedowns silently vanish. The re-licensing flow is
-    * delete → compact → append. Same single-writer-per-index
-    * contract as the commit paths.
+    * delete → [[purge]] (targeted) or [[compact]] (full maintenance)
+    * → append. Same single-writer-per-index contract as the commit
+    * paths.
     */
   def delete(path: String, ids: DataFrame): Unit = {
     ids.select(col(ids.columns.head).as("corpus_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Physically purge PENDING TOMBSTONES for the given ids without a
+    * full [[compact]] — the targeted re-licensing path: [[appendSegment]]'s
+    * fence refuses re-ingesting a tombstoned id until its stale rows
+    * are physically gone, and compact (the only purge until now) is a
+    * derived-tables-sized merge of every segment plus a bucket-list
+    * explode/re-collect shuffle — a heavy maintenance window for a
+    * one-document re-licensing event. This rewrites ONLY the two
+    * id-carrying tables (`exact`, `sets`) of each root with the purged
+    * ids anti-joined out — a filter-only scan+write per root, no
+    * aggregation shuffle, segments left segmented — and then clears
+    * exactly those ids from the tombstone table. Bucket member lists
+    * stay as stored, the same argument [[delete]] uses: buckets only
+    * nominate CANDIDATES, and after the purge the id either has no
+    * `sets` row (candidate dies in the verify join) or — once
+    * re-appended — only its NEW rows (verify scores the new text).
+    *
+    * Only ids that are actually tombstoned are purged; other ids in
+    * `ids` are ignored (they have nothing pending — purging a live id
+    * would be an undeletable takedown bypass, and [[delete]] is the
+    * API for that intent). Crash-safe without a marker: the tombstone
+    * table is cleared LAST, so any partial state (some roots
+    * rewritten, some not) still reads correctly — the surviving
+    * tombstones keep masking — and re-running purge is idempotent.
+    * Each table rewrite goes through the [[graft.core.FsSwap]]
+    * rename-aside discipline. Pinned in DedupIndexSpec:
+    * purge-then-append ≡ compact-then-append; q252 runs the
+    * delete→purge→append lifecycle against q248's oracle family.
+    */
+  def purge(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val tombOpt = tombstones(spark, path)
+    if (tombOpt.isEmpty) return
+    val tomb = tombOpt.get
+    val requested = ids.select(col(ids.columns.head).as("corpus_id")).distinct()
+    val purged = tomb.join(requested, Seq("corpus_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (purged.isEmpty) return
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val roots = path +: segmentDirs(spark, path)
+      for (root <- roots) {
+        val tmp = s"$root/purge_tmp"
+        for (sub <- Seq("exact", "sets")) {
+          spark.read.parquet(s"$root/$sub")
+            .join(purged, Seq("corpus_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$tmp/$sub")
+          graft.core.FsSwap.swapIntoPlace(fs, root, tmp, sub)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      // all stale rows are gone — NOW the tombstones can clear. An
+      // empty remainder drops the directory (same served state as a
+      // post-compact index); otherwise swap in the reduced table.
+      val remaining = tomb.join(purged, Seq("corpus_id"), "left_anti")
+      if (remaining.isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      else {
+        val tmp = s"$path/purge_tmp"
+        remaining.write.mode("overwrite").parquet(s"$tmp/tombstones")
+        graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "tombstones")
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+    } finally purged.unpersist()
   }
 
   /** The tombstone table, if any deletes are pending. */
@@ -309,11 +400,21 @@ object DedupIndex {
     idx.exact.write.mode("overwrite").parquet(s"$tmp/exact")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // marker brackets the three swaps THROUGH the cleanup: the merged
+    // tables already contain every live segment row, so a crash after
+    // the swaps but before the segments/ delete would serve duplicate
+    // corpus_id rows (dedup answers stay correct — pairs are
+    // distinct'd — but stats() and candidate volumes silently
+    // inflate). Readers fail loud on the marker; recovery is
+    // documented on [[read]]'s guard.
+    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    fs.create(marker, true).close()
     for (sub <- Seq("sets", "buckets", "exact"))
       graft.core.FsSwap.swapIntoPlace(fs, path, tmp, sub)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(marker, false)
   }
 
   /** Operational introspection of an on-disk index — the readout a
@@ -359,6 +460,20 @@ object DedupIndex {
       spark: SparkSession, path: String,
       excludeSegments: Set[String] = Set.empty): Index = {
     val params = readParams(spark, path)
+    // a compaction crashed after its swaps but before the segments/
+    // tombstones cleanup would union already-merged rows with their
+    // still-live segment copies — fail loud. Recovery: if any *_old
+    // table exists, finish the FsSwap recovery first; otherwise the
+    // swapped base tables are complete — delete segments/,
+    // tombstones/, compact_tmp/ and the marker.
+    val cMarker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    val mfs = cMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!mfs.exists(cMarker),
+      s"dedup index at $path is mid-compaction (compact_pending marker " +
+        "present) — a crashed compact may have left segment rows both " +
+        "merged into the base and live under segments/; delete " +
+        "segments/, tombstones/ and compact_tmp/ (the swapped base is " +
+        "complete), then remove the marker")
     val roots = path +: segmentDirs(spark, path)
       .filterNot(d => excludeSegments.contains(d.split('/').last))
     // format guard: round 13 changed `exact` from distinct (__key)

@@ -99,4 +99,46 @@ object LshPlan {
       .minBy(c => (c.totalQ, -c.bands))
     (best.bands, best.rowsPerBand)
   }
+
+  /** Per-pair MISS probability at the threshold itself —
+    * `(1 − t^r)^b`, the chance a true near-dup with Jaccard exactly
+    * `t` is never nominated by any band. Linear multiplication folds
+    * only (engine-replayable, like everything here).
+    */
+  def missAtThreshold(bands: Int, rowsPerBand: Int, threshold: Double): Double =
+    powFold(1.0 - powFold(threshold, rowsPerBand), bands)
+
+  /** The RECALL-BOUNDED plan — the selection rule a dedup pipeline
+    * with an exact-Jaccard verify actually wants, and the one
+    * [[Dedup.nearDuplicatesPlanned]] / [[DedupIndex.Params.planned]]
+    * wire in. [[plan]] minimizes symmetric FP+FN mass, which is right
+    * when both error kinds cost the same; in this package they do
+    * NOT: a false positive is one wasted verify-join row (bounded,
+    * visible cost), a false negative is a near-duplicate that
+    * silently survives dedup — unrecoverable and unobservable. So:
+    * among divisor pairs whose miss probability AT the threshold
+    * ([[missAtThreshold]]) is ≤ `maxMiss`, pick the one with minimal
+    * quantized false-positive mass (fewest wasted candidates), ties
+    * to more bands. `b = numHashes, r = 1` always satisfies any
+    * sensible bound (miss `(1−t)^n`), so an eligible pair exists for
+    * every `t > 0`; the fallback (max recall = minimal miss, ties to
+    * more bands) is kept for degenerate bounds.
+    *
+    * At (64, 0.9) this derives exactly the (16, 4) the pipelines
+    * hand-tuned — q254 runs the planned path against q14's exhaustive
+    * closure oracle, so a planner regression that loosened recall
+    * fails the driver compare, not just a spec.
+    */
+  def planRecallBounded(
+      numHashes: Int, threshold: Double,
+      maxMiss: Double = 1e-6): (Int, Int) = {
+    val cands = candidates(numHashes, threshold)
+    val eligible = cands.filter(c =>
+      missAtThreshold(c.bands, c.rowsPerBand, threshold) <= maxMiss)
+    val best =
+      if (eligible.nonEmpty) eligible.minBy(c => (c.fpQ, -c.bands))
+      else cands.minBy(c =>
+        (missAtThreshold(c.bands, c.rowsPerBand, threshold), -c.bands))
+    (best.bands, best.rowsPerBand)
+  }
 }

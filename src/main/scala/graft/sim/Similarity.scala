@@ -222,6 +222,19 @@ object Similarity {
         "present) — a crashed compactIvfIndexWithRetrain left the " +
         "assigned/centroids tables possibly inconsistent; recover " +
         "from the *_old / compact_tmp copies, then remove the marker")
+    // a compaction crashed after its swap but before the segments/
+    // cleanup would serve every segment row twice (the swapped base
+    // already contains them) — fail loud. Recovery: if assigned_old
+    // exists, finish the FsSwap recovery first; otherwise the swapped
+    // assigned table is complete — delete segments/, compact_tmp/ and
+    // the marker.
+    val cMarker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    require(!fs.exists(cMarker),
+      s"IVF index at $path is mid-compaction (compact_pending marker " +
+        "present) — a crashed compactIvfIndex may have left segment " +
+        "rows both merged into the base and live under segments/; " +
+        "delete segments/ and compact_tmp/ (the swapped base is " +
+        "complete), then remove the marker")
     val roots = path +: ivfSegmentDirs(spark, path)
     val assigned = roots
       .map(r => spark.read.parquet(s"$r/assigned"))
@@ -264,6 +277,98 @@ object Similarity {
       .parquet(s"$path/assigned")
   }
 
+  /** Append a vector batch as a NEW LSM SEGMENT under
+    * `segments/segNNNN/` — [[graft.dedup.DedupIndex.appendSegment]]'s
+    * ANN twin, and the batch-mode form of what
+    * [[graft.streaming.Streaming.ivfIngestSink]] does per micro-batch:
+    * assign against the STORED centroids (one map-only broadcast
+    * pass — the existing corpus is never read) and land the
+    * cell-partitioned result as its own segment directory, leaving the
+    * base untouched (contrast [[appendToIvfIndex]], which appends
+    * files INTO the base cell directories). [[readIvfIndex]] serves
+    * base ∪ segments; [[compactIvfIndex]] folds segments back in.
+    *
+    * `segmentName` (must start with "seg") pins the directory name —
+    * the same replay-safety seam as the dedup index: a redelivered
+    * batch overwrites its own segment instead of appending twice.
+    */
+  def appendIvfSegment(
+      spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String,
+      segmentName: Option[String] = None): Unit = {
+    val centroids = readIvfCentroids(spark, path)
+    require(centroids.nonEmpty, s"no centroids stored under $path")
+    val name = segmentName match {
+      case Some(n) =>
+        require(n.startsWith("seg") && !n.contains('/'),
+          s"segment name must start with 'seg' and hold no '/', got $n")
+        n
+      case None =>
+        val next = ivfSegmentDirs(spark, path)
+          .flatMap(_.split('/').last.stripPrefix("seg").toIntOption)
+          .foldLeft(-1)(math.max) + 1
+        f"seg$next%04d"
+    }
+    buildIvfWithCentroids(batch, idCol, vecCol, centroids)
+      .assigned.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/segments/$name/assigned")
+  }
+
+  /** Operational introspection of an on-disk IVF index —
+    * [[graft.dedup.DedupIndex.stats]]'s ANN twin, and the readout that
+    * makes [[compactIvfIndexWithRetrain]]'s maintenance decision
+    * MEASURABLE: under sustained drifted ingest the day-0 cells grow
+    * lopsided, probe recall silently degrades, and nothing in the
+    * serving path says so. One row per statistic, all exact integers:
+    *
+    *   - `n_cells` / `segments_pending` / `base_rows` / `segment_rows`
+    *     — index shape (how many scans a read unions, how much of the
+    *     corpus sits outside the compacted base);
+    *   - `min_cell_rows` / `max_cell_rows` / `empty_cells` — the
+    *     served per-cell histogram, zero-filled over the centroid
+    *     table so dead cells COUNT (an empty cell is pure probe waste:
+    *     a probe budget slot that can never return a row);
+    *   - `skew_x100` — ⌊100 · max_cell_rows · n_cells / total_rows⌋,
+    *     the hottest cell as a percentage of the perfectly-balanced
+    *     mean (100 = balanced; 1600 on a 16-cell index = one cell
+    *     holds everything). High skew means probes ranked into the hot
+    *     cell scan far more than corpus/nCells rows — retrain.
+    *
+    * Cost: one count per root table plus ONE histogram aggregation
+    * (nCells rows — never a row-level shuffle); the driver-side fold
+    * is bounded by nCells. q253 pins every number against DuckDB
+    * replaying the assignment and the same integer arithmetic.
+    */
+  def ivfStats(
+      spark: SparkSession, path: String,
+      idCol: String, vecCol: String): DataFrame = {
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, path)
+    val nCells = centroids.size.toLong
+    val segs = ivfSegmentDirs(spark, path)
+    // marker guards apply (readIvfIndex fails loud mid-maintenance)
+    val served = readIvfIndex(spark, path, idCol, vecCol).assigned
+    val baseRows = spark.read.parquet(s"$path/assigned").count()
+    val segRows = segs
+      .map(r => spark.read.parquet(s"$r/assigned").count()).sum
+    val hist = served.groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= nCells
+    val perCell = centroids.map { case (c, _) => hist.getOrElse(c, 0L) }
+    val total = baseRows + segRows
+    val maxCell = if (perCell.isEmpty) 0L else perCell.max
+    val skew = if (total == 0L) 0L else 100L * maxCell * nCells / total
+    Seq(
+      ("base_rows", baseRows),
+      ("empty_cells", perCell.count(_ == 0L).toLong),
+      ("max_cell_rows", maxCell),
+      ("min_cell_rows", if (perCell.isEmpty) 0L else perCell.min),
+      ("n_cells", nCells),
+      ("segment_rows", segRows),
+      ("segments_pending", segs.size.toLong),
+      ("skew_x100", skew))
+      .toDF("stat", "value")
+  }
+
   /** Compact an on-disk IVF index's cell partitions — the maintenance
     * step [[appendToIvfIndex]] makes necessary (the
     * [[graft.dedup.DedupIndex.compact]] of the ANN family): every
@@ -295,9 +400,17 @@ object Similarity {
       .parquet(s"$tmp/assigned")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // marker brackets swap THROUGH cleanup: the swapped-in assigned
+    // table already holds every segment row, so a crash between the
+    // swap and the segments/ delete would silently serve appended
+    // vectors twice. Readers fail loud on the marker instead; recovery
+    // is documented on [[readIvfIndex]]'s guard.
+    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    fs.create(marker, true).close()
     swapIntoPlace(fs, path, tmp, "assigned")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(marker, false)
   }
 
   private def swapIntoPlace(
@@ -362,13 +475,22 @@ object Similarity {
     // cross-rename atomicity exists on a filesystem, so a marker file
     // brackets the window: readers fail loud on a half-swapped index
     // instead of answering wrong.
+    // The marker must bracket the ENTIRE inconsistency window — both
+    // renames AND the segment cleanup: the swapped-in assigned table
+    // already contains every segment row, so a crash after the swaps
+    // but before the segments/ delete would otherwise serve every
+    // appended vector TWICE (base ∪ still-live segments) with the
+    // fail-loud marker already gone. Recovery from a marker left
+    // behind: the *_old copies (if present) are the pre-retrain
+    // tables; otherwise the swapped tables are complete and
+    // segments/, compact_tmp/ and the marker can simply be deleted.
     val marker = new org.apache.hadoop.fs.Path(s"$path/retrain_pending")
     fs.create(marker, true).close()
     swapIntoPlace(fs, path, tmp, "assigned")
     swapIntoPlace(fs, path, tmp, "centroids")
-    fs.delete(marker, false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(marker, false)
   }
 
   /** Surgical deletion from an on-disk IVF index — the

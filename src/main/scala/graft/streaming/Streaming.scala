@@ -596,15 +596,9 @@ object Streaming {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val centroids =
-            graft.sim.Similarity.readIvfCentroids(spark, indexPath)
-          require(centroids.nonEmpty,
-            s"ivfIngestSink: no centroids stored under $indexPath")
-          graft.sim.Similarity
-            .buildIvfWithCentroids(batch, idCol, vecCol, centroids)
-            .assigned.write.partitionBy("cell").mode("overwrite")
-            .parquet(f"$indexPath/segments/seg_b$batchId%05d/assigned")
+          graft.sim.Similarity.appendIvfSegment(
+            batch.sparkSession, indexPath, batch, idCol, vecCol,
+            segmentName = Some(f"seg_b$batchId%05d"))
         }
         ()
       }

@@ -36,6 +36,23 @@ class DedupIndexSpec extends SparkSpec {
   private val params = DedupIndex.Params(
     shingleSize = 1, numHashes = 64, bands = 16, seed = 42L)
 
+  test("Params.planned derives the pinned hash family from the " +
+    "threshold (the planner as the default entry)") {
+    // the hand-tuned (64 hashes, 16 bands) every oracle query pins is
+    // exactly what the recall-bounded planner derives at t = 0.9
+    DedupIndex.Params.planned(0.9, shingleSize = 1) shouldBe params
+    // planned params always satisfy the divisibility invariant and
+    // never miss more than the best achievable at that (n, t)
+    for (t <- Seq(0.5, 0.8, 0.95); n <- Seq(16, 64, 128)) {
+      val p = DedupIndex.Params.planned(t, numHashes = n)
+      p.numHashes % p.bands shouldBe 0
+      val bestMiss = graft.dedup.LshPlan.candidates(n, t).map(c =>
+        graft.dedup.LshPlan.missAtThreshold(c.bands, c.rowsPerBand, t)).min
+      graft.dedup.LshPlan.missAtThreshold(
+        p.bands, p.rowsPerBand, t) should be <= math.max(1e-6, bestMiss)
+    }
+  }
+
   test("in-memory index path equals the direct dedupAgainst path") {
     for (seed <- Seq(7, 21, 63)) {
       val (corpus, batch) = mkCorpusAndBatch(seed)
@@ -303,5 +320,60 @@ class DedupIndexSpec extends SparkSpec {
     // a later compact keeps the re-licensed doc live
     DedupIndex.compact(spark, path)
     dupOf(text5) shouldBe true
+  }
+
+  test("targeted purge: purge-then-append equals compact-then-append, " +
+    "unrelated tombstones keep masking, and purge is idempotent") {
+    val (corpus, batch) = mkCorpusAndBatch(61)
+    def freshIndex(): String = {
+      val p = Files.createTempDirectory("dedup_index_purge_").toString
+      DedupIndex.write(corpus, "doc_id", "text", p, params)
+      DedupIndex.delete(p, Seq(2L, 5L).toDF("doc_id"))
+      DedupIndex.delete(p, Seq(8L).toDF("doc_id"))
+      p
+    }
+    val doc5 = corpus.filter(col("doc_id") === 5L)
+    def survivors(p: String) =
+      DedupIndex.dedupAgainst(batch, DedupIndex.read(spark, p),
+        "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // path A: full compact, then re-append 5
+    val viaCompact = freshIndex()
+    DedupIndex.compact(spark, viaCompact)
+    DedupIndex.appendSegment(spark, viaCompact, doc5, "doc_id", "text")
+
+    // path B: targeted purge of JUST 5, then re-append 5
+    val viaPurge = freshIndex()
+    DedupIndex.purge(spark, viaPurge, Seq(5L).toDF("doc_id"))
+    // fence is lifted for 5...
+    DedupIndex.appendSegment(spark, viaPurge, doc5, "doc_id", "text")
+    // ...but still refuses the STILL-tombstoned ids (2, 8)
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendSegment(spark, viaPurge,
+        corpus.filter(col("doc_id") === 2L), "doc_id", "text")
+    }
+    survivors(viaPurge) shouldBe survivors(viaCompact)
+
+    // the purged id's stale rows are physically gone everywhere and
+    // the remaining tombstones still mask 2 and 8
+    val idx = DedupIndex.read(spark, viaPurge)
+    idx.exact.filter(col("corpus_id").isin(2L, 8L)).count() shouldBe 0L
+    idx.sets.filter(col("corpus_id").isin(2L, 8L)).count() shouldBe 0L
+    // re-appended 5 is live (exactly its new segment rows)
+    idx.exact.filter(col("corpus_id") === 5L).count() shouldBe 1L
+
+    // purging an id that is NOT tombstoned is a no-op (never deletes
+    // live rows), and re-running a purge is idempotent
+    val before = idx.exact.count()
+    DedupIndex.purge(spark, viaPurge, Seq(1L).toDF("doc_id"))
+    DedupIndex.purge(spark, viaPurge, Seq(5L).toDF("doc_id"))
+    DedupIndex.read(spark, viaPurge).exact.count() shouldBe before
+    // purging the LAST tombstones drops the directory entirely
+    DedupIndex.purge(spark, viaPurge, Seq(2L, 8L).toDF("doc_id"))
+    new java.io.File(s"$viaPurge/tombstones").exists() shouldBe false
+    // and a final compact agrees with the compact-path index
+    DedupIndex.compact(spark, viaPurge)
+    survivors(viaPurge) shouldBe survivors(viaCompact)
   }
 }

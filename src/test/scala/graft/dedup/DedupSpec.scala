@@ -96,6 +96,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDuplicatesPlanned equals nearDuplicates at the planner's " +
+    "derived banding") {
+    val rng = new Random(13)
+    def randomDoc() = (1 to 40).map(_ => s"tok${rng.nextInt(300)}").mkString(" ")
+    val docs = (1L to 40L).map(i => (i, randomDoc())) ++
+      Seq((900L, "planted stable text here"), (901L, "planted stable text here"))
+    val df = docs.toDF("doc_id", "text")
+    val (plannedBands, _) =
+      LshPlan.planRecallBounded(64, 0.9)
+    plannedBands shouldBe 16
+    def collectPairs(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val planned = collectPairs(Dedup.nearDuplicatesPlanned(
+      df, "doc_id", "text", threshold = 0.9, shingleSize = 1))
+    val tuned = collectPairs(Dedup.nearDuplicates(
+      df, "doc_id", "text", shingleSize = 1, numHashes = 64,
+      bands = plannedBands, threshold = 0.9))
+    planned shouldBe tuned
+    planned.map(p => (p._1, p._2)) should contain((900L, 901L))
+  }
+
   test("jaccard column expression") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     df.select(Dedup.jaccard(col("x"), col("y"))).collect().head.getDouble(0) shouldBe 0.5

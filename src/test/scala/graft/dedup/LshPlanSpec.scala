@@ -44,4 +44,40 @@ class LshPlanSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy LshPlan.plan(64, 0.0)
     an[IllegalArgumentException] should be thrownBy LshPlan.plan(64, 1.0)
   }
+
+  test("planRecallBounded: every pick satisfies the miss bound, has " +
+    "minimal FP mass among those that do, and (64, 0.9) derives the " +
+    "hand-tuned (16, 4)") {
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9, 0.95); n <- Seq(16, 64, 128)) {
+      val (b, r) = LshPlan.planRecallBounded(n, t)
+      b * r shouldBe n
+      val miss = LshPlan.missAtThreshold(b, r, t)
+      val cs = LshPlan.candidates(n, t)
+      val eligible = cs.filter(c =>
+        LshPlan.missAtThreshold(c.bands, c.rowsPerBand, t) <= 1e-6)
+      if (eligible.nonEmpty) {
+        // bound satisfied, minimal fp among those that satisfy it
+        miss should be <= 1e-6
+        cs.find(_.bands == b).get.fpQ shouldBe eligible.map(_.fpQ).min
+      } else {
+        // bound unsatisfiable at this (n, t) — e.g. 16 hashes at
+        // t = 0.5 bottom out at (1−t)^16 ≈ 1.5e-5 — fall back to the
+        // maximum-recall candidate
+        miss shouldBe cs.map(c =>
+          LshPlan.missAtThreshold(c.bands, c.rowsPerBand, t)).min
+      }
+    }
+    // the pipelines' pinned setting is DERIVED, not hand-tuned, now
+    LshPlan.planRecallBounded(64, 0.9) shouldBe ((16, 4))
+    // a tighter bound can only raise the band count (more recall)
+    LshPlan.planRecallBounded(64, 0.9, maxMiss = 1e-12)._1 should be >= 16
+  }
+
+  test("missAtThreshold is the linear-fold (1 - t^r)^b") {
+    LshPlan.missAtThreshold(1, 1, 0.9) shouldBe (1.0 - 0.9) +- 1e-15
+    val m = LshPlan.missAtThreshold(16, 4, 0.9)
+    // 0.9^4 = 0.6561 exactly in IEEE; (1 - 0.6561)^16
+    m shouldBe math.pow(1.0 - 0.6561, 16) +- 1e-12
+    m should be < 1e-6
+  }
 }

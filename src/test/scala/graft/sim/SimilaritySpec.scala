@@ -284,6 +284,61 @@ class SimilaritySpec extends SparkSpec {
       .assigned.filter(col("vec_id") === data.head._1).count() shouldBe 0L
   }
 
+  test("appendIvfSegment is the batch twin of the streaming ingest " +
+    "segment, and ivfStats reads out the exact maintenance state") {
+    val data = corpus(90, 8, seed = 29)
+    val (basePart, rest) = data.splitAt(60)
+    val base = Similarity.buildIvf(
+      basePart.toDF("vec_id", "embedding"), "vec_id", "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stats").toString + "/idx"
+    Similarity.writeIvfIndex(base, dir)
+    // fresh index: no segments, everything in the base
+    def stats() = Similarity.ivfStats(spark, dir, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s0 = stats()
+    s0("base_rows") shouldBe 60L
+    s0("segment_rows") shouldBe 0L
+    s0("segments_pending") shouldBe 0L
+    s0("n_cells") shouldBe 4L
+    // two appended segments: auto-increment names, served union
+    rest.grouped(15).foreach { b =>
+      Similarity.appendIvfSegment(spark, dir,
+        b.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    new java.io.File(s"$dir/segments/seg0000").exists() shouldBe true
+    new java.io.File(s"$dir/segments/seg0001").exists() shouldBe true
+    val s1 = stats()
+    s1("base_rows") shouldBe 60L
+    s1("segment_rows") shouldBe 30L
+    s1("segments_pending") shouldBe 2L
+    // histogram invariants: extremes bracket the mean, totals add up,
+    // and the skew ratio is the exact integer formula
+    val rebuilt = Similarity.buildIvfWithCentroids(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      base.centroids)
+    val hist = rebuilt.assigned.groupBy("cell").count()
+      .collect().map(r => r.getLong(1))
+    s1("max_cell_rows") shouldBe hist.max
+    s1("min_cell_rows") shouldBe (if (hist.length < 4) 0L else hist.min)
+    s1("empty_cells") shouldBe (4L - hist.length)
+    s1("skew_x100") shouldBe 100L * hist.max * 4L / 90L
+    // a named segment overwrites itself (replay safety), not appends
+    Similarity.appendIvfSegment(spark, dir,
+      rest.take(15).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      segmentName = Some("seg_b00099"))
+    Similarity.appendIvfSegment(spark, dir,
+      rest.take(15).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      segmentName = Some("seg_b00099"))
+    stats()("segment_rows") shouldBe 45L
+    stats()("segments_pending") shouldBe 3L
+    // compact folds everything back: stats return to a clean base
+    Similarity.compactIvfIndex(spark, dir)
+    val s2 = stats()
+    s2("segments_pending") shouldBe 0L
+    s2("segment_rows") shouldBe 0L
+    s2("base_rows") shouldBe 105L // 90 + the replayed 15 duplicates
+  }
+
   test("ivf scans fewer rows than the corpus") {
     val data = corpus(100, 8, seed = 9)
     val df = data.toDF("vec_id", "embedding")
