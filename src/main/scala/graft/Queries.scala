@@ -12820,7 +12820,206 @@ object Queries {
             SELECT MIN(fp_q) FROM fin WHERE eligible))
         SELECT bands, rows_per_band, fp_q, miss_q, eligible,
           (fin.bands = sel.mb) AS chosen
-        FROM fin, sel ORDER BY bands"""))
+        FROM fin, sel ORDER BY bands""")),
+
+    // Substring-index tombstone lifecycle
+    // (dedup/SubstringDedup.deleteFromFingerprintIndex / purge /
+    // appendToFingerprintIndex fence) — q248/q252's discipline at
+    // SUBSTRING granularity, where a takedown must stop serving the
+    // deleted doc's positions/snippets without re-winnowing the
+    // corpus. Lifecycle run: delete [150,300) → fence provably
+    // refuses re-ingesting [150,200) → purge exactly [150,200) →
+    // re-append [150,200) → serve the batch (≥ 300) through
+    // matchesAgainstIndex. Served matches must equal q171's oracle
+    // with the corpus side restricted to doc_id < 200 — the df cap
+    // (50) provably never binds on this corpus (measured max df 13 at
+    // every SF), so stored-capped-minus-deleted ≡
+    // rebuild-without-deleted and the closure oracle is exact.
+    // Discriminative three ways: <150 (purge dropped too much /
+    // append failed) and <300 ([200,300) tombstones stopped masking).
+    GraftQuery(
+      "q256_substring_index_delete",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q256_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(substrIndexFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        val relicensed = docs
+          .filter(col("doc_id") >= 150 && col("doc_id") < 200)
+        graft.dedup.SubstringDedup.deleteFromFingerprintIndex(idxPath,
+          docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+            .select(col("doc_id")))
+        val fenced =
+          try {
+            graft.dedup.SubstringDedup.appendToFingerprintIndex(
+              s, idxPath, relicensed, "doc_id", "text")
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(fenced,
+          "q256: appendToFingerprintIndex accepted tombstoned ids " +
+            "without a purge")
+        graft.dedup.SubstringDedup.purgeFingerprintIndex(s, idxPath,
+          relicensed.select(col("doc_id")))
+        graft.dedup.SubstringDedup.appendToFingerprintIndex(
+          s, idxPath, relicensed, "doc_id", "text")
+        graft.dedup.SubstringDedup.matchesAgainstIndex(
+          s, idxPath, docs.filter(col("doc_id") >= 300),
+          "doc_id", "text")
+          .orderBy(col("batch_id"), col("corpus_id"), col("pos_b"),
+            col("pos_c"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id < 300 THEN 0 ELSE 1 END AS side,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+            AND (doc_id < 200 OR doc_id >= 300)
+        ),
+        h AS (
+          SELECT doc_id, side, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, side, t,
+            unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, side, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id, side, t,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, side, t, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, side, t, hash, p FROM (
+            SELECT doc_id, side, t, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp AS (
+          SELECT doc_id, side, hash, p,
+            substr(t, CAST(p AS INTEGER), 16) AS snippet
+          FROM sel
+          UNION ALL
+          SELECT doc_id, side, hash, p, substr(t, CAST(p AS INTEGER), 16)
+          FROM shortd
+        ),
+        rare AS (
+          SELECT side, hash FROM fp GROUP BY side, hash
+          HAVING COUNT(DISTINCT doc_id) <= 50
+        ),
+        fpc AS (SELECT fp.* FROM fp JOIN rare USING (side, hash))
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               CAST(b.p - 1 AS INTEGER) AS pos_b,
+               CAST(c.p - 1 AS INTEGER) AS pos_c,
+               b.snippet
+        FROM fpc b JOIN fpc c
+          ON b.hash = c.hash AND b.snippet = c.snippet
+          AND b.side = 1 AND c.side = 0
+        ORDER BY batch_id, corpus_id, pos_b, pos_c""")),
+
+    // Substring-index OPERATIONAL STATS
+    // (dedup/SubstringDedup.fingerprintIndexStats) — the q251/q253
+    // readout for the third index family: segments a read unions,
+    // tombstones pending physical purge, live (tombstone-excluded)
+    // fingerprint rows and distinct documents. Fixture: base (< 300)
+    // + one appended segment ([300, 350)) + a tombstone batch
+    // ([0, 100)); DuckDB recomputes the live counts by replaying the
+    // winnowing chain over exactly the live docs (cap never binds:
+    // measured max df 13 ≤ 50 at every SF).
+    GraftQuery(
+      "q257_substring_index_stats",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q257_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(substrIndexFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.SubstringDedup.appendToFingerprintIndex(s, idxPath,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+          "doc_id", "text")
+        graft.dedup.SubstringDedup.deleteFromFingerprintIndex(idxPath,
+          docs.filter(col("doc_id") < 100).select(col("doc_id")))
+        graft.dedup.SubstringDedup.fingerprintIndexStats(s, idxPath)
+          .orderBy(col("stat"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+            AND doc_id >= 100 AND doc_id < 350
+        ),
+        h AS (
+          SELECT doc_id, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t,
+            unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, hash, p FROM (
+            SELECT doc_id, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp AS (
+          SELECT doc_id, hash, p FROM sel
+          UNION ALL SELECT doc_id, hash, p FROM shortd
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS rows_,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_
+          FROM fp)
+        SELECT stat, value FROM (
+          SELECT 'distinct_docs' AS stat, docs_ AS value FROM agg
+          UNION ALL SELECT 'fingerprint_rows', rows_ FROM agg
+          UNION ALL SELECT 'segments_pending', CAST(1 AS BIGINT)
+          UNION ALL SELECT 'tombstones_pending', CAST((
+            SELECT COUNT(*) FROM documents
+            WHERE NOT regexp_matches(text, '[^ -~]') AND doc_id < 100)
+            AS BIGINT))
+        ORDER BY stat"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -247,6 +247,22 @@ object SubstringDedup {
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
     val next = if (!fs.exists(segBase)) 0
       else fs.listStatus(segBase).map(_.getPath.getName.toInt).foldLeft(-1)(_ max _) + 1
+    // tombstone fence — the [[DedupIndex.appendSegment]] contract at
+    // substring granularity: re-ingesting a tombstoned id before its
+    // stale fingerprint rows are physically purged is refused (clearing
+    // the tombstone would un-mask positions/snippets of text that no
+    // longer exists). Re-licensing flow: delete → purge or compact →
+    // append. One bounded semi-join, checked BEFORE the segment lands.
+    tombstones(spark, path).foreach { t =>
+      val clash = t.join(
+        newDocs.select(col(idCol).as("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"appendToFingerprintIndex: batch re-ingests tombstoned ids " +
+          s"at $path — purge those ids or run " +
+          "compactFingerprintIndex first, then append")
+    }
     val fp = fingerprints(newDocs, idCol, textCol, k, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -261,6 +277,112 @@ object SubstringDedup {
     } finally fp.unpersist()
   }
 
+  /** Delete documents from an on-disk fingerprint index by id — the
+    * takedown event at substring granularity, same LSM tombstone
+    * discipline as [[DedupIndex.delete]]: ids land as one batch-sized
+    * parquet append under `tombstones/`, reads exclusion-filter the
+    * id-carrying fingerprint table (one anti-join against the
+    * tombstone-sized table), [[compactFingerprintIndex]] folds the
+    * purge in physically and clears them, and [[purgeFingerprintIndex]]
+    * is the targeted alternative. Honest cap semantics: the write-time
+    * `maxDocFreq` cap DROPPED hot hashes from disk, so neither delete
+    * nor compact can resurrect a hash whose document frequency falls
+    * back under the cap once deleted docs are gone — rebuild for that
+    * (the same one-way trade every capped table in this package
+    * documents). When the cap never bound, delete-then-match equals
+    * match-against-rebuilt-without-deleted (q256 pins it, pre AND post
+    * compact).
+    */
+  def deleteFromFingerprintIndex(path: String, ids: DataFrame): Unit = {
+    ids.select(col(ids.columns.head).as("corpus_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def fingerprintRoots(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    val segs = if (!fs.exists(segBase)) Nil
+      else fs.listStatus(segBase).toSeq.map(_.getPath.toString)
+        .sortBy(_.split('/').last.toInt)
+    path +: segs
+  }
+
+  /** Targeted physical purge of pending tombstones —
+    * [[DedupIndex.purge]] at substring granularity: rewrite ONLY the
+    * fingerprint table of each root with the purged ids anti-joined
+    * out (filter-only scan+write, no df re-aggregation, segments stay
+    * segmented), then clear exactly those ids from the tombstone
+    * table. Ids in `ids` that are not tombstoned are ignored (purging
+    * a live id would be an undeletable takedown bypass). Crash-safe
+    * without a marker: tombstones clear LAST, so partial states still
+    * mask and re-running is idempotent; each rewrite swaps in via
+    * [[graft.core.FsSwap]].
+    */
+  def purgeFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    val tombOpt = tombstones(spark, path)
+    if (tombOpt.isEmpty) return
+    val tomb = tombOpt.get
+    val requested = ids.select(col(ids.columns.head).as("corpus_id")).distinct()
+    val purged = tomb.join(requested, Seq("corpus_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (purged.isEmpty) return
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (root <- fingerprintRoots(spark, path)) {
+        val tmp = s"$root/purge_tmp"
+        spark.read.parquet(s"$root/fingerprints")
+          .join(purged, Seq("corpus_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$tmp/fingerprints")
+        graft.core.FsSwap.swapIntoPlace(fs, root, tmp, "fingerprints")
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val remaining = tomb.join(purged, Seq("corpus_id"), "left_anti")
+      if (remaining.isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      else {
+        val tmp = s"$path/purge_tmp"
+        remaining.write.mode("overwrite").parquet(s"$tmp/tombstones")
+        graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "tombstones")
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+    } finally purged.unpersist()
+  }
+
+  /** Operational stats — [[DedupIndex.stats]] for the substring index:
+    * segments a read unions, tombstones pending physical purge, live
+    * (tombstone-excluded) fingerprint rows and distinct documents.
+    * One count + one distinct aggregate over the served table; q257
+    * pins every number against DuckDB replaying the winnowing chain.
+    */
+  def fingerprintIndexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val served = storedFingerprints(spark, path)
+    val nSegments = (fingerprintRoots(spark, path).size - 1).toLong
+    val nTombstones =
+      tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
+    Seq(
+      ("distinct_docs", served.select(col("corpus_id")).distinct().count()),
+      ("fingerprint_rows", served.count()),
+      ("segments_pending", nSegments),
+      ("tombstones_pending", nTombstones))
+      .toDF("stat", "value")
+  }
+
   /** Merge segments into the base at DERIVED-table cost: the stored
     * fingerprints union and re-cap GLOBALLY on document frequency —
     * the corpus text is never re-read. Write-to-temp-then-rename; meta
@@ -271,21 +393,32 @@ object SubstringDedup {
     val (_, _, cap) = readMeta(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments"))) return
+    val tomb = tombstones(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments"))
+      && tomb.isEmpty) return
+    // storedFingerprints already applies the tombstone exclusion, so
+    // pending deletes fold in physically here and the table clears
     val all = storedFingerprints(spark, path)
     val rare = all.groupBy(col("hash"))
       .agg(countDistinct(col("corpus_id")).as("__df"))
       .filter(col("__df") <= cap).select("hash")
+    val tmp = s"$path/compact_tmp"
     all.join(rare, Seq("hash"))
       .select(col("corpus_id"), col("hash"), col("pos"), col("snippet"))
-      .write.mode("overwrite").parquet(s"$path/compact_tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/fingerprints")
-    fs.delete(dst, true)
-    require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$path/compact_tmp"), dst),
-      s"compactFingerprintIndex: rename into place failed — index at " +
-        s"$path left with compact_tmp for manual recovery")
+      .write.mode("overwrite").parquet(s"$tmp/fingerprints")
+    // FsSwap (never delete-then-rename: a crash between the two would
+    // leave ZERO live copies) + a marker bracketing swap THROUGH the
+    // cleanup, the family discipline — a crash after the swap but
+    // before the segments/ delete would otherwise serve every segment
+    // row twice. Reader guard + recovery documented on
+    // [[storedFingerprints]].
+    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    fs.create(marker, true).close()
+    graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "fingerprints")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(marker, false)
   }
 
   private def readMeta(
@@ -299,14 +432,32 @@ object SubstringDedup {
 
   private def storedFingerprints(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a compaction crashed after its swap but before the segments/
+    // cleanup would union already-merged rows with their still-live
+    // segment copies — fail loud. Recovery: if fingerprints_old
+    // exists, finish the FsSwap recovery first; otherwise the swapped
+    // table is complete — delete segments/, tombstones/, compact_tmp/
+    // and the marker.
+    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"substring index at $path is mid-compaction (compact_pending " +
+        "marker present) — a crashed compactFingerprintIndex may have " +
+        "left segment rows both merged and live under segments/; " +
+        "delete segments/, tombstones/ and compact_tmp/ (the swapped " +
+        "table is complete), then remove the marker")
     val base = spark.read.parquet(s"$path/fingerprints")
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
-    if (!fs.exists(segBase)) base
-    else fs.listStatus(segBase).map(_.getPath.toString)
-      .foldLeft(base)((acc, seg) =>
-        acc.unionByName(spark.read.parquet(s"$seg/fingerprints")))
+    val unioned =
+      if (!fs.exists(segBase)) base
+      else fs.listStatus(segBase).map(_.getPath.toString)
+        .foldLeft(base)((acc, seg) =>
+          acc.unionByName(spark.read.parquet(s"$seg/fingerprints")))
+    // pending deletes exclusion-filter the served rows (one anti-join
+    // against the tombstone-sized table) until compact/purge folds
+    // them in physically
+    tombstones(spark, path)
+      .fold(unioned)(t => unioned.join(t, Seq("corpus_id"), "left_anti"))
   }
 
   /** Verified batch×corpus substring matches served from the index:

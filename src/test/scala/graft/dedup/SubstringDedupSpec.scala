@@ -352,6 +352,90 @@ class SubstringDedupSpec extends SparkSpec {
     new java.io.File(s"$path/segments").exists() shouldBe false
   }
 
+  test("tombstone lifecycle: delete masks at read, fence refuses " +
+    "re-ingest, purge/compact unlock, answers equal rebuild-without-" +
+    "deleted when caps never bind") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a second corpus document sharing nothing with others"),
+      (3L, "third document with its own completely distinct span"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "prefix the quick brown fox jumps over the lazy dog tonight x"),
+      (11L, "also a second corpus document sharing nothing with others y"))
+      .toDF("id", "text")
+    def build(c: org.apache.spark.sql.DataFrame): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("substr_idx_del_").toString
+      SubstringDedup.writeFingerprintIndex(
+        c, "id", "text", p, k = 8, window = 8, maxDocFreq = 10L)
+      p
+    }
+    def matches(p: String) = SubstringDedup.matchesAgainstIndex(
+      spark, p, batch, "id", "text")
+      .select($"batch_id", $"corpus_id", $"pos_b", $"pos_c", $"snippet")
+      .collect().toSet
+
+    val path = build(corpus)
+    val rebuilt = build(corpus.filter($"id" =!= 1L))
+    // delete doc 1: served matches equal the rebuild without it
+    SubstringDedup.deleteFromFingerprintIndex(path, Seq(1L).toDF("id"))
+    matches(path) shouldBe matches(rebuilt)
+    matches(path).map(_.getLong(1)) should not contain 1L
+    // the fence refuses re-ingesting the tombstoned id...
+    val err = intercept[IllegalArgumentException] {
+      SubstringDedup.appendToFingerprintIndex(spark, path,
+        corpus.filter($"id" === 1L), "id", "text")
+    }
+    err.getMessage should include("tombstoned")
+    // ...but fresh ids still append with deletes pending
+    SubstringDedup.appendToFingerprintIndex(spark, path,
+      Seq((4L, "a fresh fourth generation document lands fine")).toDF("id", "text"),
+      "id", "text")
+    // targeted purge clears the tombstone and the append succeeds;
+    // the re-licensed doc serves again
+    SubstringDedup.purgeFingerprintIndex(spark, path, Seq(1L).toDF("id"))
+    new java.io.File(s"$path/tombstones").exists() shouldBe false
+    SubstringDedup.appendToFingerprintIndex(spark, path,
+      corpus.filter($"id" === 1L), "id", "text")
+    matches(path) shouldBe matches(build(corpus.unionByName(
+      Seq((4L, "a fresh fourth generation document lands fine"))
+        .toDF("id", "text"))))
+    // stats read out the maintenance state exactly
+    val s1 = SubstringDedup.fingerprintIndexStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    s1("segments_pending") shouldBe 2L // fresh doc 4 + re-licensed doc 1
+    s1("tombstones_pending") shouldBe 0L
+    s1("distinct_docs") shouldBe 4L
+    // delete again and let COMPACT fold the purge physically
+    SubstringDedup.deleteFromFingerprintIndex(path, Seq(2L).toDF("id"))
+    val s2 = SubstringDedup.fingerprintIndexStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    s2("tombstones_pending") shouldBe 1L
+    s2("distinct_docs") shouldBe 3L // live view excludes the pending delete
+    SubstringDedup.compactFingerprintIndex(spark, path)
+    new java.io.File(s"$path/tombstones").exists() shouldBe false
+    new java.io.File(s"$path/segments").exists() shouldBe false
+    matches(path).map(_.getLong(1)) should not contain 2L
+    // physically gone, not just masked
+    spark.read.parquet(s"$path/fingerprints")
+      .filter($"corpus_id" === 2L).count() shouldBe 0L
+    // purge of a non-tombstoned id is a no-op (never deletes live rows)
+    val before = spark.read.parquet(s"$path/fingerprints").count()
+    SubstringDedup.deleteFromFingerprintIndex(path, Seq(3L).toDF("id"))
+    SubstringDedup.purgeFingerprintIndex(spark, path, Seq(1L).toDF("id"))
+    spark.read.parquet(s"$path/fingerprints").count() shouldBe before
+    // the compact_pending marker gates reads with documented recovery
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/compact_pending"),
+      true).close()
+    intercept[IllegalArgumentException] { matches(path) }
+      .getMessage should include("mid-compaction")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/compact_pending"), false)
+    matches(path).map(_.getLong(1)) should not contain 3L // tombstone still pending
+  }
+
   test("compaction enforces the GLOBAL df cap across segments") {
     val boiler = "shared boilerplate sentence across generations"
     val path = java.nio.file.Files
