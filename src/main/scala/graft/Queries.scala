@@ -12715,6 +12715,7 @@ object Queries {
                WHERE vec_id >= 300 AND vec_id < 350)
         SELECT stat, value FROM (
           SELECT 'base_rows' AS stat, br.v AS value FROM br
+          UNION ALL SELECT 'deleted_since_retrain', CAST(0 AS BIGINT)
           UNION ALL SELECT 'empty_cells', ec FROM agg
           UNION ALL SELECT 'max_cell_rows', mx FROM agg
           UNION ALL SELECT 'min_cell_rows', mn FROM agg
@@ -13019,6 +13020,77 @@ object Queries {
             SELECT COUNT(*) FROM documents
             WHERE NOT regexp_matches(text, '[^ -~]') AND doc_id < 100)
             AS BIGINT))
+        ORDER BY stat""")),
+
+    // IVF deleted-mass journal (sim/Similarity.removeFromIvfIndex →
+    // ivfStats.deleted_since_retrain) — the erasure-side staleness
+    // signal the round-13 verdict asked ivfStats to carry: centroids
+    // were fit to a corpus that included the deleted vectors, so
+    // accumulated deletions lopside day-0 cells exactly like drifted
+    // appends, and the retrain decision needs BOTH numbers. Two
+    // surgical removals (vec_id % 9 == 0, then % 7 == 3 — the second
+    // overlaps the first, and the journal must count only rows
+    // ACTUALLY deleted, not requested) accumulate in the journal;
+    // every other stat reflects the survivor corpus. DuckDB replays
+    // the assignment over the survivors and both deletion counts.
+    GraftQuery(
+      "q258_ivf_deleted_mass",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q258_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(idxPath))
+        graft.sim.Similarity.removeFromIvfIndex(s, idxPath,
+          emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+            .select(col("vec_id")), "vec_id")
+        graft.sim.Similarity.removeFromIvfIndex(s, idxPath,
+          emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+            .select(col("vec_id")), "vec_id")
+        graft.sim.Similarity.ivfStats(s, idxPath, "vec_id", "embedding")
+          .orderBy(col("stat"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300
+                AND vec_id % 9 <> 0 AND vec_id % 7 <> 3),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        agg AS (
+          SELECT MAX(n) AS mx, MIN(n) AS mn,
+            CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+            CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM hist),
+        delmass AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS v FROM embeddings
+          WHERE vec_id < 300
+            AND (vec_id % 9 = 0 OR vec_id % 7 = 3))
+        SELECT stat, value FROM (
+          SELECT 'base_rows' AS stat, tot AS value FROM agg
+          UNION ALL SELECT 'deleted_since_retrain', v FROM delmass
+          UNION ALL SELECT 'empty_cells', ec FROM agg
+          UNION ALL SELECT 'max_cell_rows', mx FROM agg
+          UNION ALL SELECT 'min_cell_rows', mn FROM agg
+          UNION ALL SELECT 'n_cells', k FROM agg
+          UNION ALL SELECT 'segment_rows', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM agg)
         ORDER BY stat"""))
   )
 

@@ -332,7 +332,12 @@ object Similarity {
     *     the hottest cell as a percentage of the perfectly-balanced
     *     mean (100 = balanced; 1600 on a 16-cell index = one cell
     *     holds everything). High skew means probes ranked into the hot
-    *     cell scan far more than corpus/nCells rows — retrain.
+    *     cell scan far more than corpus/nCells rows — retrain;
+    *   - `deleted_since_retrain` — the erasure-side staleness signal:
+    *     total vectors [[removeFromIvfIndex]] has journaled since the
+    *     centroids were last fit (deletions lopside day-0 cells the
+    *     same way drifted appends do); reset by
+    *     [[compactIvfIndexWithRetrain]].
     *
     * Cost: one count per root table plus ONE histogram aggregation
     * (nCells rows — never a row-level shuffle); the driver-side fold
@@ -359,6 +364,7 @@ object Similarity {
     val skew = if (total == 0L) 0L else 100L * maxCell * nCells / total
     Seq(
       ("base_rows", baseRows),
+      ("deleted_since_retrain", deletedSinceRetrain(spark, path)),
       ("empty_cells", perCell.count(_ == 0L).toLong),
       ("max_cell_rows", maxCell),
       ("min_cell_rows", if (perCell.isEmpty) 0L else perCell.min),
@@ -489,6 +495,9 @@ object Similarity {
     swapIntoPlace(fs, path, tmp, "assigned")
     swapIntoPlace(fs, path, tmp, "centroids")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    // the retrained centroids reflect the post-delete corpus — reset
+    // the deleted-mass staleness journal [[ivfStats]] reads
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletions"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.delete(marker, false)
   }
@@ -529,6 +538,16 @@ object Similarity {
     val emptied = affected.toSet --
       survivors.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet // bounded: <= nCells
+    // deleted mass journal — the staleness signal [[ivfStats]] reads
+    // out as `deleted_since_retrain`: centroids were fit to a corpus
+    // that included these vectors, so accumulated deletions (like
+    // accumulated drifted appends) lopside the cells the day-0 fit
+    // chose. One partition-pruned count, one 1-row parquet append;
+    // [[compactIvfIndexWithRetrain]] resets it (the retrained
+    // centroids reflect the post-delete corpus).
+    val nDeleted = assigned
+      .filter(col("cell").isin(affected.toSeq: _*))
+      .join(del, Seq(idCol), "left_semi").count()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try survivors.write.partitionBy("cell").mode("overwrite")
@@ -544,6 +563,22 @@ object Similarity {
     emptied.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c"), true)
     }
+    import spark.implicits._
+    Seq(nDeleted).toDF("n")
+      .repartition(1).write.mode("append").parquet(s"$path/deletions")
+  }
+
+  /** Total vectors deleted since the last retrain (0 when none) — the
+    * journal [[removeFromIvfIndex]] appends and
+    * [[compactIvfIndexWithRetrain]] resets.
+    */
+  private def deletedSinceRetrain(
+      spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deletions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else spark.read.parquet(p.toString)
+      .agg(sum(col("n"))).head.getLong(0)
   }
 
   /** Probe the `nProbe` cells nearest to each query and run exact top-k

@@ -339,6 +339,39 @@ class SimilaritySpec extends SparkSpec {
     s2("base_rows") shouldBe 105L // 90 + the replayed 15 duplicates
   }
 
+  test("deleted-mass journal: removals accumulate in ivfStats and a " +
+    "retrain-compact resets the signal") {
+    val data = corpus(60, 8, seed = 31)
+    val base = Similarity.buildIvf(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delmass").toString + "/idx"
+    Similarity.writeIvfIndex(base, dir)
+    def stat(k: String) = Similarity
+      .ivfStats(spark, dir, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap.apply(k)
+    stat("deleted_since_retrain") shouldBe 0L
+    // two removals accumulate; the second's overlap with the first
+    // must not double-count (journal records rows ACTUALLY deleted)
+    Similarity.removeFromIvfIndex(spark, dir,
+      data.map(_._1).filter(_ % 6 == 0).toDF("vec_id"), "vec_id")
+    stat("deleted_since_retrain") shouldBe
+      data.map(_._1).count(_ % 6 == 0).toLong
+    Similarity.removeFromIvfIndex(spark, dir,
+      data.map(_._1).filter(_ % 4 == 0).toDF("vec_id"), "vec_id")
+    val expect = data.map(_._1).count(i => i % 6 == 0 || i % 4 == 0).toLong
+    stat("deleted_since_retrain") shouldBe expect
+    stat("base_rows") shouldBe (60L - expect)
+    // removing already-gone ids journals nothing
+    Similarity.removeFromIvfIndex(spark, dir,
+      data.map(_._1).filter(_ % 6 == 0).toDF("vec_id"), "vec_id")
+    stat("deleted_since_retrain") shouldBe expect
+    // the retrain reflects the post-delete corpus: journal resets
+    Similarity.compactIvfIndexWithRetrain(spark, dir,
+      "vec_id", "embedding", iters = 2)
+    stat("deleted_since_retrain") shouldBe 0L
+    stat("base_rows") shouldBe (60L - expect)
+  }
+
   test("ivf scans fewer rows than the corpus") {
     val data = corpus(100, 8, seed = 9)
     val df = data.toDF("vec_id", "embedding")
