@@ -102,6 +102,44 @@ class DedupIngestSinkSpec extends SparkSpec {
       Seq("seg_b00000", "seg_b00001", "seg_b00002")
   }
 
+  test("takedown before ingest: a streamed batch serves rebuild-" +
+    "without-deleted, and compact folds tombstones with the segments") {
+    // the round-13 delete composed with the round-12 streaming
+    // lifecycle: corpus doc 1 is taken down BEFORE the stream runs, so
+    // block-0's doc 10 — whose ONLY dedup cause was doc 1 — must now
+    // SURVIVE and join the index; everything downstream is unchanged
+    // (20 still near-dups block-0 survivor 11, 30 still exact-dups 21)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dis_del_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_dis_del_src_")
+    stage(src)
+    val indexPath = s"$base/index"
+    DedupIndex.write(corpusDocs.toDF("doc_id", "text"),
+      "doc_id", "text", indexPath,
+      DedupIndex.Params(shingleSize = 1, numHashes = 64, bands = 16))
+    DedupIndex.delete(indexPath, Seq(1L).toDF("doc_id"))
+
+    runSink(src.toString, indexPath, base, s"$base/ckpt")
+    spark.read.parquet(s"$base/survivors")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet shouldBe
+      Set(10L, 11L, 21L, 31L)
+
+    // one compact folds BOTH the pending tombstone and the stream's
+    // segments; the served index equals a rebuild over the live set
+    DedupIndex.compact(spark, indexPath)
+    new java.io.File(s"$indexPath/tombstones").exists() shouldBe false
+    new java.io.File(s"$indexPath/segments").exists() shouldBe false
+    val probe = Seq(
+      (90L, "alpha beta gamma delta epsilon zeta"), // dup of streamed 10
+      (91L, "one two three four five six seven"),   // dup of corpus 2
+      (92L, "fresh never seen before text"))
+      .toDF("doc_id", "text")
+    DedupIndex.dedupAgainst(probe, DedupIndex.read(spark, indexPath),
+      "doc_id", "text", 0.8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet shouldBe
+      Set(92L)
+  }
+
   test("read with excludeSegments hides exactly the named segment") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_dis_ex_").toString
