@@ -141,4 +141,97 @@ object LshPlan {
         (missAtThreshold(c.bands, c.rowsPerBand, threshold), -c.bands))
     (best.bands, best.rowsPerBand)
   }
+
+  // ---- sign-LSH (cosine / random-hyperplane) family ----------------
+  //
+  // The same S-curve machinery applied to the embedding paths
+  // (graft.sim.Similarity.embeddingNearDuplicates and friends): a
+  // random hyperplane splits a pair with cosine similarity `s` onto
+  // the same side with probability 1 − acos(s)/π (Charikar, STOC
+  // 2002), so banding `n = b·r` sign bits gives candidate probability
+  // 1 − (1 − pBit^r)^b with pBit = 1 − acos(s)/π — the MinHash
+  // integral with one extra map. Two contract differences:
+  //
+  //   - the similarity domain is [−1, 1], so the error integrals run
+  //     over 100 midpoints of THAT interval (anti-correlated pairs
+  //     carry real false-positive mass at small r and must be priced);
+  //   - pBit needs `acos`, a libm call the two engines may round a
+  //     final ulp apart — so pBit is QUANTIZED to ⌊pBit · 2^20⌋ / 2^20
+  //     before any fold. Every downstream operation is then IEEE
+  //     arithmetic on exactly-representable dyadic rationals, and an
+  //     engine mismatch requires acos to land within one ulp of a
+  //     2^-20 boundary (~1e-10 per evaluation — documented residual
+  //     risk, vs certain drift had `pow`/raw-acos flowed through).
+  //
+  // Calibration note: sign-LSH S-curves are far shallower than
+  // MinHash's (pBit(0.95) ≈ 0.90, not 0.95), so per-pair miss AT the
+  // threshold cannot reach 1e-6 without degenerate 1-bit bands;
+  // `maxMiss` defaults to 1e-3 here and callers state what they can
+  // tolerate. Same units, same selection rule, honest about the
+  // family's physics.
+
+  /** pBit(s) = 1 − acos(s)/π, quantized to 2^-20 (engine-replayable:
+    * `floor((1 - acos(s) / pi()) * 1048576) / 1048576` in SQL).
+    */
+  private[dedup] def pBitQ20(s: Double): Double =
+    math.floor((1.0 - math.acos(s) / math.Pi) * 1048576.0) / 1048576.0
+
+  /** All divisor pairs `(b, r)` of `numBits` with quantized FP/FN
+    * error masses for a COSINE threshold in (−1, 1) — [[candidates]]
+    * with the sign-bit collision map and [−1, 1] midpoints.
+    */
+  def cosineCandidates(numBits: Int, threshold: Double): Seq[Candidate] = {
+    require(numBits >= 1 && numBits <= 100000,
+      s"numBits must be in [1, 100000], got $numBits")
+    require(threshold > -1.0 && threshold < 1.0,
+      s"cosine threshold must be in (-1, 1), got $threshold")
+    val scale = (1L << 30).toDouble
+    for {
+      b <- 1 to numBits
+      if numBits % b == 0
+    } yield {
+      val r = numBits / b
+      var fp = 0L
+      var fn = 0L
+      var k = 0
+      while (k < 100) {
+        // midpoints of [−1, 1]: s_k = (2k + 1)/100 − 1
+        val s = (2 * k + 1).toDouble / 100.0 - 1.0
+        val p = 1.0 - powFold(1.0 - powFold(pBitQ20(s), r), b)
+        if (s < threshold) fp += math.floor(p * scale / 100.0).toLong
+        else fn += math.floor((1.0 - p) * scale / 100.0).toLong
+        k += 1
+      }
+      Candidate(b, r, fp, fn)
+    }
+  }
+
+  /** Per-pair miss probability at the cosine threshold itself:
+    * `(1 − pBit(t)^r)^b` on the quantized pBit.
+    */
+  def missAtThresholdCosine(
+      bands: Int, bitsPerBand: Int, threshold: Double): Double =
+    powFold(1.0 - powFold(pBitQ20(threshold), bitsPerBand), bands)
+
+  /** The recall-bounded sign-LSH plan `(bands, bitsPerBand)` for a
+    * cosine threshold — [[planRecallBounded]]'s selection rule
+    * (minimal quantized FP mass among pairs with miss ≤ `maxMiss` at
+    * the threshold, ties to more bands; max-recall fallback) with the
+    * cosine collision map. Consumed by
+    * [[graft.sim.Similarity.embeddingNearDuplicatesPlanned]] /
+    * `embeddingDedupAgainstPlanned`, which hand the pair to the
+    * existing tuned pipelines as (bands, bits).
+    */
+  def planRecallBoundedCosine(
+      numBits: Int, threshold: Double,
+      maxMiss: Double = 1e-3): (Int, Int) = {
+    val cands = cosineCandidates(numBits, threshold)
+    val eligible = cands.filter(c =>
+      missAtThresholdCosine(c.bands, c.rowsPerBand, threshold) <= maxMiss)
+    val best =
+      if (eligible.nonEmpty) eligible.minBy(c => (c.fpQ, -c.bands))
+      else cands.minBy(c =>
+        (missAtThresholdCosine(c.bands, c.rowsPerBand, threshold), -c.bands))
+    (best.bands, best.rowsPerBand)
+  }
 }

@@ -80,4 +80,54 @@ class LshPlanSpec extends AnyFunSuite with Matchers {
     m shouldBe math.pow(1.0 - 0.6561, 16) +- 1e-12
     m should be < 1e-6
   }
+
+  // ---- sign-LSH (cosine) family ------------------------------------
+
+  test("cosine candidates enumerate divisor pairs over the [-1, 1] " +
+    "domain and the pBit map is the quantized 1 - acos(s)/pi") {
+    val cs = LshPlan.cosineCandidates(48, 0.35)
+    cs.map(_.bands) shouldBe Seq(1, 2, 3, 4, 6, 8, 12, 16, 24, 48)
+    cs.foreach(c => c.bands * c.rowsPerBand shouldBe 48)
+    // quantization: exactly representable dyadic rational at 2^-20
+    val p = LshPlan.pBitQ20(0.35)
+    (p * 1048576.0) shouldBe math.floor(p * 1048576.0)
+    p shouldBe (1.0 - math.acos(0.35) / math.Pi) +- 1e-6
+    // orthogonal vectors collide per bit with probability ~1/2;
+    // opposite vectors never, identical always (up to quantization)
+    LshPlan.pBitQ20(0.0) shouldBe 0.5 +- 1e-6
+    LshPlan.pBitQ20(-0.999999) should be < 0.001
+    LshPlan.pBitQ20(0.999999) should be > 0.999
+  }
+
+  test("planRecallBoundedCosine: pick satisfies the miss bound with " +
+    "minimal FP mass, anti-correlated mass is priced, fallback on " +
+    "degenerate bounds") {
+    for (t <- Seq(0.35, 0.8, 0.95); n <- Seq(16, 48, 64);
+         mm <- Seq(1e-3, 0.05)) {
+      val (b, r) = LshPlan.planRecallBoundedCosine(n, t, mm)
+      b * r shouldBe n
+      val cs = LshPlan.cosineCandidates(n, t)
+      val eligible = cs.filter(c =>
+        LshPlan.missAtThresholdCosine(c.bands, c.rowsPerBand, t) <= mm)
+      if (eligible.nonEmpty) {
+        LshPlan.missAtThresholdCosine(b, r, t) should be <= mm
+        cs.find(_.bands == b).get.fpQ shouldBe eligible.map(_.fpQ).min
+      } else {
+        LshPlan.missAtThresholdCosine(b, r, t) shouldBe cs.map(c =>
+          LshPlan.missAtThresholdCosine(c.bands, c.rowsPerBand, t)).min
+      }
+    }
+    // the shallow-curve physics the scaladoc documents: the package's
+    // hand-tuned (bands = 4, 12 bits) default misses ~27% of pairs AT
+    // cosine 0.95 — the planner's (12, 4) at the same 48-plane budget
+    // gets under 1e-3 by paying candidates for recall
+    LshPlan.missAtThresholdCosine(4, 12, 0.95) should be > 0.25
+    LshPlan.planRecallBoundedCosine(48, 0.95, 1e-3) shouldBe ((12, 4))
+    // q259's oracle-checked setting: t = 0.35 at 48 planes
+    LshPlan.planRecallBoundedCosine(48, 0.35, 1e-4) shouldBe ((24, 2))
+    an[IllegalArgumentException] should be thrownBy
+      LshPlan.planRecallBoundedCosine(48, 1.0)
+    an[IllegalArgumentException] should be thrownBy
+      LshPlan.planRecallBoundedCosine(48, -1.0)
+  }
 }
