@@ -314,7 +314,15 @@ object Dedup {
       maxBucketSize: Long = 100000L,
       materialize: Boolean = true,
       maxMiss: Double = 1e-6): DataFrame = {
-    val (bands, _) = LshPlan.planRecallBounded(numHashes, threshold, maxMiss)
+    // the derived pair is logged and deterministic — callers wanting
+    // it programmatically recompute LshPlan.planRecallBounded(
+    // numHashes, threshold, maxMiss) driver-side for free
+    val (bands, rowsPerBand) =
+      LshPlan.planRecallBounded(numHashes, threshold, maxMiss)
+    graft.core.Logging.log(
+      graft.core.Logging.logger("graft.dedup.Dedup"),
+      s"nearDuplicatesPlanned: t=$threshold numHashes=$numHashes " +
+        s"maxMiss=$maxMiss -> bands=$bands rowsPerBand=$rowsPerBand")
     nearDuplicates(df, idCol, textCol, shingleSize, numHashes, bands,
       threshold, seed, maxBucketSize, materialize)
   }

@@ -69,7 +69,15 @@ object DedupIndex {
         seed: Long = 42L,
         maxBucketSize: Long = 100000L,
         maxMiss: Double = 1e-6): Params = {
-      val (bands, _) = LshPlan.planRecallBounded(numHashes, threshold, maxMiss)
+      // rowsPerBand = numHashes / bands is recoverable from the
+      // returned Params (`.rowsPerBand`); log the derivation so the
+      // choice is visible without re-running the planner
+      val (bands, rowsPerBand) =
+        LshPlan.planRecallBounded(numHashes, threshold, maxMiss)
+      graft.core.Logging.log(
+        graft.core.Logging.logger("graft.dedup.DedupIndex"),
+        s"Params.planned: t=$threshold numHashes=$numHashes " +
+          s"maxMiss=$maxMiss -> bands=$bands rowsPerBand=$rowsPerBand")
       Params(shingleSize, numHashes, bands, seed, maxBucketSize)
     }
   }
@@ -306,6 +314,17 @@ object DedupIndex {
     * delete→purge→append lifecycle against q248's oracle family.
     */
   def purge(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    // same crashed-compact fence as [[read]]: purge reads the tables
+    // directly (not through read()), so without this guard it would
+    // happily rewrite an index whose segment rows sit BOTH merged in
+    // the base and live under segments/ — cementing the duplicate-row
+    // state reads fail loud on. Recovery is read()'s documented one.
+    val cMarker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    val mfs = cMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!mfs.exists(cMarker),
+      s"dedup index at $path is mid-compaction (compact_pending marker " +
+        "present) — finish the compact recovery documented on read() " +
+        "before purging")
     val tombOpt = tombstones(spark, path)
     if (tombOpt.isEmpty) return
     val tomb = tombOpt.get
@@ -331,9 +350,15 @@ object DedupIndex {
       // empty remainder drops the directory (same served state as a
       // post-compact index); otherwise swap in the reduced table.
       val remaining = tomb.join(purged, Seq("corpus_id"), "left_anti")
-      if (remaining.isEmpty)
+      if (remaining.isEmpty) {
+        // clear any aside copy a prior FINISHED swap left behind
+        // BEFORE dropping the live table — deleting live first would
+        // leave tombstones_old alone, which reads as a crashed swap
+        // (fail-loud) instead of the clean no-deletes state. At this
+        // point live exists, so the aside copy is provably leftover.
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-      else {
+      } else {
         val tmp = s"$path/purge_tmp"
         remaining.write.mode("overwrite").parquet(s"$tmp/tombstones")
         graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "tombstones")
@@ -342,11 +367,28 @@ object DedupIndex {
     } finally purged.unpersist()
   }
 
-  /** The tombstone table, if any deletes are pending. */
+  /** The tombstone table, if any deletes are pending.
+    *
+    * Absence is load-bearing here — "no tombstones dir" reads as "no
+    * pending deletes" — so the one crash state that can FORGE absence
+    * must fail loud: [[purge]]'s tombstone-table FsSwap renames the
+    * live table aside (`tombstones_old`) before renaming the reduced
+    * copy in, and a crash between those two renames leaves only the
+    * aside copy. Treating that as "no deletes" would silently un-mask
+    * every still-pending takedown. `tombstones_old` WITH a live
+    * `tombstones` is fine (the swap completed; only its cleanup
+    * crashed) — the live table is the reduced post-purge one.
+    */
   private def tombstones(
       spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) ||
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones_old")),
+      s"dedup index at $path has tombstones_old but no tombstones — a " +
+        "purge crashed between its two swap renames; rename " +
+        "tombstones_old back to tombstones, then re-run purge " +
+        "(idempotent)")
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
@@ -412,6 +454,10 @@ object DedupIndex {
     for (sub <- Seq("sets", "buckets", "exact"))
       graft.core.FsSwap.swapIntoPlace(fs, path, tmp, sub)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    // aside-then-live order: a leftover tombstones_old (finished purge
+    // swap whose cleanup crashed) must not outlive tombstones/, or the
+    // post-compact index reads as a crashed swap (spurious fail-loud)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.delete(marker, false)
@@ -437,6 +483,51 @@ object DedupIndex {
       ("exact_rows", idx.exact.count()),
       ("sets_rows", idx.sets.count()))
       .toDF("stat", "value")
+  }
+
+  /** Thresholds for [[maintenanceAdvice]] — exact integers, a rule
+    * fires when `observed` strictly exceeds its `bound`.
+    */
+  final case class AdviceThresholds(
+      maxSegments: Long = 8,
+      maxTombstonePct: Long = 5)
+
+  /** Fold [[stats]] into the operational verdict a maintenance
+    * scheduler acts on — compact / none — with the triggering numbers
+    * attached ([[graft.sim.Similarity.ivfMaintenanceAdvice]]'s dedup
+    * twin; same promotion the readouts owed: measure → decide, not
+    * measure → eyeball). Two rules over one [[stats]] pass:
+    *
+    *   - `segments`: `segments_pending > maxSegments` — every dedup
+    *     call unions one parquet scan per segment;
+    *   - `tombstone_mass`: `100 · tombstones_pending > maxTombstonePct
+    *     · exact_rows` — every read pays two anti-joins against the
+    *     pending-delete table, and the masked rows still occupy the
+    *     bucket lists compaction would shrink.
+    *
+    * Either fired → `compact` (the one maintenance op that folds both
+    * debts; targeted [[purge]] stays the RE-LICENSING path — it clears
+    * named ids, not backlog). One row per rule
+    * `(rule, observed, bound, fired, advice)`, verdict repeated on
+    * every row; q260 recomputes rows and verdict from the raw corpus
+    * slices in DuckDB.
+    */
+  def maintenanceAdvice(
+      spark: SparkSession, path: String,
+      thresholds: AdviceThresholds = AdviceThresholds()): DataFrame = {
+    import spark.implicits._
+    val st = stats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // 4 rows
+    val rules = Seq(
+      ("segments", st("segments_pending"), thresholds.maxSegments),
+      ("tombstone_mass", 100L * st("tombstones_pending"),
+        thresholds.maxTombstonePct * st("exact_rows")))
+    val advice =
+      if (rules.exists { case (_, obs, bound) => obs > bound }) "compact"
+      else "none"
+    rules.map { case (rule, obs, bound) =>
+      (rule, obs, bound, obs > bound, advice)
+    }.toDF("rule", "observed", "bound", "fired", "advice")
   }
 
   private def readParams(spark: SparkSession, path: String): Params = {

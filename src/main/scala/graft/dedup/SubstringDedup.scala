@@ -240,13 +240,30 @@ object SubstringDedup {
     */
   def appendToFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      segmentName: Option[String] = None): Unit = {
     val (k, window, cap) = readMeta(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
-    val next = if (!fs.exists(segBase)) 0
-      else fs.listStatus(segBase).map(_.getPath.getName.toInt).foldLeft(-1)(_ max _) + 1
+    // segmentName pins the directory instead of the auto-increment —
+    // the REPLAY-SAFETY seam for at-least-once streaming ingest
+    // ([[graft.streaming.Streaming.substringIngestSink]]): a
+    // redelivered batch OVERWRITES its own segment rather than landing
+    // a duplicate under a fresh number. "seg" prefix keeps named
+    // segments out of the numeric auto-increment's namespace.
+    val segDir = segmentName match {
+      case Some(n) =>
+        require(n.startsWith("seg") && !n.contains('/'),
+          s"segment name must start with 'seg' and hold no '/', got $n")
+        n
+      case None =>
+        val next = if (!fs.exists(segBase)) 0
+          else fs.listStatus(segBase).toSeq
+            .flatMap(_.getPath.getName.toIntOption)
+            .foldLeft(-1)(_ max _) + 1
+        next.toString
+    }
     // tombstone fence — the [[DedupIndex.appendSegment]] contract at
     // substring granularity: re-ingesting a tombstoned id before its
     // stale fingerprint rows are physically purged is refused (clearing
@@ -272,8 +289,12 @@ object SubstringDedup {
       fp.join(rare, Seq("hash"))
         .select(col(idCol).as("corpus_id"), col("hash"), col("pos"),
           col("snippet"))
-        .write.mode("errorifexists")
-        .parquet(s"$path/segments/$next/fingerprints")
+        // named (streaming) segments overwrite their own directory on
+        // replay; numeric batch appends keep the fail-on-collision
+        // contract (two writers racing an auto-increment is a bug)
+        .write.mode(if (segmentName.isDefined) "overwrite"
+          else "errorifexists")
+        .parquet(s"$path/segments/$segDir/fingerprints")
     } finally fp.unpersist()
   }
 
@@ -298,11 +319,25 @@ object SubstringDedup {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Absence of `tombstones/` is load-bearing ("no pending deletes"),
+    * so the crash state that forges absence fails loud: a
+    * [[purgeFingerprintIndex]] tombstone swap crashed between its two
+    * renames leaves only `tombstones_old` — reading that as "no
+    * deletes" would un-mask every still-pending takedown. Both dirs
+    * present is fine (swap done, cleanup crashed; live table is the
+    * reduced one). Same contract as [[DedupIndex]]'s reader.
+    */
   private def tombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) ||
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones_old")),
+      s"substring index at $path has tombstones_old but no tombstones — " +
+        "a purge crashed between its two swap renames; rename " +
+        "tombstones_old back to tombstones, then re-run purge " +
+        "(idempotent)")
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
@@ -312,9 +347,13 @@ object SubstringDedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    // numeric batch-append segments ("0", "1", …) and named streaming
+    // segments ("seg_b00001", …) coexist; union/purge consumers are
+    // order-independent, so plain lexicographic keeps this
+    // deterministic without a numeric-parse assumption
     val segs = if (!fs.exists(segBase)) Nil
       else fs.listStatus(segBase).toSeq.map(_.getPath.toString)
-        .sortBy(_.split('/').last.toInt)
+        .sortBy(_.split('/').last)
     path +: segs
   }
 
@@ -332,6 +371,15 @@ object SubstringDedup {
   def purgeFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Unit = {
+    // crashed-compact fence ([[storedFingerprints]]'s guard, repeated
+    // here because purge reads roots directly): never rewrite an index
+    // whose segment rows may sit both merged and live.
+    val cMarker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
+    val mfs = cMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!mfs.exists(cMarker),
+      s"substring index at $path is mid-compaction (compact_pending " +
+        "marker present) — finish the compact recovery first, then " +
+        "purge")
     val tombOpt = tombstones(spark, path)
     if (tombOpt.isEmpty) return
     val tomb = tombOpt.get
@@ -351,9 +399,14 @@ object SubstringDedup {
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
       val remaining = tomb.join(purged, Seq("corpus_id"), "left_anti")
-      if (remaining.isEmpty)
+      if (remaining.isEmpty) {
+        // aside copy (leftover of a FINISHED swap) clears first: live
+        // still exists here, so this can never destroy the only copy,
+        // and dropping live first would leave tombstones_old reading
+        // as a crashed swap (spurious fail-loud on the next read).
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-      else {
+      } else {
         val tmp = s"$path/purge_tmp"
         remaining.write.mode("overwrite").parquet(s"$tmp/tombstones")
         graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "tombstones")
@@ -416,6 +469,9 @@ object SubstringDedup {
     fs.create(marker, true).close()
     graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "fingerprints")
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
+    // aside before live (see purgeFingerprintIndex): a surviving
+    // tombstones_old with tombstones/ gone reads as a crashed swap
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.delete(marker, false)

@@ -376,4 +376,106 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.compact(spark, viaPurge)
     survivors(viaPurge) shouldBe survivors(viaCompact)
   }
+
+  test("maintenanceAdvice folds stats into compact/none with exact " +
+    "strict-inequality edges") {
+    val (corpus, _) = mkCorpusAndBatch(87)
+    val path = Files.createTempDirectory("dedup_index_advice_").toString
+    DedupIndex.write(corpus, "doc_id", "text", path, params)
+    def verdict(th: DedupIndex.AdviceThresholds): String =
+      DedupIndex.maintenanceAdvice(spark, path, th)
+        .select("advice").head.getString(0)
+    def firedRules(th: DedupIndex.AdviceThresholds): Set[String] =
+      DedupIndex.maintenanceAdvice(spark, path, th)
+        .filter(col("fired")).select("rule")
+        .collect().map(_.getString(0)).toSet
+
+    // fresh index: nothing to fold
+    verdict(DedupIndex.AdviceThresholds()) shouldBe "none"
+
+    // segment debt fires past maxSegments, edge is strict
+    for (i <- 0 until 3)
+      DedupIndex.appendSegment(spark, path,
+        Seq((100L + i, s"fresh appended doc number $i")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 2)) shouldBe "compact"
+    firedRules(DedupIndex.AdviceThresholds(maxSegments = 2)) shouldBe
+      Set("segments")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 3)) shouldBe "none"
+
+    // tombstone backlog fires on mass relative to live rows
+    DedupIndex.delete(path, Seq(0L, 1L, 2L).toDF("doc_id"))
+    val st = DedupIndex.stats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st("tombstones_pending") shouldBe 3L
+    val obs = 100L * st("tombstones_pending")
+    val pNoFire = (obs + st("exact_rows") - 1) / st("exact_rows")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 100,
+      maxTombstonePct = pNoFire - 1)) shouldBe "compact"
+    firedRules(DedupIndex.AdviceThresholds(maxSegments = 100,
+      maxTombstonePct = pNoFire - 1)) shouldBe Set("tombstone_mass")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 100,
+      maxTombstonePct = pNoFire)) shouldBe "none"
+
+    // acting on the advice clears every trigger
+    DedupIndex.compact(spark, path)
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 0,
+      maxTombstonePct = 0)) shouldBe "none"
+  }
+
+  test("crashed tombstone swap fails loud: tombstones_old without " +
+    "tombstones is mid-swap evidence, not 'no pending deletes'") {
+    val (corpus, batch) = mkCorpusAndBatch(77)
+    val path = Files.createTempDirectory("dedup_index_tswap_").toString
+    DedupIndex.write(corpus, "doc_id", "text", path, params)
+    DedupIndex.delete(path, Seq(2L, 5L).toDF("doc_id"))
+    val live = new java.io.File(s"$path/tombstones")
+    val aside = new java.io.File(s"$path/tombstones_old")
+
+    // simulate a purge crash BETWEEN the two swap renames: the live
+    // table has gone aside, the reduced copy never landed. Absence of
+    // tombstones/ must NOT read as "no deletes" — that would un-mask
+    // the still-pending takedowns of 2 and 5.
+    live.renameTo(aside) shouldBe true
+    val err = intercept[IllegalArgumentException] {
+      DedupIndex.read(spark, path)
+    }
+    err.getMessage should include("tombstones_old")
+    intercept[IllegalArgumentException] {
+      DedupIndex.stats(spark, path)
+    }
+    // the appendSegment fence consults the same reader — a crashed
+    // swap must not let a tombstoned id slip back in
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendSegment(spark, path,
+        corpus.filter(col("doc_id") === 2L), "doc_id", "text")
+    }
+
+    // documented recovery: rename the aside copy back — everything
+    // serves again with the takedowns still masked
+    aside.renameTo(live) shouldBe true
+    val idx = DedupIndex.read(spark, path)
+    idx.exact.filter(col("corpus_id").isin(2L, 5L)).count() shouldBe 0L
+
+    // the OTHER crash state — swap finished, cleanup crashed, BOTH
+    // dirs present — is benign: the live (reduced) table wins
+    DedupIndex.purge(spark, path, Seq(2L).toDF("doc_id"))
+    Seq(5L).toDF("corpus_id").write.parquet(aside.toString)
+    val idx2 = DedupIndex.read(spark, path) // no throw
+    idx2.sets.filter(col("corpus_id") === 5L).count() shouldBe 0L
+    new java.io.File(aside.toString).exists() shouldBe true // untouched
+
+    // a crashed COMPACT (marker present) fences purge exactly like
+    // read: purging through a duplicate-row state would cement it
+    val marker = new java.io.File(s"$path/compact_pending")
+    marker.createNewFile() shouldBe true
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.purge(spark, path, Seq(5L).toDF("doc_id"))
+    }
+    e2.getMessage should include("compact_pending")
+    marker.delete() shouldBe true
+    DedupIndex.purge(spark, path, Seq(5L).toDF("doc_id")) // serves again
+    DedupIndex.dedupAgainst(batch, DedupIndex.read(spark, path),
+      "doc_id", "text", threshold = 0.9).count() should be >= 0L
+  }
 }

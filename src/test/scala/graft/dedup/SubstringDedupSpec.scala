@@ -455,4 +455,59 @@ class SubstringDedupSpec extends SparkSpec {
     SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
       .count() shouldBe 0L // global re-cap dropped the hot hashes
   }
+
+  test("crashed tombstone swap fails loud; purge refuses a " +
+    "mid-compaction index") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a second corpus document sharing nothing with others"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "prefix the quick brown fox jumps over the lazy dog tonight x"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_tswap_").toString
+    SubstringDedup.writeFingerprintIndex(
+      corpus, "id", "text", path, k = 8, window = 8, maxDocFreq = 10L)
+    SubstringDedup.deleteFromFingerprintIndex(path, Seq(1L).toDF("id"))
+    val live = new java.io.File(s"$path/tombstones")
+    val aside = new java.io.File(s"$path/tombstones_old")
+
+    // crash between the purge swap's two renames: only the aside copy
+    // survives. Absence must not read as "no pending deletes" — doc 1
+    // would silently serve again.
+    live.renameTo(aside) shouldBe true
+    intercept[IllegalArgumentException] {
+      SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
+    }.getMessage should include("tombstones_old")
+    intercept[IllegalArgumentException] {
+      SubstringDedup.appendToFingerprintIndex(spark, path,
+        corpus.filter($"id" === 1L), "id", "text")
+    }
+    // recovery: rename back; the takedown masks again
+    aside.renameTo(live) shouldBe true
+    SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
+      .select($"corpus_id").collect().map(_.getLong(0)) should not contain 1L
+
+    // swap-finished-cleanup-crashed (both dirs) is benign, and the
+    // next full purge clears the leftover aside copy with the live one
+    Seq(9L).toDF("corpus_id").write.parquet(aside.toString)
+    SubstringDedup.fingerprintIndexStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap.apply("tombstones_pending") shouldBe 1L
+    SubstringDedup.purgeFingerprintIndex(spark, path, Seq(1L).toDF("id"))
+    live.exists() shouldBe false
+    aside.exists() shouldBe false // no spurious crashed-swap state left
+
+    // purge is fenced off a mid-compaction tree like every reader
+    SubstringDedup.deleteFromFingerprintIndex(path, Seq(2L).toDF("id"))
+    val marker = new java.io.File(s"$path/compact_pending")
+    marker.createNewFile() shouldBe true
+    intercept[IllegalArgumentException] {
+      SubstringDedup.purgeFingerprintIndex(spark, path, Seq(2L).toDF("id"))
+    }.getMessage should include("compact_pending")
+    marker.delete() shouldBe true
+    SubstringDedup.purgeFingerprintIndex(spark, path, Seq(2L).toDF("id"))
+    live.exists() shouldBe false
+  }
 }
