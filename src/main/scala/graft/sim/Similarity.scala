@@ -190,6 +190,9 @@ object Similarity {
   /** LSM segment directories of an on-disk IVF index — written by
     * [[graft.streaming.Streaming.ivfIngestSink]], folded back into the
     * base by [[compactIvfIndex]]. Sorted by name for determinism.
+    * These are the PHYSICAL directories; [[servedSegmentDirs]] is the
+    * set a read actually unions (segments folded into a committed
+    * generation are excluded until their eager GC completes).
     */
   private[graft] def ivfSegmentDirs(
       spark: SparkSession, path: String): Seq[String] = {
@@ -202,6 +205,127 @@ object Similarity {
       .filter(_.getName.startsWith("seg"))
       .sortBy(_.getName)
       .map(_.toString)
+  }
+
+  // ---- generational base layout ------------------------------------
+  //
+  // Compaction swaps the base ASSIGNED table by GENERATION instead of
+  // in place: gen M+1 is written whole under `generations/gen=M+1/`,
+  // then committed by atomically renaming a `_COMMITTED` manifest into
+  // the directory — the manifest lists the segment names the
+  // generation folded, so readers that resolve gen M+1 exclude them
+  // even if a crash left their directories behind. Readers never
+  // observe a half-swapped tree: resolution picks the highest
+  // COMMITTED generation, a partially-written generation has no
+  // manifest and is invisible, and the previous generation survives
+  // one compaction as a grace copy for readers that resolved before
+  // the commit (the old compact_pending marker becomes unnecessary on
+  // the read path; the guards stay for legacy in-place trees). The
+  // residual races, documented honestly: a reader racing TWO
+  // consecutive compactions can lose its grace generation to the
+  // second one's GC, and folded segment directories are GC'd eagerly
+  // after commit, so a reader mid-scan of a segment fails loud
+  // (FileNotFound) rather than reading it twice. [[writeIvfIndex]]
+  // keeps writing the flat legacy layout; an index upgrades on its
+  // first compact.
+
+  private def generationsRoot(path: String) = s"$path/generations"
+
+  /** The latest COMMITTED generation, if the index uses the
+    * generational layout: (genDir, genNumber, foldedSegmentNames).
+    */
+  private[sim] def latestGeneration(
+      spark: SparkSession, path: String): Option[(String, Int, Set[String])] = {
+    val root = new org.apache.hadoop.fs.Path(generationsRoot(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val committed = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix("gen=").toIntOption.map((_, p)))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
+      }
+    if (committed.isEmpty) None
+    else {
+      val (n, p) = committed.maxBy(_._1)
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
+      val folded =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      // scheme-less path (listStatus yields file:/… URIs): callers
+      // hand this to spark.read AND java.io/File-level tooling
+      Some((p.toUri.getPath, n, folded))
+    }
+  }
+
+  /** The directory of the SERVED base `assigned` table — the latest
+    * committed generation's, or the flat legacy `assigned` for an
+    * index no compaction has upgraded yet. Public because operators
+    * and tests that reason about the physical layout (file counts,
+    * partition directories) must look where reads actually look.
+    */
+  def servedAssignedDir(spark: SparkSession, path: String): String =
+    latestGeneration(spark, path)
+      .map { case (g, _, _) => s"$g/assigned" }
+      .getOrElse(s"$path/assigned")
+
+  /** Segment directories a read serves: physical segments minus those
+    * folded into the latest committed generation (present only in the
+    * crash window between a commit and its eager GC).
+    */
+  private[sim] def servedSegmentDirs(
+      spark: SparkSession, path: String): Seq[String] = {
+    val folded = latestGeneration(spark, path)
+      .map(_._3).getOrElse(Set.empty[String])
+    ivfSegmentDirs(spark, path)
+      .filterNot(d => folded.contains(d.split('/').last))
+  }
+
+  /** Drop manifest entries whose segment directories no longer exist —
+    * run by the APPEND paths before landing a segment: after a
+    * compact's eager GC a folded name is dead, and a later stream
+    * restart reusing it (batchIds restart at 0 with a fresh
+    * checkpoint) must not be silently excluded by the stale entry.
+    * The rewrite is tmp-then-rename (atomic): racing readers see
+    * either the old manifest (excluding an absent dir — a no-op) or
+    * the new one.
+    */
+  private def cleanStaleFolded(spark: SparkSession, path: String): Unit =
+    latestGeneration(spark, path).foreach { case (gen, _, folded) =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stale = folded.filterNot(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments/$n")))
+      if (stale.nonEmpty)
+        writeCommitManifest(fs, gen, folded -- stale)
+    }
+
+  /** Write the `_COMMITTED` manifest atomically (tmp-then-rename): its
+    * appearance IS the generation's commit point, so it must never be
+    * observable half-written (an empty manifest would un-exclude
+    * still-live folded segments).
+    */
+  private def writeCommitManifest(
+      fs: org.apache.hadoop.fs.FileSystem, genDir: String,
+      folded: Set[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED")
+    val out = fs.create(tmp, true)
+    try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename-replace is atomic on POSIX local filesystems (the rewrite
+    // path must never leave _COMMITTED absent — readers would fall
+    // back a generation and silently miss the folded rows). On a
+    // filesystem refusing rename-onto-existing, delete-then-rename is
+    // the fallback; its absence window fails the require loud rather
+    // than serving wrong.
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"commit manifest rename failed at $genDir")
+    }
   }
 
   /** Read an IVF index written by [[writeIvfIndex]] (+ any streaming
@@ -231,14 +355,19 @@ object Similarity {
     val cMarker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
     require(!fs.exists(cMarker),
       s"IVF index at $path is mid-compaction (compact_pending marker " +
-        "present) — a crashed compactIvfIndex may have left segment " +
-        "rows both merged into the base and live under segments/; " +
-        "delete segments/ and compact_tmp/ (the swapped base is " +
-        "complete), then remove the marker")
-    val roots = path +: ivfSegmentDirs(spark, path)
-    val assigned = roots
-      .map(r => spark.read.parquet(s"$r/assigned"))
-      .reduce(_ unionByName _)
+        "present) — a crashed legacy-layout compactIvfIndex may have " +
+        "left segment rows both merged into the base and live under " +
+        "segments/; delete segments/ and compact_tmp/ (the swapped " +
+        "base is complete), then remove the marker")
+    // generational resolution: the base is the latest COMMITTED
+    // generation (its manifest excludes the segments it folded —
+    // present only in the crash window before their eager GC);
+    // legacy flat layout when no compaction has upgraded the tree
+    val assigned =
+      (servedAssignedDir(spark, path) +:
+        servedSegmentDirs(spark, path).map(r => s"$r/assigned"))
+        .map(spark.read.parquet(_))
+        .reduce(_ unionByName _)
     IvfIndex(assigned, readIvfCentroids(spark, path), idCol, vecCol)
   }
 
@@ -246,13 +375,25 @@ object Similarity {
     * bounded driver collect by construction).
     */
   def readIvfCentroids(
-      spark: SparkSession, path: String): Seq[(Int, Array[Float])] =
-    spark.read.parquet(s"$path/centroids")
+      spark: SparkSession, path: String): Seq[(Int, Array[Float])] = {
+    // a retrained generation carries its own centroid table (the
+    // geometric twin of its assigned table — committing them together
+    // is what makes retrain atomic); compaction-only generations and
+    // legacy trees serve the top-level table
+    val dir = latestGeneration(spark, path) match {
+      case Some((g, _, _)) =>
+        val p = new org.apache.hadoop.fs.Path(s"$g/centroids")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) s"$g/centroids" else s"$path/centroids"
+      case None => s"$path/centroids"
+    }
+    spark.read.parquet(dir)
       .select(col("cell"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
       .toSeq
+  }
 
   /** Append a vector batch to an on-disk IVF index WITHOUT a rebuild —
     * the index-MAINTENANCE half of the 100 TB ANN story: a daily
@@ -274,7 +415,7 @@ object Similarity {
     require(centroids.nonEmpty, s"no centroids stored under $path")
     buildIvfWithCentroids(batch, idCol, vecCol, centroids)
       .assigned.write.partitionBy("cell").mode("append")
-      .parquet(s"$path/assigned")
+      .parquet(servedAssignedDir(spark, path))
   }
 
   /** Append a vector batch as a NEW LSM SEGMENT under
@@ -309,6 +450,11 @@ object Similarity {
           .foldLeft(-1)(math.max) + 1
         f"seg$next%04d"
     }
+    // drop stale folded-manifest entries BEFORE landing the segment: a
+    // stream restarting with a fresh checkpoint reuses batchId names a
+    // prior compact folded and GC'd, and the stale entry would
+    // silently exclude the NEW segment from every read
+    cleanStaleFolded(spark, path)
     buildIvfWithCentroids(batch, idCol, vecCol, centroids)
       .assigned.write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/segments/$name/assigned")
@@ -350,10 +496,13 @@ object Similarity {
     import spark.implicits._
     val centroids = readIvfCentroids(spark, path)
     val nCells = centroids.size.toLong
-    val segs = ivfSegmentDirs(spark, path)
+    // SERVED segments only: directories folded into the latest
+    // committed generation are dead (crash window before eager GC)
+    val segs = servedSegmentDirs(spark, path)
     // marker guards apply (readIvfIndex fails loud mid-maintenance)
     val served = readIvfIndex(spark, path, idCol, vecCol).assigned
-    val baseRows = spark.read.parquet(s"$path/assigned").count()
+    val baseRows =
+      spark.read.parquet(servedAssignedDir(spark, path)).count()
     val segRows = segs
       .map(r => spark.read.parquet(s"$r/assigned").count()).sum
     val hist = served.groupBy(col("cell")).count()
@@ -375,6 +524,75 @@ object Similarity {
       .toDF("stat", "value")
   }
 
+  /** Thresholds for [[ivfMaintenanceAdvice]], all exact integers so
+    * the decision replays bit-for-bit in SQL. A rule fires when its
+    * `observed` strictly exceeds its `bound` (see each rule's docs).
+    */
+  final case class IvfAdviceThresholds(
+      maxSegments: Long = 4,
+      maxSegmentRowsPct: Long = 25,
+      maxSkewX100: Long = 400,
+      maxDeletedPct: Long = 20)
+
+  /** Fold [[ivfStats]]'s readouts into an operational VERDICT —
+    * retrain / compact / none — with every triggering number attached.
+    * This closes the "readout exists, pipeline ignores it" gap: q253's
+    * stats and the deleted-mass journal made ANN maintenance
+    * MEASURABLE; this makes the measurement drive the decision a
+    * scheduler can act on, instead of an operator eyeballing skew_x100.
+    *
+    * Four rules, strict integer comparisons (`fired = observed >
+    * bound`), evaluated over one [[ivfStats]] pass:
+    *
+    *   - `deleted_mass` (→ retrain): `100 · deleted_since_retrain >
+    *     maxDeletedPct · live_rows` — the erasure-side staleness
+    *     signal: centroids were fit to a corpus including the deleted
+    *     mass;
+    *   - `skew` (→ retrain): `skew_x100 > maxSkewX100` — the hottest
+    *     cell serves more than maxSkewX100/100× the balanced mean, so
+    *     probes ranked into it scan far more than corpus/nCells rows
+    *     (drifted ingest lopsided the day-0 cells);
+    *   - `segments` (→ compact): `segments_pending > maxSegments` —
+    *     every probe unions one scan per segment;
+    *   - `segment_rows` (→ compact): `100 · segment_rows >
+    *     maxSegmentRowsPct · live_rows` — most of the corpus sits
+    *     outside the cell-compacted base, so probe partition pruning
+    *     covers ever less of what it scans.
+    *
+    * Verdict precedence: any retrain rule fired → `retrain` (the
+    * retrain path [[compactIvfIndexWithRetrain]] subsumes compaction);
+    * else any compact rule fired → `compact`; else `none`. Returned as
+    * one row per rule `(rule, observed, bound, fired, advice)` with
+    * the folded verdict repeated on every row — the full evidence
+    * table, not just the conclusion (q259 recomputes rows AND verdict
+    * from the raw tables in DuckDB). Driver-side cost: the
+    * [[ivfStats]] collect (≤ 9 rows) plus integer arithmetic.
+    */
+  def ivfMaintenanceAdvice(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      thresholds: IvfAdviceThresholds = IvfAdviceThresholds()): DataFrame = {
+    import spark.implicits._
+    val st = ivfStats(spark, path, idCol, vecCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ 9 rows
+    val live = st("base_rows") + st("segment_rows")
+    val rules = Seq(
+      ("deleted_mass", 100L * st("deleted_since_retrain"),
+        thresholds.maxDeletedPct * live, "retrain"),
+      ("segment_rows", 100L * st("segment_rows"),
+        thresholds.maxSegmentRowsPct * live, "compact"),
+      ("segments", st("segments_pending"), thresholds.maxSegments,
+        "compact"),
+      ("skew", st("skew_x100"), thresholds.maxSkewX100, "retrain"))
+    val fired = rules.filter { case (_, obs, bound, _) => obs > bound }
+    val advice =
+      if (fired.exists(_._4 == "retrain")) "retrain"
+      else if (fired.nonEmpty) "compact"
+      else "none"
+    rules.map { case (rule, obs, bound, _) =>
+      (rule, obs, bound, obs > bound, advice)
+    }.toDF("rule", "observed", "bound", "fired", "advice")
+  }
+
   /** Compact an on-disk IVF index's cell partitions — the maintenance
     * step [[appendToIvfIndex]] makes necessary (the
     * [[graft.dedup.DedupIndex.compact]] of the ANN family): every
@@ -383,46 +601,104 @@ object Similarity {
     * hundreds of small files per cell (listing + open cost swamps the
     * scan at 100 TB). Compaction rewrites the assigned table with one
     * shuffle BY CELL — each cell's rows coalesce into a task's worth
-    * of files — and swaps it into place write-to-temp-then-rename, the
-    * DedupIndex.compact discipline. Assignments are untouched (cells
-    * are centroid-determined per row), so the compacted index is
+    * of files — and publishes it as a NEW GENERATION committed by one
+    * atomic manifest rename (see [[latestGeneration]]'s layout
+    * contract). Assignments are untouched (cells are
+    * centroid-determined per row), so the compacted index is
     * row-identical to the segmented one it replaces: every [[ivfTopK]]
     * guarantee carries over, pinned by q228 serving q66's oracle
     * through an appended-then-compacted index. Streaming segments
     * ([[graft.streaming.Streaming.ivfIngestSink]]) fold into the base
-    * in the same pass and their directories are removed. Centroids are
-    * not touched. Not concurrency-safe against readers mid-swap — run
-    * it in the ingest pipeline's maintenance window, like any
-    * file-level compaction.
+    * in the same pass; their directories are GC'd eagerly after the
+    * commit. Centroid VALUES are not touched (the generation carries
+    * the current table forward). Readers racing ONE compaction stay
+    * consistent on the base — they resolve either the old generation
+    * (kept as the grace copy) or the committed new one; a reader
+    * racing a compaction while mid-scan of a folded SEGMENT fails
+    * loud on the eager GC, and a reader racing TWO consecutive
+    * compactions can lose its grace generation — run back-to-back
+    * compactions in a maintenance window (IvfGenerationSpec pins the
+    * single-compaction race).
     */
-  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
-    val roots = path +: ivfSegmentDirs(spark, path)
-    val assigned = roots
-      .map(r => spark.read.parquet(s"$r/assigned"))
-      .reduce(_ unionByName _)
-    val tmp = s"$path/compact_tmp"
-    assigned.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$tmp/assigned")
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    compactGenerational(spark, path, None, None)
+
+  /** The shared generational compaction machinery (see the layout
+    * comment on [[latestGeneration]]): write generation M+1 whole,
+    * commit it atomically with the folded-segment manifest, then GC
+    * what the commit made dead — folded segments eagerly, the
+    * PRE-previous generation (one generation of grace survives for
+    * readers that resolved before the commit). `retrained` carries a
+    * new centroid table into the generation, making a retrain's
+    * assigned/centroids swap ATOMIC (they commit together — the crash
+    * window the old retrain_pending marker guarded no longer exists
+    * on this layout).
+    */
+  private def compactGenerational(
+      spark: SparkSession, path: String,
+      retrained: Option[Seq[(Int, Array[Float])]],
+      vecColForReassign: Option[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // marker brackets swap THROUGH cleanup: the swapped-in assigned
-    // table already holds every segment row, so a crash between the
-    // swap and the segments/ delete would silently serve appended
-    // vectors twice. Readers fail loud on the marker instead; recovery
-    // is documented on [[readIvfIndex]]'s guard.
-    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
-    fs.create(marker, true).close()
-    swapIntoPlace(fs, path, tmp, "assigned")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(marker, false)
+    val gen = latestGeneration(spark, path)
+    val curN = gen.map(_._2).getOrElse(-1)
+    val curAssigned = servedAssignedDir(spark, path)
+    val segs = servedSegmentDirs(spark, path)
+    val target = s"${generationsRoot(path)}/gen=${curN + 1}"
+    // a partial gen=curN+1 left by a crashed compact has no manifest
+    // (invisible to readers) and is simply overwritten here
+    val unioned = (curAssigned +: segs.map(r => s"$r/assigned"))
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+    val rebuilt = retrained match {
+      case Some(cents) =>
+        buildIvfWithCentroids(
+          unioned.drop("cell"), "", vecColForReassign.get, cents).assigned
+      case None => unioned
+    }
+    rebuilt.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$target/assigned")
+    // the generation ALWAYS carries its centroid table (retrained or
+    // the current one re-written): generation-local resolution must
+    // never fall back past a retrain to the stale day-0 top-level
+    // table. nCells rows — cost is nil.
+    locally {
+      import spark.implicits._
+      retrained.getOrElse(readIvfCentroids(spark, path))
+        .map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$target/centroids")
+    }
+    // THE COMMIT: atomic manifest rename — readers resolve gen curN+1
+    // from this instant, excluding the folded segments by name
+    writeCommitManifest(fs, target,
+      segs.map(_.split('/').last).toSet)
+    // GC, all safe for readers that resolved BEFORE the commit:
+    //   - folded segments eagerly (a racing reader mid-scan fails
+    //     loud on the missing file, never reads rows twice);
+    //   - the pre-previous generation / the legacy flat base — the
+    //     immediately-previous one survives as the grace copy
+    segs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val segRoot = new org.apache.hadoop.fs.Path(s"$path/segments")
+    if (fs.exists(segRoot) && fs.listStatus(segRoot).isEmpty)
+      fs.delete(segRoot, true) // single-writer contract: no racing append
+    retrained.foreach { _ =>
+      // the retrained centroids reflect the post-delete corpus —
+      // reset the deleted-mass journal [[ivfStats]] reads (after the
+      // commit: a crash between the two overcounts staleness, the
+      // conservative direction)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletions"), true)
+    }
+    if (curN >= 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
+      for (old <- 0 until curN)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${generationsRoot(path)}/gen=$old"), true)
+    }
   }
 
-  private def swapIntoPlace(
-      fs: org.apache.hadoop.fs.FileSystem, path: String, tmp: String,
-      child: String): Unit =
-    graft.core.FsSwap.swapIntoPlace(fs, path, tmp, child)
 
   /** [[compactIvfIndex]] with a CENTROID RETRAIN — the staleness
     * escape hatch for a continuously-ingested index: every streamed /
@@ -452,9 +728,10 @@ object Similarity {
   def compactIvfIndexWithRetrain(
       spark: SparkSession, path: String, idCol: String, vecCol: String,
       iters: Int, quantBits: Int = 20): Unit = {
-    val roots = path +: ivfSegmentDirs(spark, path)
+    val roots = servedAssignedDir(spark, path) +:
+      servedSegmentDirs(spark, path).map(r => s"$r/assigned")
     val corpus = roots
-      .map(r => spark.read.parquet(s"$r/assigned"))
+      .map(spark.read.parquet(_))
       .reduce(_ unionByName _)
       .drop("cell")
     val k = readIvfCentroids(spark, path).size
@@ -464,42 +741,11 @@ object Similarity {
     // replay (CAST(... AS FLOAT[]) in the oracle)
     val newCents = fitted.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
-    val rebuilt = buildIvfWithCentroids(corpus, idCol, vecCol, newCents)
-    val tmp = s"$path/compact_tmp"
-    rebuilt.assigned.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$tmp/assigned")
-    import spark.implicits._
-    newCents.toDF("cell", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // assigned and centroids must swap TOGETHER — a crash between the
-    // two renames would serve retrained cell assignments against the
-    // stale day-0 centroid table, silently corrupting probe recall
-    // (cells no longer live where the probe ranking looks). No
-    // cross-rename atomicity exists on a filesystem, so a marker file
-    // brackets the window: readers fail loud on a half-swapped index
-    // instead of answering wrong.
-    // The marker must bracket the ENTIRE inconsistency window — both
-    // renames AND the segment cleanup: the swapped-in assigned table
-    // already contains every segment row, so a crash after the swaps
-    // but before the segments/ delete would otherwise serve every
-    // appended vector TWICE (base ∪ still-live segments) with the
-    // fail-loud marker already gone. Recovery from a marker left
-    // behind: the *_old copies (if present) are the pre-retrain
-    // tables; otherwise the swapped tables are complete and
-    // segments/, compact_tmp/ and the marker can simply be deleted.
-    val marker = new org.apache.hadoop.fs.Path(s"$path/retrain_pending")
-    fs.create(marker, true).close()
-    swapIntoPlace(fs, path, tmp, "assigned")
-    swapIntoPlace(fs, path, tmp, "centroids")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
-    // the retrained centroids reflect the post-delete corpus — reset
-    // the deleted-mass staleness journal [[ivfStats]] reads
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletions"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(marker, false)
+    // the generational machinery re-assigns every row against the new
+    // centroids and commits assigned + centroids TOGETHER in one
+    // manifest rename — the cross-table crash window the old
+    // retrain_pending marker guarded does not exist on this layout
+    compactGenerational(spark, path, Some(newCents), Some(vecCol))
   }
 
   /** Surgical deletion from an on-disk IVF index — the
@@ -520,13 +766,16 @@ object Similarity {
   def removeFromIvfIndex(
       spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit = {
-    // deletion rewrites BASE cell partitions only — with streaming
-    // segments present it would silently keep deleted vectors alive in
-    // the segments; compact first (erasure is a maintenance-window op)
-    require(ivfSegmentDirs(spark, path).isEmpty,
+    // deletion rewrites BASE cell partitions only — with SERVED
+    // streaming segments present it would silently keep deleted
+    // vectors alive in the segments; compact first (erasure is a
+    // maintenance-window op). Folded-but-not-yet-GC'd segment dirs are
+    // dead data and no obstacle; their bytes disappear with the GC.
+    require(servedSegmentDirs(spark, path).isEmpty,
       s"removeFromIvfIndex: index at $path has streaming segments — " +
         "run compactIvfIndex first, then delete")
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val baseDir = servedAssignedDir(spark, path)
+    val assigned = spark.read.parquet(baseDir)
     val del = ids.select(ids.columns.head).toDF(idCol)
     val affected = assigned.join(del, Seq(idCol), "left_semi")
       .select(col("cell")).distinct()
@@ -551,7 +800,7 @@ object Similarity {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try survivors.write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$path/assigned")
+      .parquet(baseDir)
     finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -561,7 +810,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     emptied.foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/cell=$c"), true)
     }
     import spark.implicits._
     Seq(nDeleted).toDF("n")
@@ -577,8 +826,20 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$path/deletions")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
-    else spark.read.parquet(p.toString)
-      .agg(sum(col("n"))).head.getLong(0)
+    else {
+      // the journal append runs AFTER removeFromIvfIndex's destructive
+      // partition overwrite, so a crash mid-append can leave deletions/
+      // present but holding no readable parquet footer — schema
+      // inference throws, and a footer-less file sums to null. Neither
+      // may brick ivfStats: read with the journal's fixed one-column
+      // schema and coalesce the sum. The accepted failure mode is an
+      // UNDERCOUNT of one crashed batch (staleness slightly
+      // underestimated, never overestimated) — the same direction the
+      // append-after-overwrite ordering already implies.
+      val journal = spark.read
+        .schema("n BIGINT").parquet(p.toString)
+      journal.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    }
   }
 
   /** Probe the `nProbe` cells nearest to each query and run exact top-k
@@ -825,6 +1086,69 @@ object Similarity {
       batch, corpus, idCol, vecCol, threshold, bits, bands, seed, maxBucketSize)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  private val planLog = graft.core.Logging.logger("graft.sim.Similarity")
+
+  /** [[embeddingNearDuplicates]] with `(bands, bits)` DERIVED by
+    * [[graft.dedup.LshPlan.planRecallBoundedCosine]] — the planner
+    * promotion the MinHash family got with
+    * [[graft.dedup.Dedup.nearDuplicatesPlanned]], extended to the
+    * sign-LSH collision map (per-bit 1 − θ/π): state the cosine
+    * threshold, the total plane budget `numBits`, and the per-pair
+    * miss bound you tolerate AT the threshold, and the S-curve math
+    * picks the banding instead of the caller hand-tuning the one
+    * parameter that silently trades recall for candidate volume.
+    * The derived pair is logged and equals
+    * `LshPlan.planRecallBoundedCosine(numBits, threshold, maxMiss)` —
+    * callers can recompute it driver-side for free.
+    *
+    * `maxMiss` defaults looser (1e-3) than the MinHash planner's 1e-6:
+    * sign-LSH S-curves are shallower (pBit(0.95) ≈ 0.90), so tight
+    * bounds force degenerate 1-bit bands — see the calibration note on
+    * [[graft.dedup.LshPlan]].
+    */
+  def embeddingNearDuplicatesPlanned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBits: Int = 48,
+      maxMiss: Double = 1e-3,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val (bands, bits) = graft.dedup.LshPlan
+      .planRecallBoundedCosine(numBits, threshold, maxMiss)
+    graft.core.Logging.log(planLog,
+      s"embeddingNearDuplicatesPlanned: t=$threshold numBits=$numBits " +
+        s"maxMiss=$maxMiss -> bands=$bands bitsPerBand=$bits")
+    embeddingNearDuplicates(
+      corpus, idCol, vecCol, threshold, bits, bands, seed, maxBucketSize)
+  }
+
+  /** [[embeddingDedupAgainst]] through the sign-LSH planner — the
+    * semantic-decontamination entry where the caller states
+    * (threshold, miss bound) instead of hand-picking the banding.
+    * Derivation identical to [[embeddingNearDuplicatesPlanned]].
+    */
+  def embeddingDedupAgainstPlanned(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBits: Int = 48,
+      maxMiss: Double = 1e-3,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val (bands, bits) = graft.dedup.LshPlan
+      .planRecallBoundedCosine(numBits, threshold, maxMiss)
+    graft.core.Logging.log(planLog,
+      s"embeddingDedupAgainstPlanned: t=$threshold numBits=$numBits " +
+        s"maxMiss=$maxMiss -> bands=$bands bitsPerBand=$bits")
+    embeddingDedupAgainst(
+      batch, corpus, idCol, vecCol, threshold, bits, bands, seed,
+      maxBucketSize)
   }
 
   /** Exact cross-corpus cosine threshold-pairs on BOUNDED inputs: the

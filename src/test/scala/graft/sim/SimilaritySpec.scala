@@ -180,13 +180,17 @@ class SimilaritySpec extends SparkSpec {
       Similarity.appendToIvfIndex(
         spark, dir, b.toDF("vec_id", "embedding"), "vec_id", "embedding")
     }
+    // the SERVED base dir: flat legacy before the first compact, the
+    // latest committed generation after (generational layout)
     def partFiles(): Map[String, Int] = {
-      val cells = new java.io.File(s"$dir/assigned").listFiles()
+      val served = Similarity.servedAssignedDir(spark, dir)
+      val cells = new java.io.File(served).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       cells.map(c => c.getName ->
         c.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     }
-    def table() = spark.read.parquet(s"$dir/assigned")
+    def table() = spark.read
+      .parquet(Similarity.servedAssignedDir(spark, dir))
       .select(col("vec_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     val before = table()
@@ -370,6 +374,17 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", iters = 2)
     stat("deleted_since_retrain") shouldBe 0L
     stat("base_rows") shouldBe (60L - expect)
+
+    // crash window: the journal append runs AFTER the destructive
+    // partition overwrite, so deletions/ can exist holding no readable
+    // parquet. That state must read as 0 (documented undercount), not
+    // brick ivfStats with a schema-inference error / null-sum NPE.
+    val delDir = new java.io.File(s"$dir/deletions")
+    delDir.mkdir() shouldBe true
+    stat("deleted_since_retrain") shouldBe 0L
+    // a dir with only an uncommitted temp marker behaves the same
+    new java.io.File(delDir, "_temporary").mkdir() shouldBe true
+    stat("deleted_since_retrain") shouldBe 0L
   }
 
   test("ivf scans fewer rows than the corpus") {
@@ -451,6 +466,117 @@ class SimilaritySpec extends SparkSpec {
       df, "vec_id", "embedding", threshold = 0.99, maxBucketSize = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((20000L, 20001L))
+  }
+
+  test("planned embedding near-dup: the cosine planner derives the " +
+    "banding and the planned path equals both the explicit-parameter " +
+    "path and the exact closure") {
+    val rng = new Random(33)
+    val base = randomVec(rng, 32)
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x
+    }
+    val noise = (0L until 60L).map(i => (i, randomVec(rng, 32).toSeq))
+    val data = noise ++
+      Seq((100L, base.toSeq), (101L, nearDup.toSeq), (102L, base.toSeq))
+    val df = data.toDF("vec_id", "embedding").repartition(4)
+    val (bands, bits) =
+      graft.dedup.LshPlan.planRecallBoundedCosine(48, 0.99, 1e-4)
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val planned = norm(Similarity.embeddingNearDuplicatesPlanned(
+      df, "vec_id", "embedding", threshold = 0.99,
+      numBits = 48, maxMiss = 1e-4).collect())
+    planned shouldBe norm(Similarity.embeddingNearDuplicates(
+      df, "vec_id", "embedding", threshold = 0.99,
+      bits = bits, bands = bands).collect())
+    // recall at the bound: the planted pairs are all found, and the
+    // exact quadratic closure agrees (miss <= 1e-4 per pair at the
+    // threshold, tighter above it)
+    planned.map(p => (p._1, p._2)) shouldBe
+      Set((100L, 101L), (100L, 102L), (101L, 102L))
+    planned shouldBe norm(Similarity.exactCosinePairs(
+      df, "vec_id", "embedding", threshold = 0.99).collect())
+    // the dedup wrapper agrees with its explicit-parameter twin
+    val batch = Seq((200L, base.toSeq), (201L, randomVec(rng, 32).toSeq))
+      .toDF("vec_id", "embedding")
+    Similarity.embeddingDedupAgainstPlanned(
+      batch, df, "vec_id", "embedding", threshold = 0.99,
+      numBits = 48, maxMiss = 1e-4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(201L)
+  }
+
+  test("ivfMaintenanceAdvice folds the stats into a verdict with " +
+    "exact threshold edges") {
+    val data = corpus(80, 8, seed = 13)
+    val df = data.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_advice").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvf(df, "vec_id", "embedding", nCells = 4), dir)
+    def advice(th: Similarity.IvfAdviceThresholds) = Similarity
+      .ivfMaintenanceAdvice(spark, dir, "vec_id", "embedding", th)
+    def verdict(th: Similarity.IvfAdviceThresholds): String =
+      advice(th).select("advice").head.getString(0)
+    def firedRules(th: Similarity.IvfAdviceThresholds): Set[String] =
+      advice(th).filter(col("fired")).select("rule")
+        .collect().map(_.getString(0)).toSet
+
+    // pristine compacted index: nothing fires at the defaults
+    verdict(Similarity.IvfAdviceThresholds()) shouldBe "none"
+    firedRules(Similarity.IvfAdviceThresholds()) shouldBe Set.empty
+
+    // strict-inequality edge: observed == bound does NOT fire
+    val st = Similarity.ivfStats(spark, dir, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    verdict(Similarity.IvfAdviceThresholds(
+      maxSkewX100 = st("skew_x100"))) shouldBe "none"
+    verdict(Similarity.IvfAdviceThresholds(
+      maxSkewX100 = st("skew_x100") - 1)) shouldBe "retrain"
+
+    // segments accumulate → compact fires past maxSegments
+    for (i <- 0 until 3)
+      Similarity.appendIvfSegment(spark, dir,
+        Seq((1000L + i, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    verdict(Similarity.IvfAdviceThresholds(maxSegments = 2,
+      maxSegmentRowsPct = 100, maxSkewX100 = 100000)) shouldBe "compact"
+    firedRules(Similarity.IvfAdviceThresholds(maxSegments = 2,
+      maxSegmentRowsPct = 100, maxSkewX100 = 100000)) shouldBe
+      Set("segments")
+    verdict(Similarity.IvfAdviceThresholds(maxSegments = 3,
+      maxSegmentRowsPct = 100, maxSkewX100 = 100000)) shouldBe "none"
+
+    // retrain outranks compact when both fire
+    verdict(Similarity.IvfAdviceThresholds(maxSegments = 2,
+      maxSegmentRowsPct = 100, maxSkewX100 = 0)) shouldBe "retrain"
+
+    // deleted mass drives the retrain side after erasures; derive the
+    // exact strict-inequality edge from the stats themselves
+    Similarity.compactIvfIndex(spark, dir)
+    Similarity.removeFromIvfIndex(spark, dir,
+      data.map(_._1).filter(_ % 2 == 0).toDF("vec_id"), "vec_id")
+    val st2 = Similarity.ivfStats(spark, dir, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st2("deleted_since_retrain") shouldBe 40L
+    val obs = 100L * st2("deleted_since_retrain")
+    val live = st2("base_rows") + st2("segment_rows")
+    val pNoFire = (obs + live - 1) / live // smallest p with p*live >= obs
+    verdict(Similarity.IvfAdviceThresholds(
+      maxDeletedPct = pNoFire - 1,
+      maxSkewX100 = 100000)) shouldBe "retrain"
+    firedRules(Similarity.IvfAdviceThresholds(
+      maxDeletedPct = pNoFire - 1,
+      maxSkewX100 = 100000)) shouldBe Set("deleted_mass")
+    verdict(Similarity.IvfAdviceThresholds(
+      maxDeletedPct = pNoFire,
+      maxSkewX100 = 100000)) shouldBe "none"
+    // acting on the advice clears the trigger
+    Similarity.compactIvfIndexWithRetrain(spark, dir,
+      "vec_id", "embedding", iters = 2)
+    verdict(Similarity.IvfAdviceThresholds(
+      maxDeletedPct = 0, maxSkewX100 = 100000)) shouldBe "none"
   }
 
   test("near-dup operators handle empty inputs") {
