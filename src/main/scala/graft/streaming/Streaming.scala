@@ -606,6 +606,51 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Continuous ingest into a persistent SUBSTRING-fingerprint index —
+    * the third index family joins the streaming world
+    * ([[dedupIngestSink]] = MinHash docs, [[ivfIngestSink]] = ANN
+    * vectors, this = positional winnowing fingerprints): each
+    * micro-batch of documents is winnowed with the index's STORED
+    * (k, window, maxDocFreq) parameters and lands as an LSM segment
+    * under `segments/seg_bNNNNN/`;
+    * [[graft.dedup.SubstringDedup.matchesAgainstIndex]] serves
+    * base ∪ segments, and `compactFingerprintIndex` re-caps globally
+    * off the ingest path.
+    *
+    * Like IVF assignment — and unlike dedup ingest — winnowing is a
+    * pure per-document function of the stored parameters, so batch
+    * ORDER is irrelevant and the final index is row-identical to a
+    * batch build over the union (modulo the per-segment df-cap scope
+    * `appendToFingerprintIndex` documents). Replay safety: a
+    * redelivered batch overwrites its own batchId-named segment; no
+    * exclusion read is needed because winnowing never consults index
+    * contents.
+    *
+    * Takedown seam (the [[dedupIngestSink]] composition contract):
+    * `appendToFingerprintIndex` runs its tombstone fence per batch, so
+    * a stream replaying a TOMBSTONED document id fails the batch loud
+    * instead of silently resurrecting taken-down text — purge the id,
+    * then restart the stream.
+    */
+  def substringIngestSink(
+      stream: DataFrame,
+      indexPath: String,
+      checkpointPath: String,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.SubstringDedup.appendToFingerprintIndex(
+            batch.sparkSession, indexPath, batch, idCol, textCol,
+            segmentName = Some(f"seg_b$batchId%05d"))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming CUSUM drift monitoring: each micro-batch reduces to its
     * per-(group, time-bucket) metric rows
     * (`bucketize: raw batch → (groupCols…, orderCol, valueCol)`),
