@@ -13091,7 +13091,363 @@ object Queries {
           UNION ALL SELECT 'segment_rows', CAST(0 AS BIGINT)
           UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
           UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM agg)
-        ORDER BY stat"""))
+        ORDER BY stat""")),
+
+    // IVF MAINTENANCE ADVICE (sim/Similarity.ivfMaintenanceAdvice) —
+    // the round-14 readouts promoted to a DECISION: q253's stats +
+    // q258's deleted-mass journal fold into a retrain/compact/none
+    // verdict with every triggering number attached, so a scheduler
+    // acts on the measurement instead of an operator eyeballing
+    // skew_x100. Lifecycle: copy the pristine base (vec_id < 300),
+    // delete vec_id % 11 == 5 (27 erasures journaled), append one
+    // segment [300, 350) — then advise with thresholds that make the
+    // deleted-mass, segment-rows and segments rules all fire (retrain
+    // outranks compact) while the skew rule's firing is data-derived.
+    // DuckDB replays the surviving-row assignment (q258's machinery),
+    // the integer skew, every observed/bound pair and the precedence
+    // fold — the verdict is recomputed, not trusted.
+    GraftQuery(
+      "q259_ivf_maintenance_advice",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q259_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(idxPath))
+        graft.sim.Similarity.removeFromIvfIndex(s, idxPath,
+          emb.filter(pmod(col("vec_id"), lit(11)) === 5)
+            .select(col("vec_id")), "vec_id")
+        graft.sim.Similarity.appendIvfSegment(s, idxPath,
+          emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+        graft.sim.Similarity.ivfMaintenanceAdvice(
+          s, idxPath, "vec_id", "embedding",
+          graft.sim.Similarity.IvfAdviceThresholds(
+            maxSegments = 0, maxSegmentRowsPct = 10,
+            maxSkewX100 = 400, maxDeletedPct = 5))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 350
+                AND NOT (vec_id < 300 AND vec_id % 11 = 5)),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        agg AS (
+          SELECT MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM hist),
+        del AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM embeddings
+                WHERE vec_id < 300 AND vec_id % 11 = 5),
+        segr AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM embeddings
+                 WHERE vec_id >= 300 AND vec_id < 350),
+        vals AS (
+          SELECT del.v AS dm, segr.v AS sr, agg.tot AS live,
+            (100 * agg.mx * agg.k) // agg.tot AS skew
+          FROM del, segr, agg),
+        rules AS (
+          SELECT 'deleted_mass' AS rule, 100 * dm AS observed,
+            5 * live AS bound, 'retrain' AS kind FROM vals
+          UNION ALL SELECT 'segment_rows', 100 * sr, 10 * live,
+            'compact' FROM vals
+          UNION ALL SELECT 'segments', CAST(1 AS BIGINT),
+            CAST(0 AS BIGINT), 'compact' FROM vals
+          UNION ALL SELECT 'skew', skew, CAST(400 AS BIGINT),
+            'retrain' FROM vals),
+        verdict AS (
+          SELECT CASE
+            WHEN SUM(CASE WHEN observed > bound AND kind = 'retrain'
+                     THEN 1 ELSE 0 END) > 0 THEN 'retrain'
+            WHEN SUM(CASE WHEN observed > bound THEN 1 ELSE 0 END) > 0
+              THEN 'compact'
+            ELSE 'none' END AS advice
+          FROM rules)
+        SELECT r.rule, CAST(r.observed AS BIGINT) AS observed,
+          CAST(r.bound AS BIGINT) AS bound,
+          r.observed > r.bound AS fired, v.advice
+        FROM rules r, verdict v ORDER BY rule""")),
+
+    // Dedup-index maintenance advice (dedup/DedupIndex
+    // .maintenanceAdvice) — q259's twin for the MinHash index: q251's
+    // stats fold into compact/none. Lifecycle: copy the pristine
+    // docs<400 index, tombstone [200, 260) (60 pending takedowns),
+    // append one segment [400, 450) — both rules fire at
+    // (maxSegments = 0, maxTombstonePct = 10): 1 segment > 0, and
+    // 6000 tombstone-mass > 10 x live rows (400 - 60 + 50 = 390 at
+    // every SF). DuckDB recomputes observed/bound/fired and the fold
+    // from raw document counts.
+    GraftQuery(
+      "q260_dedup_maintenance_advice",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q260_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIngestIndexFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.DedupIndex.delete(idxPath,
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+            .select(col("doc_id")))
+        graft.dedup.DedupIndex.appendSegment(s, idxPath,
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+          "doc_id", "text")
+        graft.dedup.DedupIndex.maintenanceAdvice(s, idxPath,
+          graft.dedup.DedupIndex.AdviceThresholds(
+            maxSegments = 0, maxTombstonePct = 10))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        WITH cnts AS (
+          SELECT
+            CAST(COUNT(CASE WHEN doc_id < 400 THEN 1 END) AS BIGINT)
+              AS base,
+            CAST(COUNT(CASE WHEN doc_id >= 200 AND doc_id < 260
+                 THEN 1 END) AS BIGINT) AS tomb,
+            CAST(COUNT(CASE WHEN doc_id >= 400 AND doc_id < 450
+                 THEN 1 END) AS BIGINT) AS seg
+          FROM documents),
+        vals AS (SELECT tomb, base - tomb + seg AS live FROM cnts),
+        rules AS (
+          SELECT 'segments' AS rule, CAST(1 AS BIGINT) AS observed,
+            CAST(0 AS BIGINT) AS bound FROM vals
+          UNION ALL SELECT 'tombstone_mass', 100 * tomb, 10 * live
+          FROM vals),
+        verdict AS (
+          SELECT CASE WHEN SUM(CASE WHEN observed > bound THEN 1
+                          ELSE 0 END) > 0 THEN 'compact'
+                 ELSE 'none' END AS advice
+          FROM rules)
+        SELECT r.rule, CAST(r.observed AS BIGINT) AS observed,
+          CAST(r.bound AS BIGINT) AS bound,
+          r.observed > r.bound AS fired, v.advice
+        FROM rules r, verdict v ORDER BY rule""")),
+
+    // PLANNED sign-LSH embedding near-duplicates (sim/Similarity
+    // .embeddingNearDuplicatesPlanned) — the LSH planner extended to
+    // the cosine collision map (per-bit 1 - acos(s)/pi): the caller
+    // states (threshold, plane budget, miss bound) and
+    // LshPlan.planRecallBoundedCosine derives (bands, bitsPerBand) =
+    // (24, 2) at (48 planes, t = 0.35, maxMiss = 1e-4) — per-pair
+    // miss 1.2e-5 at the threshold, tighter above it, so the planned
+    // sub-quadratic path must reproduce q24's exact quadratic closure
+    // on the same slice. Discriminative against planner regressions
+    // that loosen recall (e.g. (12, 4) misses ~16% of pairs AT the
+    // threshold and the compare fails).
+    GraftQuery(
+      "q261_planned_embedding_neardup",
+      (s, dir) =>
+        graft.sim.Similarity.embeddingNearDuplicatesPlanned(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 0.35,
+          numBits = 48, maxMiss = 1e-4)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_reduce(list_transform(a.v, (x,i) -> x * b.v[i]), (x,y) -> x + y)
+                / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x,y) -> x + y))
+                   * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x,y) -> x + y))) AS cosine
+              FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM p
+        WHERE cosine >= 0.35
+        ORDER BY id_a, id_b""")),
+
+    // RECALL-BOUNDED sign-LSH planning table (dedup/LshPlan
+    // .planRecallBoundedCosine) — q255's cosine twin, fully replayed:
+    // for every divisor pair of 48 planes at cosine t = 0.35, the
+    // quantized FP mass over 100 midpoints of [-1, 1] (anti-correlated
+    // mass is priced), the quantized per-pair miss at the threshold,
+    // eligibility miss <= 1e-4, and the pick (minimal FP among
+    // eligible, ties to more bands). The per-bit collision probability
+    // 1 - acos(s)/pi is quantized to 2^-20 BEFORE any fold, so both
+    // engines do IEEE arithmetic on identical dyadic rationals —
+    // DuckDB recomputes everything with the same folds, quantization
+    // and tie-break.
+    GraftQuery(
+      "q262_cosine_plan_table",
+      (s, dir) => {
+        import s.implicits._
+        val t35 = 0.35
+        val cands = graft.dedup.LshPlan.cosineCandidates(48, t35)
+        val (pb, _) =
+          graft.dedup.LshPlan.planRecallBoundedCosine(48, t35, 1e-4)
+        val scale = (1L << 30).toDouble
+        cands.map { c =>
+          val miss = graft.dedup.LshPlan.missAtThresholdCosine(
+            c.bands, c.rowsPerBand, t35)
+          (c.bands.toLong, c.rowsPerBand.toLong, c.fpQ,
+            math.floor(miss * scale).toLong, miss <= 1e-4, c.bands == pb)
+        }.toDF("bands", "bits_per_band", "fp_q", "miss_q", "eligible",
+          "chosen")
+          .orderBy(col("bands"))
+      },
+      Some("""
+        WITH ks AS (SELECT unnest(range(0, 100)) AS k),
+        bs AS (SELECT unnest([1, 2, 3, 4, 6, 8, 12, 16, 24, 48]) AS b),
+        terms AS (
+          SELECT bs.b, 48 // bs.b AS r, ks.k,
+            CAST(2 * ks.k + 1 AS DOUBLE) / 100.0e0 - 1.0e0 AS s
+          FROM bs, ks),
+        pb AS (
+          SELECT b, r, s,
+            floor((1.0e0 - acos(s) / pi()) * 1048576e0) / 1048576e0
+              AS pbit
+          FROM terms),
+        probs AS (
+          SELECT b, r, s,
+            1.0e0 - list_reduce(list_transform(range(1, b + 1), i ->
+              1.0e0 - list_reduce(list_transform(range(1, r + 1),
+                j -> pbit), (x, y) -> x * y)),
+              (x, y) -> x * y) AS p
+          FROM pb),
+        q AS (
+          SELECT b, r,
+            CAST(SUM(CASE WHEN s < 0.35e0 THEN
+              CAST(floor(p * 1073741824e0 / 100.0e0) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS fp_q
+          FROM probs GROUP BY 1, 2),
+        m AS (
+          SELECT b, r,
+            list_reduce(list_transform(range(1, b + 1), i ->
+              1.0e0 - list_reduce(list_transform(range(1, r + 1),
+                j -> floor((1.0e0 - acos(0.35e0) / pi()) * 1048576e0)
+                       / 1048576e0), (x, y) -> x * y)),
+              (x, y) -> x * y) AS miss
+          FROM (SELECT DISTINCT b, r FROM terms)),
+        fin AS (
+          SELECT CAST(q.b AS BIGINT) AS bands,
+            CAST(q.r AS BIGINT) AS bits_per_band, q.fp_q,
+            CAST(floor(m.miss * 1073741824e0) AS BIGINT) AS miss_q,
+            m.miss <= 1.0e-4 AS eligible
+          FROM q JOIN m ON q.b = m.b),
+        sel AS (
+          SELECT MAX(bands) AS mb FROM fin
+          WHERE eligible AND fp_q = (
+            SELECT MIN(fp_q) FROM fin WHERE eligible))
+        SELECT bands, bits_per_band, fp_q, miss_q, eligible,
+          (fin.bands = sel.mb) AS chosen
+        FROM fin, sel ORDER BY bands""")),
+
+    // Streaming ingest into the SUBSTRING-fingerprint index
+    // (streaming/Streaming.substringIngestSink) — the third index
+    // family joins the streaming world (q227 = dedup docs, q232 = ANN
+    // vectors, this = positional winnowing): ASCII docs [200, 300)
+    // stream in two micro-batches onto a pristine docs<200 base, each
+    // landing as a batchId-named replay-safe segment winnowed with the
+    // STORED parameters; the grown index then serves the q171 batch
+    // (docs >= 300) through matchesAgainstIndex. Winnowing is
+    // order-free and the df cap (50, max observed df 13 at every SF)
+    // never binds, so streamed-segmented ≡ monolithic corpus<300 and
+    // q171's exact closure oracle applies verbatim.
+    GraftQuery(
+      "q263_substring_stream_ingest",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val staged = stagedSubstrBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q263_").toString
+        val indexPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineSubstrStreamBaseFor(s, dir)),
+          java.nio.file.Paths.get(indexPath))
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.substringIngestSink(
+          stream, indexPath, s"$base/ckpt", "doc_id", "text")
+          .awaitTermination()
+        val out = graft.dedup.SubstringDedup.matchesAgainstIndex(
+          s, indexPath,
+          t(s, dir, "documents")
+            .filter(!col("text").rlike("[^ -~]"))
+            .filter(col("doc_id") >= 300),
+          "doc_id", "text")
+          .orderBy(col("batch_id"), col("corpus_id"), col("pos_b"),
+            col("pos_c"))
+          .localCheckpoint(true) // outlive the ckpt cleanup below
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id < 300 THEN 0 ELSE 1 END AS side,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+        ),
+        h AS (
+          SELECT doc_id, side, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, side, t,
+            unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, side, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id, side, t,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, side, t, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, side, t, hash, p FROM (
+            SELECT doc_id, side, t, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp AS (
+          SELECT doc_id, side, hash, p,
+            substr(t, CAST(p AS INTEGER), 16) AS snippet
+          FROM sel
+          UNION ALL
+          SELECT doc_id, side, hash, p, substr(t, CAST(p AS INTEGER), 16)
+          FROM shortd
+        ),
+        rare AS (
+          SELECT side, hash FROM fp GROUP BY side, hash
+          HAVING COUNT(DISTINCT doc_id) <= 50
+        ),
+        fpc AS (SELECT fp.* FROM fp JOIN rare USING (side, hash))
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+               CAST(b.p - 1 AS INTEGER) AS pos_b,
+               CAST(c.p - 1 AS INTEGER) AS pos_c,
+               b.snippet
+        FROM fpc b JOIN fpc c
+          ON b.hash = c.hash AND b.snippet = c.snippet
+          AND b.side = 1 AND c.side = 0
+        ORDER BY batch_id, corpus_id, pos_b, pos_c"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
@@ -13260,6 +13616,62 @@ object Queries {
           .filter(col("doc_id") < 300),
         "doc_id", "text", p, k = 16, window = 16, maxDocFreq = 50L)
       p
+    })
+
+  /** q263's PRISTINE substring-index base (ASCII docs < 200, q171's
+    * parameters) — cached once per dir, COPIED per run before the
+    * stream appends segments (the q232/q227 fixture discipline).
+    */
+  private val pristineSubstrStreamBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pristineSubstrStreamBaseFor(
+      s: SparkSession, dir: String): String =
+    pristineSubstrStreamBaseCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_q263_base_").toString
+      graft.dedup.SubstringDedup.writeFingerprintIndex(
+        Tables.load(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+          .filter(col("doc_id") < 200),
+        "doc_id", "text", p, k = 16, window = 16, maxDocFreq = 50L)
+      p
+    })
+
+  /** q263's staged document blocks: ASCII docs [200, 300) as TWO
+    * parquet files with pinned names/mtimes — two micro-batches.
+    * Winnowing is order-free, so the pinning only fixes the
+    * batch→segment mapping (the q232 staging discipline).
+    */
+  private val stagedSubstrBlocksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedSubstrBlocksFor(s: SparkSession, dir: String): String =
+    stagedSubstrBlocksCache.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q263_in_")
+      val docs = Tables.load(s, dir, "documents")
+        .filter(!col("text").rlike("[^ -~]"))
+        .select(col("doc_id"), col("text"))
+      val t0 = 1700000000000L
+      for (i <- 0 until 2) {
+        val lo = 200 + i * 50
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q263_blk_")
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 50)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val it = java.nio.file.Files.list(tmp).iterator()
+        var part: java.nio.file.Path = null
+        while (it.hasNext) {
+          val q = it.next()
+          if (q.toString.endsWith(".parquet")) part = q
+        }
+        val dst = root.resolve(f"block$i%04d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+      }
+      root.toString
     })
 
   /** Per-process cache of the q166 day-partitioned sketch store, keyed
