@@ -13447,7 +13447,70 @@ object Queries {
         FROM fpc b JOIN fpc c
           ON b.hash = c.hash AND b.snippet = c.snippet
           AND b.side = 1 AND c.side = 0
-        ORDER BY batch_id, corpus_id, pos_b, pos_c"""))
+        ORDER BY batch_id, corpus_id, pos_b, pos_c""")),
+
+    // Substring-index maintenance advice (dedup/SubstringDedup
+    // .fingerprintIndexMaintenanceAdvice) — q260's twin for the third
+    // index family, completing measure→decide parity across MinHash /
+    // IVF / substring. Lifecycle: copy the pristine ASCII docs<200
+    // base, tombstone [100, 150), append [200, 250) as a segment —
+    // both rules fire at (maxSegments = 0, maxTombstonePct = 10).
+    // distinct_docs counts docs with >= 1 stored fingerprint, i.e.
+    // normalized length >= k = 16 (shorter docs winnow to nothing);
+    // DuckDB recomputes observed/bound/fired and the fold from the
+    // raw corpus with that length rule.
+    GraftQuery(
+      "q264_substring_maintenance_advice",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q264_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineSubstrStreamBaseFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.SubstringDedup.deleteFromFingerprintIndex(idxPath,
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select(col("doc_id")))
+        graft.dedup.SubstringDedup.appendToFingerprintIndex(s, idxPath,
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+          "doc_id", "text")
+        graft.dedup.SubstringDedup.fingerprintIndexMaintenanceAdvice(
+          s, idxPath,
+          graft.dedup.DedupIndex.AdviceThresholds(
+            maxSegments = 0, maxTombstonePct = 10))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')),
+        live AS (
+          SELECT doc_id FROM d
+          WHERE len(t) >= 16
+            AND ((doc_id < 200
+                  AND NOT (doc_id >= 100 AND doc_id < 150))
+                 OR (doc_id >= 200 AND doc_id < 250))),
+        tomb AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS v FROM d
+          WHERE doc_id >= 100 AND doc_id < 150),
+        dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM live),
+        rules AS (
+          SELECT 'segments' AS rule, CAST(1 AS BIGINT) AS observed,
+            CAST(0 AS BIGINT) AS bound FROM dd
+          UNION ALL SELECT 'tombstone_mass', 100 * tomb.v, 10 * dd.v
+          FROM tomb, dd),
+        verdict AS (
+          SELECT CASE WHEN SUM(CASE WHEN observed > bound THEN 1
+                          ELSE 0 END) > 0 THEN 'compact'
+                 ELSE 'none' END AS advice
+          FROM rules)
+        SELECT r.rule, CAST(r.observed AS BIGINT) AS observed,
+          CAST(r.bound AS BIGINT) AS bound,
+          r.observed > r.bound AS fired, v.advice
+        FROM rules r, verdict v ORDER BY rule"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -184,6 +184,30 @@ object DedupIndex {
       .map(_.toString)
   }
 
+  /** The directory holding the SERVED base tables (`exact`, `sets`,
+    * `buckets`) — the latest committed generation's after a
+    * [[compact]] upgraded the tree to the generational layout
+    * ([[graft.core.Generations]]), the index root itself before.
+    * `meta` and `tombstones` always live at the root (never
+    * generation-scoped: parameters are immutable, and a tombstone
+    * must mask every generation).
+    */
+  def servedBaseDir(spark: SparkSession, path: String): String =
+    graft.core.Generations.latest(spark, path)
+      .map(_._1).getOrElse(path)
+
+  /** Segment directories a read serves: physical segments minus those
+    * folded into the latest committed generation (present only in the
+    * crash window between a commit and its eager GC).
+    */
+  private def servedSegmentDirs(
+      spark: SparkSession, path: String): Seq[String] = {
+    val folded = graft.core.Generations.latest(spark, path)
+      .map(_._3).getOrElse(Set.empty[String])
+    segmentDirs(spark, path)
+      .filterNot(d => folded.contains(d.split('/').last))
+  }
+
   /** Append `batch` to an on-disk index as a NEW SEGMENT (LSM-style) —
     * the index-growth half of the incremental-dedup lifecycle: after
     * `dedupAgainst(batch, index)` keeps a batch's survivors, those
@@ -246,6 +270,10 @@ object DedupIndex {
           "rows and clear the tombstones), then append the " +
           "re-licensed documents")
     }
+    // a stream restart reusing a batchId name a prior compact folded
+    // and GC'd must not be silently excluded by the stale manifest
+    // entry ([[graft.core.Generations.cleanStaleFolded]])
+    graft.core.Generations.cleanStaleFolded(spark, path)
     writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
   }
 
@@ -335,7 +363,11 @@ object DedupIndex {
       if (purged.isEmpty) return
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val roots = path +: segmentDirs(spark, path)
+      // SERVED roots only: folded-but-unGC'd segments and grace
+      // generations are dead data — their stale bytes disappear with
+      // the next compact's GC, never re-entering service
+      val roots = servedBaseDir(spark, path) +:
+        servedSegmentDirs(spark, path)
       for (root <- roots) {
         val tmp = s"$root/purge_tmp"
         for (sub <- Seq("exact", "sets")) {
@@ -411,19 +443,38 @@ object DedupIndex {
     * so compaction re-caps what the segments STORED — identical to a
     * monolithic rebuild whenever no per-segment cap ever bound
     * (pinned in DedupIndexSpec), and never worse than the segmented
-    * index it replaces. The swap is write-to-temp-then-rename;
-    * `meta` is untouched (same hash family by construction).
+    * index it replaces. The rewrite publishes as a new GENERATION
+    * committed by one atomic manifest rename
+    * ([[graft.core.Generations]]): all three tables plus the
+    * tombstone fold become visible together, readers racing the
+    * compact resolve either the grace copy or the committed
+    * generation, and the old compact_pending marker is unnecessary
+    * on this layout (legacy trees keep their fail-loud guard and
+    * upgrade on first compact). `meta` is untouched (same hash
+    * family by construction) and stays at the root, as do
+    * `tombstones` — a tombstone must mask every generation.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val params = readParams(spark, path)
     val tomb = tombstones(spark, path)
-    if (segmentDirs(spark, path).isEmpty && tomb.isEmpty)
+    val segs = servedSegmentDirs(spark, path)
+    if (segs.isEmpty && tomb.isEmpty)
       return // nothing to merge, nothing to purge
     // read() already applies the tombstone exclusion to exact/sets;
     // the bucket member lists get their deferred physical purge here
     // (explode → anti-join → re-collect under the global cap)
     val idx = read(spark, path)
-    val tmp = s"$path/compact_tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // generational commit ([[graft.core.Generations]]): the three
+    // merged tables land whole under gen=N+1 and become visible in
+    // ONE atomic manifest rename — no marker, no fail-loud window;
+    // readers racing the compact resolve either the grace copy or
+    // the committed generation, and the manifest's folded-segment
+    // list covers the crash window before the eager segment GC.
+    val curN = graft.core.Generations.latest(spark, path)
+      .map(_._2).getOrElse(-1)
+    val target = s"$path/generations/gen=${curN + 1}"
     val mergedBuckets = antiTombstones(
       idx.buckets
         .select(col("band"), col("bucket"),
@@ -434,33 +485,23 @@ object DedupIndex {
         .cappedCollectList(col("corpus_id"), bufferCap(params.maxBucketSize))
         .as("ids"))
       .filter(col("ids").isNotNull)
-    idx.sets.write.mode("overwrite").parquet(s"$tmp/sets")
-    mergedBuckets.write.mode("overwrite").parquet(s"$tmp/buckets")
+    idx.sets.write.mode("overwrite").parquet(s"$target/sets")
+    mergedBuckets.write.mode("overwrite").parquet(s"$target/buckets")
     // exact is per-corpus-id rows (ids unique by contract), so no
     // distinct: it could never drop a row and would cost a full
     // corpus-sized shuffle for nothing
-    idx.exact.write.mode("overwrite").parquet(s"$tmp/exact")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // marker brackets the three swaps THROUGH the cleanup: the merged
-    // tables already contain every live segment row, so a crash after
-    // the swaps but before the segments/ delete would serve duplicate
-    // corpus_id rows (dedup answers stay correct — pairs are
-    // distinct'd — but stats() and candidate volumes silently
-    // inflate). Readers fail loud on the marker; recovery is
-    // documented on [[read]]'s guard.
-    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
-    fs.create(marker, true).close()
-    for (sub <- Seq("sets", "buckets", "exact"))
-      graft.core.FsSwap.swapIntoPlace(fs, path, tmp, sub)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
-    // aside-then-live order: a leftover tombstones_old (finished purge
-    // swap whose cleanup crashed) must not outlive tombstones/, or the
-    // post-compact index reads as a crashed swap (spurious fail-loud)
+    idx.exact.write.mode("overwrite").parquet(s"$target/exact")
+    graft.core.Generations.writeManifest(fs, target,
+      segs.map(_.split('/').last).toSet)
+    // tombstones were folded into the committed tables; clearing them
+    // after the commit is benign in the crash window — re-anti-joining
+    // already-removed ids is a no-op, and the appendSegment fence just
+    // stays conservatively closed until a compact re-run clears them.
+    // Aside-then-live order as in [[purge]].
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(marker, false)
+    graft.core.Generations.gcAfterCommit(fs, path, curN, segs,
+      legacyChildren = Seq("exact", "sets", "buckets"))
   }
 
   /** Operational introspection of an on-disk index — the readout a
@@ -474,7 +515,7 @@ object DedupIndex {
   def stats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val idx = read(spark, path)
-    val nSegments = segmentDirs(spark, path).size.toLong
+    val nSegments = servedSegmentDirs(spark, path).size.toLong
     val nTombstones =
       tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
     Seq(
@@ -561,12 +602,16 @@ object DedupIndex {
     val mfs = cMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!mfs.exists(cMarker),
       s"dedup index at $path is mid-compaction (compact_pending marker " +
-        "present) — a crashed compact may have left segment rows both " +
-        "merged into the base and live under segments/; delete " +
-        "segments/, tombstones/ and compact_tmp/ (the swapped base is " +
-        "complete), then remove the marker")
-    val roots = path +: segmentDirs(spark, path)
-      .filterNot(d => excludeSegments.contains(d.split('/').last))
+        "present) — a crashed legacy-layout compact may have left " +
+        "segment rows both merged into the base and live under " +
+        "segments/; delete segments/, tombstones/ and compact_tmp/ " +
+        "(the swapped base is complete), then remove the marker")
+    // generational resolution: the served base is the latest COMMITTED
+    // generation (its manifest excludes the segments it folded); the
+    // root itself for a legacy tree no compact has upgraded
+    val roots = servedBaseDir(spark, path) +:
+      servedSegmentDirs(spark, path)
+        .filterNot(d => excludeSegments.contains(d.split('/').last))
     // format guard: round 13 changed `exact` from distinct (__key)
     // rows to id-carrying (corpus_id, __key) rows so tombstone deletes
     // can exclusion-filter it. An index tree holding the old layout

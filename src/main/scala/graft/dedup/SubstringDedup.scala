@@ -280,6 +280,9 @@ object SubstringDedup {
           s"at $path — purge those ids or run " +
           "compactFingerprintIndex first, then append")
     }
+    // stale folded-manifest names free up before the segment lands
+    // (stream restarts reuse batchId names — Generations contract)
+    graft.core.Generations.cleanStaleFolded(spark, path)
     val fp = fingerprints(newDocs, idCol, textCol, k, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -341,21 +344,46 @@ object SubstringDedup {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  private def fingerprintRoots(
+  /** The directory holding the SERVED base `fingerprints` table — the
+    * latest committed generation's after [[compactFingerprintIndex]]
+    * upgraded the tree ([[graft.core.Generations]]), the index root
+    * before. `meta` and `tombstones` stay at the root.
+    */
+  def servedBaseDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.core.Generations.latest(spark, path)
+      .map(_._1).getOrElse(path)
+
+  /** Physical segment dirs (lexicographic — numeric batch appends and
+    * named streaming segments coexist; consumers order-independent).
+    */
+  private def segmentDirs(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
-    // numeric batch-append segments ("0", "1", …) and named streaming
-    // segments ("seg_b00001", …) coexist; union/purge consumers are
-    // order-independent, so plain lexicographic keeps this
-    // deterministic without a numeric-parse assumption
-    val segs = if (!fs.exists(segBase)) Nil
-      else fs.listStatus(segBase).toSeq.map(_.getPath.toString)
-        .sortBy(_.split('/').last)
-    path +: segs
+    if (!fs.exists(segBase)) Nil
+    else fs.listStatus(segBase).toSeq.map(_.getPath.toString)
+      .sortBy(_.split('/').last)
   }
+
+  /** Served segment dirs: physical minus those the latest committed
+    * generation folded (crash window before their eager GC).
+    */
+  private def servedSegmentDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val folded = graft.core.Generations.latest(spark, path)
+      .map(_._3).getOrElse(Set.empty[String])
+    segmentDirs(spark, path)
+      .filterNot(d => folded.contains(d.split('/').last))
+  }
+
+  private def fingerprintRoots(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    servedBaseDir(spark, path) +: servedSegmentDirs(spark, path)
 
   /** Targeted physical purge of pending tombstones —
     * [[DedupIndex.purge]] at substring granularity: rewrite ONLY the
@@ -436,6 +464,43 @@ object SubstringDedup {
       .toDF("stat", "value")
   }
 
+  /** [[fingerprintIndexStats]] folded into the operational verdict —
+    * [[DedupIndex.maintenanceAdvice]] for the substring family (the
+    * same thresholds type: the two doc-level index families share the
+    * decision semantics). Two rules over one stats pass, strict
+    * integer comparisons:
+    *
+    *   - `segments`: `segments_pending > maxSegments` — every match
+    *     call unions one fingerprint scan per segment, and per-segment
+    *     df caps drift from the global cap until a compact re-caps;
+    *   - `tombstone_mass`: `100 · tombstones_pending >
+    *     maxTombstonePct · distinct_docs` — every read pays an
+    *     anti-join against the pending-delete table.
+    *
+    * Either fired → `compact`; [[purgeFingerprintIndex]] stays the
+    * targeted re-licensing path. One row per rule
+    * `(rule, observed, bound, fired, advice)`; q264 recomputes rows
+    * and verdict from the raw corpus in DuckDB.
+    */
+  def fingerprintIndexMaintenanceAdvice(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      thresholds: DedupIndex.AdviceThresholds =
+        DedupIndex.AdviceThresholds()): DataFrame = {
+    import spark.implicits._
+    val st = fingerprintIndexStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // 4 rows
+    val rules = Seq(
+      ("segments", st("segments_pending"), thresholds.maxSegments),
+      ("tombstone_mass", 100L * st("tombstones_pending"),
+        thresholds.maxTombstonePct * st("distinct_docs")))
+    val advice =
+      if (rules.exists { case (_, obs, bound) => obs > bound }) "compact"
+      else "none"
+    rules.map { case (rule, obs, bound) =>
+      (rule, obs, bound, obs > bound, advice)
+    }.toDF("rule", "observed", "bound", "fired", "advice")
+  }
+
   /** Merge segments into the base at DERIVED-table cost: the stored
     * fingerprints union and re-cap GLOBALLY on document frequency —
     * the corpus text is never re-read. Write-to-temp-then-rename; meta
@@ -447,34 +512,35 @@ object SubstringDedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = tombstones(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments"))
-      && tomb.isEmpty) return
+    val segs = servedSegmentDirs(spark, path)
+    if (segs.isEmpty && tomb.isEmpty) return
     // storedFingerprints already applies the tombstone exclusion, so
     // pending deletes fold in physically here and the table clears
     val all = storedFingerprints(spark, path)
     val rare = all.groupBy(col("hash"))
       .agg(countDistinct(col("corpus_id")).as("__df"))
       .filter(col("__df") <= cap).select("hash")
-    val tmp = s"$path/compact_tmp"
+    // generational commit ([[graft.core.Generations]], the
+    // DedupIndex.compact discipline): the globally re-capped table
+    // lands whole under gen=N+1 and becomes visible in one atomic
+    // manifest rename — no marker, no fail-loud window for readers
+    // racing the compact; the manifest's folded-segment list covers
+    // the crash window before the eager segment GC.
+    val curN = graft.core.Generations.latest(spark, path)
+      .map(_._2).getOrElse(-1)
+    val target = s"$path/generations/gen=${curN + 1}"
     all.join(rare, Seq("hash"))
       .select(col("corpus_id"), col("hash"), col("pos"), col("snippet"))
-      .write.mode("overwrite").parquet(s"$tmp/fingerprints")
-    // FsSwap (never delete-then-rename: a crash between the two would
-    // leave ZERO live copies) + a marker bracketing swap THROUGH the
-    // cleanup, the family discipline — a crash after the swap but
-    // before the segments/ delete would otherwise serve every segment
-    // row twice. Reader guard + recovery documented on
-    // [[storedFingerprints]].
-    val marker = new org.apache.hadoop.fs.Path(s"$path/compact_pending")
-    fs.create(marker, true).close()
-    graft.core.FsSwap.swapIntoPlace(fs, path, tmp, "fingerprints")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/segments"), true)
-    // aside before live (see purgeFingerprintIndex): a surviving
-    // tombstones_old with tombstones/ gone reads as a crashed swap
+      .write.mode("overwrite").parquet(s"$target/fingerprints")
+    graft.core.Generations.writeManifest(fs, target,
+      segs.map(_.split('/').last).toSet)
+    // tombstones folded into the committed table; clearing after the
+    // commit is benign in the crash window (re-anti-joining removed
+    // ids is a no-op). Aside-then-live order as in purge.
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(marker, false)
+    graft.core.Generations.gcAfterCommit(fs, path, curN, segs,
+      legacyChildren = Seq("fingerprints"))
   }
 
   private def readMeta(
@@ -502,13 +568,9 @@ object SubstringDedup {
         "left segment rows both merged and live under segments/; " +
         "delete segments/, tombstones/ and compact_tmp/ (the swapped " +
         "table is complete), then remove the marker")
-    val base = spark.read.parquet(s"$path/fingerprints")
-    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
-    val unioned =
-      if (!fs.exists(segBase)) base
-      else fs.listStatus(segBase).map(_.getPath.toString)
-        .foldLeft(base)((acc, seg) =>
-          acc.unionByName(spark.read.parquet(s"$seg/fingerprints")))
+    val unioned = fingerprintRoots(spark, path)
+      .map(r => spark.read.parquet(s"$r/fingerprints"))
+      .reduce(_ unionByName _)
     // pending deletes exclusion-filter the served rows (one anti-join
     // against the tombstone-sized table) until compact/purge folds
     // them in physically

@@ -232,33 +232,11 @@ object Similarity {
   private def generationsRoot(path: String) = s"$path/generations"
 
   /** The latest COMMITTED generation, if the index uses the
-    * generational layout: (genDir, genNumber, foldedSegmentNames).
+    * generational layout — [[graft.core.Generations.latest]].
     */
   private[sim] def latestGeneration(
-      spark: SparkSession, path: String): Option[(String, Int, Set[String])] = {
-    val root = new org.apache.hadoop.fs.Path(generationsRoot(path))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val committed = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .flatMap(p => p.getName.stripPrefix("gen=").toIntOption.map((_, p)))
-      .filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
-      }
-    if (committed.isEmpty) None
-    else {
-      val (n, p) = committed.maxBy(_._1)
-      val in = fs.open(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
-      val folded =
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toSet
-        finally in.close()
-      // scheme-less path (listStatus yields file:/… URIs): callers
-      // hand this to spark.read AND java.io/File-level tooling
-      Some((p.toUri.getPath, n, folded))
-    }
-  }
+      spark: SparkSession, path: String): Option[(String, Int, Set[String])] =
+    graft.core.Generations.latest(spark, path)
 
   /** The directory of the SERVED base `assigned` table — the latest
     * committed generation's, or the flat legacy `assigned` for an
@@ -283,50 +261,6 @@ object Similarity {
       .filterNot(d => folded.contains(d.split('/').last))
   }
 
-  /** Drop manifest entries whose segment directories no longer exist —
-    * run by the APPEND paths before landing a segment: after a
-    * compact's eager GC a folded name is dead, and a later stream
-    * restart reusing it (batchIds restart at 0 with a fresh
-    * checkpoint) must not be silently excluded by the stale entry.
-    * The rewrite is tmp-then-rename (atomic): racing readers see
-    * either the old manifest (excluding an absent dir — a no-op) or
-    * the new one.
-    */
-  private def cleanStaleFolded(spark: SparkSession, path: String): Unit =
-    latestGeneration(spark, path).foreach { case (gen, _, folded) =>
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val stale = folded.filterNot(n =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments/$n")))
-      if (stale.nonEmpty)
-        writeCommitManifest(fs, gen, folded -- stale)
-    }
-
-  /** Write the `_COMMITTED` manifest atomically (tmp-then-rename): its
-    * appearance IS the generation's commit point, so it must never be
-    * observable half-written (an empty manifest would un-exclude
-    * still-live folded segments).
-    */
-  private def writeCommitManifest(
-      fs: org.apache.hadoop.fs.FileSystem, genDir: String,
-      folded: Set[String]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED.tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED")
-    val out = fs.create(tmp, true)
-    try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // rename-replace is atomic on POSIX local filesystems (the rewrite
-    // path must never leave _COMMITTED absent — readers would fall
-    // back a generation and silently miss the folded rows). On a
-    // filesystem refusing rename-onto-existing, delete-then-rename is
-    // the fallback; its absence window fails the require loud rather
-    // than serving wrong.
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(dst, false)
-      require(fs.rename(tmp, dst),
-        s"commit manifest rename failed at $genDir")
-    }
-  }
 
   /** Read an IVF index written by [[writeIvfIndex]] (+ any streaming
     * segments): the served table is the UNION of the base `assigned`
@@ -454,7 +388,7 @@ object Similarity {
     // stream restarting with a fresh checkpoint reuses batchId names a
     // prior compact folded and GC'd, and the stale entry would
     // silently exclude the NEW segment from every read
-    cleanStaleFolded(spark, path)
+    graft.core.Generations.cleanStaleFolded(spark, path)
     buildIvfWithCentroids(batch, idCol, vecCol, centroids)
       .assigned.write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/segments/$name/assigned")
@@ -672,18 +606,8 @@ object Similarity {
     }
     // THE COMMIT: atomic manifest rename — readers resolve gen curN+1
     // from this instant, excluding the folded segments by name
-    writeCommitManifest(fs, target,
+    graft.core.Generations.writeManifest(fs, target,
       segs.map(_.split('/').last).toSet)
-    // GC, all safe for readers that resolved BEFORE the commit:
-    //   - folded segments eagerly (a racing reader mid-scan fails
-    //     loud on the missing file, never reads rows twice);
-    //   - the pre-previous generation / the legacy flat base — the
-    //     immediately-previous one survives as the grace copy
-    segs.foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    val segRoot = new org.apache.hadoop.fs.Path(s"$path/segments")
-    if (fs.exists(segRoot) && fs.listStatus(segRoot).isEmpty)
-      fs.delete(segRoot, true) // single-writer contract: no racing append
     retrained.foreach { _ =>
       // the retrained centroids reflect the post-delete corpus —
       // reset the deleted-mass journal [[ivfStats]] reads (after the
@@ -691,12 +615,10 @@ object Similarity {
       // conservative direction)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletions"), true)
     }
-    if (curN >= 0) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned"), true)
-      for (old <- 0 until curN)
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${generationsRoot(path)}/gen=$old"), true)
-    }
+    // GC (shared discipline): folded segments eagerly, one generation
+    // of grace — see [[graft.core.Generations.gcAfterCommit]]
+    graft.core.Generations.gcAfterCommit(
+      fs, path, curN, segs, legacyChildren = Seq("assigned"))
   }
 
 

@@ -417,14 +417,16 @@ class SubstringDedupSpec extends SparkSpec {
     new java.io.File(s"$path/tombstones").exists() shouldBe false
     new java.io.File(s"$path/segments").exists() shouldBe false
     matches(path).map(_.getLong(1)) should not contain 2L
-    // physically gone, not just masked
-    spark.read.parquet(s"$path/fingerprints")
-      .filter($"corpus_id" === 2L).count() shouldBe 0L
+    // physically gone, not just masked — read the SERVED base table
+    // (the committed generation after the compact upgraded the tree)
+    def servedFp() = spark.read.parquet(
+      s"${SubstringDedup.servedBaseDir(spark, path)}/fingerprints")
+    servedFp().filter($"corpus_id" === 2L).count() shouldBe 0L
     // purge of a non-tombstoned id is a no-op (never deletes live rows)
-    val before = spark.read.parquet(s"$path/fingerprints").count()
+    val before = servedFp().count()
     SubstringDedup.deleteFromFingerprintIndex(path, Seq(3L).toDF("id"))
     SubstringDedup.purgeFingerprintIndex(spark, path, Seq(1L).toDF("id"))
-    spark.read.parquet(s"$path/fingerprints").count() shouldBe before
+    servedFp().count() shouldBe before
     // the compact_pending marker gates reads with documented recovery
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -454,6 +456,57 @@ class SubstringDedupSpec extends SparkSpec {
     SubstringDedup.compactFingerprintIndex(spark, path)
     SubstringDedup.matchesAgainstIndex(spark, path, batch, "id", "text")
       .count() shouldBe 0L // global re-cap dropped the hot hashes
+  }
+
+  test("fingerprintIndexMaintenanceAdvice folds stats into " +
+    "compact/none with exact strict-inequality edges") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a second corpus document sharing nothing with others"),
+      (3L, "third document with its own completely distinct span"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("substr_idx_advice_").toString
+    SubstringDedup.writeFingerprintIndex(
+      corpus, "id", "text", path, k = 8, window = 8, maxDocFreq = 10L)
+    def verdict(th: DedupIndex.AdviceThresholds): String =
+      SubstringDedup.fingerprintIndexMaintenanceAdvice(spark, path, th)
+        .select("advice").head.getString(0)
+    def firedRules(th: DedupIndex.AdviceThresholds): Set[String] =
+      SubstringDedup.fingerprintIndexMaintenanceAdvice(spark, path, th)
+        .filter(col("fired")).select("rule")
+        .collect().map(_.getString(0)).toSet
+
+    verdict(DedupIndex.AdviceThresholds()) shouldBe "none"
+
+    // segment debt, strict edge
+    SubstringDedup.appendToFingerprintIndex(spark, path,
+      Seq((4L, "a freshly appended fourth document lands here fine"))
+        .toDF("id", "text"), "id", "text")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 0)) shouldBe "compact"
+    firedRules(DedupIndex.AdviceThresholds(maxSegments = 0)) shouldBe
+      Set("segments")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 1)) shouldBe "none"
+
+    // tombstone mass vs distinct served docs, strict edge
+    SubstringDedup.deleteFromFingerprintIndex(path, Seq(1L).toDF("id"))
+    val st = SubstringDedup.fingerprintIndexStats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st("tombstones_pending") shouldBe 1L
+    st("distinct_docs") shouldBe 3L // 2, 3, 4 — doc 1 masked
+    val obs = 100L * st("tombstones_pending")
+    val pNoFire = (obs + st("distinct_docs") - 1) / st("distinct_docs")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 100,
+      maxTombstonePct = pNoFire - 1)) shouldBe "compact"
+    firedRules(DedupIndex.AdviceThresholds(maxSegments = 100,
+      maxTombstonePct = pNoFire - 1)) shouldBe Set("tombstone_mass")
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 100,
+      maxTombstonePct = pNoFire)) shouldBe "none"
+
+    // acting on the advice clears every trigger
+    SubstringDedup.compactFingerprintIndex(spark, path)
+    verdict(DedupIndex.AdviceThresholds(maxSegments = 0,
+      maxTombstonePct = 0)) shouldBe "none"
   }
 
   test("crashed tombstone swap fails loud; purge refuses a " +
