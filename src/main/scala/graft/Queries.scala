@@ -13510,7 +13510,121 @@ object Queries {
         SELECT r.rule, CAST(r.observed AS BIGINT) AS observed,
           CAST(r.bound AS BIGINT) AS bound,
           r.observed > r.bound AS fired, v.advice
-        FROM rules r, verdict v ORDER BY rule"""))
+        FROM rules r, verdict v ORDER BY rule""")),
+
+    // IVF measure→decide→ACT (sim/Similarity.ivfAutoMaintain) — the
+    // loop closed: q253 made maintenance measurable, q259 made it a
+    // decision, this EXECUTES it. Fixture: pristine base (vec_id <
+    // 300) + one segment [300, 350); thresholds fire only the
+    // compact-side rules, autoMaintain runs the compact, and the
+    // POST-ACTION stats are what DuckDB replays — a skipped or wrong
+    // action leaves segments_pending/base_rows at their pre-action
+    // values and fails the compare (a retrain would move the whole
+    // histogram). The require on the returned action table pins the
+    // audit trail driver-visibly.
+    GraftQuery(
+      "q265_ivf_auto_maintain",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q265_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(idxPath))
+        graft.sim.Similarity.appendIvfSegment(s, idxPath,
+          emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+        val acted = graft.sim.Similarity.ivfAutoMaintain(
+          s, idxPath, "vec_id", "embedding",
+          graft.sim.Similarity.IvfAdviceThresholds(
+            maxSegments = 0, maxSegmentRowsPct = 100,
+            maxSkewX100 = 100000, maxDeletedPct = 100))
+        require(acted.select("action").head.getString(0) == "compact",
+          "q265: ivfAutoMaintain did not execute the advised compact")
+        graft.sim.Similarity.ivfStats(s, idxPath, "vec_id", "embedding")
+          .orderBy(col("stat"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 350),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        agg AS (
+          SELECT MAX(n) AS mx, MIN(n) AS mn,
+            CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+            CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM hist)
+        SELECT stat, value FROM (
+          SELECT 'base_rows' AS stat, tot AS value FROM agg
+          UNION ALL SELECT 'deleted_since_retrain', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'empty_cells', ec FROM agg
+          UNION ALL SELECT 'max_cell_rows', mx FROM agg
+          UNION ALL SELECT 'min_cell_rows', mn FROM agg
+          UNION ALL SELECT 'n_cells', k FROM agg
+          UNION ALL SELECT 'segment_rows', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM agg)
+        ORDER BY stat""")),
+
+    // Dedup-index measure→decide→ACT (dedup/DedupIndex.autoMaintain)
+    // — q265's twin: q251's fixture state (segment [400, 450) +
+    // tombstones < 100) advises compact at (maxSegments = 0,
+    // maxTombstonePct = 10), autoMaintain executes it, and the
+    // post-action stats replay as the fully-folded live corpus
+    // [100, 450): segments and tombstones zero, exact/sets rows the
+    // live counts — any skipped fold leaves a nonzero pending count
+    // or a 100-row overhang and fails the compare.
+    GraftQuery(
+      "q266_dedup_auto_maintain",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q266_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIngestIndexFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.DedupIndex.appendSegment(s, idxPath,
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+          "doc_id", "text")
+        graft.dedup.DedupIndex.delete(idxPath,
+          docs.filter(col("doc_id") < 100).select(col("doc_id")))
+        val acted = graft.dedup.DedupIndex.autoMaintain(s, idxPath,
+          graft.dedup.DedupIndex.AdviceThresholds(
+            maxSegments = 0, maxTombstonePct = 10))
+        require(acted.select("action").head.getString(0) == "compact",
+          "q266: autoMaintain did not execute the advised compact")
+        graft.dedup.DedupIndex.stats(s, idxPath).orderBy(col("stat"))
+      },
+      Some("""
+        WITH live AS (
+          SELECT doc_id, list_distinct(string_split(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+          FROM documents WHERE doc_id >= 100 AND doc_id < 450)
+        SELECT stat, value FROM (
+          SELECT 'exact_rows' AS stat,
+            CAST(COUNT(*) AS BIGINT) AS value FROM live
+          UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'sets_rows', CAST((
+            SELECT COUNT(*) FROM live WHERE len(toks) > 0) AS BIGINT)
+          UNION ALL SELECT 'tombstones_pending', CAST(0 AS BIGINT))
+        ORDER BY stat"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -571,6 +571,23 @@ object DedupIndex {
     }.toDF("rule", "observed", "bound", "fired", "advice")
   }
 
+  /** Measure → decide → ACT in one call ([[graft.sim.Similarity
+    * .ivfAutoMaintain]]'s dedup twin): run [[maintenanceAdvice]] and
+    * execute the verdict — `compact` → [[compact]], `none` → no
+    * filesystem touch. Returns the advice evidence with an `action`
+    * column; q266 proves the action ran by replaying the post-action
+    * stats. Idempotent at the fixpoint (post-action advice is `none`
+    * at the same thresholds, spec-pinned).
+    */
+  def autoMaintain(
+      spark: SparkSession, path: String,
+      thresholds: AdviceThresholds = AdviceThresholds()): DataFrame = {
+    val advice = maintenanceAdvice(spark, path, thresholds)
+    val verdict = advice.select("advice").head.getString(0)
+    if (verdict == "compact") compact(spark, path)
+    advice.withColumn("action", lit(verdict))
+  }
+
   private def readParams(spark: SparkSession, path: String): Params = {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"malformed dedup index meta at $path/meta: ${m.length} rows")

@@ -527,6 +527,36 @@ object Similarity {
     }.toDF("rule", "observed", "bound", "fired", "advice")
   }
 
+  /** The full measure → decide → ACT loop in one call — the operator
+    * a maintenance scheduler actually runs: [[ivfMaintenanceAdvice]]
+    * reads the verdict off [[ivfStats]] + the deleted-mass journal,
+    * and this EXECUTES it — `retrain` →
+    * [[compactIvfIndexWithRetrain]], `compact` → [[compactIvfIndex]],
+    * `none` → no filesystem touch. Returns the advice evidence table
+    * with an `action` column stating what ran, so the maintenance
+    * decision is auditable after the fact (q265 proves the action
+    * happened by replaying the POST-action stats in DuckDB — a
+    * skipped compact leaves segments_pending ≠ 0 and fails the
+    * compare). Idempotent at the fixpoint: after the action, a second
+    * call at the same thresholds advises `none` (spec-pinned).
+    */
+  def ivfAutoMaintain(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      thresholds: IvfAdviceThresholds = IvfAdviceThresholds(),
+      retrainIters: Int = 2): DataFrame = {
+    val advice =
+      ivfMaintenanceAdvice(spark, path, idCol, vecCol, thresholds)
+    val verdict = advice.select("advice").head.getString(0)
+    verdict match {
+      case "retrain" =>
+        compactIvfIndexWithRetrain(spark, path, idCol, vecCol,
+          iters = retrainIters)
+      case "compact" => compactIvfIndex(spark, path)
+      case _ => ()
+    }
+    advice.withColumn("action", lit(verdict))
+  }
+
   /** Compact an on-disk IVF index's cell partitions — the maintenance
     * step [[appendToIvfIndex]] makes necessary (the
     * [[graft.dedup.DedupIndex.compact]] of the ANN family): every

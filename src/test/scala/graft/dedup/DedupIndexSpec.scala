@@ -421,6 +421,20 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.compact(spark, path)
     verdict(DedupIndex.AdviceThresholds(maxSegments = 0,
       maxTombstonePct = 0)) shouldBe "none"
+
+    // autoMaintain = decide + act + audit trail, idempotent at the
+    // fixpoint
+    DedupIndex.appendSegment(spark, path,
+      Seq((200L, "another fresh appended document")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def act(th: DedupIndex.AdviceThresholds) =
+      DedupIndex.autoMaintain(spark, path, th)
+        .select("action").head.getString(0)
+    act(DedupIndex.AdviceThresholds(maxSegments = 0)) shouldBe "compact"
+    DedupIndex.stats(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("segments_pending") shouldBe 0L
+    act(DedupIndex.AdviceThresholds(maxSegments = 0)) shouldBe "none"
   }
 
   test("crashed tombstone swap fails loud: tombstones_old without " +

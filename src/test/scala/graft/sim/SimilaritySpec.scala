@@ -579,6 +579,40 @@ class SimilaritySpec extends SparkSpec {
       maxDeletedPct = 0, maxSkewX100 = 100000)) shouldBe "none"
   }
 
+  test("ivfAutoMaintain executes the verdict and reaches the " +
+    "fixpoint; the retrain branch really retrains") {
+    val data = corpus(70, 8, seed = 19)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_autom").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvf(data.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCells = 4), dir)
+    Similarity.appendIvfSegment(spark, dir,
+      Seq((900L, Seq.fill(8)(0.4f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val compactOnly = Similarity.IvfAdviceThresholds(
+      maxSegments = 0, maxSegmentRowsPct = 100,
+      maxSkewX100 = 100000, maxDeletedPct = 100)
+    def action(th: Similarity.IvfAdviceThresholds) = Similarity
+      .ivfAutoMaintain(spark, dir, "vec_id", "embedding", th)
+      .select("action").head.getString(0)
+    action(compactOnly) shouldBe "compact"
+    // the action really ran (segments folded) and the loop is at its
+    // fixpoint: the same thresholds now advise nothing
+    Similarity.ivfStats(spark, dir, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("segments_pending") shouldBe 0L
+    action(compactOnly) shouldBe "none"
+    // the retrain branch: force it via the skew rule and verify the
+    // centroid table actually moved (k-means over the served corpus)
+    val dayZero = Similarity.readIvfCentroids(spark, dir)
+    Similarity.ivfAutoMaintain(spark, dir, "vec_id", "embedding",
+      Similarity.IvfAdviceThresholds(maxSkewX100 = 0))
+      .select("action").head.getString(0) shouldBe "retrain"
+    Similarity.readIvfCentroids(spark, dir)
+      .map(_._2.toSeq) should not be dayZero.map(_._2.toSeq)
+  }
+
   test("near-dup operators handle empty inputs") {
     val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     Similarity.embeddingNearDuplicates(emptyVecs, "vec_id", "embedding")
