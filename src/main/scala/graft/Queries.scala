@@ -13624,7 +13624,247 @@ object Queries {
           UNION ALL SELECT 'sets_rows', CAST((
             SELECT COUNT(*) FROM live WHERE len(toks) > 0) AS BIGINT)
           UNION ALL SELECT 'tombstones_pending', CAST(0 AS BIGINT))
-        ORDER BY stat"""))
+        ORDER BY stat""")),
+
+    // Substring-index measure→decide→ACT (dedup/SubstringDedup
+    // .autoMaintainFingerprintIndex) — the actuator the third family
+    // was owed (q265 = IVF, q266 = MinHash dedup): q264's fixture
+    // state (tombstones [100,150) + one segment [200,250)) advises
+    // compact at (maxSegments = 0, maxTombstonePct = 10), the auto
+    // operator EXECUTES it, and DuckDB replays the POST-action stats
+    // from the raw corpus — the full winnowing of the live docs plus
+    // the global df re-cap the compact applies. A skipped compact
+    // leaves segments_pending/tombstones_pending nonzero and the
+    // tombstoned docs' fingerprints in the count; both fail the
+    // compare.
+    GraftQuery(
+      "q267_substring_auto_maintain",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(!col("text").rlike("[^ -~]"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q267_").toString
+        val idxPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineSubstrStreamBaseFor(s, dir)),
+          java.nio.file.Paths.get(idxPath))
+        graft.dedup.SubstringDedup.deleteFromFingerprintIndex(idxPath,
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select(col("doc_id")))
+        graft.dedup.SubstringDedup.appendToFingerprintIndex(s, idxPath,
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+          "doc_id", "text")
+        val acted = graft.dedup.SubstringDedup
+          .autoMaintainFingerprintIndex(s, idxPath,
+            graft.dedup.DedupIndex.AdviceThresholds(
+              maxSegments = 0, maxTombstonePct = 10))
+        require(acted.select("action").head.getString(0) == "compact",
+          "q267: autoMaintainFingerprintIndex did not execute the " +
+            "advised compact")
+        graft.dedup.SubstringDedup.fingerprintIndexStats(s, idxPath)
+          .orderBy(col("stat"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents WHERE NOT regexp_matches(text, '[^ -~]')
+            AND ((doc_id < 200
+                  AND NOT (doc_id >= 100 AND doc_id < 150))
+                 OR (doc_id >= 200 AND doc_id < 250))
+        ),
+        h AS (
+          SELECT doc_id, t, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t,
+            unnest(range(1, len(t) - 16 + 2)) AS p FROM d)
+        ),
+        keyed AS (
+          SELECT doc_id, t, p, hash,
+            hash * 2147483648 + (2147483648 - p) AS key FROM h
+        ),
+        wmin AS (
+          SELECT doc_id,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS p
+          FROM wmin WHERE wn = 16
+        ),
+        shortd AS (
+          SELECT doc_id, hash, p FROM (
+            SELECT doc_id, hash, p,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, p DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nn
+            FROM h) WHERE nn < 16 AND rn = 1
+        ),
+        fp0 AS (
+          SELECT doc_id, hash, p FROM sel
+          UNION ALL SELECT doc_id, hash, p FROM shortd
+        ),
+        fp AS (
+          SELECT * FROM fp0 WHERE hash IN (
+            SELECT hash FROM fp0 GROUP BY hash
+            HAVING COUNT(DISTINCT doc_id) <= 50)
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS rows_,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_
+          FROM fp)
+        SELECT stat, value FROM (
+          SELECT 'distinct_docs' AS stat, docs_ AS value FROM agg
+          UNION ALL SELECT 'fingerprint_rows', rows_ FROM agg
+          UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'tombstones_pending', CAST(0 AS BIGINT))
+        ORDER BY stat""")),
+
+    // Streaming ingest with IN-LOOP auto-maintenance (streaming/
+    // Streaming.ivfIngestSink, maintainEvery = 2) — the last open
+    // seam in the index lifecycle closed: q232's four staged vector
+    // batches stream in, and every 2nd batch boundary runs
+    // ivfAutoMaintain INSIDE foreachBatch (single-writer by
+    // construction) at thresholds where only the segments rule fires.
+    // No out-of-band call ever happens, yet the post-stream stats
+    // replay as a FULLY COMPACTED index: segments_pending = 0,
+    // segment_rows = 0, every row in the base histogram — a sink that
+    // skipped or mistimed the in-loop maintenance leaves pending
+    // segments and fails the compare.
+    GraftQuery(
+      "q268_stream_ingest_auto_maintain",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val emb = t(s, dir, "embeddings")
+        val staged = stagedVectorBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q268_").toString
+        val indexPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(indexPath))
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.ivfIngestSink(
+          stream, indexPath, s"$base/ckpt", "vec_id", "embedding",
+          maintainEvery = Some(2),
+          maintainThresholds = graft.sim.Similarity.IvfAdviceThresholds(
+            maxSegments = 0, maxSegmentRowsPct = 1000000,
+            maxSkewX100 = 1000000, maxDeletedPct = 1000000))
+          .awaitTermination()
+        val out = graft.sim.Similarity
+          .ivfStats(s, indexPath, "vec_id", "embedding")
+          .orderBy(col("stat"))
+          .localCheckpoint(true) // outlive the ckpt cleanup below
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        agg AS (
+          SELECT MAX(n) AS mx, MIN(n) AS mn,
+            CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+            CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM hist)
+        SELECT stat, value FROM (
+          SELECT 'base_rows' AS stat, tot AS value FROM agg
+          UNION ALL SELECT 'deleted_since_retrain', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'empty_cells', ec FROM agg
+          UNION ALL SELECT 'max_cell_rows', mx FROM agg
+          UNION ALL SELECT 'min_cell_rows', mn FROM agg
+          UNION ALL SELECT 'n_cells', k FROM agg
+          UNION ALL SELECT 'segment_rows', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM agg)
+        ORDER BY stat""")),
+
+    // IVF probe PLANNER (sim/Similarity.ivfProbePlanTable/ivfProbePlan)
+    // — the query-side decision the maintenance family left hand-tuned:
+    // nProbe was a magic number; this derives, from the stored cell
+    // histogram alone, the conservative mass-coverage recall bound per
+    // candidate nProbe (worst = the nProbe SMALLEST cells' mass — the
+    // floor any probed set clears under the corpus-mass neighbor
+    // model) and the optimistic ceiling (largest cells), in exact ppm
+    // integer arithmetic, plus the argmin pick at target 0.9. DuckDB
+    // recomputes the assignment, the zero-filled histogram, both
+    // cumulative curves with the same (rows, cell) tie order, the
+    // floor divisions and the pick. Read-only: runs directly on the
+    // shared pristine tree (no copy, no mutation).
+    GraftQuery(
+      "q269_ivf_probe_plan",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxPath = pristineIvfIngestFor(s, dir, emb)
+        val picked = graft.sim.Similarity.ivfProbePlan(
+          s, idxPath, "vec_id", "embedding", targetRecallPpm = 900000L)
+        graft.sim.Similarity
+          .ivfProbePlanTable(s, idxPath, "vec_id", "embedding")
+          .withColumn("picked", col("n_probe") === lit(picked))
+          .orderBy(col("n_probe"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+        a_c AS (SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY n, cell) AS INTEGER) AS i,
+            CAST(SUM(n) OVER (ORDER BY n, cell
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM hist),
+        d_c AS (SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, cell) AS INTEGER) AS i,
+            CAST(SUM(n) OVER (ORDER BY n DESC, cell
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM hist),
+        plan AS (SELECT a.i AS n_probe, a.cum AS worst_rows,
+            d.cum AS best_rows, t.total AS total_rows,
+            CAST((1000000 * a.cum) // t.total AS BIGINT) AS worst_mass_ppm,
+            CAST((1000000 * d.cum) // t.total AS BIGINT) AS best_mass_ppm
+          FROM a_c a JOIN d_c d USING (i), tot t),
+        pick AS (SELECT MIN(n_probe) AS p FROM plan
+                 WHERE worst_mass_ppm >= 900000)
+        SELECT n_probe, worst_rows, best_rows, total_rows,
+          worst_mass_ppm, best_mass_ppm, n_probe = p AS picked
+        FROM plan, pick ORDER BY n_probe"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

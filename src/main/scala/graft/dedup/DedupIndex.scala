@@ -270,10 +270,13 @@ object DedupIndex {
           "rows and clear the tombstones), then append the " +
           "re-licensed documents")
     }
-    // a stream restart reusing a batchId name a prior compact folded
-    // and GC'd must not be silently excluded by the stale manifest
-    // entry ([[graft.core.Generations.cleanStaleFolded]])
-    graft.core.Generations.cleanStaleFolded(spark, path)
+    // free the name before the segment lands: stale folded-manifest
+    // entries drop (a stream restart reuses batchId names a prior
+    // compact folded and GC'd — the stale entry would silently exclude
+    // the new segment) and a folded-but-unGC'd dir holding this name
+    // is deleted (its dead rows must not mask the replayed batch) —
+    // [[graft.core.Generations.prepareSegmentLanding]]
+    graft.core.Generations.prepareSegmentLanding(spark, path, Some(name))
     writeTables(batch, idCol, textCol, s"$path/segments/$name", params)
   }
 
@@ -472,8 +475,8 @@ object DedupIndex {
     // readers racing the compact resolve either the grace copy or
     // the committed generation, and the manifest's folded-segment
     // list covers the crash window before the eager segment GC.
-    val curN = graft.core.Generations.latest(spark, path)
-      .map(_._2).getOrElse(-1)
+    val gen = graft.core.Generations.latest(spark, path)
+    val curN = gen.map(_._2).getOrElse(-1)
     val target = s"$path/generations/gen=${curN + 1}"
     val mergedBuckets = antiTombstones(
       idx.buckets
@@ -491,8 +494,12 @@ object DedupIndex {
     // distinct: it could never drop a row and would cost a full
     // corpus-sized shuffle for nothing
     idx.exact.write.mode("overwrite").parquet(s"$target/exact")
-    graft.core.Generations.writeManifest(fs, target,
-      segs.map(_.split('/').last).toSet)
+    // prior folded names whose dirs a crashed GC left behind carry
+    // forward into the new manifest (a dead segment must never
+    // re-enter service) and join the GC list below
+    val zombies = graft.core.Generations.commitGeneration(
+      fs, path, target, segs.map(_.split('/').last).toSet,
+      gen.map(_._3).getOrElse(Set.empty))
     // tombstones were folded into the committed tables; clearing them
     // after the commit is benign in the crash window — re-anti-joining
     // already-removed ids is a no-op, and the appendSegment fence just
@@ -500,7 +507,7 @@ object DedupIndex {
     // Aside-then-live order as in [[purge]].
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    graft.core.Generations.gcAfterCommit(fs, path, curN, segs,
+    graft.core.Generations.gcAfterCommit(fs, path, curN, segs ++ zombies,
       legacyChildren = Seq("exact", "sets", "buckets"))
   }
 
@@ -512,19 +519,23 @@ object DedupIndex {
     * per statistic, all exact counts (q251 pins them against DuckDB
     * recomputing the same quantities from the raw corpus slices).
     */
-  def stats(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val idx = read(spark, path)
-    val nSegments = servedSegmentDirs(spark, path).size.toLong
-    val nTombstones =
-      tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
-    Seq(
-      ("segments_pending", nSegments),
-      ("tombstones_pending", nTombstones),
-      ("exact_rows", idx.exact.count()),
-      ("sets_rows", idx.sets.count()))
-      .toDF("stat", "value")
-  }
+  def stats(spark: SparkSession, path: String): DataFrame =
+    // resolve-then-count is eager, so a compact racing this call can
+    // GC a resolved segment mid-count — retry re-resolves to the
+    // committed generation holding the same rows
+    graft.core.Generations.retryOnLostSegments() {
+      import spark.implicits._
+      val idx = read(spark, path)
+      val nSegments = servedSegmentDirs(spark, path).size.toLong
+      val nTombstones =
+        tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
+      Seq(
+        ("segments_pending", nSegments),
+        ("tombstones_pending", nTombstones),
+        ("exact_rows", idx.exact.count()),
+        ("sets_rows", idx.sets.count()))
+        .toDF("stat", "value")
+    }
 
   /** Thresholds for [[maintenanceAdvice]] — exact integers, a rule
     * fires when `observed` strictly exceeds its `bound`.

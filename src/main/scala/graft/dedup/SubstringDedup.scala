@@ -280,9 +280,12 @@ object SubstringDedup {
           s"at $path — purge those ids or run " +
           "compactFingerprintIndex first, then append")
     }
-    // stale folded-manifest names free up before the segment lands
-    // (stream restarts reuse batchId names — Generations contract)
-    graft.core.Generations.cleanStaleFolded(spark, path)
+    // free the name before the segment lands: stale folded-manifest
+    // entries drop (stream restarts reuse batchId names a prior
+    // compact folded and GC'd) and a folded-but-unGC'd dir holding
+    // this name is deleted so its dead rows cannot mask the replayed
+    // batch ([[graft.core.Generations.prepareSegmentLanding]])
+    graft.core.Generations.prepareSegmentLanding(spark, path, Some(segDir))
     val fp = fingerprints(newDocs, idCol, textCol, k, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -364,7 +367,16 @@ object SubstringDedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
     if (!fs.exists(segBase)) Nil
-    else fs.listStatus(segBase).toSeq.map(_.getPath.toString)
+    else fs.listStatus(segBase).toSeq
+      // directories in the segment namespace only (numeric batch
+      // appends, "seg"-named streaming segments) — a stray file or
+      // tmp/marker dir under segments/ must not become a bogus
+      // fingerprint root (the DedupIndex.segmentDirs discipline)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p =>
+        p.getName.toIntOption.isDefined || p.getName.startsWith("seg"))
+      .map(_.toString)
       .sortBy(_.split('/').last)
   }
 
@@ -450,19 +462,24 @@ object SubstringDedup {
     * pins every number against DuckDB replaying the winnowing chain.
     */
   def fingerprintIndexStats(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val served = storedFingerprints(spark, path)
-    val nSegments = (fingerprintRoots(spark, path).size - 1).toLong
-    val nTombstones =
-      tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
-    Seq(
-      ("distinct_docs", served.select(col("corpus_id")).distinct().count()),
-      ("fingerprint_rows", served.count()),
-      ("segments_pending", nSegments),
-      ("tombstones_pending", nTombstones))
-      .toDF("stat", "value")
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    // resolve-then-count is eager, so a compact racing this call can
+    // GC a resolved segment mid-count — retry re-resolves to the
+    // committed generation holding the same rows
+    graft.core.Generations.retryOnLostSegments() {
+      import spark.implicits._
+      val served = storedFingerprints(spark, path)
+      val nSegments = (fingerprintRoots(spark, path).size - 1).toLong
+      val nTombstones =
+        tombstones(spark, path).map(_.distinct().count()).getOrElse(0L)
+      Seq(
+        ("distinct_docs",
+          served.select(col("corpus_id")).distinct().count()),
+        ("fingerprint_rows", served.count()),
+        ("segments_pending", nSegments),
+        ("tombstones_pending", nTombstones))
+        .toDF("stat", "value")
+    }
 
   /** [[fingerprintIndexStats]] folded into the operational verdict —
     * [[DedupIndex.maintenanceAdvice]] for the substring family (the
@@ -501,6 +518,33 @@ object SubstringDedup {
     }.toDF("rule", "observed", "bound", "fired", "advice")
   }
 
+  /** Measure → decide → ACT in one call — the actuator that completes
+    * the third index family ([[graft.sim.Similarity.ivfAutoMaintain]]
+    * and [[DedupIndex.autoMaintain]] got theirs in the same promotion):
+    * run [[fingerprintIndexMaintenanceAdvice]] and execute the
+    * verdict — `compact` → [[compactFingerprintIndex]] (the one
+    * maintenance op this family has: it folds segments AND pending
+    * tombstones and re-caps document frequency globally; there is no
+    * retrain — fingerprints are content-determined, nothing is fit to
+    * the corpus), `none` → no filesystem touch. Returns the advice
+    * evidence with an `action` column stating what ran, so the
+    * decision is auditable after the fact (q267 proves the action
+    * happened by replaying the POST-action stats in DuckDB — a
+    * skipped compact leaves segments_pending ≠ 0 and fails the
+    * compare). Idempotent at the fixpoint: after the action, a second
+    * call at the same thresholds advises `none` (spec-pinned).
+    */
+  def autoMaintainFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      thresholds: DedupIndex.AdviceThresholds =
+        DedupIndex.AdviceThresholds()): DataFrame = {
+    val advice =
+      fingerprintIndexMaintenanceAdvice(spark, path, thresholds)
+    val verdict = advice.select("advice").head.getString(0)
+    if (verdict == "compact") compactFingerprintIndex(spark, path)
+    advice.withColumn("action", lit(verdict))
+  }
+
   /** Merge segments into the base at DERIVED-table cost: the stored
     * fingerprints union and re-cap GLOBALLY on document frequency —
     * the corpus text is never re-read. Write-to-temp-then-rename; meta
@@ -526,20 +570,24 @@ object SubstringDedup {
     // manifest rename — no marker, no fail-loud window for readers
     // racing the compact; the manifest's folded-segment list covers
     // the crash window before the eager segment GC.
-    val curN = graft.core.Generations.latest(spark, path)
-      .map(_._2).getOrElse(-1)
+    val gen = graft.core.Generations.latest(spark, path)
+    val curN = gen.map(_._2).getOrElse(-1)
     val target = s"$path/generations/gen=${curN + 1}"
     all.join(rare, Seq("hash"))
       .select(col("corpus_id"), col("hash"), col("pos"), col("snippet"))
       .write.mode("overwrite").parquet(s"$target/fingerprints")
-    graft.core.Generations.writeManifest(fs, target,
-      segs.map(_.split('/').last).toSet)
+    // prior folded names whose dirs a crashed GC left behind carry
+    // forward (a dead segment must never re-enter service) and join
+    // the GC list below
+    val zombies = graft.core.Generations.commitGeneration(
+      fs, path, target, segs.map(_.split('/').last).toSet,
+      gen.map(_._3).getOrElse(Set.empty))
     // tombstones folded into the committed table; clearing after the
     // commit is benign in the crash window (re-anti-joining removed
     // ids is a no-op). Aside-then-live order as in purge.
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    graft.core.Generations.gcAfterCommit(fs, path, curN, segs,
+    graft.core.Generations.gcAfterCommit(fs, path, curN, segs ++ zombies,
       legacyChildren = Seq("fingerprints"))
   }
 

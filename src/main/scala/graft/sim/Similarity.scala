@@ -384,11 +384,13 @@ object Similarity {
           .foldLeft(-1)(math.max) + 1
         f"seg$next%04d"
     }
-    // drop stale folded-manifest entries BEFORE landing the segment: a
-    // stream restarting with a fresh checkpoint reuses batchId names a
-    // prior compact folded and GC'd, and the stale entry would
-    // silently exclude the NEW segment from every read
-    graft.core.Generations.cleanStaleFolded(spark, path)
+    // free the name BEFORE landing the segment: drop stale
+    // folded-manifest entries (a stream restarting with a fresh
+    // checkpoint reuses batchId names a prior compact folded and
+    // GC'd — the stale entry would silently exclude the NEW segment),
+    // and delete a folded-but-unGC'd dir holding this name (its dead
+    // rows must not mask the replayed batch)
+    graft.core.Generations.prepareSegmentLanding(spark, path, Some(name))
     buildIvfWithCentroids(batch, idCol, vecCol, centroids)
       .assigned.write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/segments/$name/assigned")
@@ -426,7 +428,11 @@ object Similarity {
     */
   def ivfStats(
       spark: SparkSession, path: String,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    // resolve-then-count is eager, so a compact racing this call can
+    // GC a resolved segment mid-count — retry re-resolves to the
+    // committed generation holding the same rows
+    graft.core.Generations.retryOnLostSegments() {
     import spark.implicits._
     val centroids = readIvfCentroids(spark, path)
     val nCells = centroids.size.toLong
@@ -456,7 +462,7 @@ object Similarity {
       ("segments_pending", segs.size.toLong),
       ("skew_x100", skew))
       .toDF("stat", "value")
-  }
+    }
 
   /** Thresholds for [[ivfMaintenanceAdvice]], all exact integers so
     * the decision replays bit-for-bit in SQL. A rule fires when its
@@ -557,6 +563,76 @@ object Similarity {
     advice.withColumn("action", lit(verdict))
   }
 
+  /** The QUERY-side planner table the maintenance family implies but
+    * round 15 left hand-tuned: [[ivfTopK]]'s `nProbe` was a
+    * caller-chosen magic number with no recall model behind it. This
+    * derives the model from the stored cell histogram (the same
+    * readout [[ivfStats]] serves), one row per candidate `n_probe`
+    * in [1, nCells]:
+    *
+    *   - `worst_rows` / `worst_mass_ppm` — the mass-coverage LOWER
+    *     bound: whatever nProbe cells a query's centroid ranking
+    *     selects, the probed rows are at least the nProbe SMALLEST
+    *     cells' total, so under the corpus-mass neighbor model (the
+    *     true neighbor's cell is distributed ∝ cell mass — exactly
+    *     how a corpus-distributed query workload behaves) expected
+    *     recall ≥ worst_mass_ppm / 10⁶ for ANY probed set;
+    *   - `best_rows` / `best_mass_ppm` — the symmetric upper curve
+    *     (probed set = the nProbe largest cells), bounding how much
+    *     headroom a skew-aware router could still win;
+    *   - `total_rows` — the served corpus mass the ppm columns divide
+    *     by (floor division: both engines do the same integer fold).
+    *
+    * Ties order deterministically by (rows, cell) so the table —
+    * like every planning table in this package (q250/q255/q262) — is
+    * engine-replayable: q269 recomputes the assignment, the
+    * zero-filled histogram, both cumulative curves and the ppm floor
+    * divisions in DuckDB. Cost: one nCells-row aggregation + an
+    * nCells driver fold; the corpus is scanned once, never joined.
+    */
+  def ivfProbePlanTable(
+      spark: SparkSession, path: String,
+      idCol: String, vecCol: String): DataFrame =
+    graft.core.Generations.retryOnLostSegments() {
+      import spark.implicits._
+      val centroids = readIvfCentroids(spark, path)
+      val served = readIvfIndex(spark, path, idCol, vecCol).assigned
+      val hist = served.groupBy(col("cell")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= nCells
+      val perCell = centroids.map { case (c, _) => (c, hist.getOrElse(c, 0L)) }
+      val total = perCell.map(_._2).sum
+      val asc = perCell.sortBy { case (c, n) => (n, c) }.map(_._2)
+      val desc = perCell.sortBy { case (c, n) => (-n, c) }.map(_._2)
+      val cumA = asc.scanLeft(0L)(_ + _).tail
+      val cumD = desc.scanLeft(0L)(_ + _).tail
+      (1 to perCell.size).map { i =>
+        def ppm(cum: Long) =
+          if (total == 0L) 1000000L else 1000000L * cum / total
+        (i, cumA(i - 1), cumD(i - 1), total,
+          ppm(cumA(i - 1)), ppm(cumD(i - 1)))
+      }.toDF("n_probe", "worst_rows", "best_rows", "total_rows",
+        "worst_mass_ppm", "best_mass_ppm")
+    }
+
+  /** The planner's decision: the minimal `nProbe` whose conservative
+    * mass-coverage bound reaches `targetRecallPpm` (parts-per-million;
+    * 900000 = "expected recall ≥ 0.9 under the corpus-mass neighbor
+    * model"). Always defined: at nProbe = nCells the bound is exactly
+    * 10⁶. Feed the result straight to [[ivfTopK]]; q269 pins the
+    * argmin, SimilaritySpec pins that the planned nProbe actually
+    * delivers the target recall on a planted-cluster corpus.
+    */
+  def ivfProbePlan(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      targetRecallPpm: Long): Int = {
+    require(targetRecallPpm >= 0L && targetRecallPpm <= 1000000L,
+      s"targetRecallPpm must be in [0, 1000000], got $targetRecallPpm")
+    val eligible = ivfProbePlanTable(spark, path, idCol, vecCol)
+      .filter(col("worst_mass_ppm") >= targetRecallPpm)
+      .agg(min(col("n_probe"))).head
+    if (eligible.isNullAt(0)) 1 else eligible.getInt(0) // null only on k=0
+  }
+
   /** Compact an on-disk IVF index's cell partitions — the maintenance
     * step [[appendToIvfIndex]] makes necessary (the
     * [[graft.dedup.DedupIndex.compact]] of the ANN family): every
@@ -635,9 +711,12 @@ object Similarity {
         .parquet(s"$target/centroids")
     }
     // THE COMMIT: atomic manifest rename — readers resolve gen curN+1
-    // from this instant, excluding the folded segments by name
-    graft.core.Generations.writeManifest(fs, target,
-      segs.map(_.split('/').last).toSet)
+    // from this instant, excluding the folded segments by name; prior
+    // folded names whose dirs a crashed GC left behind carry forward
+    // (a dead segment must never re-enter service)
+    val zombies = graft.core.Generations.commitGeneration(
+      fs, path, target, segs.map(_.split('/').last).toSet,
+      gen.map(_._3).getOrElse(Set.empty))
     retrained.foreach { _ =>
       // the retrained centroids reflect the post-delete corpus —
       // reset the deleted-mass journal [[ivfStats]] reads (after the
@@ -645,10 +724,11 @@ object Similarity {
       // conservative direction)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/deletions"), true)
     }
-    // GC (shared discipline): folded segments eagerly, one generation
-    // of grace — see [[graft.core.Generations.gcAfterCommit]]
+    // GC (shared discipline): folded segments eagerly (zombies from a
+    // prior crashed GC included), one generation of grace — see
+    // [[graft.core.Generations.gcAfterCommit]]
     graft.core.Generations.gcAfterCommit(
-      fs, path, curN, segs, legacyChildren = Seq("assigned"))
+      fs, path, curN, segs ++ zombies, legacyChildren = Seq("assigned"))
   }
 
 

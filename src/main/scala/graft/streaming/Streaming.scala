@@ -536,6 +536,20 @@ object Streaming {
     * artifact (q227 stages one file per batch with strictly
     * increasing modification times to pin the order; a production
     * deployment gets its order from the source's offsets).
+    *
+    * `maintainEvery = Some(n)`: after every n-th batch lands, run
+    * [[graft.dedup.DedupIndex.autoMaintain]] at `maintainThresholds`
+    * INSIDE the ingest loop — the closing of the index lifecycle's
+    * last open seam: without it, a long-running stream appends one
+    * segment per micro-batch forever and every dedup read pays one
+    * scan per segment until an out-of-band operator intervenes.
+    * Running it in foreachBatch is single-writer by construction (the
+    * same thread that appends), the decision is the measured advice
+    * verdict (never a blind compact), a replayed maintenance batch
+    * just re-advises (idempotent at the fixpoint), and a maintenance
+    * FAILURE fails the batch loud while the generational commit
+    * keeps the index serving its last committed state
+    * (StreamingIngestSpec pins it).
     */
   def dedupIngestSink(
       stream: DataFrame,
@@ -544,7 +558,10 @@ object Streaming {
       checkpointPath: String,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.8,
+      maintainEvery: Option[Int] = None,
+      maintainThresholds: graft.dedup.DedupIndex.AdviceThresholds =
+        graft.dedup.DedupIndex.AdviceThresholds()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -563,6 +580,9 @@ object Streaming {
           graft.dedup.DedupIndex.appendSegment(
             spark, indexPath, survivors, idCol, textCol, Some(segName))
         }
+        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
+          graft.dedup.DedupIndex.autoMaintain(
+            batch.sparkSession, indexPath, maintainThresholds)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -592,7 +612,11 @@ object Streaming {
       indexPath: String,
       checkpointPath: String,
       idCol: String,
-      vecCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      vecCol: String,
+      maintainEvery: Option[Int] = None,
+      maintainThresholds: graft.sim.Similarity.IvfAdviceThresholds =
+        graft.sim.Similarity.IvfAdviceThresholds(),
+      retrainIters: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -600,6 +624,13 @@ object Streaming {
             batch.sparkSession, indexPath, batch, idCol, vecCol,
             segmentName = Some(f"seg_b$batchId%05d"))
         }
+        // in-loop maintenance ([[dedupIngestSink]]'s contract):
+        // measured advice → act, single-writer, fail-loud; a retrain
+        // verdict re-fits centroids to the corpus as ingested
+        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
+          graft.sim.Similarity.ivfAutoMaintain(
+            batch.sparkSession, indexPath, idCol, vecCol,
+            maintainThresholds, retrainIters)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -637,7 +668,10 @@ object Streaming {
       indexPath: String,
       checkpointPath: String,
       idCol: String,
-      textCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      textCol: String,
+      maintainEvery: Option[Int] = None,
+      maintainThresholds: graft.dedup.DedupIndex.AdviceThresholds =
+        graft.dedup.DedupIndex.AdviceThresholds()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -645,6 +679,11 @@ object Streaming {
             batch.sparkSession, indexPath, batch, idCol, textCol,
             segmentName = Some(f"seg_b$batchId%05d"))
         }
+        // in-loop maintenance ([[dedupIngestSink]]'s contract):
+        // measured advice → act, single-writer, fail-loud
+        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
+          graft.dedup.SubstringDedup.autoMaintainFingerprintIndex(
+            batch.sparkSession, indexPath, maintainThresholds)
         ()
       }
       .option("checkpointLocation", checkpointPath)

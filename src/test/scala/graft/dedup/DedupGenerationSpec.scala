@@ -46,7 +46,7 @@ class DedupGenerationSpec extends SparkSpec {
     servedIds(path) shouldBe want
 
     DedupIndex.compact(spark, path)
-    new java.io.File(s"$path/generations/gen=0/_COMMITTED")
+    new java.io.File(s"$path/generations/gen=0/_COMMITTED.1")
       .exists() shouldBe true
     DedupIndex.servedBaseDir(spark, path) shouldBe
       s"$path/generations/gen=0"
@@ -139,7 +139,7 @@ class DedupGenerationSpec extends SparkSpec {
     matchedCorpus() shouldBe Set(1L, 3L)
 
     SubstringDedup.compactFingerprintIndex(spark, path)
-    new java.io.File(s"$path/generations/gen=0/_COMMITTED")
+    new java.io.File(s"$path/generations/gen=0/_COMMITTED.1")
       .exists() shouldBe true
     SubstringDedup.servedBaseDir(spark, path) shouldBe
       s"$path/generations/gen=0"

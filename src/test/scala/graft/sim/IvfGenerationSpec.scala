@@ -48,7 +48,7 @@ class IvfGenerationSpec extends SparkSpec {
     Similarity.compactIvfIndex(spark, dir)
     // gen=0 committed, manifest records the folded segment, the
     // folded segment dir is GC'd eagerly
-    new java.io.File(s"$dir/generations/gen=0/_COMMITTED")
+    new java.io.File(s"$dir/generations/gen=0/_COMMITTED.1")
       .exists() shouldBe true
     Similarity.servedAssignedDir(spark, dir) shouldBe
       s"$dir/generations/gen=0/assigned"

@@ -109,6 +109,74 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probe planner: the conservative mass bound picks the minimal " +
+    "nProbe and the planned nProbe delivers the target recall on " +
+    "planted clusters") {
+    // four orthogonal-axis clusters with DELIBERATELY imbalanced
+    // masses 20/40/60/80 and one unit centroid per axis: the cell
+    // histogram is exactly the cluster sizes, so the planner table is
+    // checkable by hand — ascending cumulative mass 20/60/120/200 →
+    // worst_mass_ppm 100000/300000/600000/1000000
+    val rng = new Random(23)
+    val dim = 8
+    def planted(axis: Int): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat * 0.02f)
+      v(axis) = (10.0 + rng.nextGaussian() * 0.1).toFloat
+      v
+    }
+    def axisOf(i: Long): Int =
+      if (i < 20) 0 else if (i < 60) 1 else if (i < 120) 2 else 3
+    val data = (0L until 200L).map(i => (i, planted(axisOf(i)).toSeq))
+    val df = data.toDF("vec_id", "embedding").repartition(7)
+    val centroids = (0 until 4).map { a =>
+      val c = Array.fill(dim)(0f); c(a) = 1f; (a, c)
+    }
+    val index = Similarity.buildIvfWithCentroids(
+      df, "vec_id", "embedding", centroids)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_probeplan_").toString
+    Similarity.writeIvfIndex(index, path)
+
+    val plan = Similarity
+      .ivfProbePlanTable(spark, path, "vec_id", "embedding")
+      .orderBy("n_probe")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    plan shouldBe Array(
+      (1, 20L, 80L, 100000L),
+      (2, 60L, 140L, 300000L),
+      (3, 120L, 180L, 600000L),
+      (4, 200L, 200L, 1000000L))
+    Similarity.ivfProbePlan(
+      spark, path, "vec_id", "embedding", 100000L) shouldBe 1
+    Similarity.ivfProbePlan(
+      spark, path, "vec_id", "embedding", 500000L) shouldBe 3
+    Similarity.ivfProbePlan(
+      spark, path, "vec_id", "embedding", 1000000L) shouldBe 4
+
+    // the planned nProbe at target 0.5 actually delivers ≥ 0.5 recall
+    // for corpus-distributed queries (here: one per cluster — each
+    // query's own cell ranks first, so recall is in fact 1.0)
+    val planned = Similarity.ivfProbePlan(
+      spark, path, "vec_id", "embedding", 500000L)
+    val queries = (0 until 4).map(a => (a.toLong, planted(a)))
+    val served = Similarity.readIvfIndex(
+      spark, path, "vec_id", "embedding")
+    def sets(got: Array[(Long, Long)]) =
+      got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = sets(Similarity
+      .ivfTopK(served, queries, k = 10, nProbe = planned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val exact = sets(Similarity.bruteForceTopK(
+      df, "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    queries.foreach { case (qid, _) =>
+      val recall =
+        approx(qid).intersect(exact(qid)).size.toDouble / exact(qid).size
+      recall should be >= 0.5
+    }
+  }
+
   test("partitioned IVF index round-trips and prunes cells at the scan") {
     val data = corpus(100, 8, seed = 11)
     val df = data.toDF("vec_id", "embedding")
