@@ -13864,7 +13864,84 @@ object Queries {
                  WHERE worst_mass_ppm >= 900000)
         SELECT n_probe, worst_rows, best_rows, total_rows,
           worst_mass_ppm, best_mass_ppm, n_probe = p AS picked
-        FROM plan, pick ORDER BY n_probe"""))
+        FROM plan, pick ORDER BY n_probe""")),
+
+    // Planner WIRED INTO SERVING (sim/Similarity.ivfTopKPlanned) —
+    // q269 derives the decision, this serves through it: the caller
+    // states k and a recall target, the minimal nProbe meeting the
+    // conservative mass bound derives from the stored histogram, and
+    // the top-k runs through the partition-pruned probe path at that
+    // count. DuckDB replays the WHOLE composition — assignment,
+    // histogram, cumulative curve, argmin pick, then q66's probe
+    // machinery with `rn <= pick` — so a planner regression that
+    // derives a different nProbe changes the probed cells and fails
+    // the compare.
+    GraftQuery(
+      "q270_ivf_topk_planned",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxPath = pristineIvfIngestFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfTopKPlanned(
+          s, idxPath, "vec_id", "embedding", queries, k = 10,
+          targetRecallPpm = 900000L)
+          .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+        a_c AS (SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY n, cell) AS INTEGER) AS i,
+            CAST(SUM(n) OVER (ORDER BY n, cell
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM hist),
+        pick AS (SELECT MIN(i) AS p FROM a_c, tot
+                 WHERE (1000000 * cum) // total >= 900000),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= (SELECT p FROM pick)),
+        sc AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q
+          JOIN probes USING (query_id)
+          JOIN assign ON assign.cell = probes.cell
+          JOIN e ON e.vec_id = assign.vec_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+          FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, score DESC, vec_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -633,6 +633,26 @@ object Similarity {
     if (eligible.isNullAt(0)) 1 else eligible.getInt(0) // null only on k=0
   }
 
+  /** The planner WIRED INTO SERVING — the [[ivfTopK]] entry a caller
+    * who thinks in recall targets uses instead of a hand-tuned probe
+    * count ([[graft.dedup.Dedup.nearDuplicatesPlanned]]'s ANN twin):
+    * derive the minimal nProbe meeting `targetRecallPpm` from the
+    * stored cell histogram ([[ivfProbePlan]]), then serve the top-k
+    * through the partition-pruned probe path with it. Planning cost
+    * is one nCells aggregation, amortizable by the caller across a
+    * query batch (the histogram only moves with index maintenance —
+    * re-plan after compact/retrain, not per query). q270 pins the
+    * whole composition: DuckDB re-derives the pick from the raw
+    * corpus and replays the probes at that derived count.
+    */
+  def ivfTopKPlanned(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int,
+      targetRecallPpm: Long): DataFrame = {
+    val nProbe = ivfProbePlan(spark, path, idCol, vecCol, targetRecallPpm)
+    ivfTopK(readIvfIndex(spark, path, idCol, vecCol), queries, k, nProbe)
+  }
+
   /** Compact an on-disk IVF index's cell partitions — the maintenance
     * step [[appendToIvfIndex]] makes necessary (the
     * [[graft.dedup.DedupIndex.compact]] of the ANN family): every

@@ -175,6 +175,13 @@ class SimilaritySpec extends SparkSpec {
         approx(qid).intersect(exact(qid)).size.toDouble / exact(qid).size
       recall should be >= 0.5
     }
+
+    // the serving wrapper is exactly topK at the planned count
+    val viaPlanned = sets(Similarity
+      .ivfTopKPlanned(spark, path, "vec_id", "embedding", queries,
+        k = 10, targetRecallPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    viaPlanned shouldBe approx
   }
 
   test("partitioned IVF index round-trips and prunes cells at the scan") {
