@@ -13941,7 +13941,92 @@ object Queries {
             ORDER BY score DESC, vec_id) AS rn
           FROM sc)
         WHERE rn <= 10
-        ORDER BY query_id, score DESC, vec_id"""))
+        ORDER BY query_id, score DESC, vec_id""")),
+
+    // MEASURED recall audit (sim/Similarity.ivfMeasuredRecall) — the
+    // empirical half the planner family needs: q269/q270 derive and
+    // serve from the histogram MODEL; this measures ground truth on a
+    // query sample by running the probed top-k AND the brute-force
+    // top-k over the same served corpus and counting the overlap, in
+    // exact integers. At nProbe = 2 the probed set misses real
+    // neighbors for some sample queries, so the measurement is
+    // non-trivial and any ranking/probe regression moves a hits
+    // count. DuckDB replays both rankings (probe path = q66/q232's
+    // machinery, brute force = q12's), the per-query intersection,
+    // and the ppm floor division.
+    GraftQuery(
+      "q271_ivf_measured_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxPath = pristineIvfIngestFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfMeasuredRecall(
+          s, idxPath, "vec_id", "embedding", queries, k = 10, nProbe = 2)
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= 2),
+        allsc AS (
+          SELECT q.query_id, e.vec_id, e.v,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q, e),
+        ap AS (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY s.query_id
+                ORDER BY s.score DESC, s.vec_id) AS rn
+            FROM allsc s
+            JOIN assign a ON a.vec_id = s.vec_id
+            JOIN probes p ON p.query_id = s.query_id
+                         AND p.cell = a.cell)
+          WHERE rn <= 10),
+        ex AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS rn
+            FROM allsc)
+          WHERE rn <= 10),
+        h AS (
+          SELECT ap.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM ap JOIN ex ON ap.query_id = ex.query_id
+                         AND ap.vec_id = ex.vec_id
+          GROUP BY ap.query_id)
+        SELECT q.query_id,
+          COALESCE(h.hits, 0) AS hits,
+          CAST(10 AS BIGINT) AS k,
+          (1000000 * COALESCE(h.hits, 0)) // 10 AS recall_ppm
+        FROM q LEFT JOIN h USING (query_id)
+        ORDER BY q.query_id"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

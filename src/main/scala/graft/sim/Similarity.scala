@@ -653,6 +653,47 @@ object Similarity {
     ivfTopK(readIvfIndex(spark, path, idCol, vecCol), queries, k, nProbe)
   }
 
+  /** The EMPIRICAL side of the probe-planning story — the auditor
+    * that checks the model: [[ivfProbePlan]] promises recall from the
+    * cell histogram under the corpus-mass neighbor model; this
+    * MEASURES it on a query sample by running both the probed top-k
+    * and the brute-force top-k over the same served corpus and
+    * counting the overlap. One row per query
+    * `(query_id, hits, k, recall_ppm)` with
+    * `recall_ppm = ⌊10⁶ · hits / k⌋` — exact integers, so the whole
+    * audit (both rankings, the intersection, the floor division)
+    * replays in SQL (q271). A maintenance scheduler closes the loop
+    * with it: plan at a target, serve, periodically audit a sample,
+    * and re-plan (or retrain — skew is what decouples model from
+    * measurement) when measured recall drifts under the target.
+    *
+    * Cost: the probed path is [[ivfTopK]] (partition-pruned); the
+    * brute-force pass scans the corpus ONCE for the whole sample with
+    * a bounded per-query heap ([[bruteForceTopK]]) — this is an audit
+    * over a SAMPLE of queries, priced for a maintenance window, not
+    * the serving path.
+    */
+  def ivfMeasuredRecall(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val index = readIvfIndex(spark, path, idCol, vecCol)
+    val corpus = index.assigned.drop("cell")
+    val approx = ivfTopK(index, queries, k, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(corpus, idCol, vecCol, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    queries.map(_._1).toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"),
+        (lit(1000000L) * coalesce(col("hits"), lit(0L)) / k)
+          .cast("long").as("recall_ppm"))
+  }
+
   /** Compact an on-disk IVF index's cell partitions — the maintenance
     * step [[appendToIvfIndex]] makes necessary (the
     * [[graft.dedup.DedupIndex.compact]] of the ANN family): every

@@ -182,6 +182,16 @@ class SimilaritySpec extends SparkSpec {
         k = 10, targetRecallPpm = 500000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))))
     viaPlanned shouldBe approx
+
+    // and the empirical auditor agrees: measured recall at the
+    // planned count meets the target for every sample query (here
+    // exactly 10^6 — planted clusters make the probed set complete)
+    val measured = Similarity.ivfMeasuredRecall(
+      spark, path, "vec_id", "embedding", queries, k = 10,
+      nProbe = planned)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    measured.values.foreach(_ should be >= 500000L)
+    measured.values.foreach(_ shouldBe 1000000L)
   }
 
   test("partitioned IVF index round-trips and prunes cells at the scan") {
