@@ -13732,11 +13732,17 @@ object Queries {
     // batches stream in, and every 2nd batch boundary runs
     // ivfAutoMaintain INSIDE foreachBatch (single-writer by
     // construction) at thresholds where only the segments rule fires.
-    // No out-of-band call ever happens, yet the post-stream stats
-    // replay as a FULLY COMPACTED index: segments_pending = 0,
-    // segment_rows = 0, every row in the base histogram — a sink that
-    // skipped or mistimed the in-loop maintenance leaves pending
-    // segments and fails the compare.
+    // No out-of-band call ever happens. The in-loop fold EXCLUDES the
+    // current batch's segment — its stream offsets are not yet
+    // committed, and folding it would make a replayed batch's
+    // re-landed segment serve twice (the replay-idempotency contract)
+    // — so the honest post-stream state is every PRIOR batch folded
+    // into the base and exactly the final in-flight batch's segment
+    // pending: segments_pending = 1, segment_rows = |batch 3| (staged
+    // as vec_id >= 300 with vec_id % 4 = 3), the full corpus in the
+    // served histogram. A sink that skipped the maintenance leaves 4
+    // segments; one that folded the in-flight batch leaves 0 — both
+    // fail the compare.
     GraftQuery(
       "q268_stream_ingest_auto_maintain",
       (s, dir) => withShufflePartitions(s, 8) {
@@ -13789,16 +13795,20 @@ object Queries {
             CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ec,
             CAST(SUM(n) AS BIGINT) AS tot,
             CAST(COUNT(*) AS BIGINT) AS k
-          FROM hist)
+          FROM hist),
+        seg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS segrows FROM embeddings
+          WHERE vec_id >= 300 AND vec_id % 4 = 3)
         SELECT stat, value FROM (
-          SELECT 'base_rows' AS stat, tot AS value FROM agg
+          SELECT 'base_rows' AS stat, tot - segrows AS value
+            FROM agg, seg
           UNION ALL SELECT 'deleted_since_retrain', CAST(0 AS BIGINT)
           UNION ALL SELECT 'empty_cells', ec FROM agg
           UNION ALL SELECT 'max_cell_rows', mx FROM agg
           UNION ALL SELECT 'min_cell_rows', mn FROM agg
           UNION ALL SELECT 'n_cells', k FROM agg
-          UNION ALL SELECT 'segment_rows', CAST(0 AS BIGINT)
-          UNION ALL SELECT 'segments_pending', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'segment_rows', segrows FROM seg
+          UNION ALL SELECT 'segments_pending', CAST(1 AS BIGINT)
           UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM agg)
         ORDER BY stat""")),
 
@@ -14026,6 +14036,268 @@ object Queries {
           CAST(10 AS BIGINT) AS k,
           (1000000 * COALESCE(h.hits, 0)) // 10 AS recall_ppm
         FROM q LEFT JOIN h USING (query_id)
+        ORDER BY q.query_id""")),
+
+    // AUDITED maintenance advice (sim/Similarity
+    // .ivfMaintenanceAdviceAudited) — q271's measurement wired into
+    // q259's verdict: the four stats rules see index SHAPE only, so at
+    // thresholds none of them can fire (all lax by construction here)
+    // the stats-only advice is `none` — yet the EMPIRICAL audit at the
+    // serving probe count (nProbe = 1, k = 10, the vec_id < 5 sample)
+    // measures mean recall well under the 0.9 target on this corpus,
+    // the fifth rule `recall_deficit` (observed = target − ⌊Σppm/n⌋,
+    // bound = 0) fires, and the verdict provably FLIPS to retrain on
+    // evidence only the audit can see. DuckDB recomputes both top-k
+    // rankings, the per-query intersection, the exact integer mean,
+    // every observed/bound pair and the precedence fold. Read-only on
+    // the shared pristine tree.
+    GraftQuery(
+      "q272_ivf_advice_audited",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idxPath = pristineIvfIngestFor(s, dir, emb)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        graft.sim.Similarity.ivfMaintenanceAdviceAudited(
+          s, idxPath, "vec_id", "embedding",
+          queries, auditK = 10, auditNProbe = 1,
+          targetRecallPpm = 900000L,
+          thresholds = graft.sim.Similarity.IvfAdviceThresholds(
+            maxSegments = 1000, maxSegmentRowsPct = 1000000,
+            maxSkewX100 = 1000000, maxDeletedPct = 1000000))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        agg AS (
+          SELECT MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM hist),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c) WHERE rn <= 1),
+        allsc AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q, e),
+        ap AS (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY s.query_id
+                ORDER BY s.score DESC, s.vec_id) AS rn
+            FROM allsc s
+            JOIN assign a ON a.vec_id = s.vec_id
+            JOIN probes p ON p.query_id = s.query_id
+                         AND p.cell = a.cell)
+          WHERE rn <= 10),
+        ex AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS rn
+            FROM allsc)
+          WHERE rn <= 10),
+        h AS (
+          SELECT ap.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM ap JOIN ex ON ap.query_id = ex.query_id
+                         AND ap.vec_id = ex.vec_id
+          GROUP BY ap.query_id),
+        mr AS (
+          SELECT CAST(SUM((1000000 * COALESCE(h.hits, 0)) // 10)
+                      // COUNT(*) AS BIGINT) AS mean_ppm
+          FROM q LEFT JOIN h USING (query_id)),
+        vals AS (
+          SELECT agg.tot AS live,
+            (100 * agg.mx * agg.k) // agg.tot AS skew, mr.mean_ppm
+          FROM agg, mr),
+        rules AS (
+          SELECT 'deleted_mass' AS rule, CAST(0 AS BIGINT) AS observed,
+            1000000 * live AS bound, 'retrain' AS kind FROM vals
+          UNION ALL SELECT 'recall_deficit', 900000 - mean_ppm,
+            CAST(0 AS BIGINT), 'retrain' FROM vals
+          UNION ALL SELECT 'segment_rows', CAST(0 AS BIGINT),
+            1000000 * live, 'compact' FROM vals
+          UNION ALL SELECT 'segments', CAST(0 AS BIGINT),
+            CAST(1000 AS BIGINT), 'compact' FROM vals
+          UNION ALL SELECT 'skew', skew, CAST(1000000 AS BIGINT),
+            'retrain' FROM vals),
+        verdict AS (
+          SELECT CASE
+            WHEN SUM(CASE WHEN observed > bound AND kind = 'retrain'
+                     THEN 1 ELSE 0 END) > 0 THEN 'retrain'
+            WHEN SUM(CASE WHEN observed > bound THEN 1 ELSE 0 END) > 0
+              THEN 'compact'
+            ELSE 'none' END AS advice
+          FROM rules)
+        SELECT r.rule, CAST(r.observed AS BIGINT) AS observed,
+          CAST(r.bound AS BIGINT) AS bound,
+          r.observed > r.bound AS fired, v.advice
+        FROM rules r, verdict v ORDER BY rule""")),
+
+    // The COMPOSED end-to-end ANN lifecycle as ONE driver-checked
+    // entry (the q249 treatment for the similarity family): stream
+    // q232's four vector batches into a persistent IVF index with
+    // IN-LOOP maintenance (maintainEvery = 2 — batch 0 folds at the
+    // batch-1 boundary, batches 1+2 fold at the batch-3 boundary,
+    // batch 3's own segment stays pending per the replay-idempotency
+    // contract), derive the generation-keyed probe plan for a 0.9
+    // recall target from the served histogram (ivfPlanHandle), serve
+    // the vec_id < 5 sample through ivfTopKWithHandle at the planned
+    // count (asserted fresh — zero re-planning), and AUDIT the plan
+    // with ivfMeasuredRecall at the same count. Output: one row per
+    // sample query with the audited hits/recall and the derived
+    // n_probe. DuckDB replays the WHOLE closed loop from the raw
+    // corpus: full-corpus assignment, zero-filled histogram, the
+    // worst-mass cumulative curve and argmin pick, both rankings at
+    // that pick, the intersection and the ppm floors.
+    GraftQuery(
+      "q273_ann_lifecycle",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val emb = t(s, dir, "embeddings")
+        val staged = stagedVectorBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q273_").toString
+        val indexPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(indexPath))
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.ivfIngestSink(
+          stream, indexPath, s"$base/ckpt", "vec_id", "embedding",
+          maintainEvery = Some(2),
+          maintainThresholds = graft.sim.Similarity.IvfAdviceThresholds(
+            maxSegments = 0, maxSegmentRowsPct = 1000000,
+            maxSkewX100 = 1000000, maxDeletedPct = 1000000))
+          .awaitTermination()
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        // plan once against the committed generation, serve through
+        // the handle (must come back fresh: nothing moved since), then
+        // audit the same probe count empirically
+        val handle = graft.sim.Similarity.ivfPlanHandle(
+          s, indexPath, "vec_id", "embedding",
+          targetRecallPpm = 900000L)
+        val (served, topk) = graft.sim.Similarity.ivfTopKWithHandle(
+          s, indexPath, "vec_id", "embedding", queries, k = 10, handle,
+          replanOnStale = false)
+        require(served == handle,
+          "q273: the plan handle went stale inside a single-writer " +
+            "serve window")
+        require(topk.count() == 10L * queries.size,
+          "q273: handle-served top-k returned a wrong row count")
+        val out = graft.sim.Similarity.ivfMeasuredRecall(
+            s, indexPath, "vec_id", "embedding", queries, k = 10,
+            nProbe = handle.nProbe)
+          .withColumn("n_probe", lit(handle.nProbe))
+          .orderBy(col("query_id"))
+          .localCheckpoint(true) // outlive the ckpt cleanup below
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 16),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM e, c) WHERE rn = 1),
+        hist AS (
+          SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c LEFT JOIN assign a USING (cell) GROUP BY c.cell),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist),
+        a_c AS (SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY n, cell) AS INTEGER) AS i,
+            CAST(SUM(n) OVER (ORDER BY n, cell
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM hist),
+        pick AS (SELECT CAST(MIN(i) AS INTEGER) AS np FROM a_c, tot
+                 WHERE (1000000 * cum) // total >= 900000),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c.cell) AS rn
+            FROM q, c), pick WHERE rn <= pick.np),
+        allsc AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q, e),
+        ap AS (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY s.query_id
+                ORDER BY s.score DESC, s.vec_id) AS rn
+            FROM allsc s
+            JOIN assign a ON a.vec_id = s.vec_id
+            JOIN probes p ON p.query_id = s.query_id
+                         AND p.cell = a.cell)
+          WHERE rn <= 10),
+        ex AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS rn
+            FROM allsc)
+          WHERE rn <= 10),
+        h AS (
+          SELECT ap.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM ap JOIN ex ON ap.query_id = ex.query_id
+                         AND ap.vec_id = ex.vec_id
+          GROUP BY ap.query_id)
+        SELECT q.query_id,
+          COALESCE(h.hits, 0) AS hits,
+          CAST(10 AS BIGINT) AS k,
+          (1000000 * COALESCE(h.hits, 0)) // 10 AS recall_ppm,
+          pick.np AS n_probe
+        FROM q LEFT JOIN h USING (query_id), pick
         ORDER BY q.query_id"""))
   )
 

@@ -100,17 +100,42 @@ object Generations {
       spark: SparkSession, path: String): Option[(String, Int, Set[String])] = {
     val root = new HPath(s"$path/generations")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val committed = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .flatMap(p => p.getName.stripPrefix("gen=").toIntOption.map((_, p)))
-      .flatMap { case (n, p) => liveManifest(fs, p).map((n, p, _)) }
-    if (committed.isEmpty) None
-    else {
-      val (n, _, m) = committed.maxBy(_._1)
-      Some((s"$path/generations/gen=$n", n, readFolded(fs, m)))
+    def attempt(): Option[(String, Int, Set[String])] = {
+      if (!fs.exists(root)) return None
+      val committed = fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap(p => p.getName.stripPrefix("gen=").toIntOption.map((_, p)))
+        .flatMap { case (n, p) => liveManifest(fs, p).map((n, p, _)) }
+      if (committed.isEmpty) None
+      else {
+        val (n, _, m) = committed.maxBy(_._1)
+        Some((s"$path/generations/gen=$n", n, readFolded(fs, m)))
+      }
     }
+    // a manifest REWRITE (prepareSegmentLanding's stale-entry cleaning)
+    // lands version max+1 then deletes the superseded version — a
+    // reader racing it can (a) open the superseded version after the
+    // delete and hit FileNotFound, or (b) on filesystems whose
+    // listStatus SKIPS entries that vanish between readdir and stat
+    // (RawLocalFileSystem does), observe ZERO manifests in a
+    // generation that stayed committed throughout. Both re-list: the
+    // newer version is guaranteed to exist (writeManifest deletes only
+    // AFTER its successor's rename). A tree whose generations all
+    // genuinely lack manifests (a crashed first compact) pays two
+    // extra listings and still resolves None — rare, and the retries
+    // are metadata-only. Three attempts bound the pathological
+    // rewrite-per-microsecond case.
+    var left = 3
+    var out: Option[(String, Int, Set[String])] = None
+    while (left > 0) {
+      left -= 1
+      try {
+        out = attempt()
+        if (out.isDefined || left == 0) return out
+      } catch { case _: FileNotFoundException if left > 0 => }
+    }
+    out
   }
 
   /** Write the next manifest version atomically: tmp, then rename to
@@ -200,22 +225,31 @@ object Generations {
 
   /** Post-commit GC shared by every family: eagerly delete the folded
     * segment directories (and the emptied segments root — single
-    * writer, no racing append), then apply the one-generation grace
-    * rule — at the FIRST generational compact (`curN == -1`) the
-    * legacy flat tables stay as the grace copy; afterwards the legacy
-    * children and every generation below `curN` go.
+    * writer, no racing append), then apply the grace rule —
+    * `graceDepth` PRIOR generations survive each compaction for
+    * readers that resolved before the commit (default 1: only the
+    * immediately-previous generation, the documented
+    * maintenance-window rule — a reader racing TWO back-to-back
+    * compactions at depth 1 can lose its resolved copy even past
+    * [[retryOnLostSegments]]; depth N keeps it alive through N
+    * consecutive compactions at N× the disk). The legacy flat tables
+    * count as the oldest "generation" for the same rule: at the first
+    * `graceDepth` compactions they stay; afterwards the legacy
+    * children and every generation older than the grace window go.
     */
   def gcAfterCommit(
       fs: FileSystem, path: String, curN: Int,
-      foldedDirs: Seq[String], legacyChildren: Seq[String]): Unit = {
+      foldedDirs: Seq[String], legacyChildren: Seq[String],
+      graceDepth: Int = 1): Unit = {
+    require(graceDepth >= 1, s"graceDepth must be >= 1, got $graceDepth")
     foldedDirs.foreach(d => fs.delete(new HPath(d), true))
     val segRoot = new HPath(s"$path/segments")
     if (fs.exists(segRoot) && fs.listStatus(segRoot).isEmpty)
       fs.delete(segRoot, true)
-    if (curN >= 0) {
+    if (curN >= graceDepth - 1) {
       legacyChildren.foreach(c =>
         fs.delete(new HPath(s"$path/$c"), true))
-      for (old <- 0 until curN)
+      for (old <- 0 until (curN - graceDepth + 1))
         fs.delete(new HPath(s"$path/generations/gen=$old"), true)
     }
   }

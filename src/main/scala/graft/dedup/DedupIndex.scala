@@ -456,17 +456,34 @@ object DedupIndex {
     * upgrade on first compact). `meta` is untouched (same hash
     * family by construction) and stays at the root, as do
     * `tombstones` — a tombstone must mask every generation.
+    *
+    * `excludeSegments` (directory names) are left OUT of the fold: not
+    * merged into the new generation, not manifest-listed, not GC'd —
+    * they keep serving alongside it. This is the replay-idempotency
+    * contract for in-loop streaming maintenance
+    * ([[graft.streaming.Streaming.dedupIngestSink]]): the current
+    * micro-batch's segment must never fold before Spark commits the
+    * batch offsets, or the replayed batch re-lands rows the base
+    * already absorbed and they serve twice. With a nonempty exclusion
+    * the tombstone tables also stay on disk (the excluded segment's
+    * rows are not re-capped/anti-joined here, so the mask must
+    * survive); the next exclusion-free compact or a targeted purge
+    * clears them — re-folding already-removed ids is a no-op.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(
+      spark: SparkSession, path: String,
+      excludeSegments: Set[String] = Set.empty,
+      graceDepth: Int = 1): Unit = {
     val params = readParams(spark, path)
     val tomb = tombstones(spark, path)
     val segs = servedSegmentDirs(spark, path)
+      .filterNot(d => excludeSegments.contains(d.split('/').last))
     if (segs.isEmpty && tomb.isEmpty)
       return // nothing to merge, nothing to purge
     // read() already applies the tombstone exclusion to exact/sets;
     // the bucket member lists get their deferred physical purge here
     // (explode → anti-join → re-collect under the global cap)
-    val idx = read(spark, path)
+    val idx = read(spark, path, excludeSegments)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // generational commit ([[graft.core.Generations]]): the three
@@ -504,11 +521,15 @@ object DedupIndex {
     // after the commit is benign in the crash window — re-anti-joining
     // already-removed ids is a no-op, and the appendSegment fence just
     // stays conservatively closed until a compact re-run clears them.
-    // Aside-then-live order as in [[purge]].
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    // Aside-then-live order as in [[purge]]. With excluded segments the
+    // mask must SURVIVE (their rows were not anti-joined here).
+    if (excludeSegments.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
     graft.core.Generations.gcAfterCommit(fs, path, curN, segs ++ zombies,
-      legacyChildren = Seq("exact", "sets", "buckets"))
+      legacyChildren = Seq("exact", "sets", "buckets"),
+      graceDepth = graceDepth)
   }
 
   /** Operational introspection of an on-disk index — the readout a
@@ -592,10 +613,11 @@ object DedupIndex {
     */
   def autoMaintain(
       spark: SparkSession, path: String,
-      thresholds: AdviceThresholds = AdviceThresholds()): DataFrame = {
+      thresholds: AdviceThresholds = AdviceThresholds(),
+      excludeSegments: Set[String] = Set.empty): DataFrame = {
     val advice = maintenanceAdvice(spark, path, thresholds)
     val verdict = advice.select("advice").head.getString(0)
-    if (verdict == "compact") compact(spark, path)
+    if (verdict == "compact") compact(spark, path, excludeSegments)
     advice.withColumn("action", lit(verdict))
   }
 

@@ -394,8 +394,11 @@ object SubstringDedup {
 
   private def fingerprintRoots(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[String] =
-    servedBaseDir(spark, path) +: servedSegmentDirs(spark, path)
+      path: String,
+      excludeSegments: Set[String] = Set.empty): Seq[String] =
+    servedBaseDir(spark, path) +:
+      servedSegmentDirs(spark, path)
+        .filterNot(d => excludeSegments.contains(d.split('/').last))
 
   /** Targeted physical purge of pending tombstones —
     * [[DedupIndex.purge]] at substring granularity: rewrite ONLY the
@@ -537,11 +540,13 @@ object SubstringDedup {
   def autoMaintainFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       thresholds: DedupIndex.AdviceThresholds =
-        DedupIndex.AdviceThresholds()): DataFrame = {
+        DedupIndex.AdviceThresholds(),
+      excludeSegments: Set[String] = Set.empty): DataFrame = {
     val advice =
       fingerprintIndexMaintenanceAdvice(spark, path, thresholds)
     val verdict = advice.select("advice").head.getString(0)
-    if (verdict == "compact") compactFingerprintIndex(spark, path)
+    if (verdict == "compact")
+      compactFingerprintIndex(spark, path, excludeSegments)
     advice.withColumn("action", lit(verdict))
   }
 
@@ -549,18 +554,30 @@ object SubstringDedup {
     * fingerprints union and re-cap GLOBALLY on document frequency —
     * the corpus text is never re-read. Write-to-temp-then-rename; meta
     * untouched.
+    *
+    * `excludeSegments` (directory names) are left OUT of the fold —
+    * not merged, not manifest-listed, not GC'd, still serving — the
+    * replay-idempotency contract for in-loop streaming maintenance
+    * ([[graft.streaming.Streaming.substringIngestSink]] passes the
+    * current micro-batch's segment, whose stream offsets are not yet
+    * committed). With a nonempty exclusion the tombstone tables stay
+    * on disk (the mask must survive for the un-folded rows); the next
+    * exclusion-free compact or a targeted purge clears them.
     */
   def compactFingerprintIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeSegments: Set[String] = Set.empty,
+      graceDepth: Int = 1): Unit = {
     val (_, _, cap) = readMeta(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = tombstones(spark, path)
     val segs = servedSegmentDirs(spark, path)
+      .filterNot(d => excludeSegments.contains(d.split('/').last))
     if (segs.isEmpty && tomb.isEmpty) return
     // storedFingerprints already applies the tombstone exclusion, so
     // pending deletes fold in physically here and the table clears
-    val all = storedFingerprints(spark, path)
+    val all = storedFingerprints(spark, path, excludeSegments)
     val rare = all.groupBy(col("hash"))
       .agg(countDistinct(col("corpus_id")).as("__df"))
       .filter(col("__df") <= cap).select("hash")
@@ -584,11 +601,14 @@ object SubstringDedup {
       gen.map(_._3).getOrElse(Set.empty))
     // tombstones folded into the committed table; clearing after the
     // commit is benign in the crash window (re-anti-joining removed
-    // ids is a no-op). Aside-then-live order as in purge.
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    // ids is a no-op). Aside-then-live order as in purge. With excluded
+    // segments the mask must SURVIVE (their rows were not anti-joined).
+    if (excludeSegments.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_old"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
     graft.core.Generations.gcAfterCommit(fs, path, curN, segs ++ zombies,
-      legacyChildren = Seq("fingerprints"))
+      legacyChildren = Seq("fingerprints"), graceDepth = graceDepth)
   }
 
   private def readMeta(
@@ -601,7 +621,8 @@ object SubstringDedup {
   }
 
   private def storedFingerprints(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeSegments: Set[String] = Set.empty): DataFrame = {
     // a compaction crashed after its swap but before the segments/
     // cleanup would union already-merged rows with their still-live
     // segment copies — fail loud. Recovery: if fingerprints_old
@@ -616,7 +637,7 @@ object SubstringDedup {
         "left segment rows both merged and live under segments/; " +
         "delete segments/, tombstones/ and compact_tmp/ (the swapped " +
         "table is complete), then remove the marker")
-    val unioned = fingerprintRoots(spark, path)
+    val unioned = fingerprintRoots(spark, path, excludeSegments)
       .map(r => spark.read.parquet(s"$r/fingerprints"))
       .reduce(_ unionByName _)
     // pending deletes exclusion-filter the served rows (one anti-join

@@ -510,12 +510,20 @@ object Similarity {
     */
   def ivfMaintenanceAdvice(
       spark: SparkSession, path: String, idCol: String, vecCol: String,
-      thresholds: IvfAdviceThresholds = IvfAdviceThresholds()): DataFrame = {
-    import spark.implicits._
+      thresholds: IvfAdviceThresholds = IvfAdviceThresholds()): DataFrame =
+    foldAdviceRules(spark, statsRules(spark, path, idCol, vecCol, thresholds))
+
+  /** The four [[ivfStats]]-derived rules of [[ivfMaintenanceAdvice]],
+    * as (rule, observed, bound, kind) — shared with the audited
+    * variant so both advice tables fold identically.
+    */
+  private def statsRules(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      thresholds: IvfAdviceThresholds): Seq[(String, Long, Long, String)] = {
     val st = ivfStats(spark, path, idCol, vecCol)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ 9 rows
     val live = st("base_rows") + st("segment_rows")
-    val rules = Seq(
+    Seq(
       ("deleted_mass", 100L * st("deleted_since_retrain"),
         thresholds.maxDeletedPct * live, "retrain"),
       ("segment_rows", 100L * st("segment_rows"),
@@ -523,6 +531,16 @@ object Similarity {
       ("segments", st("segments_pending"), thresholds.maxSegments,
         "compact"),
       ("skew", st("skew_x100"), thresholds.maxSkewX100, "retrain"))
+  }
+
+  /** Fold (rule, observed, bound, kind) rows into the evidence table
+    * with the precedence verdict repeated on every row — any retrain
+    * rule fired → retrain, else any fired → compact, else none.
+    */
+  private def foldAdviceRules(
+      spark: SparkSession,
+      rules: Seq[(String, Long, Long, String)]): DataFrame = {
+    import spark.implicits._
     val fired = rules.filter { case (_, obs, bound, _) => obs > bound }
     val advice =
       if (fired.exists(_._4 == "retrain")) "retrain"
@@ -531,6 +549,73 @@ object Similarity {
     rules.map { case (rule, obs, bound, _) =>
       (rule, obs, bound, obs > bound, advice)
     }.toDF("rule", "observed", "bound", "fired", "advice")
+  }
+
+  /** [[ivfMaintenanceAdvice]] with the EMPIRICAL recall audit folded
+    * into the verdict — the loop [[ivfMeasuredRecall]]'s scaladoc
+    * promised but no operator ran: the four stats rules see index
+    * SHAPE (segments, deleted mass, skew), yet measured recall can
+    * drift under a shape the thresholds tolerate (drifted ingest that
+    * keeps cells balanced but decouples them from the query
+    * distribution). This runs [[ivfMeasuredRecall]] on
+    * `auditQueries` at the SERVING probe count and adds a fifth rule:
+    *
+    *   - `recall_deficit` (→ retrain): observed =
+    *     `targetRecallPpm − ⌊Σ recall_ppm / nQueries⌋` (the exact
+    *     integer mean over the sample), bound = 0 — fired exactly
+    *     when measured mean recall lands strictly under the target.
+    *
+    * Same strict `observed > bound` semantics and the same precedence
+    * fold, so the whole table — stats rules, the measured-recall mean
+    * and the verdict — replays in SQL (q272). Cost: one [[ivfStats]]
+    * pass + the audit's one brute-force corpus scan with bounded
+    * per-query heaps — a maintenance-window price, not a serving one.
+    */
+  def ivfMaintenanceAdviceAudited(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      auditQueries: Seq[(Long, Array[Float])], auditK: Int,
+      auditNProbe: Int, targetRecallPpm: Long,
+      thresholds: IvfAdviceThresholds = IvfAdviceThresholds()): DataFrame = {
+    require(auditQueries.nonEmpty,
+      "ivfMaintenanceAdviceAudited needs a nonempty query sample")
+    require(targetRecallPpm >= 0L && targetRecallPpm <= 1000000L,
+      s"targetRecallPpm must be in [0, 1000000], got $targetRecallPpm")
+    val measured = ivfMeasuredRecall(
+      spark, path, idCol, vecCol, auditQueries, auditK, auditNProbe)
+    val sumPpm = measured.agg(sum(col("recall_ppm"))).head.getLong(0)
+    val meanPpm = sumPpm / auditQueries.size // exact floor (both >= 0)
+    foldAdviceRules(spark,
+      statsRules(spark, path, idCol, vecCol, thresholds) :+
+        (("recall_deficit", targetRecallPpm - meanPpm, 0L, "retrain")))
+  }
+
+  /** Measure → decide → ACT with the recall audit in the loop —
+    * [[ivfAutoMaintain]] driven by [[ivfMaintenanceAdviceAudited]]:
+    * when measured recall on the sample lands under the target (or
+    * any stats rule fires, same precedence), the verdict executes —
+    * `retrain` re-fits the centroids to the corpus as ingested, which
+    * is the re-plan lever that moves measured recall back up
+    * (IvfRecallAuditSpec pins restore-to-target on a planted-skew
+    * corpus). Returns the five-rule evidence with an `action` column.
+    */
+  def ivfAutoMaintainAudited(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      auditQueries: Seq[(Long, Array[Float])], auditK: Int,
+      auditNProbe: Int, targetRecallPpm: Long,
+      thresholds: IvfAdviceThresholds = IvfAdviceThresholds(),
+      retrainIters: Int = 2,
+      excludeSegments: Set[String] = Set.empty): DataFrame = {
+    val advice = ivfMaintenanceAdviceAudited(spark, path, idCol, vecCol,
+      auditQueries, auditK, auditNProbe, targetRecallPpm, thresholds)
+    val verdict = advice.select("advice").head.getString(0)
+    verdict match {
+      case "retrain" =>
+        compactIvfIndexWithRetrain(spark, path, idCol, vecCol,
+          iters = retrainIters, excludeSegments = excludeSegments)
+      case "compact" => compactIvfIndex(spark, path, excludeSegments)
+      case _ => ()
+    }
+    advice.withColumn("action", lit(verdict))
   }
 
   /** The full measure → decide → ACT loop in one call — the operator
@@ -545,19 +630,27 @@ object Similarity {
     * skipped compact leaves segments_pending ≠ 0 and fails the
     * compare). Idempotent at the fixpoint: after the action, a second
     * call at the same thresholds advises `none` (spec-pinned).
+    *
+    * `excludeSegments` exempts named segments from whatever action
+    * runs (never folded, never GC'd; retrain re-assigns their live
+    * dirs in place) — [[graft.streaming.Streaming.ivfIngestSink]]
+    * passes the current micro-batch's segment so an in-loop compact
+    * can never fold rows whose stream offsets are not yet committed
+    * (a replayed batch would re-land them and they would serve twice).
     */
   def ivfAutoMaintain(
       spark: SparkSession, path: String, idCol: String, vecCol: String,
       thresholds: IvfAdviceThresholds = IvfAdviceThresholds(),
-      retrainIters: Int = 2): DataFrame = {
+      retrainIters: Int = 2,
+      excludeSegments: Set[String] = Set.empty): DataFrame = {
     val advice =
       ivfMaintenanceAdvice(spark, path, idCol, vecCol, thresholds)
     val verdict = advice.select("advice").head.getString(0)
     verdict match {
       case "retrain" =>
         compactIvfIndexWithRetrain(spark, path, idCol, vecCol,
-          iters = retrainIters)
-      case "compact" => compactIvfIndex(spark, path)
+          iters = retrainIters, excludeSegments = excludeSegments)
+      case "compact" => compactIvfIndex(spark, path, excludeSegments)
       case _ => ()
     }
     advice.withColumn("action", lit(verdict))
@@ -653,6 +746,68 @@ object Similarity {
     ivfTopK(readIvfIndex(spark, path, idCol, vecCol), queries, k, nProbe)
   }
 
+  /** A derived probe plan PINNED to the index generation it was
+    * derived from — the amortization [[ivfTopKPlanned]]'s scaladoc
+    * told callers to do by hand: the cell histogram (and therefore
+    * the minimal nProbe for a target) only moves when maintenance
+    * commits a new generation, so a serving batch should plan once
+    * and reuse. `generation` is [[latestGeneration]]'s number at
+    * derivation time (−1 = the legacy pre-generational layout), the
+    * staleness key [[ivfTopKWithHandle]] checks on every serve.
+    */
+  final case class IvfPlanHandle(
+      generation: Int, nProbe: Int, targetRecallPpm: Long)
+
+  /** Derive a reusable [[IvfPlanHandle]]: one [[ivfProbePlan]]
+    * histogram pass, stamped with the CURRENT committed generation.
+    * The generation is resolved BEFORE the plan derivation — if a
+    * maintenance commit lands between the two, the handle reads as
+    * stale on first use and re-derives, which is the conservative
+    * direction (never serving a plan newer than its stamp claims).
+    */
+  def ivfPlanHandle(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      targetRecallPpm: Long): IvfPlanHandle = {
+    val gen = latestGeneration(spark, path).map(_._2).getOrElse(-1)
+    IvfPlanHandle(gen,
+      ivfProbePlan(spark, path, idCol, vecCol, targetRecallPpm),
+      targetRecallPpm)
+  }
+
+  /** Serve a top-k batch through a cached plan handle — plan once,
+    * serve many, invalidate on generation change: when the index
+    * still sits at the handle's generation the serve costs ZERO
+    * planning (no histogram pass, straight to the partition-pruned
+    * probe path); when maintenance has committed a newer generation
+    * the handle is STALE — the histogram it was derived from no
+    * longer describes the served cells — and the call either
+    * re-derives at the same target (`replanOnStale = true`, the
+    * serving-loop default: one histogram pass, then serve) or fails
+    * loud for callers that pin plans explicitly. Returns the handle
+    * that actually served (fresh or re-derived) so the caller caches
+    * forward. Handle-served results are IDENTICAL to per-call
+    * [[ivfTopKPlanned]] at the same tree state (IvfPlanHandleSpec
+    * pins equivalence and both staleness behaviors; q270 pins the
+    * underlying composition against DuckDB).
+    */
+  def ivfTopKWithHandle(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int,
+      handle: IvfPlanHandle,
+      replanOnStale: Boolean = true): (IvfPlanHandle, DataFrame) = {
+    val cur = latestGeneration(spark, path).map(_._2).getOrElse(-1)
+    val h =
+      if (cur == handle.generation) handle
+      else if (replanOnStale)
+        ivfPlanHandle(spark, path, idCol, vecCol, handle.targetRecallPpm)
+      else throw new IllegalStateException(
+        s"stale IVF plan handle for $path: derived at generation " +
+          s"${handle.generation}, index now serves generation $cur — " +
+          "re-derive with ivfPlanHandle or pass replanOnStale = true")
+    (h, ivfTopK(readIvfIndex(spark, path, idCol, vecCol), queries, k,
+      h.nProbe))
+  }
+
   /** The EMPIRICAL side of the probe-planning story — the auditor
     * that checks the model: [[ivfProbePlan]] promises recall from the
     * cell histogram under the corpus-mass neighbor model; this
@@ -689,9 +844,12 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
-        lit(k.toLong).as("k"),
-        (lit(1000000L) * coalesce(col("hits"), lit(0L)) / k)
-          .cast("long").as("recall_ppm"))
+        lit(k.toLong).as("k"))
+      // `div` is Spark's INTEGRAL division on bigints — bit-exact
+      // against the oracle's `//` floor for any hits/k, unlike the
+      // double `/`-then-cast it replaces (exact only while 10⁶·hits
+      // stays within double's 2⁵³ integer range)
+      .withColumn("recall_ppm", expr("(1000000 * hits) div k"))
   }
 
   /** Compact an on-disk IVF index's cell partitions — the maintenance
@@ -721,8 +879,12 @@ object Similarity {
     * compactions in a maintenance window (IvfGenerationSpec pins the
     * single-compaction race).
     */
-  def compactIvfIndex(spark: SparkSession, path: String): Unit =
-    compactGenerational(spark, path, None, None)
+  def compactIvfIndex(
+      spark: SparkSession, path: String,
+      excludeSegments: Set[String] = Set.empty,
+      graceDepth: Int = 1): Unit =
+    compactGenerational(spark, path, None, None, excludeSegments,
+      graceDepth)
 
   /** The shared generational compaction machinery (see the layout
     * comment on [[latestGeneration]]): write generation M+1 whole,
@@ -734,17 +896,35 @@ object Similarity {
     * assigned/centroids swap ATOMIC (they commit together — the crash
     * window the old retrain_pending marker guarded no longer exists
     * on this layout).
+    *
+    * `excludeSegments` (directory names) are left OUT of the fold: not
+    * unioned into the new base, not listed in the manifest, not GC'd —
+    * they keep serving alongside the new generation. This is the
+    * replay-idempotency contract for in-loop streaming maintenance
+    * ([[graft.streaming.Streaming.ivfIngestSink]]): the current
+    * micro-batch's segment must never be folded before Spark commits
+    * the batch offsets, or a replayed batch re-lands rows the base
+    * already absorbed and they serve twice. A RETRAIN re-assigns each
+    * live excluded segment IN PLACE under the new centroids after the
+    * commit (its stored cells were computed against the old ones —
+    * serving them unmapped would probe wrong cells); a crash in that
+    * window self-heals because the batch replays and
+    * [[appendIvfSegment]] overwrites the segment with an assignment
+    * against the newly-committed centroids.
     */
   private def compactGenerational(
       spark: SparkSession, path: String,
       retrained: Option[Seq[(Int, Array[Float])]],
-      vecColForReassign: Option[String]): Unit = {
+      vecColForReassign: Option[String],
+      excludeSegments: Set[String] = Set.empty,
+      graceDepth: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = latestGeneration(spark, path)
     val curN = gen.map(_._2).getOrElse(-1)
     val curAssigned = servedAssignedDir(spark, path)
     val segs = servedSegmentDirs(spark, path)
+      .filterNot(d => excludeSegments.contains(d.split('/').last))
     val target = s"${generationsRoot(path)}/gen=${curN + 1}"
     // a partial gen=curN+1 left by a crashed compact has no manifest
     // (invisible to readers) and is simply overwritten here
@@ -789,7 +969,25 @@ object Similarity {
     // prior crashed GC included), one generation of grace — see
     // [[graft.core.Generations.gcAfterCommit]]
     graft.core.Generations.gcAfterCommit(
-      fs, path, curN, segs ++ zombies, legacyChildren = Seq("assigned"))
+      fs, path, curN, segs ++ zombies,
+      legacyChildren = Seq("assigned"), graceDepth = graceDepth)
+    // geometric consistency for excluded segments under a RETRAIN: their
+    // stored cells were assigned against the OLD centroids; re-assign
+    // each live one in place under the new table (batch-sized rewrite —
+    // exclusion exists for the current micro-batch, never the backlog)
+    retrained.foreach { cents =>
+      excludeSegments.toSeq.sorted.foreach { name =>
+        val segAssigned = s"$path/segments/$name/assigned"
+        if (fs.exists(new org.apache.hadoop.fs.Path(segAssigned))) {
+          val rows = spark.read.parquet(segAssigned).drop("cell")
+            .localCheckpoint(true) // pin before the overwrite deletes its input
+          buildIvfWithCentroids(rows, "", vecColForReassign.get, cents)
+            .assigned
+            .repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(segAssigned)
+        }
+      }
+    }
   }
 
 
@@ -820,9 +1018,17 @@ object Similarity {
     */
   def compactIvfIndexWithRetrain(
       spark: SparkSession, path: String, idCol: String, vecCol: String,
-      iters: Int, quantBits: Int = 20): Unit = {
+      iters: Int, quantBits: Int = 20,
+      excludeSegments: Set[String] = Set.empty,
+      graceDepth: Int = 1): Unit = {
+    // excluded segments stay out of the fit corpus too (their rows are
+    // an offset-uncommitted micro-batch — a replay would double-weight
+    // them); compactGenerational re-assigns their live dirs in place
+    // under the new centroids after the commit
     val roots = servedAssignedDir(spark, path) +:
-      servedSegmentDirs(spark, path).map(r => s"$r/assigned")
+      servedSegmentDirs(spark, path)
+        .filterNot(d => excludeSegments.contains(d.split('/').last))
+        .map(r => s"$r/assigned")
     val corpus = roots
       .map(spark.read.parquet(_))
       .reduce(_ unionByName _)
@@ -838,7 +1044,8 @@ object Similarity {
     // centroids and commits assigned + centroids TOGETHER in one
     // manifest rename — the cross-table crash window the old
     // retrain_pending marker guarded does not exist on this layout
-    compactGenerational(spark, path, Some(newCents), Some(vecCol))
+    compactGenerational(spark, path, Some(newCents), Some(vecCol),
+      excludeSegments, graceDepth)
   }
 
   /** Surgical deletion from an on-disk IVF index — the

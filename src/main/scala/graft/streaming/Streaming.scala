@@ -564,9 +564,9 @@ object Streaming {
         graft.dedup.DedupIndex.AdviceThresholds()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val segName = f"seg_b$batchId%05d"
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val segName = f"seg_b$batchId%05d"
           val idx = graft.dedup.DedupIndex.read(
             spark, indexPath, excludeSegments = Set(segName))
           // pin survivors BEFORE the index mutates below: appendSegment
@@ -580,9 +580,14 @@ object Streaming {
           graft.dedup.DedupIndex.appendSegment(
             spark, indexPath, survivors, idCol, textCol, Some(segName))
         }
+        // the current batch's segment is EXCLUDED from the fold set:
+        // its stream offsets are not yet committed, and a compact that
+        // folded it would make the replayed batch's re-landed segment
+        // serve its rows twice (the base already absorbed them)
         if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
           graft.dedup.DedupIndex.autoMaintain(
-            batch.sparkSession, indexPath, maintainThresholds)
+            batch.sparkSession, indexPath, maintainThresholds,
+            excludeSegments = Set(segName))
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -619,18 +624,26 @@ object Streaming {
       retrainIters: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val segName = f"seg_b$batchId%05d"
         if (!batch.isEmpty) {
           graft.sim.Similarity.appendIvfSegment(
             batch.sparkSession, indexPath, batch, idCol, vecCol,
-            segmentName = Some(f"seg_b$batchId%05d"))
+            segmentName = Some(segName))
         }
         // in-loop maintenance ([[dedupIngestSink]]'s contract):
         // measured advice → act, single-writer, fail-loud; a retrain
-        // verdict re-fits centroids to the corpus as ingested
+        // verdict re-fits centroids to the corpus as ingested. The
+        // current batch's segment is EXCLUDED from the fold set (its
+        // stream offsets are not yet committed — folding it would make
+        // the replayed batch's re-landed segment serve twice); a
+        // retrain re-assigns the excluded segment in place under the
+        // new centroids, so the served index stays geometrically
+        // consistent
         if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
           graft.sim.Similarity.ivfAutoMaintain(
             batch.sparkSession, indexPath, idCol, vecCol,
-            maintainThresholds, retrainIters)
+            maintainThresholds, retrainIters,
+            excludeSegments = Set(segName))
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -674,16 +687,20 @@ object Streaming {
         graft.dedup.DedupIndex.AdviceThresholds()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val segName = f"seg_b$batchId%05d"
         if (!batch.isEmpty) {
           graft.dedup.SubstringDedup.appendToFingerprintIndex(
             batch.sparkSession, indexPath, batch, idCol, textCol,
-            segmentName = Some(f"seg_b$batchId%05d"))
+            segmentName = Some(segName))
         }
         // in-loop maintenance ([[dedupIngestSink]]'s contract):
-        // measured advice → act, single-writer, fail-loud
+        // measured advice → act, single-writer, fail-loud; the current
+        // batch's segment is EXCLUDED from the fold set (offsets not
+        // yet committed — folding it would double the replayed batch)
         if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
           graft.dedup.SubstringDedup.autoMaintainFingerprintIndex(
-            batch.sparkSession, indexPath, maintainThresholds)
+            batch.sparkSession, indexPath, maintainThresholds,
+            excludeSegments = Set(segName))
         ()
       }
       .option("checkpointLocation", checkpointPath)

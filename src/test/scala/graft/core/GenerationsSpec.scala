@@ -212,4 +212,77 @@ class GenerationsSpec extends SparkSpec {
     st("exact_rows") shouldBe 4L
     st("segments_pending") shouldBe 0L
   }
+
+  test("configurable grace depth: depth=2 keeps a reader pinned to " +
+    "the oldest generation alive through TWO consecutive compactions " +
+    "where the default depth=1 deletes its copy") {
+    // depth = 1 (default): compact #3 (committing gen=2, curN=1)
+    // GCs gen=0 — the documented maintenance-window rule
+    val p1 = mkIndex()
+    appendDoc(p1, 10L, "first wave of appended rows here")
+    DedupIndex.compact(spark, p1) // gen=0
+    appendDoc(p1, 11L, "second wave of appended rows here")
+    DedupIndex.compact(spark, p1) // gen=1; gen=0 is the grace copy
+    appendDoc(p1, 12L, "third wave of appended rows here")
+    DedupIndex.compact(spark, p1) // gen=2; gen=0 GC'd
+    new java.io.File(s"$p1/generations/gen=0").exists() shouldBe false
+    new java.io.File(s"$p1/generations/gen=1").exists() shouldBe true
+
+    // depth = 2: the same sequence keeps gen=0 on disk, so a reader
+    // that resolved it BEFORE both compactions still collects
+    val p2 = mkIndex()
+    appendDoc(p2, 10L, "first wave of appended rows here")
+    DedupIndex.compact(spark, p2) // gen=0
+    val pinned = spark.read.parquet(s"$p2/generations/gen=0/exact")
+    appendDoc(p2, 11L, "second wave of appended rows here")
+    DedupIndex.compact(spark, p2, graceDepth = 2) // gen=1
+    appendDoc(p2, 12L, "third wave of appended rows here")
+    DedupIndex.compact(spark, p2, graceDepth = 2) // gen=2; gen=0 stays
+    new java.io.File(s"$p2/generations/gen=0").exists() shouldBe true
+    pinned.count() shouldBe 4L // 3 corpus + doc 10, as committed then
+    // one more depth-2 compact finally retires gen=0 (window = 2)
+    appendDoc(p2, 13L, "fourth wave of appended rows here")
+    DedupIndex.compact(spark, p2, graceDepth = 2) // gen=3
+    new java.io.File(s"$p2/generations/gen=0").exists() shouldBe false
+    new java.io.File(s"$p2/generations/gen=1").exists() shouldBe true
+  }
+
+  test("latest() survives a racing manifest REWRITE: the reader can " +
+    "list version N, lose it to the writer's post-rename GC, and " +
+    "re-list the guaranteed-newer version instead of failing loud") {
+    // writeManifest deletes the superseded version only AFTER its
+    // successor's rename, so a reader that opens a just-deleted
+    // version re-lists and finds the newer one. Hammer the window:
+    // one thread rewrites the manifest continuously while this thread
+    // resolves — every resolution must return the same folded set.
+    val root = Files.createTempDirectory("gen_rewrite_race_").toString
+    val genDir = s"$root/generations/gen=0"
+    Generations.writeManifest(fs, genDir, Set("seg_a"))
+    val writerError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hadoopFs = fs
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (i < 300) {
+          Generations.writeManifest(hadoopFs, genDir, Set("seg_a"))
+          i += 1
+        }
+      } catch { case t: Throwable => writerError.set(t) }
+      finally done.set(true)
+    })
+    writer.start()
+    var reads = 0
+    while (!done.get()) {
+      Generations.latest(spark, root)
+        .map(_._3) shouldBe Some(Set("seg_a"))
+      reads += 1
+    }
+    writer.join()
+    writerError.get() shouldBe null
+    reads should be > 0
+    // the version counter advanced monotonically under the rewrites
+    Generations.latest(spark, root).map(_._2) shouldBe Some(0)
+  }
 }

@@ -106,8 +106,11 @@ class StreamingMaintainSpec extends SparkSpec {
     // identical survivors to DedupIngestSinkSpec's maintenance-free run
     survivors(base) shouldBe Set(11L, 21L, 31L)
     val st = statsMap(indexPath)
-    // batches 0 and 1 folded in-loop; batch 2's segment still pending
-    st("segments_pending") shouldBe 1L
+    // batch 0 folded in-loop at batchId 1; batch 1's OWN segment is
+    // excluded from the fold (its offsets were not yet committed when
+    // the maintenance ran — the replay-idempotency contract) and stays
+    // pending alongside batch 2's
+    st("segments_pending") shouldBe 2L
     st("exact_rows") shouldBe 5L // corpus 2 + survivors 3
     // the in-loop compact committed gen=0 (as _COMMITTED.1); batch
     // 2's append then dropped the GC'd folded entries, superseding
@@ -159,7 +162,7 @@ class StreamingMaintainSpec extends SparkSpec {
     // served, and the in-loop compact at batch 1 overwrote + committed
     survivors(base) shouldBe Set(11L, 21L, 31L)
     val st = statsMap(indexPath)
-    st("segments_pending") shouldBe 1L
+    st("segments_pending") shouldBe 2L // batch 1 (excluded) + batch 2
     st("exact_rows") shouldBe 5L
     DedupIndex.read(spark, indexPath).exact
       .filter($"corpus_id" === 999L).count() shouldBe 0L
@@ -215,7 +218,9 @@ class StreamingMaintainSpec extends SparkSpec {
       .awaitTermination()
     val st = SubstringDedup.fingerprintIndexStats(spark, indexPath)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    st("segments_pending") shouldBe 1L // batch 2 pending, 0+1 folded
+    // batch 0 folded at batchId 1; batch 1's own segment excluded from
+    // the fold (offsets uncommitted), batch 2 pending
+    st("segments_pending") shouldBe 2L
     // a probe carrying doc 11's text matches the FOLDED rows (block 0
     // went through the in-loop compact) and one carrying doc 31's
     // matches the still-pending segment — base, folded and pending
@@ -282,8 +287,11 @@ class StreamingMaintainSpec extends SparkSpec {
     val st = graft.sim.Similarity
       .ivfStats(spark, indexPath, "vec_id", "embedding")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    st("segments_pending") shouldBe 0L // both batches folded at id 1
-    st("base_rows") shouldBe 12L
+    // batch 0 folded at batchId 1; batch 1's own segment is excluded
+    // from the fold (offsets uncommitted) and stays pending
+    st("segments_pending") shouldBe 1L
+    st("base_rows") shouldBe 10L
+    st("segment_rows") shouldBe 2L
     new java.io.File(s"$indexPath/generations/gen=0/_COMMITTED.1")
       .exists() shouldBe true
   }
