@@ -14298,7 +14298,329 @@ object Queries {
           (1000000 * COALESCE(h.hits, 0)) // 10 AS recall_ppm,
           pick.np AS n_probe
         FROM q LEFT JOIN h USING (query_id), pick
-        ORDER BY q.query_id"""))
+        ORDER BY q.query_id""")),
+
+    // Streaming SELF-HEALING recall: ivfIngestSink with the EMPIRICAL
+    // audit in the loop (auditQueries → ivfAutoMaintainAudited at each
+    // maintenance boundary). Four staged batches, maintainEvery = 4 —
+    // exactly one boundary, at batchId 3, with every stats rule lax:
+    // the ONLY signal that can act is measured recall on the vec_id<5
+    // sample at the serving probe count (nProbe = 1) vs the 0.99
+    // target. The oracle replays the DECISION ITSELF, not an assumed
+    // outcome: it recomputes the audit mean over the boundary-state
+    // index (day-0 centroids, all four segments served), derives the
+    // deficit verdict, and CASE-selects between the retrained stats
+    // (q245's two quantized Lloyd rounds fit on the corpus MINUS the
+    // excluded in-flight batch-3 segment, float-rounded centroids,
+    // full re-assignment — batch 3's segment re-assigned in place —
+    // segments_pending = 1) and the untouched stats (day-0 assignment,
+    // segments_pending = 4). A sink that skips the audit, folds the
+    // in-flight segment, fits on the wrong corpus slice, or serves
+    // the excluded segment under stale cells lands in the wrong
+    // branch or the wrong histogram and fails the compare.
+    GraftQuery(
+      "q274_stream_audited_retrain",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val emb = t(s, dir, "embeddings")
+        val staged = stagedVectorBlocksFor(s, dir)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q274_").toString
+        val indexPath = s"$base/index"
+        copyTree(
+          java.nio.file.Paths.get(pristineIvfIngestFor(s, dir, emb)),
+          java.nio.file.Paths.get(indexPath))
+        val audit = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq
+        val stream = s.readStream
+          .schema(s.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        graft.streaming.Streaming.ivfIngestSink(
+          stream, indexPath, s"$base/ckpt", "vec_id", "embedding",
+          maintainEvery = Some(4),
+          maintainThresholds = graft.sim.Similarity.IvfAdviceThresholds(
+            maxSegments = 1000, maxSegmentRowsPct = 1000000,
+            maxSkewX100 = 1000000, maxDeletedPct = 1000000),
+          retrainIters = 2,
+          auditQueries = audit, auditK = 10, auditNProbe = 1,
+          auditTargetPpm = 990000L)
+          .awaitTermination()
+        val out = graft.sim.Similarity
+          .ivfStats(s, indexPath, "vec_id", "embedding")
+          .orderBy(col("stat"))
+          .localCheckpoint(true) // outlive the ckpt cleanup below
+        deleteTree(java.nio.file.Paths.get(s"$base/ckpt"))
+        out
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
+               FROM e WHERE vec_id < 16),
+        -- the boundary-state audit: day-0 centroids, ALL segments
+        -- served (batch 3 landed before the maintenance ran)
+        assign0 AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c0.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * c0.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c0.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c0.cell) AS rn
+            FROM e, c0) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c0.cell,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(q.qv, (x,i) -> x * c0.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(c0.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, c0.cell) AS rn
+            FROM q, c0) WHERE rn <= 1),
+        allsc AS (
+          SELECT q.query_id, e.vec_id,
+            list_reduce(list_transform(e.v, (x,i) -> x * q.qv[i]), (a,b) -> a + b)
+            / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+               * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (a,b) -> a + b))) AS score
+          FROM q, e),
+        ap AS (
+          SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY s.query_id
+                ORDER BY s.score DESC, s.vec_id) AS rn
+            FROM allsc s
+            JOIN assign0 a ON a.vec_id = s.vec_id
+            JOIN probes p ON p.query_id = s.query_id
+                         AND p.cell = a.cell)
+          WHERE rn <= 10),
+        ex AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS rn
+            FROM allsc)
+          WHERE rn <= 10),
+        h AS (
+          SELECT ap.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM ap JOIN ex ON ap.query_id = ex.query_id
+                         AND ap.vec_id = ex.vec_id
+          GROUP BY ap.query_id),
+        ver AS (
+          SELECT CASE WHEN 990000 -
+            CAST(SUM((1000000 * COALESCE(h.hits, 0)) // 10)
+                 // COUNT(*) AS BIGINT) > 0 THEN 1 ELSE 0 END AS fired
+          FROM q LEFT JOIN h USING (query_id)),
+        -- the retrain branch: 2 quantized Lloyd rounds fit on the
+        -- corpus MINUS the excluded in-flight batch-3 segment
+        ef AS (SELECT vec_id, v FROM e
+               WHERE vec_id < 300 OR vec_id % 4 <> 3),
+        d1 AS (
+          SELECT ef.vec_id, ef.v, c0.cell AS cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(ef.v, (x, i) -> (x - c0.cv[i]) * (x - c0.cv[i]))),
+              (a, b) -> a + b) AS dist
+          FROM ef, c0),
+        a1 AS (
+          SELECT vec_id, v, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d1),
+        q1 AS (
+          SELECT cid, unnest(list_transform(v, (x, i) ->
+            struct_pack(pos := i, q := CAST(floor(x * 1048576e0) AS BIGINT)))) AS u
+          FROM a1 WHERE rn = 1),
+        c1 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q1 GROUP BY cid, u.pos)
+          GROUP BY cid),
+        d2 AS (
+          SELECT ef.vec_id, ef.v, c1.cid,
+            list_reduce(list_prepend(0.0e0,
+              list_transform(ef.v, (x, i) -> (x - c1.c[i]) * (x - c1.c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM ef, c1),
+        a2 AS (
+          SELECT vec_id, v, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d2),
+        q2 AS (
+          SELECT cid, unnest(list_transform(v, (x, i) ->
+            struct_pack(pos := i, q := CAST(floor(x * 1048576e0) AS BIGINT)))) AS u
+          FROM a2 WHERE rn = 1),
+        c2 AS (
+          SELECT cid, list((CAST(s AS DOUBLE) / 1048576e0) / n ORDER BY pos) AS c
+          FROM (SELECT cid, u.pos AS pos, SUM(u.q) AS s, COUNT(*) AS n
+                FROM q2 GROUP BY cid, u.pos)
+          GROUP BY cid),
+        cf AS (SELECT cid AS cell, CAST(CAST(c AS FLOAT[]) AS DOUBLE[]) AS cv
+               FROM c2),
+        -- full re-assignment under the retrained centroids: the
+        -- committed base AND the in-place re-assigned batch-3 segment
+        assignN AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cf.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(e.v, (x,i) -> x * cf.cv[i]), (a,b) -> a + b)
+                / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a,b) -> a + b))
+                   * sqrt(list_reduce(list_transform(cf.cv, x -> x * x), (a,b) -> a + b)))
+                DESC, cf.cell) AS rn
+            FROM e, cf) WHERE rn = 1),
+        histN AS (
+          SELECT cf.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM cf LEFT JOIN assignN a USING (cell) GROUP BY cf.cell),
+        aggN AS (
+          SELECT MAX(n) AS mx, MIN(n) AS mn,
+            CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+            CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM histN),
+        hist0 AS (
+          SELECT c0.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+          FROM c0 LEFT JOIN assign0 a USING (cell) GROUP BY c0.cell),
+        agg0 AS (
+          SELECT MAX(n) AS mx, MIN(n) AS mn,
+            CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+            CAST(SUM(n) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS k
+          FROM hist0),
+        seg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS b3 FROM embeddings
+          WHERE vec_id >= 300 AND vec_id % 4 = 3),
+        segall AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS sa FROM embeddings
+          WHERE vec_id >= 300),
+        st_re AS (
+          SELECT 'base_rows' AS stat, tot - b3 AS value FROM aggN, seg
+          UNION ALL SELECT 'deleted_since_retrain', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'empty_cells', ec FROM aggN
+          UNION ALL SELECT 'max_cell_rows', mx FROM aggN
+          UNION ALL SELECT 'min_cell_rows', mn FROM aggN
+          UNION ALL SELECT 'n_cells', k FROM aggN
+          UNION ALL SELECT 'segment_rows', b3 FROM seg
+          UNION ALL SELECT 'segments_pending', CAST(1 AS BIGINT)
+          UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM aggN),
+        st_no AS (
+          SELECT 'base_rows' AS stat, tot - sa AS value FROM agg0, segall
+          UNION ALL SELECT 'deleted_since_retrain', CAST(0 AS BIGINT)
+          UNION ALL SELECT 'empty_cells', ec FROM agg0
+          UNION ALL SELECT 'max_cell_rows', mx FROM agg0
+          UNION ALL SELECT 'min_cell_rows', mn FROM agg0
+          UNION ALL SELECT 'n_cells', k FROM agg0
+          UNION ALL SELECT 'segment_rows', sa FROM segall
+          UNION ALL SELECT 'segments_pending', CAST(4 AS BIGINT)
+          UNION ALL SELECT 'skew_x100', (100 * mx * k) // tot FROM agg0)
+        SELECT stat, CAST(value AS BIGINT) AS value FROM (
+          SELECT st_re.* FROM st_re, ver WHERE ver.fired = 1
+          UNION ALL SELECT st_no.* FROM st_no, ver WHERE ver.fired = 0)
+        ORDER BY stat""")),
+
+    // EMPIRICAL banding audit (dedup/Dedup.lshMeasuredBandingTable) —
+    // the measured counterpart of q255's S-curve MODEL: for every
+    // divisor banding of 16 hashes, the recall and candidate mass
+    // ACTUALLY achieved on a 120-doc audit sample against
+    // exact-Jaccard ground truth, plus the pick (minimal measured
+    // candidate mass among bandings meeting the 0.99 recall target,
+    // ties to fewer bands). Everything is replayable because the sets
+    // are INTEGRAL — each token is polynomial-rolling-hashed over its
+    // ASCII codes (q30's replayable hash, per token instead of per
+    // window), so the affine MinHash permutations, the min-folds, the
+    // band-slice agreements, and the exact Jaccards are plain
+    // arithmetic DuckDB reproduces bit-exactly; the 16 (a_i, b_i)
+    // splitmix64-derived permutation constants are inlined as
+    // literals. Recovery = signature SLICE equality (the bucket hash
+    // is pure compression — a pair is a candidate iff some band's
+    // slices agree). Non-vacuous by construction: the sample holds
+    // 1,276 true pairs at t = 0.8 spanning j ∈ [0.8, 1], and measured
+    // recall sweeps 0.17 → 1.0 across the five bandings.
+    GraftQuery(
+      "q275_lsh_measured_banding",
+      (s, dir) => {
+        val sets = t(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id"),
+            graft.dedup.Dedup.shingles(col("text"), 1).as("__toks"))
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(filter(__toks, tk -> length(tk) > 0), " +
+              "tk -> aggregate(sequence(1, length(tk)), 0L, " +
+              "(a, i) -> (a * 257 + ascii(substring(tk, i, 1))) % 2147483647))"))
+            .as("tids"))
+        graft.dedup.Dedup.lshMeasuredBandingTable(
+          sets, "doc_id", "tids", numHashes = 16, threshold = 0.8,
+          targetRecallPpm = 990000L)
+          .orderBy(col("bands"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_distinct(list_filter(
+              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              tk -> len(tk) > 0)) AS toks
+          FROM documents WHERE doc_id < 120),
+        sets AS (
+          SELECT doc_id, list_distinct(list_transform(toks, tk ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(tk) + 1),
+                i -> CAST(ord(substr(tk, CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647))) AS els
+          FROM d WHERE len(toks) > 0),
+        params AS (SELECT * FROM (VALUES
+          (0, 659044146, 1612957866), (1, 380565668, 2090087112),
+          (2, 433818584, 1357145151), (3, 103842048, 643291302),
+          (4, 2129879006, 171765984), (5, 1854241669, 1893562719),
+          (6, 1525599164, 281400962), (7, 1943903368, 1897534040),
+          (8, 650530617, 1576419154), (9, 2110077752, 82485336),
+          (10, 1902424747, 1168941410), (11, 1447056876, 1933329607),
+          (12, 1552514512, 1091230128), (13, 1350365057, 835977313),
+          (14, 1331915746, 97205500), (15, 365136701, 1902222012)) p(i, a, b)),
+        sigs AS (
+          SELECT doc_id, i, MIN((a * e + b) % 2147483647) AS sv
+          FROM (SELECT doc_id, unnest(els) AS e FROM sets), params
+          GROUP BY doc_id, i),
+        sigl AS (SELECT doc_id, list(sv ORDER BY i) AS sig
+                 FROM sigs GROUP BY doc_id),
+        jn AS (SELECT s.doc_id, s.els, g.sig
+               FROM sets s JOIN sigl g USING (doc_id)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.els, b.els)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.els, b.els))) >= 0.8e0 AS istrue,
+            a.sig AS sa, b.sig AS sb
+          FROM jn a, jn b WHERE a.doc_id < b.doc_id),
+        bandcfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS b),
+        ev AS (
+          SELECT c.b AS bands, 16 // c.b AS rows_per_band, p.istrue,
+            len(list_filter(range(0, c.b), k ->
+              p.sa[k * (16 // c.b) + 1 : (k + 1) * (16 // c.b)] =
+              p.sb[k * (16 // c.b) + 1 : (k + 1) * (16 // c.b)])) > 0 AS rec
+          FROM pairs p, bandcfg c),
+        agg AS (
+          SELECT bands, MAX(rows_per_band) AS rows_per_band,
+            CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+              AS pairs_true,
+            CAST(SUM(CASE WHEN istrue AND rec THEN 1 ELSE 0 END) AS BIGINT)
+              AS pairs_recovered,
+            CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT)
+              AS cand_pairs
+          FROM ev GROUP BY bands),
+        fin AS (
+          SELECT bands, rows_per_band, pairs_true, pairs_recovered,
+            CAST(CASE WHEN pairs_true = 0 THEN 1000000
+                 ELSE (1000000 * pairs_recovered) // pairs_true END
+              AS BIGINT) AS recall_ppm,
+            cand_pairs
+          FROM agg),
+        el AS (SELECT *, recall_ppm >= 990000 AS eligible FROM fin),
+        mc AS (SELECT MIN(cand_pairs) AS m FROM el WHERE eligible),
+        sel AS (SELECT MIN(bands) AS mb FROM el, mc
+                WHERE eligible AND cand_pairs = mc.m)
+        SELECT CAST(el.bands AS BIGINT) AS bands,
+          CAST(el.rows_per_band AS BIGINT) AS rows_per_band,
+          pairs_true, pairs_recovered, recall_ppm, cand_pairs,
+          eligible, COALESCE(el.bands = sel.mb, FALSE) AS chosen
+        FROM el, sel ORDER BY bands"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

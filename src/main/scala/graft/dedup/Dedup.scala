@@ -727,4 +727,190 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("weight"))
       .select(col(idCol), col("weight"))
   }
+
+  // ---- empirical banding audit ----
+
+  /** EMPIRICAL banding audit — the measured counterpart of
+    * [[LshPlan]]'s S-curve model (q255, which predicts recall from
+    * idealized permutation probabilities): for EVERY divisor banding
+    * of `numHashes`, the recall and candidate mass ACTUALLY achieved
+    * on a bounded audit sample, measured against exact-Jaccard ground
+    * truth. One row per (bands, rows_per_band):
+    *
+    *   - `pairs_true`      — sample pairs with exact Jaccard ≥
+    *     `threshold` (banding-independent ground truth);
+    *   - `pairs_recovered` — true pairs whose signatures agree on at
+    *     least one full band, i.e. pairs this banding would surface as
+    *     candidates and verify successfully;
+    *   - `recall_ppm`      — `(1000000 · recovered) div true` (exact
+    *     integer floor division on both engines; 1000000 when the
+    *     sample holds no true pair — a vacuous audit reads as "no
+    *     evidence of deficit", mirroring [[graft.sim.Similarity
+    *     .ivfMeasuredRecall]]'s convention);
+    *   - `cand_pairs`      — ALL sample pairs (any Jaccard) sharing a
+    *     band: the measured candidate mass the banding would feed the
+    *     verify join — the empirical analogue of q250's FP integral;
+    *   - `eligible`        — `recall_ppm ≥ targetRecallPpm`;
+    *   - `chosen`          — the eligible banding with minimal
+    *     measured candidate mass, ties to fewer bands (fewer bands =
+    *     fewer bucket rows shuffled). All-false when nothing is
+    *     eligible — the caller must fail loud rather than serve a
+    *     banding the audit rejected.
+    *
+    * Recovery is decided by SIGNATURE SLICE EQUALITY, not by replaying
+    * the bucket hash: two docs land in the same `(band, bucket)` iff
+    * their band slices agree (modulo a ~2⁻⁶⁴ xxhash64 bucket
+    * collision, which could only rescue extra pairs in the real
+    * pipeline — the audit conservatively does not credit collisions).
+    * Slice equality is what makes the audit REPLAYABLE: over integral
+    * set columns the whole computation — affine permutations over the
+    * Mersenne prime, min-folds, slice agreement, exact Jaccard — is
+    * plain arithmetic an independent SQL engine reproduces bit-exactly
+    * (string sets route through xxhash64 and audit identically, but
+    * only the integral path is oracle-checkable).
+    *
+    * Scale shape: this is an AUDIT, priced like [[graft.sim.Similarity
+    * .ivfMeasuredRecall]]'s brute-force pass — all-pairs over the
+    * SAMPLE, never the corpus. The caller owns bounding `sample` (a
+    * few hundred docs); the pair table is built through the zero-key
+    * broadcast HASH join ([[graft.core.Scalars.withEach]] — sample²
+    * pairs, no nested-loop operator), every divisor banding is
+    * evaluated from ONE signature pass (banding only re-slices the
+    * signature), and the output is #divisors rows.
+    */
+  def lshMeasuredBandingTable(
+      sample: DataFrame,
+      idCol: String,
+      setCol: String,
+      numHashes: Int,
+      threshold: Double,
+      targetRecallPpm: Long,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(targetRecallPpm >= 0L && targetRecallPpm <= 1000000L,
+      s"targetRecallPpm must be in [0, 1000000], got $targetRecallPpm")
+    import org.apache.spark.sql.types.{ArrayType, LongType, IntegerType}
+    val elemType = sample.schema(setCol).dataType match {
+      case ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"$setCol must be an array column, got $other")
+    }
+    val els = sample
+      .select(col(idCol), col(setCol).as("__els"))
+      .filter(size(col("__els")) > 0)
+    val base = elemType match {
+      case LongType | IntegerType =>
+        transform(col("__els"), h => pmod(h.cast("bigint"), lit(MersennePrime)))
+      case _ =>
+        transform(col("__els"), s => pmod(xxhash64(s), lit(MersennePrime)))
+    }
+    val signed = els.withColumn(
+      "__sig", graft.functions.MinHashFold.minhashFold(base, numHashes, seed))
+    val a = signed.select(col(idCol).as("id_a"),
+      col("__els").as("__ea"), col("__sig").as("__sga"))
+    val b = signed.select(col(idCol).as("id_b"),
+      col("__els").as("__eb"), col("__sig").as("__sgb"))
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    // one struct per banding, all derived from the same signature pair
+    val perBanding = divisors.map { nb =>
+      val r = numHashes / nb
+      val rec = (0 until nb).map { k =>
+        slice(col("__sga"), k * r + 1, r) === slice(col("__sgb"), k * r + 1, r)
+      }.reduce(_ || _)
+      struct(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        rec.as("rec"))
+    }
+    val pairs = graft.core.Scalars.withEach(a, b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__true",
+        graft.functions.JaccardDistinct.jaccardDistinct(
+          col("__ea"), col("__eb")) >= threshold)
+      .select(col("__true"), explode(array(perBanding: _*)).as("__bb"))
+      .select(col("__true"), col("__bb.bands").as("bands"),
+        col("__bb.rows_per_band").as("rows_per_band"),
+        col("__bb.rec").as("__rec"))
+    val tbl = pairs
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        sum(when(col("__true"), 1L).otherwise(0L)).as("pairs_true"),
+        sum(when(col("__true") && col("__rec"), 1L).otherwise(0L))
+          .as("pairs_recovered"),
+        sum(when(col("__rec"), 1L).otherwise(0L)).as("cand_pairs"))
+      .withColumn("recall_ppm",
+        when(col("pairs_true") === 0L, lit(1000000L))
+          .otherwise(expr("(1000000 * pairs_recovered) div pairs_true")))
+      .withColumn("eligible", col("recall_ppm") >= targetRecallPpm)
+    // the pick: minimal measured candidate mass among eligible, ties to
+    // fewer bands; a 1-row aggregate attached via the zero-key
+    // broadcast join (no collect, no nested loop)
+    val mc = tbl.filter(col("eligible"))
+      .agg(min(col("cand_pairs")).as("__mc"))
+    val sel = graft.core.Scalars.withScalars(
+        tbl.filter(col("eligible")), mc)
+      .filter(col("cand_pairs") === col("__mc"))
+      .agg(min(col("bands")).as("__mb"))
+    graft.core.Scalars.withScalars(tbl, sel)
+      .withColumn("chosen", coalesce(col("bands") === col("__mb"), lit(false)))
+      .select(col("bands"), col("rows_per_band"), col("pairs_true"),
+        col("pairs_recovered"), col("recall_ppm"), col("cand_pairs"),
+        col("eligible"), col("chosen"))
+  }
+
+  /** The measured table's pick as a banding, FAIL-LOUD when no banding
+    * met the target: `(bands, rowsPerBand)` of the `chosen` row of
+    * [[lshMeasuredBandingTable]]. The collect is bounded by
+    * construction — the table has one row per divisor of `numHashes`
+    * (≤ d(numHashes) ≤ 96 for any numHashes ≤ 10⁶).
+    */
+  def planBandsMeasured(
+      sample: DataFrame,
+      idCol: String,
+      setCol: String,
+      numHashes: Int,
+      threshold: Double,
+      targetRecallPpm: Long,
+      seed: Long = 42L): (Int, Int) = {
+    val rows = lshMeasuredBandingTable(sample, idCol, setCol, numHashes,
+      threshold, targetRecallPpm, seed)
+      .filter(col("chosen"))
+      .select(col("bands"), col("rows_per_band"))
+      .collect() // bounded: at most one chosen row survives the filter
+    require(rows.nonEmpty,
+      s"no banding of $numHashes hashes reached measured recall >= " +
+        s"$targetRecallPpm ppm at threshold $threshold on the audit " +
+        "sample - raise numHashes or lower the target")
+    (rows.head.getLong(0).toInt, rows.head.getLong(1).toInt)
+  }
+
+  /** [[nearDuplicatesBySets]] with the banding chosen by the EMPIRICAL
+    * audit instead of the S-curve model — the measured counterpart of
+    * [[nearDuplicatesPlanned]]: the caller states the threshold, the
+    * recall they need, and a bounded audit sample; the banding that
+    * serves the corpus is the one that PROVABLY met the target on the
+    * sample with minimal measured candidate mass. Fail-loud when no
+    * divisor banding reaches the target (more hashes are needed — a
+    * silent best-effort pick would serve known-deficient recall).
+    */
+  def nearDuplicatesBySetsMeasured(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      sample: DataFrame,
+      numHashes: Int = 64,
+      threshold: Double = 0.8,
+      targetRecallPpm: Long = 950000L,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L,
+      materialize: Boolean = true): DataFrame = {
+    val (bands, rowsPerBand) = planBandsMeasured(
+      sample, idCol, setCol, numHashes, threshold, targetRecallPpm, seed)
+    graft.core.Logging.log(
+      graft.core.Logging.logger("graft.dedup.Dedup"),
+      s"nearDuplicatesBySetsMeasured: t=$threshold numHashes=$numHashes " +
+        s"target=$targetRecallPpm ppm -> bands=$bands rowsPerBand=$rowsPerBand")
+    nearDuplicatesBySets(df, idCol, setCol, numHashes, bands, threshold,
+      seed, maxBucketSize, materialize)
+  }
 }

@@ -612,6 +612,16 @@ object Streaming {
     * overwrites its own named segment; no exclusion read is needed
     * because assignment never consults index contents.
     */
+  /** `auditQueries` (optional) puts the EMPIRICAL recall audit inside
+    * the ingest loop: at each maintenance boundary the decision runs
+    * through [[graft.sim.Similarity.ivfAutoMaintainAudited]] — the
+    * stats rules PLUS measured recall on the sample at the serving
+    * probe count vs `auditTargetPpm` — so the stream heals its own
+    * recall drift (a retrain verdict re-fits the centroids) instead of
+    * waiting for an operator to notice probe quality decayed. The
+    * audit's brute-force corpus pass is maintenance-window priced:
+    * size `maintainEvery` accordingly.
+    */
   def ivfIngestSink(
       stream: DataFrame,
       indexPath: String,
@@ -621,7 +631,11 @@ object Streaming {
       maintainEvery: Option[Int] = None,
       maintainThresholds: graft.sim.Similarity.IvfAdviceThresholds =
         graft.sim.Similarity.IvfAdviceThresholds(),
-      retrainIters: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      retrainIters: Int = 2,
+      auditQueries: Seq[(Long, Array[Float])] = Nil,
+      auditK: Int = 10,
+      auditNProbe: Int = 1,
+      auditTargetPpm: Long = 900000L): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val segName = f"seg_b$batchId%05d"
@@ -639,11 +653,19 @@ object Streaming {
         // retrain re-assigns the excluded segment in place under the
         // new centroids, so the served index stays geometrically
         // consistent
-        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
-          graft.sim.Similarity.ivfAutoMaintain(
-            batch.sparkSession, indexPath, idCol, vecCol,
-            maintainThresholds, retrainIters,
-            excludeSegments = Set(segName))
+        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0)) {
+          if (auditQueries.nonEmpty)
+            graft.sim.Similarity.ivfAutoMaintainAudited(
+              batch.sparkSession, indexPath, idCol, vecCol,
+              auditQueries, auditK, auditNProbe, auditTargetPpm,
+              maintainThresholds, retrainIters,
+              excludeSegments = Set(segName))
+          else
+            graft.sim.Similarity.ivfAutoMaintain(
+              batch.sparkSession, indexPath, idCol, vecCol,
+              maintainThresholds, retrainIters,
+              excludeSegments = Set(segName))
+        }
         ()
       }
       .option("checkpointLocation", checkpointPath)

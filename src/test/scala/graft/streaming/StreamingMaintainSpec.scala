@@ -295,4 +295,93 @@ class StreamingMaintainSpec extends SparkSpec {
     new java.io.File(s"$indexPath/generations/gen=0/_COMMITTED.1")
       .exists() shouldBe true
   }
+
+  test("ivfIngestSink with auditQueries heals its own recall drift: " +
+    "the in-loop audit fires on measured deficit, the retrain " +
+    "restores recall >= target, and the in-flight segment stays " +
+    "excluded and geometrically consistent") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_smnt_audit_").toString
+    val indexPath = s"$base/index"
+    // IvfRecallAuditSpec's planted failure: two cosine clusters, both
+    // day-0 centroids in cluster A's halfspace — B's vectors scatter
+    // across cells, so a 1-probe B query misses true neighbors
+    def vec(sign: Double, j: Int): Seq[Float] =
+      Seq.tabulate(4)(i =>
+        (if (i == 0) sign else 0.02 * ((j + i) % 5 + 1)).toFloat)
+    val corpus = (0 until 16).map(i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0, i)))
+    graft.sim.Similarity.writeIvfIndex(
+      graft.sim.Similarity.buildIvfWithCentroids(
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        Seq((0, Array(1f, 0.3f, 0f, 0f)), (1, Array(1f, 0f, 0.3f, 0f)))),
+      indexPath)
+    val audit = corpus.filter(_._1 % 2 == 1).take(4)
+      .map { case (id, v) => (id, v.toArray) }
+    val target = 950000L
+    def measured(): Long = {
+      val m = graft.sim.Similarity.ivfMeasuredRecall(
+        spark, indexPath, "vec_id", "embedding", audit,
+        k = 6, nProbe = 1)
+      m.agg(sum(col("recall_ppm"))).head.getLong(0) / audit.size
+    }
+    measured() should be < target // the planted failure is real
+    // stage two streamed batches (one vector per cluster each)
+    val src = java.nio.file.Files.createTempDirectory("graft_smnt_src6_")
+    val blocks = Seq(
+      Seq((100L, vec(1.0, 3)), (101L, vec(-1.0, 4))),
+      Seq((102L, vec(1.0, 5)), (103L, vec(-1.0, 6))))
+    blocks.zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_smnt_ab_")
+      b.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.list(tmp).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet")) part = p
+      }
+      val dst = src.resolve(f"block$i%04d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    graft.streaming.Streaming.ivfIngestSink(
+      stream, indexPath, s"$base/ckpt", "vec_id", "embedding",
+      maintainEvery = Some(2),
+      maintainThresholds = graft.sim.Similarity.IvfAdviceThresholds(
+        maxSegments = 1000, maxSegmentRowsPct = 1000000,
+        maxSkewX100 = 1000000, maxDeletedPct = 1000000),
+      auditQueries = audit, auditK = 6, auditNProbe = 1,
+      auditTargetPpm = target)
+      .awaitTermination()
+    // the retrain committed a generation carrying its centroid table
+    new java.io.File(s"$indexPath/generations/gen=0/centroids")
+      .exists() shouldBe true
+    // the stream healed itself: measured recall back at/above target
+    measured() should be >= target
+    // the in-flight batch-1 segment stayed excluded from the fold and
+    // was re-assigned in place under the new centroids
+    val st = graft.sim.Similarity
+      .ivfStats(spark, indexPath, "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st("segments_pending") shouldBe 1L
+    st("segment_rows") shouldBe 2L
+    st("base_rows") shouldBe 18L // 16 base + batch 0
+    val cents = graft.sim.Similarity.readIvfCentroids(spark, indexPath)
+    val idx = graft.sim.Similarity.readIvfIndex(
+      spark, indexPath, "vec_id", "embedding")
+    val stored = idx.assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = graft.sim.Similarity.buildIvfWithCentroids(
+      idx.assigned.drop("cell"), "vec_id", "embedding", cents)
+      .assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    stored shouldBe expect
+  }
 }
