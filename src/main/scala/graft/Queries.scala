@@ -14620,6 +14620,265 @@ object Queries {
           CAST(el.rows_per_band AS BIGINT) AS rows_per_band,
           pairs_true, pairs_recovered, recall_ppm, cand_pairs,
           eligible, COALESCE(el.bands = sel.mb, FALSE) AS chosen
+        FROM el, sel ORDER BY bands""")),
+
+    // EMPIRICAL sign-LSH banding audit (sim/Similarity
+    // .signLshMeasuredBandingTable) -- q275's cosine twin and the
+    // measured counterpart of q262's S-curve MODEL: for every divisor
+    // banding of 8 hyperplanes at cosine t = 0.35, the recall and
+    // candidate mass ACTUALLY achieved on the vec_id < 300 sample
+    // (q261's corpus) against exact-cosine ground truth, plus the
+    // pick (minimal measured candidate mass among bandings meeting
+    // the 0.95 target, ties to fewer bands). Replayable because each
+    // hyperplane component is the dyadic rational m/2^52 - 1 of the
+    // splitmix64 mantissa -- the 8x64 integer mantissas are inlined
+    // and DuckDB recomputes the sequential dot-product folds, sign
+    // tests, band-slice agreements and exact cosines bit-exactly.
+    // Recovery = sign-bit slice equality under the SAME seeded plane
+    // family the serving pipeline hashes with (band k of an r-bit
+    // banding reads planes [k*r, (k+1)*r) -- signBuckets' layout).
+    // Non-vacuous: measured recall sweeps 0.01 -> 1.0 across the
+    // four bandings at every SF.
+    GraftQuery(
+      "q276_sign_lsh_measured_banding",
+      (s, dir) =>
+        graft.sim.Similarity.signLshMeasuredBandingTable(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", numBits = 8, threshold = 0.35,
+          targetRecallPpm = 950000L)
+          .orderBy(col("bands")),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300),
+        pm AS (SELECT i, ms FROM (VALUES
+          (0, [6679422623415661, 6558851304090109,
+           8840782731883338, 8722694162978825, 6577050360333382,
+           4352384759967643, 142129307238655, 995414318626901,
+           6580578577177194, 3302224384610536, 8785689967654536,
+           7049865058845709, 6624380425419390, 3872936130155494,
+           5527330214637412, 1900705605525989, 4422164815413515,
+           5297689443310167, 6580981329965870, 2304574801067348,
+           1765734975083745, 4941764453832847, 7550132826373329,
+           1936046189225442, 1552021658632950, 8081227100632496,
+           179854670004559, 2931562132891141, 3625077059250297,
+           7342771194858747, 5010027627382289, 7338003282921587,
+           2602311278096082, 4899745635876528, 8090897696362011,
+           3460272548185086, 3062377284893772, 4770478326012745,
+           6671631082479442, 5121808824036601, 489275805206697,
+           334502343482367, 7296961680393408, 3873250312847523,
+           7433670184629593, 8612005452366477, 2167603567222526,
+           7352454197734481, 8429801104525625, 8737410804976959,
+           5536118392723998, 8840608485554501, 8649732723257726,
+           8847504436902932, 3455021245007044, 2792438201511251,
+           8477050387303439, 2355657068611821, 1236621791733662,
+           7353848573570202, 606955727357193, 911401484678174,
+           2514623677288677, 6601834175083286]),
+          (1, [8705532192543612, 1344814326582568,
+           7563777106297206, 1975254574198268, 8814808181782609,
+           8876640302159814, 926893266481977, 8622974073308090,
+           6100190224896558, 141864648794353, 5546203917431097,
+           3786329974510999, 5015540698028392, 1023177129731754,
+           2720332041047246, 8429688228137073, 5862807231823418,
+           5764768560473686, 5846089185675571, 1750846435437336,
+           5346662216210599, 8314651374377297, 4830121601249671,
+           7402197127040629, 3326840938441382, 23355590852127,
+           1160340186327615, 1359476962150794, 3342446090998345,
+           3965825284336978, 2723855622498465, 5116632090958300,
+           4350101007962240, 185523067793633, 8214942414205663,
+           4285692520495508, 4361208271590854, 743899521611902,
+           1723506625435454, 8231545931547239, 5109365677407403,
+           7619294530560884, 1002226119715701, 2496587792742319,
+           5697067651608838, 6749442613669174, 1355547812843810,
+           770808417341501, 137992918776503, 1470183532553495,
+           7868152605138997, 4985599403819924, 5450657400142440,
+           5097774664288719, 8088176012271725, 4455874483993881,
+           5086490015920482, 2766989428994861, 4838676429132171,
+           3621983936599284, 4075680820379350, 1282479217123109,
+           2617902579108419, 2370676647601336]),
+          (2, [3633801724139428, 8719764728788446,
+           1791005360924819, 216518871174581, 6913284174141926,
+           5384894147218490, 7318918733531680, 5163663332837019,
+           3765124128469362, 4120947577472818, 2135202867614326,
+           6845600578553116, 1671146182473569, 4952139086978606,
+           5478498803187213, 1600306581157304, 5147330029320236,
+           2815098962671294, 8847189397038129, 8104688489430778,
+           2410652578688384, 2464897403586699, 6542759407820449,
+           5568418722170455, 3176331628733451, 8159117944220624,
+           2595779279241441, 6059136125730858, 546498223008675,
+           2968580025202508, 2097994112068231, 6118595590783529,
+           8315589828806531, 6055276844918613, 3853415021582355,
+           849680521189844, 512378773985850, 7100010664844132,
+           4029648714686902, 5136049714937163, 7589309122836670,
+           5220455520067452, 5229898632284305, 2426960524677981,
+           8212800050413690, 199207672640657, 11805390433032,
+           8650906671043713, 2375109969261233, 7951485433835716,
+           851333801714359, 6571028242236017, 1529982121799928,
+           3032022116189140, 2105429294356672, 7595662560794280,
+           1398144631399705, 4465885867502735, 7622526753677403,
+           5854813816250894, 5596442254221593, 4795863408065271,
+           8442399792037196, 380624866113014]),
+          (3, [2155450427902515, 3793728690932319,
+           2594948154467963, 6315308101457996, 863709384053775,
+           3685724598099714, 2834918877807422, 6812628340340824,
+           1725330565455137, 178488144547951, 8251804494557014,
+           5579396903457208, 8304417838863732, 50533497824256,
+           7258727319954504, 1401666903315904, 5393914035690912,
+           6965165723154423, 3647606253477928, 8927261366882504,
+           3261801796283302, 6513358966479761, 2068625614334455,
+           4065556347145364, 7236576071599069, 3747718217941088,
+           800794510396018, 85035144522178, 687016923315670,
+           8793394672088793, 3188697056844963, 5181953319525881,
+           922339961661611, 3354937555567180, 5349495237377389,
+           8083316104886381, 8354624693374303, 729975150667199,
+           6251856768676254, 4077924358089334, 3419351386911720,
+           400455415534731, 3450245962112406, 2449449344332376,
+           4936269031772400, 3908661947487261, 2668981214791243,
+           1476159649203538, 4864849183953623, 6607332460685775,
+           8859069522779764, 2340701009918440, 3060610256772448,
+           4395921082292928, 4851572289779381, 2539730509140578,
+           6259868446848674, 8526899666183511, 1083590526111360,
+           2267964791813787, 8696789275690495, 6438127962253118,
+           2983728077755447, 690613745027401]),
+          (4, [201994293902194, 2271683632307972,
+           1499886128868133, 6384732515927526, 6650632712574394,
+           8993491498931905, 4662134978491850, 7162294599055939,
+           6172387034844018, 7978364915530334, 4892963957737530,
+           2472383172808459, 1842749218592224, 252381198906047,
+           3943560090501496, 4486306371373803, 4303586368286140,
+           6594876534094011, 7598234132026824, 2898065731642052,
+           4018938366528238, 47735464197481, 6966926159061495,
+           382541183402574, 8573291077314774, 5533353968026320,
+           4763355453497256, 7891630500476302, 1959555383736806,
+           6193152466215589, 8730380513498852, 6548026159048872,
+           5579531488898788, 2473226110016980, 2912210859699070,
+           2681379247691340, 752981222880589, 301933161017973,
+           6465048338872678, 6548079647971270, 8039697869225700,
+           381066153466993, 1983582429946647, 6592595555569438,
+           6009542713179342, 7701732788677283, 8149373645405081,
+           2372364789987248, 4801681409148326, 1586719925649302,
+           2577418635310785, 2837254654927934, 45793671932056,
+           1348529440960943, 1576175687054325, 3491287682729922,
+           8675221422110003, 2056441164208402, 8058323938625648,
+           5575504142154451, 4040540608515640, 8704045721754805,
+           7867180324973642, 5757678654899951]),
+          (5, [2066845703022368, 1549655663388265,
+           6558810746165733, 5377720407278363, 4851216691504382,
+           2383497036355123, 4976093240779019, 6091657294646823,
+           8981710902321662, 5847605758178358, 506716562256788,
+           2526282867046706, 4982211233540883, 8454134257064803,
+           7816248519315955, 8244537844069027, 1758519372377158,
+           4172820937548690, 1054140422883632, 5982352239040761,
+           5334510576733804, 5103470132025302, 5637801811439191,
+           2577714345804439, 6155659340294647, 6062549954710076,
+           1214772932452973, 5091901617168176, 8016632839803400,
+           966027682465925, 6300158115067642, 991785514045479,
+           8618700051019294, 1132167172991447, 7034875327157204,
+           6634724649200680, 2823013865709950, 5989561488396465,
+           7705220061126782, 8201983058103307, 1950963833197294,
+           5190367857877645, 2027022997905255, 4038230705603695,
+           7692577901387855, 3168019799647839, 4956438971527905,
+           3816382189780463, 3704530180873235, 5751706355304098,
+           1037413373833921, 1454410894184612, 7141465806226898,
+           1735942108378419, 870068792555765, 1152513748135441,
+           6513139196620720, 3794221084467861, 5400778833748442,
+           3679306834234480, 4429950060522900, 766984658458822,
+           7966160907650585, 6005961112187885]),
+          (6, [6721294087096489, 4341655861412108,
+           1329012399191342, 7429195937688699, 8377166261151702,
+           1935801971922702, 2997530920710455, 7635074360779382,
+           8865822304175386, 4025352113372435, 221206266316231,
+           5884264050698796, 7794155797770027, 8867077854690558,
+           851242570656182, 9005905965305731, 2869913136216341,
+           1563580048027682, 2467709835827757, 1928993966505327,
+           8256706709149009, 2554547923122739, 7755696574927386,
+           327409559086747, 766125207686481, 3274115838284087,
+           4719588577948517, 7515536291338420, 7508765939993027,
+           8609740045223423, 4709688372716983, 8713440956769615,
+           6573234190918903, 7334591708954970, 2628496032095282,
+           1633591457687684, 2898318193399793, 5184150279320251,
+           1160344221499381, 8371825072103324, 3825642478541659,
+           2766008168441229, 7589071750651003, 2976131068232404,
+           7062023722215302, 4664750719214127, 28583315430569,
+           1762785288833645, 7041544863744131, 5480631496033361,
+           1469597292732180, 8129564147751306, 2103522092408560,
+           5207680310009610, 8341045060714759, 2820895452417647,
+           6804323780338961, 3812542072610078, 8347671198775124,
+           6636546529847041, 707393552086710, 3766159671305513,
+           2257680626708270, 1431178890366488]),
+          (7, [5796743793722192, 5833576658163326,
+           8001410527699160, 7160854076914640, 6982826835012251,
+           6852134885606284, 1668772116588034, 1287493138560930,
+           8068868660349169, 5076877251083380, 2106618041876146,
+           6679085407783700, 3139288280911859, 1643260637242838,
+           6597156799429026, 6568788331398957, 8420408797365451,
+           4427289033579524, 6923753580207751, 7120984114538024,
+           7928378613239261, 6954050939308203, 4497737378810495,
+           2864870945850407, 2874455725606854, 3294559362767094,
+           7385932791072333, 1077588029978028, 2240159478850454,
+           2257758870894582, 7774597254445976, 4632012322928525,
+           2407090441129515, 8030444552118865, 61988503579719,
+           4154728636313117, 8683003765612810, 5797682454040198,
+           1358376056055743, 1338030500327476, 1999132320244253,
+           3317136086654712, 2152887502874734, 905995146427164,
+           3916955689392764, 1325305097676113, 8236080599329259,
+           3457572026063067, 4030399959099022, 6751438740549549,
+           4570143519263822, 931496909333797, 275560839128446,
+           1831180246949234, 8467854190148875, 7993275827513732,
+           6437280178690230, 2908038461156520, 1427115415472318,
+           2256112610818031, 4577673296547833, 5603486925459206,
+           7622396005656963, 2012230958106673])) t(i, ms)),
+        pl AS (SELECT i, list_transform(ms, m ->
+                 CAST(m AS DOUBLE) / 4503599627370496e0 - 1.0e0) AS p
+               FROM pm),
+        sb AS (
+          SELECT e.vec_id, pl.i,
+            CASE WHEN list_reduce(list_prepend(0.0e0,
+              list_transform(range(1, len(e.v) + 1), d -> e.v[d] * pl.p[d])),
+              (a, b) -> a + b) >= 0e0 THEN 1 ELSE 0 END AS s
+          FROM e, pl),
+        sg AS (SELECT vec_id, list(s ORDER BY i) AS sig
+               FROM sb GROUP BY vec_id),
+        jn AS (SELECT e.vec_id, e.v, g.sig FROM e JOIN sg g USING (vec_id)),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+              >= 0.35e0 AS istrue,
+            a.sig AS sa, b.sig AS sb
+          FROM jn a, jn b WHERE a.vec_id < b.vec_id),
+        bandcfg AS (SELECT unnest([1, 2, 4, 8]) AS b),
+        ev AS (
+          SELECT c.b AS bands, 8 // c.b AS bits_per_band, p.istrue,
+            len(list_filter(range(0, c.b), k ->
+              p.sa[k * (8 // c.b) + 1 : (k + 1) * (8 // c.b)] =
+              p.sb[k * (8 // c.b) + 1 : (k + 1) * (8 // c.b)])) > 0 AS rec
+          FROM pairs p, bandcfg c),
+        agg AS (
+          SELECT bands, MAX(bits_per_band) AS bits_per_band,
+            CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+              AS pairs_true,
+            CAST(SUM(CASE WHEN istrue AND rec THEN 1 ELSE 0 END) AS BIGINT)
+              AS pairs_recovered,
+            CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT)
+              AS cand_pairs
+          FROM ev GROUP BY bands),
+        fin AS (
+          SELECT bands, bits_per_band, pairs_true, pairs_recovered,
+            CAST(CASE WHEN pairs_true = 0 THEN 1000000
+                 ELSE (1000000 * pairs_recovered) // pairs_true END
+              AS BIGINT) AS recall_ppm,
+            cand_pairs
+          FROM agg),
+        el AS (SELECT *, recall_ppm >= 950000 AS eligible FROM fin),
+        mc AS (SELECT MIN(cand_pairs) AS m FROM el WHERE eligible),
+        sel AS (SELECT MIN(bands) AS mb FROM el, mc
+                WHERE eligible AND cand_pairs = mc.m)
+        SELECT CAST(el.bands AS BIGINT) AS bands,
+          CAST(el.bits_per_band AS BIGINT) AS bits_per_band,
+          pairs_true, pairs_recovered, recall_ppm, cand_pairs,
+          eligible, COALESCE(el.bands = sel.mb, FALSE) AS chosen
         FROM el, sel ORDER BY bands"""))
   )
 

@@ -1451,6 +1451,158 @@ object Similarity {
       maxBucketSize)
   }
 
+  /** EMPIRICAL sign-LSH banding audit — the cosine twin of
+    * [[graft.dedup.Dedup.lshMeasuredBandingTable]] and the measured
+    * counterpart of the q262 MODEL table: for every divisor banding of
+    * `numBits` hyperplanes, the recall and candidate mass ACTUALLY
+    * achieved on a bounded audit sample against exact-cosine ground
+    * truth. One row per (bands, bits_per_band) with the same columns
+    * and the same selection rule as the MinHash audit: `eligible` =
+    * measured `recall_ppm ≥ targetRecallPpm`, `chosen` = minimal
+    * measured candidate mass among eligible, ties to fewer bands,
+    * all-false when nothing is eligible.
+    *
+    * Recovery = equality of the SIGN-BIT band slices under the SAME
+    * seeded hyperplane family the serving pipeline uses
+    * ([[hyperplanes]] — band k of an (n/b = r)-bit banding reads
+    * planes [k·r, (k+1)·r), exactly [[embeddingNearDuplicates]]'
+    * plane layout, so the audit measures the banding the pipeline
+    * would serve, not a re-randomized one). The sign bits are computed
+    * as COLUMN ALGEBRA (a literal plane matrix folded per row), not in
+    * [[signBuckets]]' mapPartitions, so the whole audit — dot
+    * products, sign tests, slice agreement, exact cosine — is
+    * sequential double arithmetic an independent SQL engine replays
+    * bit-exactly (each plane component is the dyadic rational
+    * m/2⁵² − 1, so the constants inline as integers).
+    *
+    * Scale shape: audit-priced like the MinHash twin — ONE sign pass
+    * over the sample, all bandings re-slice it, sample² pairs through
+    * the zero-key broadcast hash join, #divisors output rows. The
+    * caller owns bounding `sample`.
+    */
+  def signLshMeasuredBandingTable(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numBits: Int,
+      threshold: Double,
+      targetRecallPpm: Long,
+      seed: Long = 42L): DataFrame = {
+    require(numBits >= 1, s"numBits must be >= 1, got $numBits")
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be in [-1, 1], got $threshold")
+    require(targetRecallPpm >= 0L && targetRecallPpm <= 1000000L,
+      s"targetRecallPpm must be in [0, 1000000], got $targetRecallPpm")
+    val firstVec = sample.select(col(vecCol)).head(1)
+    require(firstVec.nonEmpty, "signLshMeasuredBandingTable needs a nonempty sample")
+    val dim = firstVec.head.getSeq[Float](0).size
+    val planes = typedlit(hyperplanes(numBits, dim, seed).map(_.toSeq).toSeq)
+    // one sign bit per plane: sequential dot-product fold, >= 0 test —
+    // the same decision signBuckets packs into a Long, kept as an
+    // array so every banding is a re-slice of one pass
+    val signs = transform(planes, p =>
+      when(aggregate(zip_with(col("__v"), p, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+    val signed = sample
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__sg", signs)
+    val a = signed.select(col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__sg").as("__sga"))
+    val b = signed.select(col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__sg").as("__sgb"))
+    val divisors = (1 to numBits).filter(numBits % _ == 0)
+    val perBanding = divisors.map { nb =>
+      val r = numBits / nb
+      val rec = (0 until nb).map { k =>
+        slice(col("__sga"), k * r + 1, r) === slice(col("__sgb"), k * r + 1, r)
+      }.reduce(_ || _)
+      struct(lit(nb.toLong).as("bands"), lit(r.toLong).as("bits_per_band"),
+        rec.as("rec"))
+    }
+    val pairs = graft.core.Scalars.withEach(a, b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__true",
+        graft.functions.CosineFold.cosineFold(col("__va"), col("__vb"))
+          >= threshold)
+      .select(col("__true"), explode(array(perBanding: _*)).as("__bb"))
+      .select(col("__true"), col("__bb.bands").as("bands"),
+        col("__bb.bits_per_band").as("bits_per_band"),
+        col("__bb.rec").as("__rec"))
+    val tbl = pairs
+      .groupBy(col("bands"), col("bits_per_band"))
+      .agg(
+        sum(when(col("__true"), 1L).otherwise(0L)).as("pairs_true"),
+        sum(when(col("__true") && col("__rec"), 1L).otherwise(0L))
+          .as("pairs_recovered"),
+        sum(when(col("__rec"), 1L).otherwise(0L)).as("cand_pairs"))
+      .withColumn("recall_ppm",
+        when(col("pairs_true") === 0L, lit(1000000L))
+          .otherwise(expr("(1000000 * pairs_recovered) div pairs_true")))
+      .withColumn("eligible", col("recall_ppm") >= targetRecallPpm)
+    val mc = tbl.filter(col("eligible"))
+      .agg(min(col("cand_pairs")).as("__mc"))
+    val sel = graft.core.Scalars.withScalars(
+        tbl.filter(col("eligible")), mc)
+      .filter(col("cand_pairs") === col("__mc"))
+      .agg(min(col("bands")).as("__mb"))
+    graft.core.Scalars.withScalars(tbl, sel)
+      .withColumn("chosen", coalesce(col("bands") === col("__mb"), lit(false)))
+      .select(col("bands"), col("bits_per_band"), col("pairs_true"),
+        col("pairs_recovered"), col("recall_ppm"), col("cand_pairs"),
+        col("eligible"), col("chosen"))
+  }
+
+  /** The measured sign-LSH pick as a `(bands, bitsPerBand)` banding,
+    * FAIL-LOUD when no divisor banding met the target — the cosine
+    * twin of [[graft.dedup.Dedup.planBandsMeasured]]. Bounded collect:
+    * one row per divisor of `numBits`.
+    */
+  def planSignBandsMeasured(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numBits: Int,
+      threshold: Double,
+      targetRecallPpm: Long,
+      seed: Long = 42L): (Int, Int) = {
+    val rows = signLshMeasuredBandingTable(sample, idCol, vecCol, numBits,
+      threshold, targetRecallPpm, seed)
+      .filter(col("chosen"))
+      .select(col("bands"), col("bits_per_band"))
+      .collect() // bounded: at most one chosen row survives the filter
+    require(rows.nonEmpty,
+      s"no banding of $numBits planes reached measured recall >= " +
+        s"$targetRecallPpm ppm at cosine threshold $threshold on the " +
+        "audit sample - raise numBits or lower the target")
+    (rows.head.getLong(0).toInt, rows.head.getLong(1).toInt)
+  }
+
+  /** [[embeddingNearDuplicates]] with the banding chosen by the
+    * EMPIRICAL audit instead of the S-curve model — the cosine twin of
+    * [[graft.dedup.Dedup.nearDuplicatesBySetsMeasured]]: the banding
+    * that serves the corpus is the one that PROVABLY met the recall
+    * target on the audit sample with minimal measured candidate mass,
+    * under the very plane family the pipeline hashes with.
+    */
+  def embeddingNearDuplicatesMeasured(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sample: DataFrame,
+      numBits: Int = 48,
+      threshold: Double = 0.95,
+      targetRecallPpm: Long = 950000L,
+      seed: Long = 42L,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val (bands, bits) = planSignBandsMeasured(
+      sample, idCol, vecCol, numBits, threshold, targetRecallPpm, seed)
+    graft.core.Logging.log(planLog,
+      s"embeddingNearDuplicatesMeasured: t=$threshold numBits=$numBits " +
+        s"target=$targetRecallPpm ppm -> bands=$bands bitsPerBand=$bits")
+    embeddingNearDuplicates(
+      corpus, idCol, vecCol, threshold, bits, bands, seed, maxBucketSize)
+  }
+
   /** Exact cross-corpus cosine threshold-pairs on BOUNDED inputs: the
     * quadratic-by-contract verification baseline for
     * [[embeddingNearDuplicatesAgainst]] (the cross-corpus analog of
