@@ -14879,7 +14879,262 @@ object Queries {
           CAST(el.bits_per_band AS BIGINT) AS bits_per_band,
           pairs_true, pairs_recovered, recall_ppm, cand_pairs,
           eligible, COALESCE(el.bands = sel.mb, FALSE) AS chosen
-        FROM el, sel ORDER BY bands"""))
+        FROM el, sel ORDER BY bands""")),
+
+    // EMPIRICAL winnowing (k, window) audit (dedup/SubstringDedup
+    // .winnowingMeasuredConfigTable) -- the SUBSTRING family's
+    // measured table, completing the audit set across all four
+    // candidate-generation families (MinHash q275, sign-LSH q276,
+    // IVF q271): for five candidate configs over the ASCII doc_id<80
+    // sample, the recall actually achieved on pairs sharing an exact
+    // 24-char normalized substring (ground truth = a 24-gram
+    // EQUI-join, exact and config-independent) and the index cost
+    // actually paid (selected fingerprint instances). Configs with
+    // guarantee_len = k+window-1 <= 24 must read 1000000 ppm (the
+    // winnowing guarantee, which the table CONFIRMS rather than
+    // assumes); configs beyond it degrade measurably (sf0.01:
+    // 714285 / 571428 / 285714 ppm). chosen = minimal fp_rows among
+    // eligible -- (12,13) beats the denser (8,4) at equal recall.
+    // DuckDB replays the full chain per config: q30's rolling-hash +
+    // windowed-min arithmetic with the short-doc branch, gram truth
+    // as string equality, integral ppm, and the same tie-broken pick.
+    GraftQuery(
+      "q277_winnowing_measured_configs",
+      (s, dir) =>
+        graft.dedup.SubstringDedup.winnowingMeasuredConfigTable(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 80 && !col("text").rlike("[^ -~]")),
+          "doc_id", "text", matchLen = 24,
+          configs = Seq((8, 4), (12, 13), (16, 16), (24, 8), (16, 32)),
+          targetRecallPpm = 950000L)
+          .orderBy(col("k"), col("window")),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+          FROM documents
+          WHERE doc_id < 80 AND NOT regexp_matches(text, '[^ -~]')),
+        truth AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT DISTINCT doc_id,
+                  substr(t, CAST(p AS INTEGER), 24) AS g
+                FROM (SELECT doc_id, t,
+                        unnest(range(1, len(t) - 24 + 2)) AS p FROM d)) a
+          JOIN (SELECT DISTINCT doc_id,
+                  substr(t, CAST(p AS INTEGER), 24) AS g
+                FROM (SELECT doc_id, t,
+                        unnest(range(1, len(t) - 24 + 2)) AS p FROM d)) b
+            ON a.g = b.g AND a.doc_id < b.doc_id),
+        h_8_4 AS (
+          SELECT doc_id, p,
+            list_reduce(
+              list_transform(range(0, 8),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS p
+                FROM d)),
+        wm_8_4 AS (
+          SELECT doc_id, p,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+          FROM (SELECT doc_id, p, hash,
+                  hash * 2147483648 + (2147483648 - p) AS key
+                FROM h_8_4)),
+        sel_8_4 AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS selp
+          FROM wm_8_4 WHERE wn = 4
+          UNION ALL
+          SELECT doc_id, min(hash), 0 FROM h_8_4
+          GROUP BY doc_id HAVING COUNT(*) < 4),
+        cp_8_4 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT DISTINCT doc_id, hash FROM sel_8_4) a
+          JOIN (SELECT DISTINCT doc_id, hash FROM sel_8_4) b
+            ON a.hash = b.hash AND a.doc_id < b.doc_id),
+        row_8_4 AS (
+          SELECT CAST(8 AS BIGINT) AS k, CAST(4 AS BIGINT) AS "window",
+            CAST(11 AS BIGINT) AS guarantee_len,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_8_4) AS fp_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS pairs_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+               JOIN cp_8_4 c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+              AS pairs_recovered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cp_8_4) AS cand_pairs),
+        h_12_13 AS (
+          SELECT doc_id, p,
+            list_reduce(
+              list_transform(range(0, 12),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 12 + 2)) AS p
+                FROM d)),
+        wm_12_13 AS (
+          SELECT doc_id, p,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 12 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 12 FOLLOWING) AS wn
+          FROM (SELECT doc_id, p, hash,
+                  hash * 2147483648 + (2147483648 - p) AS key
+                FROM h_12_13)),
+        sel_12_13 AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS selp
+          FROM wm_12_13 WHERE wn = 13
+          UNION ALL
+          SELECT doc_id, min(hash), 0 FROM h_12_13
+          GROUP BY doc_id HAVING COUNT(*) < 13),
+        cp_12_13 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT DISTINCT doc_id, hash FROM sel_12_13) a
+          JOIN (SELECT DISTINCT doc_id, hash FROM sel_12_13) b
+            ON a.hash = b.hash AND a.doc_id < b.doc_id),
+        row_12_13 AS (
+          SELECT CAST(12 AS BIGINT) AS k, CAST(13 AS BIGINT) AS "window",
+            CAST(24 AS BIGINT) AS guarantee_len,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_12_13) AS fp_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS pairs_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+               JOIN cp_12_13 c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+              AS pairs_recovered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cp_12_13) AS cand_pairs),
+        h_16_16 AS (
+          SELECT doc_id, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 16 + 2)) AS p
+                FROM d)),
+        wm_16_16 AS (
+          SELECT doc_id, p,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM (SELECT doc_id, p, hash,
+                  hash * 2147483648 + (2147483648 - p) AS key
+                FROM h_16_16)),
+        sel_16_16 AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS selp
+          FROM wm_16_16 WHERE wn = 16
+          UNION ALL
+          SELECT doc_id, min(hash), 0 FROM h_16_16
+          GROUP BY doc_id HAVING COUNT(*) < 16),
+        cp_16_16 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT DISTINCT doc_id, hash FROM sel_16_16) a
+          JOIN (SELECT DISTINCT doc_id, hash FROM sel_16_16) b
+            ON a.hash = b.hash AND a.doc_id < b.doc_id),
+        row_16_16 AS (
+          SELECT CAST(16 AS BIGINT) AS k, CAST(16 AS BIGINT) AS "window",
+            CAST(31 AS BIGINT) AS guarantee_len,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_16_16) AS fp_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS pairs_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+               JOIN cp_16_16 c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+              AS pairs_recovered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cp_16_16) AS cand_pairs),
+        h_24_8 AS (
+          SELECT doc_id, p,
+            list_reduce(
+              list_transform(range(0, 24),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 24 + 2)) AS p
+                FROM d)),
+        wm_24_8 AS (
+          SELECT doc_id, p,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+          FROM (SELECT doc_id, p, hash,
+                  hash * 2147483648 + (2147483648 - p) AS key
+                FROM h_24_8)),
+        sel_24_8 AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS selp
+          FROM wm_24_8 WHERE wn = 8
+          UNION ALL
+          SELECT doc_id, min(hash), 0 FROM h_24_8
+          GROUP BY doc_id HAVING COUNT(*) < 8),
+        cp_24_8 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT DISTINCT doc_id, hash FROM sel_24_8) a
+          JOIN (SELECT DISTINCT doc_id, hash FROM sel_24_8) b
+            ON a.hash = b.hash AND a.doc_id < b.doc_id),
+        row_24_8 AS (
+          SELECT CAST(24 AS BIGINT) AS k, CAST(8 AS BIGINT) AS "window",
+            CAST(31 AS BIGINT) AS guarantee_len,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_24_8) AS fp_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS pairs_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+               JOIN cp_24_8 c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+              AS pairs_recovered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cp_24_8) AS cand_pairs),
+        h_16_32 AS (
+          SELECT doc_id, p,
+            list_reduce(
+              list_transform(range(0, 16),
+                j -> CAST(ord(substr(t, CAST(p + j AS INTEGER), 1)) AS BIGINT)),
+              (a, b) -> (a * 257 + b) % 2147483647) AS hash
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 16 + 2)) AS p
+                FROM d)),
+        wm_16_32 AS (
+          SELECT doc_id, p,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS wkey,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS wn
+          FROM (SELECT doc_id, p, hash,
+                  hash * 2147483648 + (2147483648 - p) AS key
+                FROM h_16_32)),
+        sel_16_32 AS (
+          SELECT DISTINCT doc_id, wkey // 2147483648 AS hash,
+            2147483648 - (wkey % 2147483648) AS selp
+          FROM wm_16_32 WHERE wn = 32
+          UNION ALL
+          SELECT doc_id, min(hash), 0 FROM h_16_32
+          GROUP BY doc_id HAVING COUNT(*) < 32),
+        cp_16_32 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM (SELECT DISTINCT doc_id, hash FROM sel_16_32) a
+          JOIN (SELECT DISTINCT doc_id, hash FROM sel_16_32) b
+            ON a.hash = b.hash AND a.doc_id < b.doc_id),
+        row_16_32 AS (
+          SELECT CAST(16 AS BIGINT) AS k, CAST(32 AS BIGINT) AS "window",
+            CAST(47 AS BIGINT) AS guarantee_len,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sel_16_32) AS fp_rows,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS pairs_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+               JOIN cp_16_32 c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+              AS pairs_recovered,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cp_16_32) AS cand_pairs),
+        allr AS (
+          SELECT * FROM row_8_4
+          UNION ALL SELECT * FROM row_12_13
+          UNION ALL SELECT * FROM row_16_16
+          UNION ALL SELECT * FROM row_24_8
+          UNION ALL SELECT * FROM row_16_32),
+        fin AS (
+          SELECT *, CAST(CASE WHEN pairs_true = 0 THEN 1000000
+               ELSE (1000000 * pairs_recovered) // pairs_true END
+            AS BIGINT) AS recall_ppm
+          FROM allr),
+        el AS (SELECT *, recall_ppm >= 950000 AS eligible FROM fin),
+        mf AS (SELECT MIN(fp_rows) AS m FROM el WHERE eligible),
+        sel2 AS (SELECT MIN(k * 1000000 + "window") AS mkw FROM el, mf
+                 WHERE eligible AND fp_rows = mf.m)
+        SELECT el.k, el."window", guarantee_len, fp_rows, pairs_true,
+          pairs_recovered, recall_ppm, cand_pairs, eligible,
+          COALESCE(el.k * 1000000 + el."window" = sel2.mkw, FALSE)
+            AS chosen
+        FROM el, sel2 ORDER BY el.k, el."window""""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by

@@ -679,4 +679,173 @@ object SubstringDedup {
     fp.unpersist()
     out
   }
+
+  /** EMPIRICAL (k, window) audit — the substring family's measured
+    * table, completing the set the other three candidate-generation
+    * families carry (MinHash `lshMeasuredBandingTable`, sign-LSH
+    * `signLshMeasuredBandingTable`, IVF `ivfMeasuredRecall`): for
+    * every candidate winnowing config, the recall ACTUALLY achieved on
+    * a bounded audit sample against EXACT ground truth, and the cost
+    * actually paid. One row per (k, window):
+    *
+    *   - `guarantee_len` — `k + window − 1`: winnowing's detection
+    *     guarantee. Shared spans ≥ this length are ALWAYS caught;
+    *     the measured region is spans in [matchLen, guarantee_len)
+    *     where detection is probabilistic — exactly what the model
+    *     cannot predict and this table measures;
+    *   - `fp_rows` — selected fingerprint instances over the sample:
+    *     the index-size cost driver (the substring family's analogue
+    *     of candidate mass);
+    *   - `pairs_true` — sample pairs sharing an EXACT normalized
+    *     `matchLen`-gram (a pair shares a length-`matchLen` substring
+    *     iff it shares one of its grams — exact, not probabilistic,
+    *     config-independent);
+    *   - `pairs_recovered` / `recall_ppm` — true pairs sharing at
+    *     least one selected fingerprint under this config (integral
+    *     ppm; 1000000 on a truth-free sample, the families' shared
+    *     vacuous-audit convention);
+    *   - `cand_pairs` — ALL sample pairs sharing a fingerprint;
+    *   - `eligible` / `chosen` — recall target met / minimal
+    *     `fp_rows` among eligible, ties to smaller (k, window).
+    *     All-false when nothing is eligible.
+    *
+    * Replayable end-to-end: the gram truth is string equality and the
+    * fingerprint chain is q30's polynomial-rolling-hash + windowed-min
+    * arithmetic, both plain SQL. Audit-priced like its siblings:
+    * the caller owns bounding `sample` (and, as in q30/q45, filtering
+    * to single-byte text so byte and character offsets agree);
+    * ground truth is an L-gram EQUI-join (never all-pairs), each
+    * config is one fingerprint pass, and the output is
+    * #configs rows. Truth is exact, so no doc-frequency cap is
+    * applied inside the audit — hot grams fan out at most sample².
+    */
+  def winnowingMeasuredConfigTable(
+      sample: DataFrame,
+      idCol: String,
+      textCol: String,
+      matchLen: Int,
+      configs: Seq[(Int, Int)],
+      targetRecallPpm: Long): DataFrame = {
+    require(matchLen >= 1, s"matchLen must be >= 1, got $matchLen")
+    require(configs.nonEmpty, "configs must be nonempty")
+    require(configs.distinct.size == configs.size,
+      s"duplicate configs: $configs")
+    configs.foreach { case (k, w) =>
+      require(k >= 1 && w >= 1, s"k and window must be >= 1, got ($k, $w)")
+    }
+    require(targetRecallPpm >= 0L && targetRecallPpm <= 1000000L,
+      s"targetRecallPpm must be in [0, 1000000], got $targetRecallPpm")
+    val norm = sample.select(col(idCol).as("__gid"),
+      TextStats.normalize(col(textCol)).as("__t"))
+    val grams = norm.filter(length(col("__t")) >= matchLen)
+      .select(col("__gid"), explode(expr(
+        s"transform(sequence(0, length(__t) - $matchLen), " +
+          s"i -> substring(__t, i + 1, $matchLen))")).as("__g"))
+      .distinct()
+    // materialized once: the plan below reads the truth set from
+    // every config row (pairs_true + the recovered join), and each
+    // config's fingerprint table feeds two branches (count + pairs) —
+    // without eager materialization the gram equi-join and the
+    // winnowing passes re-run per branch (measured 11.4 s → 6.0 s at
+    // sf0.1; the residue is fixed per-job overhead across the
+    // #configs small jobs, flat in corpus size because the sample is
+    // bounded). Both tables are audit-bounded: truth ≤ sample² id
+    // pairs, fingerprints ~2/window per sample byte.
+    val truth = grams.select(col("__gid").as("__ida"), col("__g"))
+      .join(grams.select(col("__gid").as("__idb"), col("__g")), Seq("__g"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"))
+      .distinct()
+      .localCheckpoint(true)
+    val truthC = truth.agg(count(lit(1)).as("pairs_true"))
+    val rows = configs.map { case (k, w) =>
+      val fps = fingerprints(sample, idCol, textCol, k, w)
+        .select(col(idCol), col("hash"))
+        .localCheckpoint(true)
+      val fpc = fps.agg(count(lit(1)).as("fp_rows"))
+      val fh = fps.select(col(idCol).as("__fid"), col("hash")).distinct()
+      val cand = fh.select(col("__fid").as("__ida"), col("hash"))
+        .join(fh.select(col("__fid").as("__idb"), col("hash")), Seq("hash"))
+        .filter(col("__ida") < col("__idb"))
+        .select(col("__ida"), col("__idb"))
+        .distinct()
+      val candC = cand.agg(count(lit(1)).as("cand_pairs"))
+      val recC = truth.join(cand, Seq("__ida", "__idb"))
+        .agg(count(lit(1)).as("pairs_recovered"))
+      graft.core.Scalars.withScalars(
+        graft.core.Scalars.withScalars(
+          graft.core.Scalars.withScalars(truthC, fpc), candC), recC)
+        .select(lit(k.toLong).as("k"), lit(w.toLong).as("window"),
+          lit((k + w - 1).toLong).as("guarantee_len"), col("fp_rows"),
+          col("pairs_true"), col("pairs_recovered"), col("cand_pairs"))
+    }
+    val tbl = rows.reduce(_ unionByName _)
+      .withColumn("recall_ppm",
+        when(col("pairs_true") === 0L, lit(1000000L))
+          .otherwise(expr("(1000000 * pairs_recovered) div pairs_true")))
+      .withColumn("eligible", col("recall_ppm") >= targetRecallPpm)
+    // pick: minimal index cost among eligible, ties to smaller
+    // (k, window) via the unique composite key (configs are distinct
+    // and window < 1000000 in any sane call)
+    val key = col("k") * lit(1000000L) + col("window")
+    val mf = tbl.filter(col("eligible")).agg(min(col("fp_rows")).as("__mf"))
+    val sel = graft.core.Scalars.withScalars(tbl.filter(col("eligible")), mf)
+      .filter(col("fp_rows") === col("__mf"))
+      .agg(min(col("k") * lit(1000000L) + col("window")).as("__mkw"))
+    graft.core.Scalars.withScalars(tbl, sel)
+      .withColumn("chosen", coalesce(key === col("__mkw"), lit(false)))
+      .select(col("k"), col("window"), col("guarantee_len"), col("fp_rows"),
+        col("pairs_true"), col("pairs_recovered"), col("recall_ppm"),
+        col("cand_pairs"), col("eligible"), col("chosen"))
+  }
+
+  /** The measured table's pick as a `(k, window)` config, FAIL-LOUD
+    * when no candidate met the target — the substring twin of
+    * [[graft.dedup.Dedup.planBandsMeasured]]. Bounded collect: at most
+    * one chosen row.
+    */
+  def planWinnowingMeasured(
+      sample: DataFrame,
+      idCol: String,
+      textCol: String,
+      matchLen: Int,
+      configs: Seq[(Int, Int)],
+      targetRecallPpm: Long): (Int, Int) = {
+    val rows = winnowingMeasuredConfigTable(
+      sample, idCol, textCol, matchLen, configs, targetRecallPpm)
+      .filter(col("chosen"))
+      .select(col("k"), col("window"))
+      .collect() // bounded: at most one chosen row survives the filter
+    require(rows.nonEmpty,
+      s"no winnowing config in $configs reached measured recall >= " +
+        s"$targetRecallPpm ppm for matchLen=$matchLen on the audit " +
+        "sample - add denser configs (smaller k + window) or lower " +
+        "the target")
+    (rows.head.getLong(0).toInt, rows.head.getLong(1).toInt)
+  }
+
+  /** [[substringMatches]] with `(k, window)` chosen by the EMPIRICAL
+    * audit: the caller states the span length they must catch, the
+    * recall they need, the configs they can afford, and a bounded
+    * audit sample — the corpus is then fingerprinted with the cheapest
+    * config that PROVABLY met the target on the sample.
+    */
+  def substringMatchesMeasured(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sample: DataFrame,
+      matchLen: Int,
+      configs: Seq[(Int, Int)],
+      targetRecallPpm: Long = 950000L,
+      maxDocFreq: Long = 1000L,
+      materialize: Boolean = true): DataFrame = {
+    val (k, w) = planWinnowingMeasured(
+      sample, idCol, textCol, matchLen, configs, targetRecallPpm)
+    graft.core.Logging.log(
+      graft.core.Logging.logger("graft.dedup.SubstringDedup"),
+      s"substringMatchesMeasured: matchLen=$matchLen " +
+        s"target=$targetRecallPpm ppm -> k=$k window=$w")
+    substringMatches(df, idCol, textCol, k, w, maxDocFreq, materialize)
+  }
 }
