@@ -15134,7 +15134,134 @@ object Queries {
           pairs_recovered, recall_ppm, cand_pairs, eligible,
           COALESCE(el.k * 1000000 + el."window" = sel2.mkw, FALSE)
             AS chosen
-        FROM el, sel2 ORDER BY el.k, el."window""""))
+        FROM el, sel2 ORDER BY el.k, el."window"""")),
+
+    // The dedup family's END-TO-END measured lifecycle in ONE
+    // driver-checked row (the q273 treatment): AUDIT the five divisor
+    // bandings of 16 hashes on the doc_id < 120 sample (q275's
+    // machinery), PICK the cheapest banding with measured recall >=
+    // 0.99 -- the decision itself replays in DuckDB, not an assumed
+    // (8,2) -- then SERVE the doc_id < 250 corpus through
+    // nearDuplicatesBySetsMeasured at that pick and verify with exact
+    // Jaccard. The oracle re-derives the pick from the raw corpus and
+    // recomputes the survivors as slice-equality candidates filtered
+    // at the threshold; a pipeline that audits the wrong sample,
+    // ignores the measured pick, bands differently, or skips the
+    // exact verify lands on a different pair set and fails the
+    // compare. (Recovery via a 2^-64 xxhash64 bucket collision is the
+    // one event the oracle's slice equality cannot credit --
+    // deterministic per corpus and absent at every tested SF.)
+    GraftQuery(
+      "q278_measured_dedup_lifecycle",
+      (s, dir) => {
+        def sets(lim: Int) = t(s, dir, "documents")
+          .filter(col("doc_id") < lim)
+          .select(col("doc_id"),
+            graft.dedup.Dedup.shingles(col("text"), 1).as("__toks"))
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(filter(__toks, tk -> length(tk) > 0), " +
+              "tk -> aggregate(sequence(1, length(tk)), 0L, " +
+              "(a, i) -> (a * 257 + ascii(substring(tk, i, 1))) % 2147483647))"))
+            .as("tids"))
+        graft.dedup.Dedup.nearDuplicatesBySetsMeasured(
+          sets(250), "doc_id", "tids", sample = sets(120),
+          numHashes = 16, threshold = 0.8, targetRecallPpm = 990000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH params AS (SELECT * FROM (VALUES
+          (0, 659044146, 1612957866), (1, 380565668, 2090087112),
+          (2, 433818584, 1357145151), (3, 103842048, 643291302),
+          (4, 2129879006, 171765984), (5, 1854241669, 1893562719),
+          (6, 1525599164, 281400962), (7, 1943903368, 1897534040),
+          (8, 650530617, 1576419154), (9, 2110077752, 82485336),
+          (10, 1902424747, 1168941410), (11, 1447056876, 1933329607),
+          (12, 1552514512, 1091230128), (13, 1350365057, 835977313),
+          (14, 1331915746, 97205500), (15, 365136701, 1902222012)) p(i, a, b)),
+
+        d_a AS (
+          SELECT doc_id,
+            list_distinct(list_filter(
+              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              tk -> len(tk) > 0)) AS toks
+          FROM documents WHERE doc_id < 120),
+        sets_a AS (
+          SELECT doc_id, list_distinct(list_transform(toks, tk ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(tk) + 1),
+                i -> CAST(ord(substr(tk, CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647))) AS els
+          FROM d_a WHERE len(toks) > 0),
+        sigs_a AS (
+          SELECT doc_id, i, MIN((a * e + b) % 2147483647) AS sv
+          FROM (SELECT doc_id, unnest(els) AS e FROM sets_a), params
+          GROUP BY doc_id, i),
+        jn_a AS (
+          SELECT s.doc_id, s.els, g.sig
+          FROM sets_a s JOIN (SELECT doc_id, list(sv ORDER BY i) AS sig
+                                   FROM sigs_a GROUP BY doc_id) g USING (doc_id)),
+        pairs AS (
+          SELECT
+            CAST(len(list_intersect(a.els, b.els)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.els, b.els))) >= 0.8e0 AS istrue,
+            a.sig AS sa, b.sig AS sb
+          FROM jn_a a, jn_a b WHERE a.doc_id < b.doc_id),
+        bandcfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS b),
+        ev AS (
+          SELECT c.b AS bands, istrue,
+            len(list_filter(range(0, c.b), k ->
+              sa[k * (16 // c.b) + 1 : (k + 1) * (16 // c.b)] =
+              sb[k * (16 // c.b) + 1 : (k + 1) * (16 // c.b)])) > 0 AS rec
+          FROM pairs, bandcfg c),
+        agg AS (
+          SELECT bands,
+            CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS pt,
+            CAST(SUM(CASE WHEN istrue AND rec THEN 1 ELSE 0 END) AS BIGINT) AS pr,
+            CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT) AS cand
+          FROM ev GROUP BY bands),
+        fin AS (
+          SELECT bands,
+            CAST(CASE WHEN pt = 0 THEN 1000000 ELSE (1000000 * pr) // pt END
+              AS BIGINT) AS ppm, cand
+          FROM agg),
+        el AS (SELECT * FROM fin WHERE ppm >= 990000),
+        mc AS (SELECT MIN(cand) AS m FROM el),
+        sel AS (SELECT CAST(MIN(bands) AS BIGINT) AS mb FROM el, mc WHERE cand = mc.m),
+
+        d_c AS (
+          SELECT doc_id,
+            list_distinct(list_filter(
+              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+              tk -> len(tk) > 0)) AS toks
+          FROM documents WHERE doc_id < 250),
+        sets_c AS (
+          SELECT doc_id, list_distinct(list_transform(toks, tk ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(tk) + 1),
+                i -> CAST(ord(substr(tk, CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, b) -> (a * 257 + b) % 2147483647))) AS els
+          FROM d_c WHERE len(toks) > 0),
+        sigs_c AS (
+          SELECT doc_id, i, MIN((a * e + b) % 2147483647) AS sv
+          FROM (SELECT doc_id, unnest(els) AS e FROM sets_c), params
+          GROUP BY doc_id, i),
+        jn_c AS (
+          SELECT s.doc_id, s.els, g.sig
+          FROM sets_c s JOIN (SELECT doc_id, list(sv ORDER BY i) AS sig
+                                   FROM sigs_c GROUP BY doc_id) g USING (doc_id)),
+        res AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.els, b.els)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.els, b.els))) AS jaccard,
+            a.sig AS sa, b.sig AS sb
+          FROM jn_c a, jn_c b WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard
+        FROM res, sel
+        WHERE jaccard >= 0.8e0
+          AND len(list_filter(range(0, sel.mb), k ->
+            sa[k * (16 // sel.mb) + 1 : (k + 1) * (16 // sel.mb)] =
+            sb[k * (16 // sel.mb) + 1 : (k + 1) * (16 // sel.mb)])) > 0
+        ORDER BY 1, 2"""))
   )
 
   /** Per-process cache of the q148 on-disk postings index, keyed by
