@@ -15261,6 +15261,457 @@ object Queries {
           AND len(list_filter(range(0, sel.mb), k ->
             sa[k * (16 // sel.mb) + 1 : (k + 1) * (16 // sel.mb)] =
             sb[k * (16 // sel.mb) + 1 : (k + 1) * (16 // sel.mb)])) > 0
+        ORDER BY 1, 2""")),
+
+    // The COSINE family's measured lifecycle in one row (q278's twin
+    // for embeddings): AUDIT the five divisor bandings of 16
+    // hyperplanes on the vec_id < 300 sample (q276's machinery at
+    // numBits = 16 -- the 16x64 mantissas inline), PICK the cheapest
+    // banding with measured recall >= 0.95 -- (8,2) at every SF, a
+    // genuinely lossy pick that recovers ~98-99% of true pairs, so
+    // the oracle CANNOT shortcut to the exhaustive closure -- then
+    // SERVE vec_id < 500 through embeddingNearDuplicatesMeasured at
+    // that pick and verify with exact cosine. DuckDB re-derives the
+    // pick and recomputes the survivors as sign-slice-equality
+    // candidates filtered at the threshold: a pipeline that ignores
+    // the measured decision, bands differently, or skips the exact
+    // verify lands on a different pair set.
+    GraftQuery(
+      "q279_measured_embedding_lifecycle",
+      (s, dir) =>
+        graft.sim.Similarity.embeddingNearDuplicatesMeasured(
+          t(s, dir, "embeddings").filter(col("vec_id") < 500)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding",
+          sample = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          numBits = 16, threshold = 0.35, targetRecallPpm = 950000L)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""
+        WITH pm AS (SELECT i, ms FROM (VALUES
+          (0, [6679422623415661, 6558851304090109,
+           8840782731883338, 8722694162978825, 6577050360333382,
+           4352384759967643, 142129307238655, 995414318626901,
+           6580578577177194, 3302224384610536, 8785689967654536,
+           7049865058845709, 6624380425419390, 3872936130155494,
+           5527330214637412, 1900705605525989, 4422164815413515,
+           5297689443310167, 6580981329965870, 2304574801067348,
+           1765734975083745, 4941764453832847, 7550132826373329,
+           1936046189225442, 1552021658632950, 8081227100632496,
+           179854670004559, 2931562132891141, 3625077059250297,
+           7342771194858747, 5010027627382289, 7338003282921587,
+           2602311278096082, 4899745635876528, 8090897696362011,
+           3460272548185086, 3062377284893772, 4770478326012745,
+           6671631082479442, 5121808824036601, 489275805206697,
+           334502343482367, 7296961680393408, 3873250312847523,
+           7433670184629593, 8612005452366477, 2167603567222526,
+           7352454197734481, 8429801104525625, 8737410804976959,
+           5536118392723998, 8840608485554501, 8649732723257726,
+           8847504436902932, 3455021245007044, 2792438201511251,
+           8477050387303439, 2355657068611821, 1236621791733662,
+           7353848573570202, 606955727357193, 911401484678174,
+           2514623677288677, 6601834175083286]),
+          (1, [8705532192543612, 1344814326582568,
+           7563777106297206, 1975254574198268, 8814808181782609,
+           8876640302159814, 926893266481977, 8622974073308090,
+           6100190224896558, 141864648794353, 5546203917431097,
+           3786329974510999, 5015540698028392, 1023177129731754,
+           2720332041047246, 8429688228137073, 5862807231823418,
+           5764768560473686, 5846089185675571, 1750846435437336,
+           5346662216210599, 8314651374377297, 4830121601249671,
+           7402197127040629, 3326840938441382, 23355590852127,
+           1160340186327615, 1359476962150794, 3342446090998345,
+           3965825284336978, 2723855622498465, 5116632090958300,
+           4350101007962240, 185523067793633, 8214942414205663,
+           4285692520495508, 4361208271590854, 743899521611902,
+           1723506625435454, 8231545931547239, 5109365677407403,
+           7619294530560884, 1002226119715701, 2496587792742319,
+           5697067651608838, 6749442613669174, 1355547812843810,
+           770808417341501, 137992918776503, 1470183532553495,
+           7868152605138997, 4985599403819924, 5450657400142440,
+           5097774664288719, 8088176012271725, 4455874483993881,
+           5086490015920482, 2766989428994861, 4838676429132171,
+           3621983936599284, 4075680820379350, 1282479217123109,
+           2617902579108419, 2370676647601336]),
+          (2, [3633801724139428, 8719764728788446,
+           1791005360924819, 216518871174581, 6913284174141926,
+           5384894147218490, 7318918733531680, 5163663332837019,
+           3765124128469362, 4120947577472818, 2135202867614326,
+           6845600578553116, 1671146182473569, 4952139086978606,
+           5478498803187213, 1600306581157304, 5147330029320236,
+           2815098962671294, 8847189397038129, 8104688489430778,
+           2410652578688384, 2464897403586699, 6542759407820449,
+           5568418722170455, 3176331628733451, 8159117944220624,
+           2595779279241441, 6059136125730858, 546498223008675,
+           2968580025202508, 2097994112068231, 6118595590783529,
+           8315589828806531, 6055276844918613, 3853415021582355,
+           849680521189844, 512378773985850, 7100010664844132,
+           4029648714686902, 5136049714937163, 7589309122836670,
+           5220455520067452, 5229898632284305, 2426960524677981,
+           8212800050413690, 199207672640657, 11805390433032,
+           8650906671043713, 2375109969261233, 7951485433835716,
+           851333801714359, 6571028242236017, 1529982121799928,
+           3032022116189140, 2105429294356672, 7595662560794280,
+           1398144631399705, 4465885867502735, 7622526753677403,
+           5854813816250894, 5596442254221593, 4795863408065271,
+           8442399792037196, 380624866113014]),
+          (3, [2155450427902515, 3793728690932319,
+           2594948154467963, 6315308101457996, 863709384053775,
+           3685724598099714, 2834918877807422, 6812628340340824,
+           1725330565455137, 178488144547951, 8251804494557014,
+           5579396903457208, 8304417838863732, 50533497824256,
+           7258727319954504, 1401666903315904, 5393914035690912,
+           6965165723154423, 3647606253477928, 8927261366882504,
+           3261801796283302, 6513358966479761, 2068625614334455,
+           4065556347145364, 7236576071599069, 3747718217941088,
+           800794510396018, 85035144522178, 687016923315670,
+           8793394672088793, 3188697056844963, 5181953319525881,
+           922339961661611, 3354937555567180, 5349495237377389,
+           8083316104886381, 8354624693374303, 729975150667199,
+           6251856768676254, 4077924358089334, 3419351386911720,
+           400455415534731, 3450245962112406, 2449449344332376,
+           4936269031772400, 3908661947487261, 2668981214791243,
+           1476159649203538, 4864849183953623, 6607332460685775,
+           8859069522779764, 2340701009918440, 3060610256772448,
+           4395921082292928, 4851572289779381, 2539730509140578,
+           6259868446848674, 8526899666183511, 1083590526111360,
+           2267964791813787, 8696789275690495, 6438127962253118,
+           2983728077755447, 690613745027401]),
+          (4, [201994293902194, 2271683632307972,
+           1499886128868133, 6384732515927526, 6650632712574394,
+           8993491498931905, 4662134978491850, 7162294599055939,
+           6172387034844018, 7978364915530334, 4892963957737530,
+           2472383172808459, 1842749218592224, 252381198906047,
+           3943560090501496, 4486306371373803, 4303586368286140,
+           6594876534094011, 7598234132026824, 2898065731642052,
+           4018938366528238, 47735464197481, 6966926159061495,
+           382541183402574, 8573291077314774, 5533353968026320,
+           4763355453497256, 7891630500476302, 1959555383736806,
+           6193152466215589, 8730380513498852, 6548026159048872,
+           5579531488898788, 2473226110016980, 2912210859699070,
+           2681379247691340, 752981222880589, 301933161017973,
+           6465048338872678, 6548079647971270, 8039697869225700,
+           381066153466993, 1983582429946647, 6592595555569438,
+           6009542713179342, 7701732788677283, 8149373645405081,
+           2372364789987248, 4801681409148326, 1586719925649302,
+           2577418635310785, 2837254654927934, 45793671932056,
+           1348529440960943, 1576175687054325, 3491287682729922,
+           8675221422110003, 2056441164208402, 8058323938625648,
+           5575504142154451, 4040540608515640, 8704045721754805,
+           7867180324973642, 5757678654899951]),
+          (5, [2066845703022368, 1549655663388265,
+           6558810746165733, 5377720407278363, 4851216691504382,
+           2383497036355123, 4976093240779019, 6091657294646823,
+           8981710902321662, 5847605758178358, 506716562256788,
+           2526282867046706, 4982211233540883, 8454134257064803,
+           7816248519315955, 8244537844069027, 1758519372377158,
+           4172820937548690, 1054140422883632, 5982352239040761,
+           5334510576733804, 5103470132025302, 5637801811439191,
+           2577714345804439, 6155659340294647, 6062549954710076,
+           1214772932452973, 5091901617168176, 8016632839803400,
+           966027682465925, 6300158115067642, 991785514045479,
+           8618700051019294, 1132167172991447, 7034875327157204,
+           6634724649200680, 2823013865709950, 5989561488396465,
+           7705220061126782, 8201983058103307, 1950963833197294,
+           5190367857877645, 2027022997905255, 4038230705603695,
+           7692577901387855, 3168019799647839, 4956438971527905,
+           3816382189780463, 3704530180873235, 5751706355304098,
+           1037413373833921, 1454410894184612, 7141465806226898,
+           1735942108378419, 870068792555765, 1152513748135441,
+           6513139196620720, 3794221084467861, 5400778833748442,
+           3679306834234480, 4429950060522900, 766984658458822,
+           7966160907650585, 6005961112187885]),
+          (6, [6721294087096489, 4341655861412108,
+           1329012399191342, 7429195937688699, 8377166261151702,
+           1935801971922702, 2997530920710455, 7635074360779382,
+           8865822304175386, 4025352113372435, 221206266316231,
+           5884264050698796, 7794155797770027, 8867077854690558,
+           851242570656182, 9005905965305731, 2869913136216341,
+           1563580048027682, 2467709835827757, 1928993966505327,
+           8256706709149009, 2554547923122739, 7755696574927386,
+           327409559086747, 766125207686481, 3274115838284087,
+           4719588577948517, 7515536291338420, 7508765939993027,
+           8609740045223423, 4709688372716983, 8713440956769615,
+           6573234190918903, 7334591708954970, 2628496032095282,
+           1633591457687684, 2898318193399793, 5184150279320251,
+           1160344221499381, 8371825072103324, 3825642478541659,
+           2766008168441229, 7589071750651003, 2976131068232404,
+           7062023722215302, 4664750719214127, 28583315430569,
+           1762785288833645, 7041544863744131, 5480631496033361,
+           1469597292732180, 8129564147751306, 2103522092408560,
+           5207680310009610, 8341045060714759, 2820895452417647,
+           6804323780338961, 3812542072610078, 8347671198775124,
+           6636546529847041, 707393552086710, 3766159671305513,
+           2257680626708270, 1431178890366488]),
+          (7, [5796743793722192, 5833576658163326,
+           8001410527699160, 7160854076914640, 6982826835012251,
+           6852134885606284, 1668772116588034, 1287493138560930,
+           8068868660349169, 5076877251083380, 2106618041876146,
+           6679085407783700, 3139288280911859, 1643260637242838,
+           6597156799429026, 6568788331398957, 8420408797365451,
+           4427289033579524, 6923753580207751, 7120984114538024,
+           7928378613239261, 6954050939308203, 4497737378810495,
+           2864870945850407, 2874455725606854, 3294559362767094,
+           7385932791072333, 1077588029978028, 2240159478850454,
+           2257758870894582, 7774597254445976, 4632012322928525,
+           2407090441129515, 8030444552118865, 61988503579719,
+           4154728636313117, 8683003765612810, 5797682454040198,
+           1358376056055743, 1338030500327476, 1999132320244253,
+           3317136086654712, 2152887502874734, 905995146427164,
+           3916955689392764, 1325305097676113, 8236080599329259,
+           3457572026063067, 4030399959099022, 6751438740549549,
+           4570143519263822, 931496909333797, 275560839128446,
+           1831180246949234, 8467854190148875, 7993275827513732,
+           6437280178690230, 2908038461156520, 1427115415472318,
+           2256112610818031, 4577673296547833, 5603486925459206,
+           7622396005656963, 2012230958106673]),
+          (8, [4188299541016247, 6724967051537330,
+           1039775065465430, 1320595230980852, 3671776695412548,
+           1855946657346864, 2105800945427098, 5018160173468190,
+           692135933536090, 6441927699428585, 4491387307222210,
+           8140038913356962, 5550348992202494, 2391589602854180,
+           1554940767619367, 4301501537069033, 1525974818253950,
+           683764723168543, 3964850401408941, 2772854816842246,
+           4972001971082210, 899705738704173, 8532959743859257,
+           6696409498676295, 2033081001153156, 7818526562189942,
+           4209747935885099, 8625366476427568, 6700486941507151,
+           3720480447948434, 6468100057933814, 8419037904475018,
+           3216133966409357, 5682406128640569, 7153016123789858,
+           2261592702029507, 5985930891432351, 4771343543941122,
+           100452617071864, 8151088682709875, 6504426185230877,
+           3983286080330624, 1381282998080988, 6393327631997067,
+           1846044911179459, 185249027310469, 6392759004176818,
+           7567063277684475, 2297560493352085, 2269104403747150,
+           227712627426312, 5479628461642437, 7890160537664424,
+           7366741902361281, 7060368250581059, 688618748233948,
+           7869935443519060, 5176943689473251, 941148395790951,
+           4527510656052013, 4282202090933316, 4010179306173079,
+           5322788351718771, 7344948068635688]),
+          (9, [1911096917427564, 5998558972548920,
+           4840803715308194, 6199996462624121, 8021687569568313,
+           3375972853930072, 7272456573582230, 2060428108097420,
+           8788484687896051, 3998164474352956, 1136677307399491,
+           2421393289402079, 5176551786085285, 417873063916414,
+           5835261022432387, 2410224765407137, 78796210875868,
+           767234650332039, 5643066648511051, 6021221577787,
+           8017072579225246, 2273499890125481, 6954469721324221,
+           1535138813007664, 907499874248354, 4283387252248098,
+           3466076847046200, 4531872049417060, 8948396919736040,
+           6616051740832705, 8455088805751878, 986247488120898,
+           2279281003991766, 5875954885805228, 670522034101032,
+           8543321301285047, 4510465015345163, 696165739589198,
+           149964435093352, 2854404624755499, 12836761711095,
+           1547719028351976, 5681622905836465, 1707641458523919,
+           4884853315615852, 8452314317091641, 2075482624078972,
+           1981891228944722, 8851053272141303, 4340903656808482,
+           746377399456032, 595573196173394, 2774562199534843,
+           2337395084395362, 8556439906802974, 4452194665532681,
+           3857537763466645, 3784995585296612, 7163576826315403,
+           4350520431535010, 4802459524392282, 8333402901585847,
+           5982464924924815, 3524931883715226]),
+          (10, [102290641125516, 8765903774938732,
+           7339415040545207, 2629150526217743, 6848239346838917,
+           5884159083374963, 7950666292795300, 5508457365628502,
+           563316961606247, 8292093560748477, 3991901170604276,
+           2841124449705773, 7317758608585069, 624114556779396,
+           1989460551815541, 4940839610619907, 5098498574281972,
+           2526950951040079, 1538943805341856, 977046517453594,
+           96898998297754, 3550971803463702, 1286635280636344,
+           5759320531184962, 5001494129799174, 1877147503532548,
+           900665421870265, 8578829248731312, 6640547174504455,
+           640212289326532, 8285677103114226, 1844215496681988,
+           8458806219389043, 2236132656791108, 4568145830003919,
+           1416474296225491, 3780161196261385, 6033155688796525,
+           4413459289274300, 2475897925955101, 3842439609090589,
+           439184485712251, 5642094895958300, 7401324804862426,
+           6276729045996841, 8719346166174944, 5641250930856196,
+           4348718440740457, 1297738963511460, 2743874332575146,
+           1784229217118460, 8559885241997535, 8180647752508441,
+           1613073252457488, 20990966477795, 8208664151115417,
+           7246467850282994, 8762506267252680, 1286834891287185,
+           3941566384359220, 983332706927368, 657205832077897,
+           6320505783349765, 7253985251310897]),
+          (11, [5724138846012855, 6351575670564209,
+           4827577805408322, 598007782279294, 7653160096430903,
+           2222435775744026, 360854915398184, 1613711894366496,
+           8170981411128921, 4512587992354576, 3190002998867570,
+           7944354769441692, 2644143460954539, 1245990848536001,
+           6178304948790250, 7798051041062098, 2945194025268974,
+           8602967367032586, 4825414121839316, 7442353672164179,
+           5215601726223747, 4818629511838558, 4647922892850876,
+           4706097585490153, 1302988602669111, 508666688723429,
+           5316915836627220, 8320200626331789, 2342705924915735,
+           4112680450034031, 1114796150708005, 5645853485005390,
+           6772804918220610, 4655068717346403, 1197231558270139,
+           362592699481443, 830871465025670, 3808718956632375,
+           6072270992116544, 1939963444141801, 7048400265856565,
+           3147905706081605, 4106469051641348, 6609616321690321,
+           4402453978884732, 3280161209629406, 4619678755473084,
+           5096702120372221, 6929354827013313, 39651132222906,
+           2437833666660872, 3376039167310365, 1209673168288966,
+           8268169414968910, 64570794791855, 3692759276593983,
+           727704004049017, 6653506757741133, 5596483781421840,
+           550932279373495, 5221997549615757, 2399288088698284,
+           3891060011801550, 1381831344474819]),
+          (12, [10423396319496, 53720397948248, 7225953384823425,
+           2297332191887213, 1855008094328906, 268781127708421,
+           6338420254574605, 7961707582473641, 1477394222169745,
+           6481152467116417, 1103562373545773, 7506154745204065,
+           2203893108217839, 7065261108374710, 1282291889919966,
+           3257840578667430, 2632668393904463, 5431718711506942,
+           1803233695628185, 2140502802045759, 7364925704245774,
+           4209040063064624, 4768438795103173, 8697949852746742,
+           1279779605615627, 3520802510794012, 1102427636484673,
+           82886241548081, 2933114628689151, 3042821209655215,
+           8261970238475325, 3760026220128439, 2643988595119912,
+           8640560557339808, 8005839326655488, 8576043499262545,
+           1399182557439840, 552157815837963, 5962179016642960,
+           3043319690338663, 3442969474765280, 4923307242073845,
+           3103964185782607, 6459376317625774, 3856850587801693,
+           106322720971263, 3650710102782423, 1572897018957771,
+           4360820613029857, 7525282821342578, 65303021731906,
+           52680810062559, 8779482020583227, 8700188002155964,
+           2750823526163751, 492054196353895, 4358899086762635,
+           360293603048373, 5902860438146343, 3123190586815549,
+           5788855508857563, 8313268528031126, 4526732093553287,
+           5975099891390880]),
+          (13, [8826915298326959, 121838921281028,
+           994772518858729, 2889257911198294, 7030312278098702,
+           514682726292773, 1024048847241952, 7304588266896603,
+           2020989204647639, 7406319475185566, 4291644163634625,
+           3954625178126784, 8750878810727696, 6015934926873763,
+           6698534081937159, 1013054675653569, 7264683975100022,
+           6942996632869431, 357718802190098, 3584315010296484,
+           1117773091414590, 8676640293620188, 3168802984825286,
+           6336815161437248, 1087213804325016, 8810830515121173,
+           3157679215439264, 3492147890164, 6257101761448918,
+           6681645329115110, 6935363488577494, 2091386363094735,
+           1021736753884428, 3483006316670494, 4416071255131368,
+           941621192670678, 8255840318633753, 1053822478951911,
+           1612638835442761, 1761928591186737, 6095653447136612,
+           2738062755737440, 4994829752440749, 6617429971513381,
+           7046575542636987, 7240878022635880, 985776796402025,
+           8267800417249420, 4367238554935720, 2155431211458783,
+           8715862973320733, 6750233673310286, 5918294469423871,
+           2823173136204933, 1805182825006733, 6285096857911648,
+           3836456564131895, 6029812941888639, 6323705293087296,
+           6718302759663518, 4557447399784640, 1259283518506221,
+           4703769221451294, 3311938526409116]),
+          (14, [5802544659384628, 8787385065975287,
+           800101336593442, 7775321487433501, 5685466366896846,
+           4092370260181780, 2682541477165601, 8728677571934046,
+           8968047117366585, 547171729734842, 2728579142673148,
+           620570325343412, 4891060796505292, 7428485619447873,
+           2928381195375867, 4598978338596408, 1404618729639648,
+           8629707526292313, 4519737205815537, 8076607558972875,
+           7389983192355161, 8385447730780645, 2303553925682527,
+           3812597045174455, 4222811785099419, 4639478431777826,
+           3130543714902752, 2339780826039366, 8147896593363392,
+           8803749783995096, 8576099661541882, 7120421322438779,
+           5075336795274942, 8961496259756143, 2056538153647862,
+           8714003731766802, 8171333011300249, 6781950784608983,
+           1373492310921795, 3699102382950070, 8079451998974509,
+           5951077195242164, 8080541526868050, 3622731550186412,
+           3012592618347801, 8563765692112921, 3694638766400986,
+           8453705419989391, 7741792837707828, 6943344763194733,
+           4875502901745255, 5465856705129314, 7730899930444743,
+           5764587895359773, 4939161773551106, 7066554238654958,
+           7069922123413415, 3644733911629157, 8093049080259054,
+           5774895865431572, 348433617379337, 5545684915072467,
+           5849485895522870, 1738703401723225]),
+          (15, [3784935551103369, 281241544135638,
+           1530306836748833, 2926340064523000, 6518012688862462,
+           5832375630571294, 4261804464523946, 1321838314062283,
+           942922663856372, 2281496131608662, 6238647464130619,
+           1856373132615761, 7454074483618546, 2680356728473742,
+           7049754111529010, 2320628856252987, 2744683000531199,
+           7597726389689193, 4115074528148723, 1010809277457089,
+           3033853934906276, 2532875135854539, 2844425748895446,
+           4860913220769394, 7344978442699047, 8116405097088104,
+           1094627571483352, 8991298685840079, 6499319738767201,
+           2047937491777085, 1538287743585878, 5398337932774078,
+           2223493525174536, 6711045984501309, 3328151073556396,
+           3909913521901680, 1436175455012613, 5294581244857287,
+           1540918907482554, 7879906259648542, 1989474918965772,
+           5142359006468580, 1018017873455643, 1210830081581858,
+           37241516203255, 1690587004347617, 5517427981698152,
+           4105901861833711, 1260766196590158, 2043580004706964,
+           8761156073542251, 1555881869964207, 3394121457416346,
+           8613693103620307, 11409635274474, 7449667517509410,
+           6552910214498826, 8273080298033802, 1903377896305443,
+           6251087280133707, 3279667797402549, 765297233609177,
+           1988615102163687, 5415357348003144])) t(i, ms)),
+        pl AS (SELECT i, list_transform(ms, m ->
+                 CAST(m AS DOUBLE) / 4503599627370496e0 - 1.0e0) AS p
+               FROM pm),
+        ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300),
+        sba AS (
+          SELECT ea.vec_id, pl.i,
+            CASE WHEN list_reduce(list_prepend(0.0e0,
+              list_transform(range(1, len(ea.v) + 1), d -> ea.v[d] * pl.p[d])),
+              (a, b) -> a + b) >= 0e0 THEN 1 ELSE 0 END AS s
+          FROM ea, pl),
+        sga AS (SELECT vec_id, list(s ORDER BY i) AS sig
+                FROM sba GROUP BY vec_id),
+        jna AS (SELECT ea.vec_id, ea.v, g.sig
+                FROM ea JOIN sga g USING (vec_id)),
+        apairs AS (
+          SELECT
+            list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+              >= 0.35e0 AS istrue,
+            a.sig AS sa, b.sig AS sb
+          FROM jna a, jna b WHERE a.vec_id < b.vec_id),
+        bandcfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS b),
+        ev AS (
+          SELECT c.b AS bands, istrue,
+            len(list_filter(range(0, c.b), k ->
+              sa[k * (16 // c.b) + 1 : (k + 1) * (16 // c.b)] =
+              sb[k * (16 // c.b) + 1 : (k + 1) * (16 // c.b)])) > 0 AS rec
+          FROM apairs, bandcfg c),
+        agg AS (
+          SELECT bands,
+            CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS pt,
+            CAST(SUM(CASE WHEN istrue AND rec THEN 1 ELSE 0 END) AS BIGINT) AS pr,
+            CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT) AS cand
+          FROM ev GROUP BY bands),
+        fin AS (
+          SELECT bands,
+            CAST(CASE WHEN pt = 0 THEN 1000000
+                 ELSE (1000000 * pr) // pt END AS BIGINT) AS ppm, cand
+          FROM agg),
+        el AS (SELECT * FROM fin WHERE ppm >= 950000),
+        mc AS (SELECT MIN(cand) AS m FROM el),
+        sel AS (SELECT CAST(MIN(bands) AS BIGINT) AS mb
+                FROM el, mc WHERE cand = mc.m),
+        ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 500),
+        sbc AS (
+          SELECT ec.vec_id, pl.i,
+            CASE WHEN list_reduce(list_prepend(0.0e0,
+              list_transform(range(1, len(ec.v) + 1), d -> ec.v[d] * pl.p[d])),
+              (a, b) -> a + b) >= 0e0 THEN 1 ELSE 0 END AS s
+          FROM ec, pl),
+        sgc AS (SELECT vec_id, list(s ORDER BY i) AS sig
+                FROM sbc GROUP BY vec_id),
+        jnc AS (SELECT ec.vec_id, ec.v, g.sig
+                FROM ec JOIN sgc g USING (vec_id)),
+        res AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+              AS cosine,
+            a.sig AS sa, b.sig AS sb
+          FROM jnc a, jnc b WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine
+        FROM res, sel
+        WHERE cosine >= 0.35e0
+          AND len(list_filter(range(0, sel.mb), k ->
+            sa[k * (16 // sel.mb) + 1 : (k + 1) * (16 // sel.mb)] =
+            sb[k * (16 // sel.mb) + 1 : (k + 1) * (16 // sel.mb)])) > 0
         ORDER BY 1, 2"""))
   )
 
