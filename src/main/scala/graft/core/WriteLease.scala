@@ -53,7 +53,15 @@ object WriteLease {
 
   /** Thrown by acquisition timeout AND by release-time token mismatch
     * (stolen mid-run). */
-  final class LeaseLost(msg: String) extends RuntimeException(msg)
+  class LeaseLost(msg: String) extends RuntimeException(msg)
+
+  /** The acquisition-timeout case specifically — "someone else holds
+    * it right now," which callers with retryable work (e.g. in-loop
+    * stream maintenance, retried at the next boundary anyway) may
+    * treat as skip-and-continue, unlike a mid-run steal which always
+    * demands attention. IS-A [[LeaseLost]] so blanket handlers keep
+    * working. */
+  final class LeaseBusy(msg: String) extends LeaseLost(msg)
 
   private def leasePath(indexPath: String): HPath =
     new HPath(indexPath, LeaseName)
@@ -164,7 +172,7 @@ object WriteLease {
             ()
           case Some((heldBy, _, _)) =>
             if (clock() >= deadline)
-              throw new LeaseLost(
+              throw new LeaseBusy(
                 s"write lease on $indexPath held by $heldBy; waited " +
                   s"${maxWaitMs}ms - another writer is maintaining this " +
                   "index (raise maxWaitMs to queue behind it)")

@@ -551,6 +551,36 @@ object Streaming {
     * keeps the index serving its last committed state
     * (StreamingIngestSpec pins it).
     */
+  private lazy val ingestLog =
+    graft.core.Logging.logger("graft.streaming.Streaming")
+
+  /** Runs one in-loop maintenance boundary under the OPTIONAL advisory
+    * write lease. `None` (the default) keeps today's single-writer
+    * behavior — the foreachBatch thread is the only writer, no
+    * coordination needed. `Some((owner, ttlMs))` coordinates with
+    * EXTERNAL maintenance (a cron compactor, an operator console)
+    * through [[graft.core.WriteLease]]: a CONTENDED boundary skips
+    * maintenance with a log line instead of failing the stream —
+    * in-loop maintenance re-evaluates at every following boundary
+    * anyway, while a failed batch kills the query — and a lease
+    * stolen MID-maintenance still fails loud (the TTL was undersized
+    * relative to one maintenance pass; an operator must fix that, the
+    * stream must not absorb it silently).
+    */
+  private def maintainUnderLease(
+      indexPath: String, lease: Option[(String, Long)])(
+      act: => Unit): Unit = lease match {
+    case None => act
+    case Some((owner, ttlMs)) =>
+      try graft.core.WriteLease.withLease(indexPath, owner, ttlMs)(act)
+      catch {
+        case busy: graft.core.WriteLease.LeaseBusy =>
+          graft.core.Logging.log(ingestLog,
+            "skipping in-loop maintenance at this boundary (lease " +
+              s"contended; will re-evaluate next boundary): ${busy.getMessage}")
+      }
+  }
+
   def dedupIngestSink(
       stream: DataFrame,
       indexPath: String,
@@ -561,7 +591,8 @@ object Streaming {
       threshold: Double = 0.8,
       maintainEvery: Option[Int] = None,
       maintainThresholds: graft.dedup.DedupIndex.AdviceThresholds =
-        graft.dedup.DedupIndex.AdviceThresholds()): org.apache.spark.sql.streaming.StreamingQuery =
+        graft.dedup.DedupIndex.AdviceThresholds(),
+      maintainLease: Option[(String, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val segName = f"seg_b$batchId%05d"
@@ -585,9 +616,11 @@ object Streaming {
         // folded it would make the replayed batch's re-landed segment
         // serve its rows twice (the base already absorbed them)
         if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
-          graft.dedup.DedupIndex.autoMaintain(
-            batch.sparkSession, indexPath, maintainThresholds,
-            excludeSegments = Set(segName))
+          maintainUnderLease(indexPath, maintainLease) {
+            graft.dedup.DedupIndex.autoMaintain(
+              batch.sparkSession, indexPath, maintainThresholds,
+              excludeSegments = Set(segName))
+          }
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -635,7 +668,8 @@ object Streaming {
       auditQueries: Seq[(Long, Array[Float])] = Nil,
       auditK: Int = 10,
       auditNProbe: Int = 1,
-      auditTargetPpm: Long = 900000L): org.apache.spark.sql.streaming.StreamingQuery =
+      auditTargetPpm: Long = 900000L,
+      maintainLease: Option[(String, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val segName = f"seg_b$batchId%05d"
@@ -653,19 +687,20 @@ object Streaming {
         // retrain re-assigns the excluded segment in place under the
         // new centroids, so the served index stays geometrically
         // consistent
-        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0)) {
-          if (auditQueries.nonEmpty)
-            graft.sim.Similarity.ivfAutoMaintainAudited(
-              batch.sparkSession, indexPath, idCol, vecCol,
-              auditQueries, auditK, auditNProbe, auditTargetPpm,
-              maintainThresholds, retrainIters,
-              excludeSegments = Set(segName))
-          else
-            graft.sim.Similarity.ivfAutoMaintain(
-              batch.sparkSession, indexPath, idCol, vecCol,
-              maintainThresholds, retrainIters,
-              excludeSegments = Set(segName))
-        }
+        if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
+          maintainUnderLease(indexPath, maintainLease) {
+            if (auditQueries.nonEmpty)
+              graft.sim.Similarity.ivfAutoMaintainAudited(
+                batch.sparkSession, indexPath, idCol, vecCol,
+                auditQueries, auditK, auditNProbe, auditTargetPpm,
+                maintainThresholds, retrainIters,
+                excludeSegments = Set(segName))
+            else
+              graft.sim.Similarity.ivfAutoMaintain(
+                batch.sparkSession, indexPath, idCol, vecCol,
+                maintainThresholds, retrainIters,
+                excludeSegments = Set(segName))
+          }
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -706,7 +741,8 @@ object Streaming {
       textCol: String,
       maintainEvery: Option[Int] = None,
       maintainThresholds: graft.dedup.DedupIndex.AdviceThresholds =
-        graft.dedup.DedupIndex.AdviceThresholds()): org.apache.spark.sql.streaming.StreamingQuery =
+        graft.dedup.DedupIndex.AdviceThresholds(),
+      maintainLease: Option[(String, Long)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val segName = f"seg_b$batchId%05d"
@@ -720,9 +756,11 @@ object Streaming {
         // batch's segment is EXCLUDED from the fold set (offsets not
         // yet committed — folding it would double the replayed batch)
         if (maintainEvery.exists(n => n > 0 && (batchId + 1) % n == 0))
-          graft.dedup.SubstringDedup.autoMaintainFingerprintIndex(
-            batch.sparkSession, indexPath, maintainThresholds,
-            excludeSegments = Set(segName))
+          maintainUnderLease(indexPath, maintainLease) {
+            graft.dedup.SubstringDedup.autoMaintainFingerprintIndex(
+              batch.sparkSession, indexPath, maintainThresholds,
+              excludeSegments = Set(segName))
+          }
         ()
       }
       .option("checkpointLocation", checkpointPath)

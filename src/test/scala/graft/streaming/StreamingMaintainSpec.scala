@@ -72,7 +72,8 @@ class StreamingMaintainSpec extends SparkSpec {
   private def runSink(src: String, indexPath: String, base: String,
       ckpt: String, maintainEvery: Option[Int],
       thresholds: DedupIndex.AdviceThresholds =
-        DedupIndex.AdviceThresholds()): Unit = {
+        DedupIndex.AdviceThresholds(),
+      maintainLease: Option[(String, Long)] = None): Unit = {
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1)
@@ -80,7 +81,8 @@ class StreamingMaintainSpec extends SparkSpec {
     Streaming.dedupIngestSink(
       stream, indexPath, s"$base/survivors", ckpt,
       "doc_id", "text", threshold = 0.8,
-      maintainEvery = maintainEvery, maintainThresholds = thresholds)
+      maintainEvery = maintainEvery, maintainThresholds = thresholds,
+      maintainLease = maintainLease)
       .awaitTermination()
   }
 
@@ -383,5 +385,49 @@ class StreamingMaintainSpec extends SparkSpec {
       .assigned.select(col("vec_id"), col("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     stored shouldBe expect
+  }
+
+  test("maintainLease coordinates with an external writer: contended " +
+    "boundaries SKIP maintenance without failing the stream, free " +
+    "boundaries maintain, results identical") {
+    // case A: an external maintenance job (a cron compactor) holds a
+    // live lease for the whole run — every boundary skips, the stream
+    // completes, nothing folds, and the external lease is untouched
+    val baseA = java.nio.file.Files
+      .createTempDirectory("graft_smnt_leaseA_").toString
+    val srcA = java.nio.file.Files.createTempDirectory("graft_smnt_lsrcA_")
+    stage(srcA)
+    val idxA = mkIndex(baseA)
+    val farFuture = System.currentTimeMillis() + 3600000L
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idxA, "_WRITE_LEASE"),
+      s"cron\texternal-token\t$farFuture"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    runSink(srcA.toString, idxA, baseA, s"$baseA/ckpt", Some(1),
+      DedupIndex.AdviceThresholds(maxSegments = 0),
+      maintainLease = Some(("stream", 60000L)))
+    val stA = statsMap(idxA)
+    stA("segments_pending") shouldBe 3L // nothing folded: every boundary skipped
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idxA, "_WRITE_LEASE")),
+      java.nio.charset.StandardCharsets.UTF_8) should
+      include("external-token") // the cron's lease survived untouched
+
+    // case B: same run with the lease free — boundaries maintain
+    // under the lease and release it; only the in-flight final batch
+    // stays pending, and survivors are identical to case A
+    val baseB = java.nio.file.Files
+      .createTempDirectory("graft_smnt_leaseB_").toString
+    val srcB = java.nio.file.Files.createTempDirectory("graft_smnt_lsrcB_")
+    stage(srcB)
+    val idxB = mkIndex(baseB)
+    runSink(srcB.toString, idxB, baseB, s"$baseB/ckpt", Some(1),
+      DedupIndex.AdviceThresholds(maxSegments = 0),
+      maintainLease = Some(("stream", 60000L)))
+    val stB = statsMap(idxB)
+    stB("segments_pending") shouldBe 1L // folded in-loop; final batch in flight
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idxB, "_WRITE_LEASE")) shouldBe false
+    survivors(baseA) shouldBe survivors(baseB)
   }
 }
