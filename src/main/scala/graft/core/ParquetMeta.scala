@@ -1,0 +1,176 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter
+import org.apache.spark.sql.types.StructType
+
+/** Metadata-path accelerator for the on-disk index families (MinHash
+  * dedup, IVF, substring fingerprints) — the driver-side fixed costs
+  * their lifecycle operators pay per call, made cheap without touching
+  * what any query computes:
+  *
+  *   - `spark.read.parquet(dir)` spends ~60-90 ms per call inferring
+  *     the schema (file listing + footer read through the full
+  *     DataSource machinery). The index read paths open 3 tables ×
+  *     (1 base + N segments) per call, and the streaming ingest sinks
+  *     re-open them EVERY micro-batch — schema inference alone was
+  *     ~70% of `DedupIndex.read()`'s wall clock (measured r17:
+  *     0.65 s of a 0.85 s read with one segment). [[schemaOf]] reads
+  *     ONE footer directly (parquet-hadoop, no Spark job, ~5 ms) and
+  *     caches it keyed by the directory's content fingerprint
+  *     (name/length/mtime of every data file), so a re-listed
+  *     UNCHANGED table costs one `listStatus`. [[readPinned]] then
+  *     hands the pinned schema to one MULTI-PATH read — one relation
+  *     over base + segments instead of a `unionByName` of N separate
+  *     scans (measured: 3-root union+noop 345 ms → pinned multi-path
+  *     90 ms).
+  *
+  *   - the `meta` tables are one-row immutable parameter records, but
+  *     `spark.read.parquet(meta).collect()` is a full Spark job
+  *     (~150 ms) that `read`/`appendSegment`/`compact`/`stats` each
+  *     re-run. [[cachedRows]] collects once and re-validates by the
+  *     same content fingerprint (a parameter REWRITE — new files —
+  *     invalidates; the API contract keeps `meta` immutable anyway).
+  *
+  * What this is NOT: a result cache. Nothing here memoizes query
+  * output or anything keyed on the input corpus — only parquet
+  * SCHEMAS and sub-kilobyte parameter tables, both re-validated
+  * against the directory's physical state on every call (the same
+  * role a table catalog plays for a real warehouse). At 100 TB the
+  * win is the same shape: schema pinning skips a footer round-trip
+  * per table open, and the fingerprint is one RPC against the
+  * directory listing the read was about to do anyway.
+  */
+object ParquetMeta {
+
+  private final case class SchemaEntry(fp: String, schema: StructType)
+  private final case class RowsEntry(fp: String, rows: Seq[Row])
+
+  // bounded: entries are per index tree (temp dirs in tests/bench);
+  // clear wholesale past the cap rather than LRU-tracking hot paths
+  private val MaxEntries = 4096
+  private val schemaCache = new ConcurrentHashMap[String, SchemaEntry]()
+  private val rowsCache = new ConcurrentHashMap[String, RowsEntry]()
+
+  private def capped[K, V](m: ConcurrentHashMap[K, V]): ConcurrentHashMap[K, V] = {
+    if (m.size > MaxEntries) m.clear()
+    m
+  }
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files of a parquet table directory (recursive one level into
+    * partition subdirectories), sorted by path for a stable fingerprint.
+    */
+  private def dataFiles(f: FileSystem, dir: String): Seq[FileStatus] = {
+    def isData(s: FileStatus): Boolean = {
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val top = f.listStatus(new HPath(dir)).toSeq
+    val nested = top.filter(s =>
+      s.isDirectory && s.getPath.getName.contains("=")).flatMap(d =>
+      f.listStatus(d.getPath).toSeq)
+    (top ++ nested).filter(isData).sortBy(_.getPath.toString)
+  }
+
+  private def fingerprint(files: Seq[FileStatus]): String =
+    files.map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
+
+  /** The DATA schema of the parquet table at `dir` (partition columns
+    * NOT included — footer schema only), via one direct footer read,
+    * cached by directory content fingerprint.
+    */
+  def schemaOf(spark: SparkSession, dir: String): StructType = {
+    val f = fs(spark, dir)
+    val files = dataFiles(f, dir)
+    require(files.nonEmpty, s"no parquet data files under $dir")
+    val fp = fingerprint(files)
+    val hit = schemaCache.get(dir)
+    if (hit != null && hit.fp == fp) return hit.schema
+    val schema = footerSchema(
+      spark.sparkContext.hadoopConfiguration, files.head.getPath)
+    capped(schemaCache).put(dir, SchemaEntry(fp, schema))
+    schema
+  }
+
+  private def footerSchema(conf: Configuration, file: HPath): StructType = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val message = try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+    // the SQLConf-based constructor: the Configuration one expects the
+    // session's SQL keys pre-copied into the Hadoop conf
+    deepNullable(new ParquetToSparkSchemaConverter(
+      org.apache.spark.sql.internal.SQLConf.get).convert(message))
+      .asInstanceOf[StructType]
+  }
+
+  /** Spark's file-source reads force the data schema nullable
+    * (`HadoopFsRelation` applies `asNullable`, which is private[spark]);
+    * pinned schemas must mirror that or downstream plan schemas would
+    * differ from the inferred-read baseline in nullability flags.
+    */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = deepNullable(m.keyType),
+          valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+  /** One relation over every root in `dirs`, with the schema pinned
+    * from the FIRST root's footer (plus `partitionCols`, for tables
+    * laid out with `partitionBy`) — the cheap equivalent of
+    * `dirs.map(spark.read.parquet).reduce(_ unionByName _)` when all
+    * roots share one writer and therefore one schema (the index
+    * families' invariant; callers keep their own layout guards).
+    */
+  def readPinned(
+      spark: SparkSession, dirs: Seq[String],
+      partitionCols: StructType = new StructType()): DataFrame = {
+    require(dirs.nonEmpty, "readPinned: no directories")
+    val dataSchema = schemaOf(spark, dirs.head)
+    val full = partitionCols.fields.foldLeft(dataSchema)(_ add _)
+    if (partitionCols.isEmpty || dirs.size == 1)
+      spark.read.schema(full).parquet(dirs: _*)
+    else
+      // PARTITIONED roots at different tree depths (base vs segments)
+      // conflict in multi-path partition discovery
+      // (CONFLICTING_DIRECTORY_STRUCTURES) — pin per root and union;
+      // the schema-inference saving is the same, only the one-relation
+      // collapse is lost for this layout
+      dirs.map(d => spark.read.schema(full).parquet(d))
+        .reduce(_ unionByName _)
+  }
+
+  /** Collected rows of the SMALL parquet table at `dir` (parameter /
+    * meta tables — callers own the boundedness argument), cached by
+    * directory content fingerprint so repeated parameter reads skip
+    * the per-call Spark job. Rows are `collect()`ed exactly as the
+    * uncached read would return them.
+    */
+  def cachedRows(spark: SparkSession, dir: String): Seq[Row] = {
+    val f = fs(spark, dir)
+    val files = dataFiles(f, dir)
+    require(files.nonEmpty, s"no parquet data files under $dir")
+    val fp = fingerprint(files)
+    val hit = rowsCache.get(dir)
+    if (hit != null && hit.fp == fp) return hit.rows
+    val rows = spark.read.parquet(dir).collect().toSeq
+    capped(rowsCache).put(dir, RowsEntry(fp, rows))
+    rows
+  }
+}

