@@ -144,11 +144,16 @@ object DedupIndex {
     val sets = idx.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // re-root buckets on the cached sets (build() derived them from
-      // the uncached plan): same expressions, one corpus pass
-      val buckets = cappedBuckets(sets, "corpus_id", "ids", params)
-      sets.write.mode("overwrite").parquet(s"$root/sets")
-      buckets.write.mode("overwrite").parquet(s"$root/buckets")
-      idx.exact.write.mode("overwrite").parquet(s"$root/exact")
+      // the uncached plan): same expressions, one corpus pass. The
+      // three writes are independent — overlap them so each write's
+      // planning/commit fills the others' scheduler gaps (concurrent
+      // first touch of the persisted sets is safe: the block manager
+      // computes each partition once)
+      graft.core.Par.awaitAll(
+        () => sets.write.mode("overwrite").parquet(s"$root/sets"),
+        () => cappedBuckets(sets, "corpus_id", "ids", params)
+          .write.mode("overwrite").parquet(s"$root/buckets"),
+        () => idx.exact.write.mode("overwrite").parquet(s"$root/exact"))
     } finally sets.unpersist()
   }
 
@@ -507,12 +512,15 @@ object DedupIndex {
         .cappedCollectList(col("corpus_id"), bufferCap(params.maxBucketSize))
         .as("ids"))
       .filter(col("ids").isNotNull)
-    idx.sets.write.mode("overwrite").parquet(s"$target/sets")
-    mergedBuckets.write.mode("overwrite").parquet(s"$target/buckets")
+    // independent merged-table writes — overlapped (same contract as
+    // writeTables: nothing is visible until the manifest commit below).
     // exact is per-corpus-id rows (ids unique by contract), so no
     // distinct: it could never drop a row and would cost a full
     // corpus-sized shuffle for nothing
-    idx.exact.write.mode("overwrite").parquet(s"$target/exact")
+    graft.core.Par.awaitAll(
+      () => idx.sets.write.mode("overwrite").parquet(s"$target/sets"),
+      () => mergedBuckets.write.mode("overwrite").parquet(s"$target/buckets"),
+      () => idx.exact.write.mode("overwrite").parquet(s"$target/exact"))
     // prior folded names whose dirs a crashed GC left behind carry
     // forward into the new manifest (a dead segment must never
     // re-enter service) and join the GC list below

@@ -958,20 +958,22 @@ object Similarity {
           unioned.drop("cell"), "", vecColForReassign.get, cents).assigned
       case None => unioned
     }
-    rebuilt.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$target/assigned")
     // the generation ALWAYS carries its centroid table (retrained or
     // the current one re-written): generation-local resolution must
     // never fall back past a retrain to the stale day-0 top-level
-    // table. nCells rows — cost is nil.
-    locally {
+    // table. nCells rows — cost is nil. Both writes are invisible
+    // until the manifest commit below, so they overlap safely.
+    val centroidRows = {
       import spark.implicits._
       retrained.getOrElse(readIvfCentroids(spark, path))
         .map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$target/centroids")
     }
+    graft.core.Par.awaitAll(
+      () => rebuilt.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$target/assigned"),
+      () => centroidRows.repartition(1).write.mode("overwrite")
+        .parquet(s"$target/centroids"))
     // THE COMMIT: atomic manifest rename — readers resolve gen curN+1
     // from this instant, excluding the folded segments by name; prior
     // folded names whose dirs a crashed GC left behind carry forward
