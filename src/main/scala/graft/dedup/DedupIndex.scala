@@ -732,9 +732,15 @@ object DedupIndex {
         .select(explode(col("__bids")).as("batch_id"), col("ids"))
         .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
         .distinct()
+      // both sides are shingles()-derived (distinct arrays) — the exact
+      // size-ratio prefilter (J ≥ t ⟹ min ≥ t·max) skips the per-pair
+      // set build for candidates the threshold already excludes; zero
+      // false drops, identical post-threshold result
       val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
       val ca = index.sets.select(col("corpus_id"), col("__shingles").as("__sb"))
       val verified = pairs.join(ba, "batch_id").join(ca, "corpus_id")
+        .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
+          lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
         .withColumn("jaccard",
           graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
         .filter(col("jaccard") >= threshold)
