@@ -63,7 +63,7 @@ object RandomWalks {
     val ranked = edges
       .withColumn("nbr_rank",
         row_number().over(bySrc.orderBy(col("dst"))).cast("long") - 1L)
-      .localCheckpoint(true) // read once per step below
+      .localCheckpoint(false) // read once per step below (lazy: materializes with the first step, no extra job barrier)
     val degrees = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "__dn")
@@ -93,7 +93,7 @@ object RandomWalks {
         .join(ranked, picked("node") === ranked("src") &&
           picked("__pick") === ranked("nbr_rank"))
         .select(col("start"), col("walk"), col("dst").as("node"))
-        .localCheckpoint(true) // constant-depth lineage across steps
+        .localCheckpoint(false) // constant-depth lineage across steps (lazy)
       frames += frontier.withColumn("step", lit(t.toLong))
       t += 1
     }
@@ -247,7 +247,7 @@ object RandomWalks {
               picked("__pick") === ranked("nbr_rank"))
             .select(col("start"), col("walk"),
               picked("node").as("prev"), col("dst").as("node"))
-            .localCheckpoint(true)
+            .localCheckpoint(false) // lazy: no per-step job barrier
         } else {
           // second-order step: classify cur's neighbors against prev
           val cand = frontier
@@ -269,15 +269,21 @@ object RandomWalks {
           val byWalk = Window.partitionBy(col("start"), col("walk"))
           val cumW = byWalk.orderBy(col("x"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // __tot uses the SAME partition+order spec as __cum with a
+          // whole-partition frame, so Catalyst evaluates both in ONE
+          // Window operator (one sort per step instead of two); integer
+          // weight sums are order-free, values identical
+          val totW = byWalk.orderBy(col("x"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
           weighted
             .withColumn("__cum", sum(col("__w")).over(cumW))
-            .withColumn("__tot", sum(col("__w")).over(byWalk))
+            .withColumn("__tot", sum(col("__w")).over(totW))
             .withColumn("__r", pmod(stepHash(t), col("__tot")))
             .filter(col("__r") >= col("__cum") - col("__w") &&
               col("__r") < col("__cum"))
             .select(col("start"), col("walk"),
               col("node").as("prev"), col("x").as("node"))
-            .localCheckpoint(true)
+            .localCheckpoint(false) // lazy: no per-step job barrier
         }
       frames += frontier.select(col("start"), col("walk"),
         lit(t.toLong).as("step"), col("node"))
