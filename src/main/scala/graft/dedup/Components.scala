@@ -151,7 +151,7 @@ object Components {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"), max(col("old")).as("old"))
         .withColumn("changed", col("component") =!= col("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the convergence probe materializes it
       // one deterministic single-job probe over the checkpointed result
       converged = !next
         .agg(coalesce(max(col("changed")), lit(false)).as("any"))
@@ -216,7 +216,7 @@ object Components {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       edges = next

@@ -70,7 +70,7 @@ object Communities {
         .agg(max(struct(col("__c"), (-col("label")).as("__nl")))
           .as("__best"))
         .select(col("vertex"), (-col("__best.__nl")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the convergence probe materializes it
       round += 1
     }
     // converged-or-raise (the k-core discipline, label form): the

@@ -91,7 +91,7 @@ object Hits {
         .join(sums, Seq("vertex"), "left")
         .select(col("vertex"),
           expr(s"coalesce(__sum, 0L) * ${scale}L div ${mx}L").as("__s"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the next round's scalar probe materializes it
     }
 
     var hubs = vertices.withColumn("__s", lit(scale))

@@ -74,7 +74,7 @@ object KCore {
         .join(survivors, e("src") === col("__sv"), "left_semi")
         .join(survivors.withColumnRenamed("__sv", "__sv2"),
           e("dst") === col("__sv2"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       val n = e.count()
       converged = n == prevEdges || n == 0L
       prevEdges = n

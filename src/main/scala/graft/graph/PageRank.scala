@@ -122,7 +122,7 @@ object PageRank {
         .select(col("vertex"),
           (base + expr("coalesce(in_sum, 0L) * 85 div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: rides the next consumer's job
     }
     maxResidual.foreach(m => requireConverged("PageRank.ranks",
       l1Residual(r, rPrev, "rank"), m))
@@ -194,7 +194,7 @@ object PageRank {
         .select(col("vertex"),
           (base + expr("coalesce(in_sum, 0L) * 85 div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: rides the next consumer's job
     }
     maxResidual.foreach(m => requireConverged("PageRank.weightedRanks",
       l1Residual(r, rPrev, "rank"), m))
@@ -268,7 +268,7 @@ object PageRank {
         .select(col("vertex"), col("is_seed"),
           (seedOnly(base) + expr("coalesce(in_sum, 0L) * 85 div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: rides the next consumer's job
     }
     maxResidual.foreach(m => requireConverged("PageRank.seededRanks",
       l1Residual(r, rPrev, "rank"), m))
