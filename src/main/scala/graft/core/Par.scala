@@ -33,7 +33,14 @@ object Par {
     */
   def awaitAll(bodies: (() => Unit)*): Unit = {
     if (bodies.sizeIs <= 1) { bodies.foreach(_.apply()); return }
-    val futures = bodies.map(b => Future(b())(pool))
+    // propagate the caller's active session: thread-locals don't cross
+    // into pool threads, and session-dependent code (SQLConf.get in
+    // schema conversion, implicits) must see the same session there
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val futures = bodies.map(b => Future {
+      active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      b()
+    }(pool))
     val results = futures.map(f =>
       Await.ready(f, Duration.Inf).value.get)
     results.collectFirst { case scala.util.Failure(e) => throw e }

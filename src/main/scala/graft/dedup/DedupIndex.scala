@@ -378,12 +378,18 @@ object DedupIndex {
         servedSegmentDirs(spark, path)
       for (root <- roots) {
         val tmp = s"$root/purge_tmp"
-        for (sub <- Seq("exact", "sets")) {
+        // both reduced tables land in tmp concurrently (independent
+        // reads/writes, invisible until the swaps); the swaps stay
+        // SEQUENTIAL — the crash-recovery story reasons about one
+        // *_old table at a time
+        graft.core.Par.awaitAll(Seq("exact", "sets").map(sub => () => {
           graft.core.ParquetMeta.readPinned(spark, Seq(s"$root/$sub"))
             .join(purged, Seq("corpus_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$tmp/$sub")
+          ()
+        }): _*)
+        for (sub <- Seq("exact", "sets"))
           graft.core.FsSwap.swapIntoPlace(fs, root, tmp, sub)
-        }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
       // all stale rows are gone — NOW the tombstones can clear. An
