@@ -465,8 +465,22 @@ object Dedup {
     // executor-local and not replayable after executor loss, so
     // materialize = false keeps everything lazy and fault-tolerant at
     // the price of the double shingle derivation.
-    val batchSets0 = sets(batch)
-    val corpusSets0 = sets(corpus)
+    // CPU-dense per-doc derivation (regex normalize + shingling +
+    // 64-hash MinHash) must not be serialized by the input's file
+    // layout: a side arriving as one unsplittable file computes
+    // everything in ONE scan task (guide §2.5 — repartition right
+    // after the read). A pinned-width hash exchange of the raw
+    // (id, text) rows moves bytes only and decouples the compute
+    // parallelism from the scan splits; AQE cannot coalesce it down
+    // (tiny byte sizes would mis-size the compute-bound stage).
+    // materialize-only: the lazy path keeps the plan free of extra
+    // exchanges, as documented.
+    def spread(df: DataFrame): DataFrame =
+      if (!materialize) df
+      else df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    val batchSets0 = sets(spread(batch))
+    val corpusSets0 = sets(spread(corpus))
     val batchSets =
       if (materialize) batchSets0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -482,26 +496,58 @@ object Dedup {
           .agg(graft.functions.CappedCollectList
             .cappedCollectList(col(idCol), cap).as(outCol))
           .filter(col(outCol).isNotNull)
-      val pairs = cappedBuckets(batchSets, "__bids")
+      // the batch side is the small side by contract (incremental
+      // ingest: batch ≪ corpus) — broadcast its bucket table so the
+      // corpus-side aggregate is consumed without a join exchange
+      // matched buckets are batch-bounded ROWS carrying the candidate
+      // mass as lists — exchange them (pinned width) BEFORE the double
+      // explode so pair generation parallelizes with the shuffle width
+      // (AQE coalesces the byte-tiny bucket aggregate to one partition,
+      // which would serialize the explode of millions of pairs)
+      val matched = broadcast(cappedBuckets(batchSets, "__bids"))
         .join(cappedBuckets(corpusSets, "__cids"), Seq("band", "bucket"))
+        .select(col("__bids"), col("__cids"))
+        .repartition(
+          batch.sparkSession.sessionState.conf.numShufflePartitions)
+      val pairs0 = matched
         .select(explode(col("__bids")).as("batch_id"), col("__cids"))
         .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
         .distinct()
-      // shingles() emits distinct arrays, so size() IS the distinct
-      // cardinality — the exact size-ratio prefilter (J ≥ t ⟹
-      // min(|A|,|B|) ≥ t·max(|A|,|B|)) drops most candidates in O(1)
-      // before the per-pair set build; zero false drops, identical
-      // post-threshold result (see nearDuplicatesBySets)
-      val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
-      val ca = corpusSets.select(col(idCol).as("corpus_id"), col("__shingles").as("__sb"))
-      val verified = pairs.join(ba, "batch_id").join(ca, "corpus_id")
-        .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
-          lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
-        .withColumn("jaccard",
-          graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-      if (materialize) verified.localCheckpoint(true) else verified
+      // pairs feed TWO consumers below (the corpus-sets prefilter and
+      // the verify join) — cache the batch-bounded table so candidate
+      // generation runs once; lazy mode recomputes it, the documented
+      // materialize = false price
+      val pairs =
+        if (materialize) pairs0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else pairs0
+      try {
+        // shingles() emits distinct arrays, so size() IS the distinct
+        // cardinality — the exact size-ratio prefilter (J ≥ t ⟹
+        // min(|A|,|B|) ≥ t·max(|A|,|B|)) drops most candidates in O(1)
+        // before the per-pair set build; zero false drops, identical
+        // post-threshold result (see nearDuplicatesBySets)
+        val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
+        // reduce the corpus sets to the candidates MAP-SIDE (broadcast
+        // semi on the candidate corpus ids) instead of shuffling the
+        // corpus-sized table into the verify join; the shuffle joins
+        // below then move only candidate-bounded rows, and the
+        // per-pair Jaccard work stays spread across shuffle partitions
+        val caCand = corpusSets
+          .join(broadcast(pairs.select(col("corpus_id")).distinct()),
+            corpusSets(idCol) === col("corpus_id"), "left_semi")
+          .select(col(idCol).as("corpus_id"), col("__shingles").as("__sb"))
+        val verified = pairs.join(ba, "batch_id").join(caCand, "corpus_id")
+          .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
+            lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
+          .withColumn("jaccard",
+            graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+        if (materialize) verified.localCheckpoint(true) else verified
+      } finally {
+        if (materialize) pairs.unpersist()
+      }
     } finally {
       if (materialize) {
         batchSets.unpersist()
@@ -539,7 +585,8 @@ object Dedup {
       shingleSize, numHashes, bands, threshold, seed, maxBucketSize,
       materialize)
       .select(col("batch_id").as(idCol)).distinct()
-    exactSurvivors.join(nearMatched, Seq(idCol), "left_anti")
+    // near-matched ids are batch-bounded: broadcast the anti side
+    exactSurvivors.join(broadcast(nearMatched), Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----

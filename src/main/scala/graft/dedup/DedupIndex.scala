@@ -733,25 +733,61 @@ object DedupIndex {
         batchSets.withColumnRenamed(idCol, "__bid")
           .select(col("__bid"), col("__shingles")),
         "__bid", "__bids", p)
-      val pairs = batchBuckets
+      // the batch side is batch-bounded by contract (batch ≪ corpus —
+      // the module's whole premise); broadcast it so the STORED bucket
+      // table is consumed map-side and never shuffled (a sort-merge
+      // join here would exchange the corpus-sized table per call)
+      // matched buckets are batch-bounded ROWS carrying the candidate
+      // mass as lists — exchange them (pinned width) BEFORE the double
+      // explode so pair generation parallelizes with the shuffle width
+      // instead of the bucket scan's split count (a small stored table
+      // scans as ONE task, and the explode of millions of candidate
+      // pairs must not run inside it)
+      val matched = broadcast(batchBuckets)
         .join(index.buckets, Seq("band", "bucket"))
+        .select(col("__bids"), col("ids"))
+        .repartition(
+          batch.sparkSession.sessionState.conf.numShufflePartitions)
+      val pairs0 = matched
         .select(explode(col("__bids")).as("batch_id"), col("ids"))
         .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
         .distinct()
-      // both sides are shingles()-derived (distinct arrays) — the exact
-      // size-ratio prefilter (J ≥ t ⟹ min ≥ t·max) skips the per-pair
-      // set build for candidates the threshold already excludes; zero
-      // false drops, identical post-threshold result
-      val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
-      val ca = index.sets.select(col("corpus_id"), col("__shingles").as("__sb"))
-      val verified = pairs.join(ba, "batch_id").join(ca, "corpus_id")
-        .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
-          lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
-        .withColumn("jaccard",
-          graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-      if (materialize) verified.localCheckpoint(true) else verified
+      // pairs feed TWO consumers below (the sets prefilter and the
+      // verify join) — cache the batch-bounded table so candidate
+      // generation runs once; lazy mode recomputes it, the documented
+      // materialize = false price
+      val pairs =
+        if (materialize) pairs0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else pairs0
+      try {
+        // both sides are shingles()-derived (distinct arrays) — the exact
+        // size-ratio prefilter (J ≥ t ⟹ min ≥ t·max) skips the per-pair
+        // set build for candidates the threshold already excludes; zero
+        // false drops, identical post-threshold result
+        val ba = batchSets.select(col(idCol).as("batch_id"), col("__shingles").as("__sa"))
+        // the stored `sets` table is corpus-sized — reduce it to the
+        // candidates MAP-SIDE (broadcast semi on the candidate corpus
+        // ids) instead of shuffling it whole into the verify join; the
+        // shuffle joins below then move only candidate-bounded rows,
+        // and the per-pair Jaccard work stays spread across shuffle
+        // partitions (a fully broadcast verify would run it inside the
+        // one-task scan of a small sets file)
+        val caCand = index.sets
+          .join(broadcast(pairs.select(col("corpus_id")).distinct()),
+            Seq("corpus_id"), "left_semi")
+          .select(col("corpus_id"), col("__shingles").as("__sb"))
+        val verified = pairs.join(ba, "batch_id").join(caCand, "corpus_id")
+          .filter(least(size(col("__sa")), size(col("__sb"))).cast("double") >=
+            lit(threshold) * greatest(size(col("__sa")), size(col("__sb"))))
+          .withColumn("jaccard",
+            graft.functions.JaccardDistinct.jaccardDistinct(col("__sa"), col("__sb")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+        if (materialize) verified.localCheckpoint(true) else verified
+      } finally {
+        if (materialize) pairs.unpersist()
+      }
     } finally {
       if (materialize) batchSets.unpersist()
     }
@@ -773,6 +809,8 @@ object DedupIndex {
     val nearMatched = nearDuplicatesAgainst(
       exactSurvivors, index, idCol, textCol, threshold, materialize)
       .select(col("batch_id").as(idCol)).distinct()
-    exactSurvivors.join(nearMatched, Seq(idCol), "left_anti")
+    // near-matched ids are batch-bounded: broadcast the anti side so
+    // the survivors never shuffle
+    exactSurvivors.join(broadcast(nearMatched), Seq(idCol), "left_anti")
   }
 }
