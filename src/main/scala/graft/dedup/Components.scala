@@ -191,6 +191,11 @@ object Components {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // the convergence probe compares consecutive edge-set sizes; the
+    // previous round's count is already known — carry it instead of
+    // re-counting the checkpointed prior set every round (one job per
+    // round saved, exact same decisions)
+    var edgeCount = edges.count()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -217,9 +222,10 @@ object Components {
           greatest(col("a"), col("b")).as("b"))
         .distinct()
         .localCheckpoint(false) // lazy: the convergence count materializes it
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     if (!converged)

@@ -78,6 +78,28 @@ object PageRank {
         "raise iterations, or drop maxResidual to accept the " +
         "fixed-iteration result as-is")
 
+  /** Pin the iteration-invariant edge table to a hash partitioning on
+    * its join key BEFORE checkpointing: every round joins the rank
+    * table against it on that key, so a co-partitioned build side
+    * turns the per-round sort-merge join's TWO exchanges into one
+    * (only the round's rank side moves — §2.4 sharing one exchange
+    * across same-keyed operations). One pinned-width shuffle per CALL
+    * buys |E|-shuffle-free rounds; pinned so AQE cannot coalesce the
+    * captured partitioning away.
+    */
+  private def partitionedBy(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
+  /** Lazy in-loop checkpoints remove the per-iteration job barrier but
+    * stack shuffle stages into one DAG; `iterations` has no upper bound
+    * here (unlike Communities/RandomWalks), so an eager checkpoint
+    * every K rounds bounds driver-side lineage/stage growth to a
+    * constant window while keeping the barrier-free fast path for the
+    * common small iteration counts.
+    */
+  private val EagerEvery = 30
+
   def ranks(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000000L,
@@ -93,7 +115,8 @@ object PageRank {
       .distinct()
       .localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val edgesDeg = partitionedBy(e.join(outdeg, "src"), "src")
+      .localCheckpoint(true)
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct()
@@ -107,7 +130,7 @@ object PageRank {
     val base = lit(scale * 15L / 100L)
     var r = vertices.withColumn("rank", lit(scale))
     var rPrev = r
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // `div` (integral) rather than `/` (IEEE): ranks exceed 2⁵³ on
       // big graphs, where a double round-trip would silently round
       val inSum = r
@@ -122,7 +145,9 @@ object PageRank {
         .select(col("vertex"),
           (base + expr("coalesce(in_sum, 0L) * 85 div 100"))
             .as("rank"))
-        .localCheckpoint(false) // lazy: rides the next consumer's job
+        // lazy: rides the next consumer's job; eager every EagerEvery
+        // rounds to bound lineage (iterations is caller-unbounded)
+        .localCheckpoint(i % EagerEvery == 0)
     }
     maxResidual.foreach(m => requireConverged("PageRank.ranks",
       l1Residual(r, rPrev, "rank"), m))
@@ -164,7 +189,8 @@ object PageRank {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint(true)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val edgesW = e.join(outW, "src").localCheckpoint(true)
+    val edgesW = partitionedBy(e.join(outW, "src"), "src")
+      .localCheckpoint(true)
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct()
@@ -181,7 +207,7 @@ object PageRank {
     val base = lit(scale * 15L / 100L)
     var r = vertices.withColumn("rank", lit(scale))
     var rPrev = r
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inSum = r
         .join(edgesW, r("vertex") === edgesW("src"))
         .select(col("dst").as("vertex"),
@@ -194,7 +220,8 @@ object PageRank {
         .select(col("vertex"),
           (base + expr("coalesce(in_sum, 0L) * 85 div 100"))
             .as("rank"))
-        .localCheckpoint(false) // lazy: rides the next consumer's job
+        // lazy + bounded, as in ranks
+        .localCheckpoint(i % EagerEvery == 0)
     }
     maxResidual.foreach(m => requireConverged("PageRank.weightedRanks",
       l1Residual(r, rPrev, "rank"), m))
@@ -232,7 +259,8 @@ object PageRank {
       .distinct()
       .localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val edgesDeg = partitionedBy(e.join(outdeg, "src"), "src")
+      .localCheckpoint(true)
     val seedSet = seeds
       .select(guard(seedCol).as("vertex"))
       .distinct()
@@ -255,7 +283,7 @@ object PageRank {
       when(col("is_seed"), grant).otherwise(lit(0L))
     var r = vertices.withColumn("rank", seedOnly(lit(scale)))
     var rPrev = r
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inSum = r
         .join(edgesDeg, r("vertex") === edgesDeg("src"))
         .select(col("dst").as("vertex"),
@@ -268,7 +296,8 @@ object PageRank {
         .select(col("vertex"), col("is_seed"),
           (seedOnly(base) + expr("coalesce(in_sum, 0L) * 85 div 100"))
             .as("rank"))
-        .localCheckpoint(false) // lazy: rides the next consumer's job
+        // lazy + bounded, as in ranks
+        .localCheckpoint(i % EagerEvery == 0)
     }
     maxResidual.foreach(m => requireConverged("PageRank.seededRanks",
       l1Residual(r, rPrev, "rank"), m))
