@@ -78,6 +78,14 @@ object ParquetMeta {
     val nested = top.filter(s =>
       s.isDirectory && s.getPath.getName.contains("=")).flatMap(d =>
       f.listStatus(d.getPath).toSeq)
+    // depth guard: every current layout is at most ONE partition level
+    // (cell=N). A deeper partitionBy would silently fingerprint (and
+    // pin schemas from) an incomplete file list — fail loud instead,
+    // off the listing already in hand (no extra RPC).
+    require(!nested.exists(s => s.isDirectory && s.getPath.getName.contains("=")),
+      s"ParquetMeta: $dir has more than one partition-directory level — " +
+        "the metadata fingerprint only descends one level; extend " +
+        "dataFiles before reading this layout through ParquetMeta")
     (top ++ nested).filter(isData).sortBy(_.getPath.toString)
   }
 
@@ -95,11 +103,14 @@ object ParquetMeta {
     val files = dataFiles(f, dir)
     require(files.nonEmpty, s"no parquet data files under $dir")
     val fp = fingerprint(files)
-    val hit = schemaCache.get(dir)
+    // qualified-URI key: two sessions resolving the same relative path
+    // through different working filesystems must not share an entry
+    val key = f.makeQualified(new HPath(dir)).toString
+    val hit = schemaCache.get(key)
     if (hit != null && hit.fp == fp) return hit.schema
     val schema = footerSchema(
       spark.sparkContext.hadoopConfiguration, files.head.getPath)
-    capped(schemaCache).put(dir, SchemaEntry(fp, schema))
+    capped(schemaCache).put(key, SchemaEntry(fp, schema))
     schema
   }
 
@@ -143,6 +154,21 @@ object ParquetMeta {
       partitionCols: StructType = new StructType()): DataFrame = {
     require(dirs.nonEmpty, "readPinned: no directories")
     val dataSchema = schemaOf(spark, dirs.head)
+    // one-writer invariant, VERIFIED per root instead of assumed: a
+    // version-skewed segment whose footer drifted from the pinned
+    // schema would silently null-fill (where the old unionByName threw
+    // an analysis error) — and a later compact would persist the loss.
+    // schemaOf is fingerprint-cached, so this is footer/cache work
+    // only, no Spark job.
+    val pinned = dataSchema.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    for (d <- dirs.tail) {
+      val got = schemaOf(spark, d).fields
+        .map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+      require(got == pinned,
+        s"readPinned: $d footer schema $got differs from the pinned " +
+          s"schema $pinned of ${dirs.head} — the roots do not share one " +
+          "writer; rebuild or compact the divergent segment")
+    }
     val full = partitionCols.fields.foldLeft(dataSchema)(_ add _)
     if (partitionCols.isEmpty || dirs.size == 1)
       spark.read.schema(full).parquet(dirs: _*)
@@ -167,10 +193,11 @@ object ParquetMeta {
     val files = dataFiles(f, dir)
     require(files.nonEmpty, s"no parquet data files under $dir")
     val fp = fingerprint(files)
-    val hit = rowsCache.get(dir)
+    val key = f.makeQualified(new HPath(dir)).toString
+    val hit = rowsCache.get(key)
     if (hit != null && hit.fp == fp) return hit.rows
     val rows = spark.read.parquet(dir).collect().toSeq
-    capped(rowsCache).put(dir, RowsEntry(fp, rows))
+    capped(rowsCache).put(key, RowsEntry(fp, rows))
     rows
   }
 }
