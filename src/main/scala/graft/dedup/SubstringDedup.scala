@@ -758,17 +758,30 @@ object SubstringDedup {
     // #configs small jobs, flat in corpus size because the sample is
     // bounded). Both tables are audit-bounded: truth ≤ sample² id
     // pairs, fingerprints ~2/window per sample byte.
-    val truth = grams.select(col("__gid").as("__ida"), col("__g"))
+    val truthPlan = grams.select(col("__gid").as("__ida"), col("__g"))
       .join(grams.select(col("__gid").as("__idb"), col("__g")), Seq("__g"))
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida"), col("__idb"))
       .distinct()
-      .localCheckpoint(true)
+    // the truth checkpoint and each config's fingerprint checkpoint
+    // are INDEPENDENT eager jobs that previously ran serially —
+    // overlap them (guide §2.6) so each job's driver-side planning/
+    // commit fills the others' scheduler gaps; results land in slots,
+    // ordering and values unchanged
+    val truthSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val fpSlots = new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+    graft.core.Par.awaitAll(
+      ((() => { truthSlot.set(truthPlan.localCheckpoint(true)); () }): (() => Unit)) +:
+        configs.zipWithIndex.map { case ((k, w), i) => () => {
+          fpSlots.put(i, fingerprints(sample, idCol, textCol, k, w)
+            .select(col(idCol), col("hash"))
+            .localCheckpoint(true))
+          ()
+        }}: _*)
+    val truth = truthSlot.get()
     val truthC = truth.agg(count(lit(1)).as("pairs_true"))
-    val rows = configs.map { case (k, w) =>
-      val fps = fingerprints(sample, idCol, textCol, k, w)
-        .select(col(idCol), col("hash"))
-        .localCheckpoint(true)
+    val rows = configs.zipWithIndex.map { case ((k, w), i) =>
+      val fps = fpSlots.get(i)
       val fpc = fps.agg(count(lit(1)).as("fp_rows"))
       val fh = fps.select(col(idCol).as("__fid"), col("hash")).distinct()
       val cand = fh.select(col("__fid").as("__ida"), col("hash"))
